@@ -1,0 +1,291 @@
+"""Aggregation operators (reference heritage: A7 group-by-key +
+A8 fold-reduce, ``src/worker.cc:208-243``).
+
+The reference groups by materializing every value into a per-key
+``std::vector`` inside a single-threaded ordered map — no combiner, no
+spill (``src/worker.cc:173-182`` ships every (k,v) pair across the
+shuffle).  Here every aggregate is a Catalyst hash-aggregate with
+map-side partial aggregation, codegen, and sort-based spill fallback —
+the shuffle carries one partial row per (task, key), not one per record,
+which is the difference between 623k shuffled pairs and 22k at the
+reference's own demo scale, and between feasible and impossible at 100 TB.
+
+``agg_collect_list`` reproduces the reference's literal grouped-list
+model (sorted value list per key) where list semantics are genuinely
+wanted; everything else folds to scalar aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+
+def tpch_q1(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """Flagship query: TPC-H Q1 shape — the reference's whole pipeline
+    shape (scan → filter → project → hash-agg → sort) on one fact table.
+
+    Scale: filter + column pruning push into the parquet scan; the
+    group-by has 6 groups so the shuffle after partial aggregation is
+    tiny regardless of input size.  This plan is flat-scan-bound at any
+    scale factor.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    return tpch_q1(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*)                               AS n_rows,
+           CAST(count(l_orderkey) AS BIGINT)      AS n_orderkeys,
+           round(sum(l_quantity), 2)              AS sum_qty,
+           round(avg(l_extendedprice), 6)         AS avg_price,
+           round(min(l_extendedprice), 2)         AS min_price,
+           round(max(l_extendedprice), 2)         AS max_price,
+           strftime(min(l_shipdate), '%Y-%m-%d')  AS min_shipdate,
+           strftime(max(l_shipdate), '%Y-%m-%d')  AS max_shipdate
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregates (reference A8 fold with a single global key)."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_orderkey").alias("n_orderkeys"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_shipdate"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_shipdate"),
+    )
+
+
+@query(
+    "agg_collect_list",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+           CAST(count(*) AS BIGINT)                            AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal reduce-side data model: all values of a key
+    gathered into a sorted list (``std::map<K, vector<V>>``,
+    ``src/worker.cc:208``).  Rendered as a CSV string so the value hash is
+    representation-stable across engines.
+
+    Scale: collect_list is the one aggregate whose state is O(group size);
+    acceptable here because group = lines-per-order (bounded ≤ 7 by the
+    generator); for unbounded groups prefer scalar folds.
+    """
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("l_linenumber")), lambda x: x.cast("string")),
+            ",",
+        ).alias("linenumbers"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT)  AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)  AS n_supps,
+           round(sum(DISTINCT l_quantity), 2)         AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM(DISTINCT).  Spark expands multi-distinct via EXPAND —
+    each distinct column multiplies the pre-shuffle row count; at 100 TB
+    prefer approx_count_distinct (see agg_approx_distinct) when exactness
+    is not required."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+    )
+
+
+@query("agg_approx_distinct")  # approximate → no SQL oracle (rows-only check)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the scale path for cardinality:
+    constant memory per group, single shuffle of sketch buffers, no EXPAND."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grp,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*)                  AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping-sets family).  Spark plans this
+    as a single EXPAND + hash aggregate — one pass over the fact table."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("grp"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*)                       AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey,
+           count(*)                   AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING).  The predicate applies after the
+    hash-agg; Catalyst cannot push it into the scan, but the agg output is
+    |customers|-sized, so the filter is cheap at any scale."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .where(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no second distinct-values pass)."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6)  AS median_price,
+           round(quantile_cont(l_quantity, 0.9), 6)       AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``).  Exact percentile sorts per group; the 100 TB path
+    is ``percentile_approx`` (KLL-sketch-like, mergeable, fixed memory)."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+    )

@@ -1,0 +1,132 @@
+"""Scan / source / sink operators (reference heritage: A1 whole-file text
+scan ``src/worker.cc:127-133``, A9 text sink ``src/worker.cc:231-243``).
+
+The reference reads whole text files (one map task per file, no schema,
+no pushdown).  Our scans are Parquet: vectorized columnar reads with
+predicate pushdown and column pruning (verify with
+``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import TABLES, load_table
+
+#: tokenizer of the reference's flagship word-count query
+#: (``mr/word_count.h:22-31``): maximal runs of ASCII letters,
+#: case-sensitive; every other byte separates.
+TOKEN_RE = "[A-Za-z]+"
+
+
+def tokenize(col) -> F.Column:
+    """Reference A3 tokenizer as a vectorized JVM expression — no Python
+    UDF in the hot path."""
+    return F.expr(f"regexp_extract_all({col}, '{TOKEN_RE}', 0)")
+
+
+def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The reference's flagship query (A2+A3+A7+A8): tokenize → count per
+    word.  Map-side partial aggregation means the shuffle carries one
+    (word, partial_count) per task instead of one record per token — the
+    combiner the reference lacks (``src/worker.cc:173-182``)."""
+    return (
+        df.select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT 'region' AS tbl, count(*) AS n FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan every table, count rows.  Counts come from parquet row-group
+    metadata (no data pages read) — the degenerate-scan fast path."""
+    ensure_utc(spark)
+    counts = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("tbl"), F.count("*").alias("n")
+        )
+        for t in TABLES
+    ]
+    return reduce(DataFrame.unionByName, counts)
+
+
+@query(
+    "scan_text_wordcount",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS word
+          FROM documents) t
+    GROUP BY word
+    """,
+)
+def scan_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference demo (8 Gutenberg books → word counts) on the
+    ``documents`` fixture, as a pure Catalyst plan."""
+    ensure_utc(spark)
+    return word_count(load_table(spark, sf_dir, "documents"), "text")
+
+
+@query(
+    "sink_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a projection to Parquet, read it back, aggregate (reference
+    A9 text sink → our columnar sink).  Spark's FileOutputCommitter gives
+    the tmp-write + atomic-rename protocol the reference hand-rolls
+    (``src/worker.cc:184-200``).
+
+    The roundtrip must materialize eagerly (the temp dir is deleted after
+    the aggregate is computed), so this query collects the small
+    aggregate and re-parallelizes it — the returned DataFrame is the
+    3-row result, not a plan over the deleted path.
+    """
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="sink_roundtrip_", dir="/root/repo/.scratch")
+    try:
+        li.write.mode("overwrite").parquet(out)
+        result = (
+            spark.read.parquet(out)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            )
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+os.makedirs("/root/repo/.scratch", exist_ok=True)

@@ -1,0 +1,73 @@
+"""Table sources.
+
+The reference's input model is "a list of whole files named on the master
+command line" (reference ``src/master.cc:297-299``); its only format is
+raw text slurped per map task (``src/worker.cc:127-133``).  Our canonical
+sources are schema-ful Parquet tables (columnar, vectorized scan,
+predicate pushdown + column pruning for free), with a whole-file /
+line-oriented text source preserved for reference parity.
+
+Scale note: `spark.read.parquet` split-plans by
+``spark.sql.files.maxPartitionBytes`` (default 128 MB) — at 100 TB that
+is ~800k input splits, scheduled by locality; nothing here assumes
+single-node inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: every driver-provided table (TESTDATA.md); one parquet file per table.
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table from a scale-factor directory.
+
+    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as nanos-since-epoch (legacy conf)
+    and truncate to a microsecond timestamp — the same µs truncation
+    DuckDB applies, so the oracle sees identical instants.  Integer
+    ``div`` (not ``/``) avoids double-precision loss on ~1.7e18 values.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def load_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan (reference A1, ``src/worker.cc:127-133``).
+
+    One row per line, column ``value: string``.  Unlike the reference,
+    large files are split into multiple tasks (the reference pins one map
+    task per whole file — a scalability bug at 100 TB, not replicated).
+    """
+    return spark.read.text(path)
+
+
+def load_whole_text_files(spark: SparkSession, glob: str) -> DataFrame:
+    """Exact whole-file semantics of the reference's map-task input:
+    one record per file, (path, content).  RDD escape hatch because the
+    DataFrame reader has no whole-file text mode; used only for parity
+    tests on small corpora — whole-file slurping does not scale and the
+    engine's real sources are splittable."""
+    rdd = spark.sparkContext.wholeTextFiles(glob)
+    return rdd.toDF(["path", "content"])
