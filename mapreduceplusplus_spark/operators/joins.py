@@ -1,0 +1,275 @@
+"""Join operators (SURVEY.md §2.B join family — all 7 declared queries).
+
+The reference has **no joins at all** (SURVEY §2: "no SQL layer, no
+joins"); its nearest primitive is hash-partitioning by key
+(``src/worker.cc:176-179``), which is exactly the shuffle a distributed
+equi-join is built from.  These queries are the relational-parity
+contract on the star schema.
+
+Scale design (100 TB lens, per query):
+- fact ⋈ fact (orders⋈customer, events self-join): shuffle-on-key joins;
+  AQE picks sort-merge vs shuffled-hash and splits skewed partitions.
+- fact ⋈ dim (nation, region, supplier, customer at small SF): explicit
+  ``F.broadcast`` — the dim ships to every executor once; the fact table
+  never shuffles.  At 100 TB this is the difference between a map-side
+  join and a full-fact shuffle.
+- the theta/range join anchors on an equi key (user_id) so Catalyst
+  plans a hash/sort-merge join with the range predicate as a post-join
+  filter — never a broadcast-nested-loop over the raw cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey,
+           c_custkey,
+           c_mktsegment,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain inner equi-join orders ⋈ customer on custkey.
+
+    Scale: both sides shuffle on the join key (sort-merge or shuffled
+    hash, AQE's call); at sf0.01 AQE converts to broadcast since customer
+    is tiny — both plans are correct, we assert semantics not strategy.
+    o_orderkey is unique, so the output is hash-stable row-level.
+    """
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select(
+        "o_orderkey",
+        "c_custkey",
+        "c_mktsegment",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r_name,
+           n_name,
+           count(*)               AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dims with explicit broadcast hints.
+
+    nation (25 rows) and region (5 rows) are broadcast to every executor;
+    the customer scan never shuffles for the join — only the final 25-ish
+    group aggregate exchanges partial rows.  This is THE pattern for dim
+    lookups at 100 TB (a shuffled join here would move the whole fact
+    table to co-locate with 25 rows).
+    """
+    ensure_utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    JOIN supplier  ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation    ON s_nationkey = n_nationkey
+    JOIN region    ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with local-supplier predicate.
+
+    Scale: the two big tables (lineitem, orders) shuffle once each on
+    their join keys; supplier/customer are mid-size (broadcast at test
+    SF via AQE); nation/region get explicit broadcast hints.  The
+    region+date filters are pushed below the joins by Catalyst, shrinking
+    the orders side before the fact shuffle — the optimizer work §4.1
+    says the reference lacks entirely.
+    """
+    ensure_utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT)        AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-extension: every customer appears, the
+    order-less ones with n_orders = 0 (count skips the null-extended
+    rows) and total_spent coalesced to 0.
+    """
+    ensure_utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style left semi join: customers with ≥1 'P'-status order.
+
+    Scale: semi joins never multiply rows — the probe side short-circuits
+    on first match, and the build side carries only the join key after
+    column pruning.
+    """
+    ensure_utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS / anti join: customers with no 'P'-status order — the
+    exact complement of ``join_semi`` (every synthetic key is referenced
+    at least once, so the filtered right side keeps the result non-empty).
+    """
+    ensure_utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT a.user_id                 AS user_id,
+           a.event_id                AS event_a,
+           b.event_id                AS event_b,
+           a.event_type              AS type_a,
+           b.event_type              AS type_b,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_sec
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: per-user event pairs within a 5-minute band.
+
+    Scale: the equi conjunct (user_id) anchors a hash/sort-merge join —
+    the range predicates are evaluated as a post-join filter *within* a
+    user's partition, so cost is Σ per-user pairs in the band, never the
+    |events|² cross product a raw theta join would plan (BNLJ).  For
+    time-band joins with no equi key at all, the scale path is bucketing
+    ts into coarse epochs and joining on adjacent buckets.
+    """
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    a = events.alias("a")
+    b = events.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return a.join(b, cond, "inner").select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("event_a"),
+        F.col("b.event_id").alias("event_b"),
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        (F.unix_timestamp(F.col("b.ts")) - F.unix_timestamp(F.col("a.ts"))).alias(
+            "gap_sec"
+        ),
+    )

@@ -1,0 +1,148 @@
+"""Projection / filter / predicate operators (SURVEY.md §2.B rows
+``project_arith``, ``filter_pred``, ``filter_null_semantics``).
+
+Reference heritage: projections and predicates live *inside* the user's
+map coroutine (reference ``mr/word_count.h:16-32`` — the map body is the
+only place a record can be transformed or dropped).  Here they are
+declarative Catalyst expressions, which buys pushdown: a `where` on a
+parquet scan column becomes a row-group/page skip (`PushedFilters` in
+the formatted plan) and a narrow `select` prunes the read schema — the
+reference re-reads and re-tokenizes every byte per job (§4.1: no
+optimizer).
+
+Null semantics are new surface relative to the reference: its text
+shuffle format cannot express NULL at all (``src/worker.cc:179``), so we
+define them here the ANSI way (3-valued logic + null-safe equality) and
+differential-test them — this is exactly where Spark and DuckDB dialects
+could diverge, hence the dedicated query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+
+@query(
+    "project_arith",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                                                                      AS revenue_cents,
+           CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
+                AS BIGINT)                                            AS charge_cents,
+           CAST(floor(l_extendedprice / l_quantity * 10000) AS BIGINT) AS unit_price_e4,
+           l_orderkey % 7                                             AS okey_mod7
+    FROM lineitem
+    """,
+)
+def project_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level arithmetic projection (the TPC-H discount/charge exprs).
+
+    Monetary results are emitted as integer cents via the deterministic
+    IEEE-754 expression ``floor(x*100 + 0.5)`` — engine-native
+    ``round(double, 2)`` differs between Spark (exact BigDecimal
+    HALF_UP) and DuckDB (scaled-float) at .xx5 boundaries, whereas this
+    expression is the same double-op sequence on both engines.
+
+    Scale: pure map-side narrow transformation — no shuffle, whole-stage
+    codegen over exactly the 6 read columns (column pruning reaches the
+    parquet scan).
+    """
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = revenue * (1 + F.col("l_tax"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(revenue * 100 + 0.5).cast("bigint").alias("revenue_cents"),
+        F.floor(charge * 100 + 0.5).cast("bigint").alias("charge_cents"),
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10000)
+        .cast("bigint")
+        .alias("unit_price_e4"),
+        (F.col("l_orderkey") % 7).alias("okey_mod7"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE (p_size BETWEEN 5 AND 15
+           AND p_type IN ('ECONOMY', 'SMALL')
+           AND p_name LIKE '%ring%')
+       OR (p_brand = 'Brand#1' AND p_size > 40)
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive predicates + IN-list + BETWEEN + LIKE.
+
+    Scale: every conjunct is a parquet-pushable filter (`PushedFilters`:
+    In, GreaterThan, StringContains...); the OR of two pushable branches
+    is itself pushable, so row groups failing both branches are skipped
+    at the scan.
+    """
+    ensure_utc(spark)
+    part = load_table(spark, sf_dir, "part")
+    branch_a = (
+        F.col("p_size").between(5, 15)
+        & F.col("p_type").isin("ECONOMY", "SMALL")
+        & F.col("p_name").like("%ring%")
+    )
+    branch_b = (F.col("p_brand") == "Brand#1") & (F.col("p_size") > 40)
+    return part.where(branch_a | branch_b).select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+
+
+@query(
+    "filter_null_semantics",
+    oracle="""
+    WITH t AS (
+        SELECT nullif(l_returnflag, 'N')  AS a,   -- NULL for 'N' rows
+               nullif(l_returnflag, 'R')  AS a2,  -- NULL for 'R' rows
+               nullif(l_linestatus, 'F')  AS b    -- NULL for 'F' rows
+        FROM lineitem
+    )
+    SELECT count(*)                                            AS n_rows,
+           CAST(count(a) AS BIGINT)                            AS cnt_a_skips_nulls,
+           count(*) FILTER (WHERE a IS NULL)                   AS n_a_null,
+           count(*) FILTER (WHERE a IS NOT NULL)               AS n_a_notnull,
+           count(*) FILTER (WHERE a IS NULL AND b IS NULL)     AS n_both_null,
+           count(*) FILTER (WHERE a = a2)                      AS n_eq_3vl,
+           count(*) FILTER (WHERE a IS NOT DISTINCT FROM a)    AS n_nullsafe_self
+    FROM t
+    """,
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL / 3-valued `=` / null-safe equality.
+
+    The fixtures carry no physical NULLs, so nullable columns are derived
+    with ``nullif`` — same derivation on both engines.  ``n_eq_3vl``
+    counts only rows where plain `=` evaluates TRUE (NULL operands drop);
+    ``n_nullsafe_self`` uses Spark ``eqNullSafe`` / DuckDB
+    ``IS NOT DISTINCT FROM`` and counts every row (NULL <=> NULL is TRUE).
+    """
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    a = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    a2 = F.nullif(F.col("l_returnflag"), F.lit("R"))
+    b = F.nullif(F.col("l_linestatus"), F.lit("F"))
+    t = li.select(a.alias("a"), a2.alias("a2"), b.alias("b"))
+    cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.count("a").alias("cnt_a_skips_nulls"),
+        cnt(F.col("a").isNull()).alias("n_a_null"),
+        cnt(F.col("a").isNotNull()).alias("n_a_notnull"),
+        cnt(F.col("a").isNull() & F.col("b").isNull()).alias("n_both_null"),
+        cnt(F.col("a") == F.col("a2")).alias("n_eq_3vl"),
+        cnt(F.col("a").eqNullSafe(F.col("a"))).alias("n_nullsafe_self"),
+    )

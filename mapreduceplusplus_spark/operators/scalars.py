@@ -1,0 +1,234 @@
+"""Scalar function surface (SURVEY.md §2.B rows ``scalar_string``,
+``scalar_date``, ``scalar_math``, ``scalar_case_when``, ``scalar_array``,
+``scalar_json``).
+
+Reference heritage: A3 — the only scalar logic the reference has is the
+inline tokenizer in the map coroutine (``mr/word_count.h:22-31``).  Here
+each family is a vectorized JVM expression inside whole-stage codegen;
+none of these queries shuffles (pure narrow projections) except where a
+final small aggregate bounds the result.
+
+Known Spark↔DuckDB dialect traps normalized on BOTH sides:
+- ``ceil``/``floor``: Spark → BIGINT, DuckDB → DOUBLE ⇒ oracle casts;
+- double→string rendering differs (Spark uses scientific notation below
+  1e-3) ⇒ never string-format doubles, compare rounded numerics;
+- day-of-week numbering differs ⇒ avoided;
+- integer ``/`` is true division in both Spark 3+ and DuckDB, but we pin
+  explicit casts anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                              AS name_lower,
+           upper(p_brand)                             AS brand_upper,
+           substr(p_name, 1, 5)                       AS name_head,
+           trim(concat(p_type, ' '))                  AS type_trim,
+           concat(p_brand, ':', p_type)               AS brand_type,
+           CAST(length(p_name) AS INT)                AS name_len,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled,
+           replace(p_name, ' ', '_')                  AS name_snake
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/upper/substr/trim/concat/length/regexp_replace/replace.
+
+    DuckDB ``regexp_replace`` replaces only the first match unless the
+    'g' flag is passed; Spark's always replaces globally — oracle pins
+    'g' so both sides agree.
+    """
+    ensure_utc(spark)
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.trim(F.concat(F.col("p_type"), F.lit(" "))).alias("type_trim"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_devoweled"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                    AS order_year,
+           CAST(month(o_orderdate) AS INT)                   AS order_month,
+           CAST(day(o_orderdate) AS INT)                     AS order_day,
+           CAST(quarter(o_orderdate) AS INT)                 AS order_quarter,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+                                                             AS days_since_epoch95,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')    AS due_date
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/quarter/date_trunc/datediff/date arithmetic.
+    Timestamps render to ISO strings on both sides (SURVEY §7 trap 3)."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch95"
+        ),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT p_partkey,
+           round(p_retailprice, 1)                         AS price_r1,
+           round(abs(p_retailprice - 1000), 2)             AS abs_dev,
+           CAST(ceil(p_retailprice) AS BIGINT)             AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT)            AS price_floor,
+           round(ln(p_retailprice), 6)                     AS price_ln,
+           round(pow(CAST(p_size AS DOUBLE), 2), 1)        AS size_sq,
+           round(sqrt(p_retailprice), 6)                   AS price_sqrt,
+           p_size % 5                                      AS size_mod5
+    FROM part
+    WHERE p_retailprice > 0
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/ln/pow/sqrt/mod.  Spark ``ceil``/``floor``
+    return BIGINT while DuckDB returns DOUBLE — oracle casts to match."""
+    ensure_utc(spark)
+    part = load_table(spark, sf_dir, "part")
+    return part.where(F.col("p_retailprice") > 0).select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.round(F.abs(F.col("p_retailprice") - 1000), 2).alias("abs_dev"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.col("p_size").cast("double"), 2), 1).alias("size_sq"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        (F.col("p_size") % 5).alias("size_mod5"),
+    )
+
+
+@query(
+    "scalar_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END          AS price_bucket,
+           o_orderstatus,
+           count(*)                      AS n,
+           round(sum(o_totalprice), 2)   AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN branching feeding a group-by."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+    )
+    return (
+        orders.withColumn("price_bucket", bucket)
+        .groupBy("price_bucket", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT)                                  AS n_dims,
+           round(CAST(embedding[1] AS DOUBLE), 6)                       AS first_dim,
+           round(list_sum(list_transform(embedding[1:3],
+                                         x -> CAST(x AS DOUBLE))), 6)   AS head3_sum,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)      AS l2_norm,
+           round(list_max(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * 2)), 6)                       AS max_scaled
+    FROM embeddings
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops on the embedding column: size, element_at, slice, and
+    higher-order transform/aggregate — all Catalyst expressions (no UDF).
+    float32 elements cast to double BEFORE arithmetic so both engines
+    compute on identical doubles (FIXTURES.md note); doubles are compared
+    as rounded numerics, never strings (Spark renders small doubles in
+    scientific notation).
+    """
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+        F.round(
+            F.aggregate(
+                F.slice(as_double, 1, 3), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("head3_sum"),
+        F.round(
+            F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+        ).alias("l2_norm"),
+        F.round(F.array_max(F.transform(as_double, lambda x: x * 2)), 6).alias(
+            "max_scaled"
+        ),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                  AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_num,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column
+    (``get_json_object`` ↔ DuckDB ``json_extract_string``)."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return events.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_num"),
+        (k.cast("bigint") % 10).alias("k_mod10"),
+    )

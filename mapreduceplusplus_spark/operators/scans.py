@@ -9,7 +9,6 @@ predicate pushdown and column pruning (verify with
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 from functools import reduce
@@ -112,7 +111,7 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    out = tempfile.mkdtemp(prefix="sink_roundtrip_", dir="/root/repo/.scratch")
+    out = tempfile.mkdtemp(prefix="sink_roundtrip_")
     try:
         li.write.mode("overwrite").parquet(out)
         result = (
@@ -127,6 +126,3 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
-
-
-os.makedirs("/root/repo/.scratch", exist_ok=True)

@@ -1,0 +1,158 @@
+"""Sorts / limits / set operations (SURVEY.md §2.B rows ``sort_global``,
+``sort_limit_topk``, ``set_union_all``, ``set_intersect``, ``set_except``).
+
+Reference heritage: A10 — the demo's post-processing line
+``sort reduce_out_*.mr | grep .`` (reference ``run_demo.sh:16``) is a
+merge + global byte-order sort; multi-file input is an implicit UNION ALL
+(``src/master.cc:129-130``).  Spark's ``orderBy`` is the distributed
+version: sample → range-partition → per-partition sort, no single-node
+merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+
+@query(
+    "sort_global",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           o_orderpriority,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+               AS sort_rank
+    FROM orders
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column global ORDER BY (reference A10), made hash-checkable.
+
+    The driver's value-hash is order-insensitive, so the *achieved order*
+    is materialized as ``sort_rank``.  Note the scale split: ``orderBy``
+    itself is a distributed range-partitioned sort (fine at 100 TB); the
+    rank materialization is a single-partition window used here only to
+    make the order observable to the oracle — a real pipeline would stop
+    at ``orderBy`` (see docstring of ``window_rank`` for partitioned
+    ranks, which DO scale).
+    """
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "o_orderpriority",
+        F.row_number().over(w).cast("bigint").alias("sort_rank"),
+    )
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 2)               AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d')    AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY … LIMIT k → Spark plans TakeOrderedAndProject: each task
+    keeps a k-row heap, the driver merges #tasks×k rows — no global sort,
+    no full shuffle.  This IS the scale path for top-k (vs sort_global).
+    o_orderkey tiebreaker keeps the result deterministic under ties.
+    """
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT 'customer' AS kind, c_custkey AS entity_key, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS kind, s_suppkey AS entity_key, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of schema-aligned projections (``unionByName`` — by
+    column name, not position, so projection reordering can't silently
+    mispair columns).  Narrow op: no shuffle, partitions concatenate.
+    """
+    ensure_utc(spark)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("entity_key"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    return customer.unionByName(supplier)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers that both placed an 'F' order and
+    have positive balance.  Plans as an aggregate + join on all columns;
+    distinct semantics mean the output is key-unique."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    left = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = customer.where(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return left.intersect(right)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers who never placed an 'F'-status order
+    — the set-op mirror of an anti join (same rows, different plan:
+    aggregate + anti-join under the hood).  The status filter keeps the
+    result non-empty: every synthetic custkey has ≥1 order overall."""
+    ensure_utc(spark)
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return customer.subtract(orders)

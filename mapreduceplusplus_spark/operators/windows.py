@@ -1,0 +1,159 @@
+"""Window functions (SURVEY.md §2.B rows ``window_rank``,
+``window_topk_per_group``, ``window_running_sum``, ``window_lag_lead``).
+
+No reference heritage — the reference's grouped model (A7) collapses
+each key to one output row; windows keep row granularity while seeing
+the group.  Oracle traps handled here: DuckDB's default frame for
+aggregate-over-window is RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
+ROW (peer rows included) — we always state ROWS frames explicitly on
+both sides, and every ORDER BY carries a unique tiebreaker so peer
+groups are singletons anyway.
+
+Scale: a window shuffles once on partitionBy keys, then sorts within
+partitions.  One skewed partition key (a single giant user) serializes
+that partition — same pathology as a skewed group-by, mitigated by
+pre-aggregating or bucketing time.  A window with NO partitionBy
+(see ``sort_global``) collapses to one task and does not scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT c_custkey,
+           c_nationkey,
+           round(c_acctbal, 2) AS acctbal,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per nation ordered by balance."""
+    ensure_utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, totalprice, rn
+    FROM (
+        SELECT o_custkey AS c_custkey,
+               o_orderkey,
+               round(o_totalprice, 2) AS totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey)
+                    AS BIGINT)        AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number ≤ k).
+
+    Scale: Spark pushes a per-partition rank limit below the shuffle
+    (WindowGroupLimit since 3.5) — each map task pre-trims to k rows per
+    group before exchanging, so the shuffle carries ≈ k·|groups| rows,
+    not the whole fact table.
+    """
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user sum over event time with an explicit ROWS
+    frame (DuckDB's default frame is RANGE — peer rows would be summed
+    together — so both sides pin ROWS)."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           round(o_totalprice, 2)                          AS totalprice,
+           round(lag(o_totalprice)  OVER w, 2)             AS prev_price,
+           round(lead(o_totalprice) OVER w, 2)             AS next_price,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0), 2)
+                                                           AS delta_vs_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each customer's order history (NULL at the edges —
+    first order has no prev, last has no next)."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)),
+            2,
+        ).alias("delta_vs_prev"),
+    )

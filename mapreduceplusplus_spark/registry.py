@@ -66,15 +66,21 @@ def load_all() -> None:
     global _loaded
     if _loaded:
         return
+    skipped = []
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
         except ModuleNotFoundError as exc:
             # modules land incrementally during the build; only swallow
-            # "that module file doesn't exist yet", never real import bugs
-            if exc.name and exc.name.startswith("mapreduceplusplus_spark"):
+            # "that exact module file doesn't exist yet" — a typo'd
+            # transitive import inside an existing module must re-raise,
+            # otherwise its whole query family silently vanishes
+            if exc.name == mod or (exc.name and mod.startswith(exc.name + ".")):
+                skipped.append(mod)
                 continue
             raise
+    if skipped:
+        print(f"[registry] planned-but-missing query modules skipped: {skipped}")
     _loaded = True
 
 

@@ -41,6 +41,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and truncate to a microsecond timestamp — the same µs truncation
     DuckDB applies, so the oracle sees identical instants.  Integer
     ``div`` (not ``/``) avoids double-precision loss on ~1.7e18 values.
+
+    Engine invariant (deliberate, session-wide): ``nanosAsLong`` stays
+    set once an ``events`` read has happened.  It cannot be scoped with
+    save/restore because Spark captures the conf at *plan/execution*
+    time, not at ``read()`` time — restoring it immediately would break
+    the lazy scan.  Consequence: any TIMESTAMP(NANOS) parquet column in
+    this session is surfaced as BIGINT nanos and must be converted
+    explicitly, exactly as done here.  No driver table other than
+    ``events`` carries nanos, and the conf is a no-op for µs/ms columns.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -6,6 +6,7 @@ names, and (column-name-sorted, row-sorted) values exactly.
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import duckdb
 
@@ -22,6 +23,10 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
+    # DECIMAL-typed results surface as decimal.Decimal on one engine and
+    # float on the other — normalize both to float before repr
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

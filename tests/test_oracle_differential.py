@@ -24,7 +24,8 @@ def test_oracle_match(spark, name):
 
 
 def test_all_queries_return_rows(spark):
-    """Rows-only smoke for every registered query (incl. oracle-less)."""
+    """Rows-only smoke for every registered query (incl. oracle-less) —
+    the driver's entry() contract is rows > 0, so empty results fail."""
     for name, fn in registry.queries().items():
         df = fn(spark, SF_DIR_ORACLE)
-        assert df.count() >= 0, name
+        assert df.count() > 0, f"{name} returned no rows"
