@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness — times the headline queries and prints ONE JSON line.
+
+Usage:  python bench.py
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_QUERIES        comma-separated subset override
+
+Each query is executed to completion with the ``noop`` write sink so the
+full plan runs (a bare ``count()`` would let Catalyst prune projections
+and undercount the work).  Wall time excludes JVM/session startup; a
+warmup query primes codegen and the parquet footer cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduceplusplus_spark import registry  # noqa: E402
+from mapreduceplusplus_spark.session import get_spark  # noqa: E402
+
+#: queries that represent every operator family at its heaviest
+HEADLINE = [
+    "agg_groupby",            # TPC-H Q1 flagship: scan+filter+hash-agg
+    "scan_text_wordcount",    # the reference's flagship MR job
+    "project_arith",          # narrow map-side projection throughput
+    "join_multiway",          # TPC-H Q5-shape 6-table star join
+    "join_inner_equi",        # shuffle join orders⋈customer
+    "window_topk_per_group",  # partitioned window + filter
+    "sort_limit_topk",        # TakeOrdered global top-k
+    "set_except",             # shuffle-dedup set op
+    "agg_distinct",           # multi-distinct EXPAND
+    "scalar_json",            # JSON extraction over events
+]
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = None
+    spark = get_spark(app_name="bench")
+    qs = registry.queries()
+    names = [n for n in os.environ.get("BENCH_QUERIES", "").split(",") if n] or [
+        n for n in HEADLINE if n in qs
+    ]
+
+    # warmup: prime codegen, Arrow, and the scan path (not timed)
+    run_one(spark, qs["agg_groupby"], sf_dir)
+
+    times: dict[str, float] = {}
+    for name in names:
+        times[name] = round(run_one(spark, qs[name], sf_dir), 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

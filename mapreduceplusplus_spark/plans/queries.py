@@ -1,0 +1,119 @@
+"""The MapReduce UDF surface as declared queries (SURVEY.md §2.B rows
+``udtf_flatmap_generator``, ``udaf_fold``, ``mr_pipeline_api``).
+
+These are the reference's *defining feature*: arbitrary user Python in
+the map (``/root/reference/mr/word_count.h:16-32`` — a coroutine yielding
+KV pairs) and reduce (``mr/word_count.h:34-38`` — a fold over one key's
+values), driven by the engine (``/root/reference/src/worker.cc:135,
+173-182,237-243``).  The engine API lives in
+``mapreduceplusplus_spark.mr``; these queries instantiate it with the
+reference's shipped word-count semantics (plus a numeric fold) so the
+DuckDB oracle can hash-check the *instantiation* even though the generic
+contract is not SQL-expressible (SURVEY §2.B ground rules).
+
+Scale posture: the map/reduce callables run as Arrow-batched
+``mapInPandas`` / ``applyInPandas`` — the deliberate slow-path escape
+hatch.  Everything here is embarrassingly parallel per batch / per key
+group; the single shuffle is the ``repartition(R, key)`` inside
+``map_reduce`` (the reference's ``hash(key) % R``, ``src/worker.cc:176-179``).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.mr import flat_map, fold_by_key, map_reduce
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+#: the reference tokenizer (``mr/word_count.h:22-31``): maximal runs of
+#: ASCII letters, case-sensitive — compiled once per executor interpreter.
+_TOKEN = re.compile("[A-Za-z]+")
+
+
+def _wc_map(row: dict[str, Any]) -> Iterable[tuple[str, int]]:
+    """Python port of the reference map coroutine: yield (word, 1) per
+    token of one document (stands in for one input file)."""
+    for word in _TOKEN.findall(row["text"] or ""):
+        yield (word, 1)
+
+
+def _sum_reduce(key: Any, values: list[Any]):
+    """The reference reduce: ``std::accumulate(first, last, 0)``
+    (``mr/word_count.h:34-38``)."""
+    return sum(values)
+
+
+@query(
+    "udtf_flatmap_generator",
+    oracle="""
+    SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS word,
+           CAST(1 AS BIGINT) AS one
+    FROM documents
+    """,
+)
+def udtf_flatmap_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF stage alone: the user generator over every row, distributed
+    via Arrow-batched ``mapInPandas`` (lazy per batch — the coroutine
+    semantics of ``include/generator.h`` map onto the iterator-of-batches
+    protocol).  Output is the raw (word, 1) stream the reference's map
+    tasks write to shuffle files — hash-checked against SQL tokenization.
+    """
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return flat_map(docs, _wc_map, schema="word string, one bigint")
+
+
+@query(
+    "udaf_fold",
+    oracle="""
+    SELECT l_orderkey AS key, round(sum(l_quantity), 2) AS value
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def udaf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF stage alone: the user fold per key (``V reduce(K, values)``)
+    via ``applyInPandas`` — one Arrow batch per key group, many groups
+    per task.  Folds l_quantity per order; rounded on both sides so
+    Python float summation order cannot flip the hash."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"), F.col("l_quantity").alias("value")
+    )
+    folded = fold_by_key(li, "key", "value", _sum_reduce)
+    return folded.select("key", F.round("value", 2).alias("value"))
+
+
+@query(
+    "mr_pipeline_api",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS word
+          FROM documents) t
+    GROUP BY word
+    """,
+)
+def mr_pipeline_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ``map_reduce(df, map_fn, reduce_fn, R)`` — the full
+    reference job (``run_demo.sh`` with ``MR_REDUCE_NUM_TASKS=3``):
+    user map generator → map-side combine (the combiner the reference
+    lacks) → R-way hash shuffle → user fold per key.  The word-count
+    instantiation hash-matches the SQL tokenization oracle, proving the
+    pipeline reproduces the reference's flagship output exactly."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return map_reduce(
+        docs,
+        _wc_map,
+        _sum_reduce,
+        num_partitions=3,
+        kv_schema="word string, cnt bigint",
+        combine_fn=_sum_reduce,
+    )

@@ -80,7 +80,12 @@ def load_all() -> None:
                 continue
             raise
     if skipped:
-        print(f"[registry] planned-but-missing query modules skipped: {skipped}")
+        import sys
+
+        print(
+            f"[registry] planned-but-missing query modules skipped: {skipped}",
+            file=sys.stderr,
+        )
     _loaded = True
 
 
