@@ -1,0 +1,366 @@
+"""Deduplication operators for LLM-training-data pipelines (SURVEY.md
+§2.B rows ``dedup_exact``, ``dedup_minhash_near`` + charter extensions
+``dedup_ngram_jaccard``, ``dedup_simhash``, ``dedup_embedding_cosine``).
+
+Reference heritage: dedup is the degenerate key-grouped aggregation
+(A7, reference ``src/worker.cc:208-229`` — group by key, keep one).  The
+near-dup family generalizes the key: shingle sets, MinHash signatures,
+SimHash fingerprints, embedding vectors.
+
+Scale design (the 100 TB contract):
+- **never all-pairs**.  Exact n-gram Jaccard joins on the *shingle*
+  (inverted-index join: only documents sharing a shingle meet);
+  MinHash-LSH joins on *(band, band-hash)*; SimHash joins on *16-bit
+  band value*.  Candidate generation is always an equi-join Catalyst
+  can hash-partition — the O(n²) cross product never materializes.
+- skew: ultra-frequent shingles (stop-phrase shingles) are the hot
+  keys of the inverted-index join.  AQE skew-join splitting handles
+  moderate skew; at extreme scale drop shingles with document
+  frequency above a cap (standard practice — they carry ~no Jaccard
+  signal) before the join.
+- everything below is JVM-side Catalyst expressions (higher-order
+  array functions, ``xxhash64``) — no Python in any hot path, and all
+  hashes are fixed-seed → bit-for-bit deterministic across runs and
+  partitionings.
+"""
+
+from __future__ import annotations
+
+from functools import reduce as _reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+#: near-dup decision threshold on word-trigram Jaccard (the synthetic
+#: corpus has a clean margin: planted pairs ≥ 0.9, background ≤ 0.3)
+JACCARD_T = 0.8
+
+#: MinHash configuration: 64 hash functions in 16 bands × 4 rows.
+#: Collision probability at Jaccard j is 1-(1-j^4)^16 — ≥ 0.9998 at
+#: j = 0.8, ≤ 0.066 at j = 0.3: the planted pairs are essentially
+#: guaranteed candidates, background pairs essentially never are.
+MINHASH_K, MINHASH_BANDS, MINHASH_R = 64, 16, 4
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lower-cased ``[a-z]+`` tokens —
+    pure Catalyst expression (regexp + higher-order transform), no UDF.
+    Documents with < n words get an empty set (the ``when`` guard:
+    Spark's ``sequence(1, k)`` DESCENDS for k < 1 instead of being
+    empty, so unguarded short docs would produce garbage shingles)."""
+    ws = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), 0)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    ).where(F.size("sh") > 0)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (SELECT doc_id, lang, source, n_chars,
+                 row_number() OVER (PARTITION BY lang, source
+                                    ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a key subset: keep ONE deterministic representative
+    (lowest doc_id) per (lang, source) group — the canonical-keeper
+    pattern real pipelines use instead of ``dropDuplicates`` (which keeps
+    an *arbitrary* row, nondeterministic under partitioning).  Plans as a
+    single hash-partitioned window; at scale this is one shuffle on the
+    dedup key, no global sort."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                for i in range(1, len(ws) - 1)])) AS s
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY da, db
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           round(i * 1.0 / (ca.n + cb.n - i), 3) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = da
+    JOIN cnt cb ON cb.doc_id = db
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= {JACCARD_T}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs by word-trigram Jaccard — via an
+    inverted-index equi-join on the shingle (documents sharing no
+    shingle never meet; no cross product).  This is the exactness
+    baseline the approximate variants (`dedup_minhash_near`) are
+    measured against.  Shuffle profile at scale: explode(shingles) →
+    one hash join on shingle → one (doc_a, doc_b) hash-agg; hot
+    shingles are the skew risk (see module docstring)."""
+    ensure_utc(spark)
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    jac = (
+        inter.join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(cnt.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .withColumn("jaccard_raw", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .where(F.col("jaccard_raw") >= JACCARD_T)
+    )
+    return jac.select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.round("jaccard_raw", 3).alias("jaccard"),
+    )
+
+
+@query("dedup_minhash_near")  # no SQL oracle: LSH banding isn't SQL-expressible;
+# correctness is pinned by tests/test_llm_ops.py comparing against the
+# exact dedup_ngram_jaccard result (deterministic fixed-seed hashes)
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection — the SCALE path for what
+    `dedup_ngram_jaccard` computes exactly.
+
+    Pipeline (all Catalyst expressions, fixed seeds, deterministic):
+    1. signature: k=64 minhashes per doc — ``array_min(transform(sh,
+       s -> xxhash64(i, s)))`` for i in 0..63 (xxhash64 with a distinct
+       integer first-argument per hash function);
+    2. banding: 16 bands × 4 rows; band key = xxhash64 of the band's
+       4 signature values;
+    3. candidates: equi-join docs on (band_id, band_key) — only
+       signature-colliding docs meet; candidate count ~ #true pairs,
+       not n²;
+    4. verify: exact Jaccard via array_intersect on the (bounded,
+       per-doc) shingle sets, keep pairs ≥ 0.8.
+
+    At 100 TB the only shuffles are the band-key join and the final
+    pair dedup; per-doc state is O(#shingles) ≤ O(doc length)."""
+    ensure_utc(spark)
+    docs = _doc_shingles(spark, sf_dir)
+
+    def _minhash(i: int) -> Column:
+        # factory keeps the lambda SINGLE-argument: a two-parameter
+        # lambda would make pyspark pass the array *index* as the second
+        # arg, silently replacing the hash-function id
+        return F.array_min(
+            F.transform("sh", lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh{i}")
+
+    sig = docs.select("doc_id", "sh", *[_minhash(i) for i in range(MINHASH_K)])
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * MINHASH_R + j}") for j in range(MINHASH_R)]
+                        ).alias("bkey"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard_raw", inter / union)
+        .where(F.col("jaccard_raw") >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 3).alias("jaccard"))
+    )
+
+
+@query("dedup_simhash")  # no SQL oracle: 64-bit SimHash needs xxhash64
+# bit arithmetic DuckDB doesn't replicate; pinned by tests/test_llm_ops.py
+# (recall vs the exact Jaccard pairs + hamming-bound property)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit fingerprint per document
+    (Charikar random-hyperplane sketch over term-frequency-weighted
+    token hashes), candidates = fingerprints sharing one of four 16-bit
+    bands, kept when Hamming distance ≤ 6.
+
+    All JVM expressions: one groupBy(doc_id, token) for weights, one
+    64-expression groupBy(doc_id) for the bit votes, an OR-fold into
+    the fingerprint, a band equi-join, ``bit_count(a ^ b)`` for
+    Hamming.  Same LSH-shaped scale profile as MinHash (band join, no
+    cross product); signature is 8 bytes/doc, the cheapest of the
+    sketch family."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    weighted = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("w"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = weighted.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                    -F.col("w")
+                )
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    fp = _reduce(
+        Column.bitwiseOR,
+        [
+            F.shiftleft(F.when(F.col(f"v{j}") > 0, 1).otherwise(0).cast("long"), j)
+            for j in range(64)
+        ],
+    )
+    fps = votes.select("doc_id", fp.alias("fp"))
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("fp", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bval"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= 6)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 3) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT all-pairs baseline —
+    dot product and norms via higher-order ``zip_with``/``aggregate``
+    (Catalyst-visible, no UDF).  This O(n²) form is the correctness
+    oracle only; the scale path for the same decision is
+    ``sim_search_lsh`` (random-hyperplane bucketing, llm/similarity.py)
+    — never run all-pairs at 100 TB.  Norms are precomputed BEFORE the
+    join (narrow), so the quadratic stage does one zip_with per pair."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    emb = emb.withColumn("nrm", norm)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos_raw", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        .where(F.col("cos_raw") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cos_raw", 3).alias("cosine"),
+        )
+    )

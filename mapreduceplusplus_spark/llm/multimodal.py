@@ -1,0 +1,134 @@
+"""Multimodal-column operators (SURVEY.md §2.B row ``multimodal_columns``
++ charter extension ``multimodal_decode_stub``).
+
+North-star contract: image/audio/video are opaque ``binary`` columns
+with typed metadata travelling beside them.  Two tiers:
+
+- ``multimodal_columns`` — nested-type plumbing on built-in Catalyst
+  expressions: struct/array/map columns constructed, carried through a
+  join + filter, and projected back out to flat scalars (what the
+  DuckDB oracle can check).  Nested columns are first-class in
+  Parquet + Tungsten; nothing here leaves the JVM.
+- ``multimodal_decode_stub`` — the Python-side decode path: binary
+  payload → ``mapInPandas`` batch decoder → typed metadata struct.
+  The real decoder (PIL/ffmpeg/torchaudio) is NOT in this container,
+  so the decode is a clearly-marked deterministic fake; the Spark
+  plumbing — binary column, Arrow batch transfer, output schema,
+  partition-preserving narrow execution — is real and is what the
+  operator contract tests.  At 100 TB the decode is the textbook
+  ``mapInPandas`` use case: per-batch Python, no shuffle, scales with
+  input splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+
+@query(
+    "multimodal_columns",
+    oracle="""
+    SELECT d.doc_id,
+           d.lang                         AS meta_lang,
+           d.source                       AS meta_source,
+           CAST(len(e.embedding) AS BIGINT) AS emb_dim,
+           round(list_aggregate(list_transform(e.embedding[1:8], x -> CAST(x AS DOUBLE)),
+                                'sum'), 3) AS head_sum,
+           round(CAST(e.embedding[1] AS DOUBLE), 3) AS first_val
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE d.n_chars > 100
+    """,
+)
+def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/array/map columns carried through a join and a filter,
+    then flattened: metadata struct (lang, source), a string→string
+    map probed with element_at, and array ops (size, slice-sum,
+    element_at) on the embedding.  The join keys align doc_id=vec_id
+    (1:1 in the fixtures); the dims side is small → broadcast."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    enriched = (
+        docs.withColumn("meta", F.struct("lang", "source"))
+        .withColumn(
+            "attrs",
+            F.create_map(
+                F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+            ),
+        )
+        .join(F.broadcast(emb), F.col("vec_id") == F.col("doc_id"))
+        .where(F.col("n_chars") > 100)
+    )
+    head = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))
+    return enriched.select(
+        "doc_id",
+        F.col("meta.lang").alias("meta_lang"),
+        F.element_at("attrs", "source").alias("meta_source"),
+        F.size("embedding").cast("bigint").alias("emb_dim"),
+        F.round(F.aggregate(head, F.lit(0.0), lambda a, x: a + x), 3).alias("head_sum"),
+        F.round(F.element_at("embedding", 1).cast("double"), 3).alias("first_val"),
+    )
+
+
+#: output schema of the (stubbed) decoder — the real contract a PIL/
+#: ffmpeg-backed implementation would fill
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, format string, width int, height int, ok boolean"
+)
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched fake decoder.  DETERMINISTIC STUB: derives
+    metadata from the payload length/first byte instead of decoding —
+    the container has no image/audio libraries.  A real implementation
+    replaces ONLY the body marked below; schema, batching, and
+    distribution are already production-shaped."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        first = payloads.map(lambda b: b[0] if len(b) else 0)
+        # --- real decode goes here (PIL.Image.open etc.); stub: ---
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "format": first.map(lambda x: ["png", "jpeg", "webp"][x % 3]),
+                "width": (n_bytes % 640 + 16).astype("int32"),
+                "height": (first * 7 % 480 + 16).astype("int32"),
+                "ok": n_bytes > 0,
+            }
+        )
+        yield out
+
+
+def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Public decode operator: (doc_id, payload binary) → typed
+    metadata.  Narrow ``mapInPandas`` — no shuffle, one Python worker
+    per input split, Arrow both ways."""
+    return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
+        _decode_batch, schema=DECODE_SCHEMA
+    )
+
+
+@query("multimodal_decode_stub")  # no SQL oracle: the decode is a
+# Python mapInPandas stage; determinism + formula pinned by
+# tests/test_llm_ops.py
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline on the documents fixture: text
+    bytes stand in for an image payload (``cast(text AS BINARY)``),
+    flowing through the Arrow decode stage.  Returns one metadata row
+    per document."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return decode_images(docs)

@@ -1,0 +1,263 @@
+"""Text-analysis operators for LLM-training-data pipelines (SURVEY.md
+§2.B row ``text_analysis_stats`` + charter extensions ``text_lang_id``,
+``text_quality_score``, ``text_token_count``, ``text_fingerprint``).
+
+Reference heritage: generalization of the flagship tokenizer pipeline
+(A2+A3+A7 — ``mr/word_count.h:22-31``) from corpus-global word counts to
+per-document statistics.
+
+Scale design: every operator here is a NARROW per-document map —
+regexp + higher-order array expressions, no shuffle at all (the plans
+are scan → project).  That is the ideal 100 TB shape: embarrassingly
+parallel, whole-stage-codegen'd, no Python.  The one groupBy
+(language distribution in ``text_analysis_stats``) aggregates ~5 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+#: tiny per-language stopword lists for the n-gram/stopword lang-ID
+#: heuristic.  Deliberately small: the operator contract is "argmax of
+#: per-language evidence", not lexicon quality.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en"],
+}
+
+
+def _toks(text_col) -> Column:
+    return F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), 0)
+
+
+def _stop_hits(toks: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) that are stopwords of
+    ``lang`` — a size(filter(...)) expression, no explode/shuffle."""
+    words = STOPWORDS[lang]
+
+    def _is_stop(t: Column) -> Column:
+        return t.isin(*words)
+
+    return F.size(F.filter(toks, _is_stop))
+
+
+def _duck_stop_hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(ws, t -> list_contains([{lst}], t)))"
+
+
+@query(
+    "text_analysis_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(ws) AS BIGINT)                AS n_tokens,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+           round(CASE WHEN len(ws) > 0
+                      THEN list_aggregate(list_transform(ws, t -> len(t)), 'sum') * 1.0 / len(ws)
+                      ELSE 0 END, 3)              AS avg_token_len,
+           CAST(n_chars AS BIGINT)                AS n_chars
+    FROM (SELECT doc_id, lang, n_chars,
+                 regexp_extract_all(lower(text), '[a-z]+') AS ws
+          FROM documents)
+    """,
+)
+def text_analysis_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: token count, distinct tokens,
+    mean token length — all higher-order array expressions over the
+    tokenized text; a single narrow projection, no shuffle."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _toks(F.col("text"))
+    d = docs.select("doc_id", "lang", "n_chars", ws.alias("ws"))
+    tok_len_sum = F.aggregate(
+        F.transform("ws", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.when(F.size("ws") > 0, tok_len_sum * 1.0 / F.size("ws")).otherwise(0.0), 3
+        ).alias("avg_token_len"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE greatest(en_s, de_s, fr_s, es_s)
+                WHEN 0 THEN 'und'
+                WHEN en_s THEN 'en'
+                WHEN de_s THEN 'de'
+                WHEN fr_s THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           CAST(greatest(en_s, de_s, fr_s, es_s) AS BIGINT) AS best_score
+    FROM (SELECT doc_id, lang,
+                 {_duck_stop_hits("en")} AS en_s,
+                 {_duck_stop_hits("de")} AS de_s,
+                 {_duck_stop_hits("fr")} AS fr_s,
+                 {_duck_stop_hits("es")} AS es_s
+          FROM (SELECT doc_id, lang,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents))
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language ID: per-language hit counts, argmax
+    with a fixed precedence order (en > de > fr > es) for ties and
+    'und' when no evidence.  The oracle checks the OPERATOR (same
+    argmax over the same evidence), not the synthetic ``lang`` label —
+    the fixture's text is language-agnostic vocab, so the label is
+    unlearnable by construction and carried through as
+    ``labeled_lang`` for comparison."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", _toks(F.col("text")).alias("ws"))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_stop_hits(F.col("ws"), lg).alias(f"{lg}_s") for lg in STOPWORDS],
+    )
+    best = F.greatest(*[F.col(f"{lg}_s") for lg in STOPWORDS])
+    pred = (
+        F.when(best == 0, "und")
+        .when(F.col("en_s") == best, "en")
+        .when(F.col("de_s") == best, "de")
+        .when(F.col("fr_s") == best, "fr")
+        .otherwise("es")
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("pred_lang"),
+        best.cast("bigint").alias("best_score"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           round(alpha_ratio, 3)    AS alpha_ratio,
+           round(stop_ratio, 3)     AS stop_ratio,
+           round(0.5 * alpha_ratio + 0.3 * stop_ratio
+                 + 0.2 * least(n_tok / 100.0, 1.0), 3) AS quality
+    FROM (
+      SELECT doc_id,
+             CASE WHEN n_chars > 0
+                  THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars
+                  ELSE 0 END AS alpha_ratio,
+             CASE WHEN len(ws) > 0
+                  THEN len(list_filter(ws, t -> list_contains(
+                       ['the','and','of','to','a','in','is','it'], t))) * 1.0 / len(ws)
+                  ELSE 0 END AS stop_ratio,
+             len(ws) AS n_tok
+      FROM (SELECT doc_id, text, n_chars,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents))
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score — weighted blend of
+    alpha-character ratio, English-stopword ratio, and a saturating
+    length prior (the C4/Gopher-style rule family).  Pure per-row
+    expressions; the weights are the operator contract, not a claim
+    about optimality."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _toks(F.col("text"))
+    d = docs.select("doc_id", "text", "n_chars", ws.alias("ws"))
+    alpha_ratio = F.when(
+        F.col("n_chars") > 0,
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0 / F.col("n_chars"),
+    ).otherwise(0.0)
+    stop_ratio = F.when(
+        F.size("ws") > 0, _stop_hits(F.col("ws"), "en") * 1.0 / F.size("ws")
+    ).otherwise(0.0)
+    d = d.select(
+        "doc_id",
+        alpha_ratio.alias("alpha_ratio_raw"),
+        stop_ratio.alias("stop_ratio_raw"),
+        F.size("ws").alias("n_tok"),
+    )
+    quality = (
+        0.5 * F.col("alpha_ratio_raw")
+        + 0.3 * F.col("stop_ratio_raw")
+        + 0.2 * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        F.round("alpha_ratio_raw", 3).alias("alpha_ratio"),
+        F.round("stop_ratio_raw", 3).alias("stop_ratio"),
+        F.round(quality, 3).alias("quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_pretokens,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_whitespace,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: a BPE-style pre-tokenizer regex
+    (letter runs | digit runs | single punctuation — the GPT-2
+    pre-split shape), whitespace tokens, and the chars/4 BPE estimate.
+    All regexp counts, map-side only."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        )
+        .cast("bigint")
+        .alias("n_pretokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("bigint")
+        .alias("n_whitespace"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS exact_fp,
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(lower(text), '[a-z]+'))), ' ')) AS bag_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (md5 of raw text — byte-identical
+    dup key) and bag-of-words (md5 of the sorted distinct token list —
+    order/whitespace-insensitive dup key).  Fingerprints are THE exact
+    dedup key at scale: group on 16 bytes instead of comparing
+    documents."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bag = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(_toks(F.col("text"))))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("exact_fp"),
+        F.md5(bag).alias("bag_fp"),
+    )

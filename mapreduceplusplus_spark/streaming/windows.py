@@ -1,0 +1,187 @@
+"""Event-time window operators (SURVEY.md §2.B rows
+``stream_tumbling_count``, ``stream_sliding_agg``,
+``stream_session_window``).
+
+The reference has no streaming at all — these are mandated by the
+"streams" capability check.  Spark's event-time windows are the SAME
+functions in batch and streaming (``F.window`` / ``F.session_window``
+group a timestamp column); the declared queries here run them in batch
+mode over the ``events`` fixture so the DuckDB oracle can hash-check
+the *semantics*, and ``streaming_pipeline`` wires the identical
+aggregation into a real ``readStream → withWatermark → writeStream``
+micro-batch pipeline (exercised with late-data assertions in
+``tests/test_streaming.py`` — watermarking has no SQL oracle by
+nature).
+
+Scale notes: windowed aggregation shuffles on (window, keys) exactly
+like a groupBy; sliding windows multiply rows by window/slide (×4
+here) BEFORE the shuffle — the map-side partial aggregation absorbs
+most of that.  Session windows keep per-key state until the watermark
+closes the session; the 100 TB concern is state size = O(open
+sessions), bounded by the watermark delay, not by history length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+#: session gap — sized so the fixture's per-user cadence (median gap
+#: ~7.3 h) yields a healthy mix of single- and multi-event sessions
+SESSION_GAP = "4 hours"
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+_TS_US_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_US_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "stream_tumbling_count",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_TS_FMT_DUCK}') AS win_start,
+           strftime(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR,
+                    '{_TS_FMT_DUCK}') AS win_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows × event_type.  ``F.window``
+    is the streaming-native operator run in batch: identical semantics,
+    one hash shuffle on (window, event_type) with map-side partials."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("win_start"),
+            F.date_format("w.end", _TS_FMT_SPARK).alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_agg",
+    oracle=f"""
+    SELECT strftime(ws, '{_TS_FMT_DUCK}') AS win_start,
+           strftime(ws + INTERVAL 1 HOUR, '{_TS_FMT_DUCK}') AS win_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(max(value), 2) AS max_value
+    FROM (SELECT value,
+                 time_bucket(INTERVAL 15 MINUTE, ts) - k * (INTERVAL 15 MINUTE) AS ws
+          FROM events, unnest([0, 1, 2, 3]) AS t(k))
+    GROUP BY ws
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 15-minute slide → every event
+    lands in exactly 4 windows (the oracle materializes the same 4
+    aligned starts per event).  Spark expands rows ×4 map-side, then
+    partially aggregates before the shuffle — the expansion never
+    crosses the wire unaggregated."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            # max, not avg: avg lands on .xxx5 rounding midpoints where
+            # Spark (decimal HALF_UP) and DuckDB (float) disagree; max
+            # is an exact element value, immune to accumulation noise
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("win_start"),
+            F.date_format("w.end", _TS_FMT_SPARK).alias("win_end"),
+            "n_events",
+            "sum_value",
+            "max_value",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_US_DUCK}') AS sess_start,
+           strftime(max(ts) + INTERVAL 4 HOUR, '{_TS_US_DUCK}') AS sess_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 4-hour inactivity gap.
+    ``F.session_window`` merges events whose [ts, ts+gap) ranges
+    overlap; the oracle is the classic gaps-and-islands rewrite (new
+    session when the gap ≥ 4 h), which produces identical
+    [first_ts, last_ts + gap) sessions.  Microsecond-precision
+    rendering: session bounds are raw event times, not aligned
+    boundaries."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_US_SPARK).alias("sess_start"),
+            F.date_format("w.end", _TS_US_SPARK).alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+):
+    """Real Structured Streaming wiring for the tumbling-count query:
+    file source → event-time watermark → windowed count.  Append mode
+    emits a window only after the watermark passes its end, and events
+    arriving later than the watermark are DROPPED — the late-data
+    contract asserted in tests/test_streaming.py.  Returns the
+    streaming DataFrame (caller attaches the sink/trigger)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+        )
+    )

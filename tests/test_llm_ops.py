@@ -1,0 +1,114 @@
+"""Pins for the LLM-pipeline operators whose semantics the SQL oracle
+cannot express (SURVEY.md §5.2): approximate dedup vs the exact
+baseline, ANN vs the exact scorer, and the deterministic decode stub.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark import registry
+from tests.conftest import SF_DIR_ORACLE
+
+registry.load_all()
+
+
+def _pairs(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_minhash_matches_exact_jaccard(spark):
+    """Fixed-seed MinHash-LSH (16 bands × 4 rows) must recover EVERY
+    pair the exact trigram-Jaccard dedup finds on this corpus (planted
+    pairs are ≥ 0.9 Jaccard — miss probability ~4e-8 per pair), with
+    identical verified Jaccard values."""
+    qs = registry.queries()
+    exact = _pairs(qs["dedup_ngram_jaccard"](spark, SF_DIR_ORACLE), "doc_a", "doc_b", "jaccard")
+    approx = _pairs(qs["dedup_minhash_near"](spark, SF_DIR_ORACLE), "doc_a", "doc_b", "jaccard")
+    assert len(exact) > 0
+    assert approx == exact
+
+
+def test_simhash_recall_and_bound(spark):
+    """SimHash 16-bit-band candidates: every output pair respects the
+    Hamming bound, and recall over the exact near-dup pairs is ≥ 0.8
+    (SimHash on ~50-token docs is noisy by nature — candidates are
+    verified downstream in a real pipeline)."""
+    qs = registry.queries()
+    exact = {(a, b) for a, b, _ in _pairs(qs["dedup_ngram_jaccard"](spark, SF_DIR_ORACLE), "doc_a", "doc_b", "jaccard")}
+    sim = _pairs(qs["dedup_simhash"](spark, SF_DIR_ORACLE), "doc_a", "doc_b", "hamming")
+    assert all(h <= 6 for _, _, h in sim)
+    found = {(a, b) for a, b, _ in sim}
+    recall = len(found & exact) / len(exact)
+    assert recall >= 0.8, f"simhash recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_simhash_deterministic(spark):
+    qs = registry.queries()
+    r1 = _pairs(qs["dedup_simhash"](spark, SF_DIR_ORACLE), "doc_a", "doc_b", "hamming")
+    r2 = _pairs(qs["dedup_simhash"](spark, SF_DIR_ORACLE), "doc_a", "doc_b", "hamming")
+    assert r1 == r2
+
+
+def test_lsh_topk_subset_of_exact_scores(spark):
+    """ANN results must be REAL similarities: every (vec_id, cosine)
+    the LSH variant returns must carry the same cosine the exact
+    scorer computes for that vec_id, and candidates must come from the
+    probe's bucket (recall < 1 is the ANN contract, correctness of
+    scores is not negotiable)."""
+    from mapreduceplusplus_spark.llm.similarity import PROBE_ID, _as_double, _dot, _norm
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    qs = registry.queries()
+    lsh = qs["sim_search_lsh"](spark, SF_DIR_ORACLE).collect()
+    assert 0 < len(lsh) <= 10
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    probe = emb.where(F.col("vec_id") == PROBE_ID).select(F.col("v").alias("pv"))
+    exact = (
+        emb.where(F.col("vec_id") != PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv"))), 3).alias("cosine"),
+        )
+    )
+    exact_map = {r.vec_id: r.cosine for r in exact.collect()}
+    for r in lsh:
+        assert exact_map[r.vec_id] == r.cosine
+    # ranks are contiguous and ordered by descending cosine
+    ranks = [r.rnk for r in sorted(lsh, key=lambda r: (-r.cosine, r.vec_id))]
+    assert ranks == list(range(1, len(lsh) + 1))
+
+
+def test_decode_stub_formula(spark):
+    """The fake decoder is a placeholder for PIL/ffmpeg, but its
+    plumbing contract is real: deterministic per-payload metadata,
+    one output row per input row, Arrow-batched."""
+    qs = registry.queries()
+    out = {r.doc_id: r for r in qs["multimodal_decode_stub"](spark, SF_DIR_ORACLE).collect()}
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    for d in docs[:50]:
+        payload = d.text.encode("utf-8")
+        r = out[d.doc_id]
+        assert r.n_bytes == len(payload)
+        assert r.format == ["png", "jpeg", "webp"][payload[0] % 3]
+        assert r.width == len(payload) % 640 + 16
+        assert r.ok is True
+
+
+def test_fingerprint_matches_hashlib(spark):
+    qs = registry.queries()
+    fp = {r.doc_id: r.exact_fp for r in qs["text_fingerprint"](spark, SF_DIR_ORACLE).collect()}
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text").limit(20).collect()
+    for d in docs:
+        assert fp[d.doc_id] == hashlib.md5(d.text.encode("utf-8")).hexdigest()

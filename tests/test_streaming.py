@@ -1,0 +1,133 @@
+"""Structured Streaming wiring checks (SURVEY.md §5.2-5): the
+watermark/late-data contract has no SQL oracle — it is asserted with a
+real micro-batch pipeline over a file source.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+
+from mapreduceplusplus_spark.streaming.windows import streaming_pipeline
+
+
+@pytest.fixture()
+def stream_dirs():
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    chk = tempfile.mkdtemp(prefix="stream_chk_")
+    yield src, chk
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+
+
+def _write_batch(spark, src, rows, n):
+    df = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch{n}")
+
+
+def test_watermark_drops_late_events(spark, stream_dirs):
+    """Append-mode windowed count with a 10-minute watermark:
+    a window is emitted once the watermark passes its end, and events
+    older than the watermark are dropped — batch 2's late event must
+    NOT reappear as an update to the already-finalized window."""
+    src, chk = stream_dirs
+    T = datetime
+
+    # batch 1: three events in [10:00, 10:10) + one at 11:00 that will
+    # advance the watermark to 10:50, finalizing the 10:00 window
+    _write_batch(
+        spark,
+        src,
+        [
+            (T(2024, 1, 1, 10, 0, 30), 1),
+            (T(2024, 1, 1, 10, 3, 0), 2),
+            (T(2024, 1, 1, 10, 5, 0), 3),
+            (T(2024, 1, 1, 11, 0, 0), 4),
+        ],
+        1,
+    )
+    agg = streaming_pipeline(
+        spark, f"{src}/batch*", "ts timestamp, user_id bigint",
+        window="10 minutes", watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_sink")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the finalized 10:00 window
+        # (watermark is 10:50 > window end 10:10 → must be dropped)
+        # plus one at 12:00 to finalize the 11:00 window
+        _write_batch(
+            spark,
+            src,
+            [
+                (T(2024, 1, 1, 10, 2, 0), 9),
+                (T(2024, 1, 1, 12, 0, 0), 5),
+            ],
+            2,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        r.win_start.strftime("%H:%M"): r.n_events
+        for r in spark.sql("SELECT * FROM wm_sink").collect()
+    }
+    # 10:00 window finalized with 3 events — the late 10:02 event was
+    # dropped, not merged and not re-emitted
+    assert rows.get("10:00") == 3
+    # 11:00 window finalized by batch 2's 12:00 event
+    assert rows.get("11:00") == 1
+
+
+def test_streaming_matches_batch_semantics(spark, stream_dirs):
+    """The streaming aggregation over a fully-delivered source equals
+    the same F.window aggregation run in batch (one micro-batch, no
+    late data): event-time windows are mode-independent."""
+    from pyspark.sql import functions as F
+
+    src, chk = stream_dirs
+    T = datetime
+    rows = [
+        (T(2024, 1, 1, 10, m, s), u)
+        for m, s, u in [(0, 10, 1), (4, 0, 2), (11, 5, 3), (12, 0, 4), (25, 0, 5), (40, 0, 6)]
+    ]
+    _write_batch(spark, src, rows, 1)
+
+    agg = streaming_pipeline(
+        spark, f"{src}/batch*", "ts timestamp, user_id bigint",
+        window="10 minutes", watermark="0 seconds",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("batch_equiv_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.win_start, r.win_end): r.n_events
+        for r in spark.sql("SELECT * FROM batch_equiv_sink").collect()
+    }
+
+    batch_df = (
+        spark.read.parquet(f"{src}/batch1")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), F.col("w.end").alias("win_end"), "n_events")
+    )
+    batched = {(r.win_start, r.win_end): r.n_events for r in batch_df.collect()}
+    assert streamed == batched and len(batched) == 4
