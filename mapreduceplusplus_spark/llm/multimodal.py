@@ -53,7 +53,14 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     then flattened: metadata struct (lang, source), a string→string
     map probed with element_at, and array ops (size, slice-sum,
     element_at) on the embedding.  The join keys align doc_id=vec_id
-    (1:1 in the fixtures); the dims side is small → broadcast."""
+    (1:1 in the fixtures).
+
+    NO broadcast hint: in a real multimodal pipeline the embeddings
+    side is row-for-row as large as documents (a fact table, not a
+    dim), so a forced broadcast would OOM executors at scale.  A plain
+    equi-join lets Catalyst/AQE pick shuffled-hash or sort-merge — and
+    still auto-broadcasts if runtime stats show one side is genuinely
+    small."""
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -65,7 +72,7 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
             ),
         )
-        .join(F.broadcast(emb), F.col("vec_id") == F.col("doc_id"))
+        .join(emb, F.col("vec_id") == F.col("doc_id"))
         .where(F.col("n_chars") > 100)
     )
     head = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))

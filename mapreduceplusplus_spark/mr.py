@@ -42,10 +42,18 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 MapFn = Callable[[dict[str, Any]], Iterable[tuple[Any, Any]]]
 ReduceFn = Callable[[Any, list[Any]], Any]
 CombineFn = Callable[[Any, list[Any]], Any]
+
+
+def _ddl_field_names(schema: str) -> list[str]:
+    """Top-level field names of a DDL schema string, via the real DDL
+    parser — a naive ``schema.split(',')`` breaks on nested types like
+    ``array<struct<a:int,b:int>>``."""
+    return StructType.fromDDL(schema).fieldNames()
 
 
 def flat_map(
@@ -61,8 +69,8 @@ def flat_map(
     (path, contents) pair.  Arrow-batched via ``mapInPandas``; the
     generator is consumed lazily per batch, never fully materialized.
     """
-    n_cols = len(schema.split(","))
-    col_names = [c.strip().split()[0] for c in schema.split(",")]
+    col_names = _ddl_field_names(schema)
+    n_cols = len(col_names)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,7 +128,7 @@ def map_reduce(
     associative w.r.t. ``reduce_fn``) collapses duplicate keys map-side
     per Arrow batch — the combiner the reference lacks.
     """
-    key_col, value_col = (c.strip().split()[0] for c in kv_schema.split(","))
+    key_col, value_col = _ddl_field_names(kv_schema)
     mapped = flat_map(df, map_fn, schema=kv_schema)
 
     if combine_fn is not None:

@@ -34,21 +34,45 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column global ORDER BY (reference A10), made hash-checkable.
 
     The driver's value-hash is order-insensitive, so the *achieved order*
-    is materialized as ``sort_rank``.  Note the scale split: ``orderBy``
-    itself is a distributed range-partitioned sort (fine at 100 TB); the
-    rank materialization is a single-partition window used here only to
-    make the order observable to the oracle — a real pipeline would stop
-    at ``orderBy`` (see docstring of ``window_rank`` for partitioned
-    ranks, which DO scale).
+    is materialized as ``sort_rank`` — computed SCALABLY with the
+    classic two-pass global-rank pattern (no single-partition window
+    over the full table):
+
+    1. ``repartitionByRange`` on the sort keys — the same sampled range
+       shuffle a distributed ``orderBy`` performs; partition *p* holds a
+       contiguous key range, all ranges ordered by *p*;
+    2. per-partition local ``row_number`` — a window PARTITIONED on the
+       physical partition id, so every task ranks only its own slice;
+    3. per-partition row counts → cumulative offsets.  This window IS
+       single-partition, but over ≤ ``spark.sql.shuffle.partitions``
+       rows (one per partition — a few thousand at cluster scale, not
+       the table), then broadcast back;
+    4. ``sort_rank = offset + local_rank``.
+
+    The result is invariant to where the sampled range boundaries fall:
+    the (totalprice DESC, orderkey) key is total and unique, so any
+    range partitioning + local rank + offsets reproduces the exact
+    global row_number.
     """
     ensure_utc(spark)
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return orders.select(
+    keys = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    parted = orders.repartitionByRange(*keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = parted.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("totalprice"),
         "o_orderpriority",
-        F.row_number().over(w).cast("bigint").alias("sort_rank"),
+        (F.col("_off") + F.col("_lrn")).cast("bigint").alias("sort_rank"),
     )
 
 
