@@ -1,0 +1,197 @@
+"""Per-operator edge cases and algebraic properties (SURVEY.md §5.3-4).
+
+Edge cases: empty input, all-null columns, duplicate join keys, window
+ties.  Properties: aggregation invariance under repartitioning (the
+partial-aggregation / combiner contract), and the dedup df-cap
+invariance the module promises (``llm/dedup.py``).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark import registry
+from mapreduceplusplus_spark.llm.dedup import dedup_ngram_jaccard, shingles
+from mapreduceplusplus_spark.operators.scans import word_count
+from mapreduceplusplus_spark.sources.tables import load_table
+from tests.conftest import SF_DIR, SF_DIR_ORACLE
+
+registry.load_all()
+
+
+# ---------------------------------------------------------------- empty input
+
+
+def test_wordcount_empty_input(spark):
+    empty = spark.createDataFrame([], "text string")
+    assert word_count(empty, "text").count() == 0
+
+
+def test_agg_on_empty_group(spark):
+    empty = spark.createDataFrame([], "k string, v double")
+    # global agg over zero rows: count 0, sum/avg NULL (SQL semantics)
+    row = empty.agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"), F.avg("v").alias("a")
+    ).collect()[0]
+    assert (row.n, row.s, row.a) == (0, None, None)
+    # grouped agg over zero rows: zero groups, not one NULL group
+    assert empty.groupBy("k").agg(F.sum("v")).count() == 0
+
+
+def test_join_empty_sides(spark):
+    left = spark.createDataFrame([Row(k=1, a="x")])
+    empty = spark.createDataFrame([], "k bigint, b string")
+    assert left.join(empty, "k").count() == 0
+    assert left.join(empty, "k", "left").count() == 1
+    assert left.join(empty, "k", "left_anti").count() == 1
+    assert empty.join(left, "k", "left_semi").count() == 0
+
+
+def test_shingles_short_and_empty_docs(spark):
+    """Documents shorter than the shingle width yield an EMPTY set (the
+    sequence() guard in shingles()), never garbage shingles."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="one two"), Row(doc_id=2, text=""), Row(doc_id=3, text="a b c d")]
+    )
+    out = {r.doc_id: r.sh for r in df.select("doc_id", shingles(F.col("text")).alias("sh")).collect()}
+    assert out[1] == []
+    assert out[2] == []
+    assert out[3] == ["a b c", "b c d"]
+
+
+# ------------------------------------------------------------------ all-null
+
+
+def test_agg_all_null_column(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", v=None), Row(k="a", v=None), Row(k="b", v=1.5)],
+        "k string, v double",
+    )
+    rows = {
+        r.k: r
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("v").alias("n_vals"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+        )
+        .collect()
+    }
+    # nulls are counted by count(*), ignored by count(col)/sum/min
+    assert (rows["a"].n_rows, rows["a"].n_vals, rows["a"].s, rows["a"].mn) == (2, 0, None, None)
+    assert (rows["b"].n_vals, rows["b"].s) == (1, 1.5)
+
+
+def test_join_null_keys_never_match(spark):
+    df1 = spark.createDataFrame([Row(k=None, a=1), Row(k=5, a=2)], "k bigint, a bigint")
+    df2 = spark.createDataFrame([Row(k=None, b=3), Row(k=5, b=4)], "k bigint, b bigint")
+    # SQL equality: NULL = NULL is unknown -> inner join drops null keys
+    assert df1.join(df2, df1.k == df2.k).count() == 1
+    # null-safe equality keeps them
+    assert df1.join(df2, df1.k.eqNullSafe(df2.k)).count() == 2
+
+
+# --------------------------------------------------------- duplicate join keys
+
+
+def test_join_duplicate_keys_multiplicity(spark):
+    """m×n duplicate keys produce m·n joined rows — the cartesian
+    within each key group, the classic join fan-out hazard."""
+    left = spark.createDataFrame([Row(k=1, a=i) for i in range(3)])
+    right = spark.createDataFrame([Row(k=1, b=j) for j in range(4)])
+    assert left.join(right, "k").count() == 12
+    # semi/anti are NOT multiplied: existence semantics
+    assert left.join(right, "k", "left_semi").count() == 3
+    assert left.join(right, "k", "left_anti").count() == 0
+
+
+# -------------------------------------------------------------- window ties
+
+
+def test_window_tie_semantics(spark):
+    """rank leaves gaps after ties, dense_rank doesn't, row_number is
+    arbitrary-but-unique within the tie; a unique tiebreaker makes
+    row_number deterministic."""
+    df = spark.createDataFrame(
+        [Row(g="x", v=10, id=1), Row(g="x", v=10, id=2), Row(g="x", v=5, id=3)]
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").desc())
+    out = df.select(
+        "id",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.row_number().over(Window.partitionBy("g").orderBy(F.col("v").desc(), "id")).alias("rn"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert (by_id[1].rk, by_id[2].rk, by_id[3].rk) == (1, 1, 3)
+    assert (by_id[1].drk, by_id[2].drk, by_id[3].drk) == (1, 1, 2)
+    assert (by_id[1].rn, by_id[2].rn, by_id[3].rn) == (1, 2, 3)
+
+
+# ------------------------------------------------------------- properties
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 32])
+def test_sum_invariant_under_repartitioning(spark, n_parts):
+    """Partial aggregation must commute with the partitioning: the
+    grouped sums are identical however the input is split (l_quantity
+    is integral-valued, so float accumulation order cannot bite)."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    base = sorted(
+        (r.l_returnflag, r.s)
+        for r in li.groupBy("l_returnflag").agg(F.sum("q").alias("s")).collect()
+    )
+    again = sorted(
+        (r.l_returnflag, r.s)
+        for r in li.repartition(n_parts)
+        .groupBy("l_returnflag")
+        .agg(F.sum("q").alias("s"))
+        .collect()
+    )
+    assert again == base
+
+
+def test_dedup_df_cap_invariance(spark):
+    """The shingle df-cap prunes candidate generation only; the result
+    set must be IDENTICAL with the cap active vs disabled.  Run with an
+    aggressively low cap (4) that provably drops shingles on this
+    corpus (max df is 7 at sf0.01), so the pruned path is exercised."""
+    sh = (
+        load_table(spark, SF_DIR_ORACLE, "documents")
+        .select(F.explode(shingles(F.col("text"))).alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+    )
+    assert sh.agg(F.max("df")).collect()[0][0] > 4, "cap would be a no-op on this corpus"
+
+    def pairs(df):
+        return sorted((r.doc_a, r.doc_b, r.jaccard) for r in df.collect())
+
+    capped = pairs(dedup_ngram_jaccard(spark, SF_DIR_ORACLE, df_cap=4))
+    uncapped = pairs(dedup_ngram_jaccard(spark, SF_DIR_ORACLE, df_cap=None))
+    assert len(capped) > 0
+    assert capped == uncapped
+
+
+def test_sort_global_rank_is_true_global_rank(spark):
+    """The two-pass distributed rank must equal the naive single-window
+    global row_number (checked on the small fixture, where the naive
+    form is affordable)."""
+    qs = registry.queries()
+    two_pass = {
+        r.o_orderkey: r.sort_rank for r in qs["sort_global"](spark, SF_DIR).collect()
+    }
+    orders = load_table(spark, SF_DIR, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    naive = {
+        r.o_orderkey: r.rn
+        for r in orders.select(
+            "o_orderkey", F.row_number().over(w).cast("bigint").alias("rn")
+        ).collect()
+    }
+    assert two_pass == naive
