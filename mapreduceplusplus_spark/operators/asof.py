@@ -1,0 +1,150 @@
+"""As-of (temporal) join — a charter extension the reference cannot
+express (its only join-like construct is key-grouped aggregation, A7).
+
+An as-of join matches every left row to the single most recent right
+row with the same key and ``right.ts <= left.ts`` — the workhorse of
+feature pipelines ("state of X as of event time").  Spark has no
+built-in as-of operator; the scalable formulation used here is the
+classic UNION + partitioned last-non-null window:
+
+1. tag and union both sides into one (key, ts, payload) relation;
+2. one hash shuffle on the key, sort within partition by
+   (ts, side) — right rows sort BEFORE left rows at equal ts, giving
+   inclusive (``>=``) as-of semantics;
+3. ``last(value, ignorenulls=True)`` over rows-unbounded-preceding
+   carries each right row's payload forward to every later left row.
+
+Cost: ONE shuffle + one in-partition sort — same profile as a single
+window query, no range join, no BNLJ, no per-key skew beyond the key
+distribution itself.  Contrast with the naive formulation
+(l JOIN r ON key AND r.ts <= l.ts → argmax), which materializes every
+(left, earlier-right) pair: quadratic per key.
+
+The DuckDB oracle uses its native ``ASOF LEFT JOIN`` — an independent
+implementation of the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+_TS_US_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_US_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: dict[str, str],
+) -> DataFrame:
+    """Left as-of join: each left row gains ``right_cols`` (mapping
+    output-name → right column) from the latest right row with matching
+    ``on`` keys and ``right_ts <= left_ts``; NULLs when no such row.
+
+    Determinism contract: ``right`` must be unique per (on, right_ts) —
+    pre-dedupe if needed (see ``join_asof`` below), otherwise which
+    duplicate wins depends on partition-internal order.
+    """
+    payload = [c for c in left.columns if c not in on and c != left_ts]
+    lsel = (
+        [F.col(c) for c in on]
+        + [F.col(left_ts).alias("_ts")]
+        + [F.col(c) for c in payload]
+        + [F.lit(1).alias("_is_left")]
+        + [
+            F.lit(None).cast(right.schema[src].dataType).alias(out)
+            for out, src in right_cols.items()
+        ]
+    )
+    rsel = (
+        [F.col(c) for c in on]
+        + [F.col(right_ts).alias("_ts")]
+        + [F.lit(None).cast(left.schema[c].dataType).alias(c) for c in payload]
+        + [F.lit(0).alias("_is_left")]
+        + [F.col(src).alias(out) for out, src in right_cols.items()]
+    )
+    u = left.select(*lsel).unionByName(right.select(*rsel))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for out in right_cols:
+        u = u.withColumn(out, F.last(out, ignorenulls=True).over(w))
+    return (
+        u.where(F.col("_is_left") == 1)
+        .drop("_is_left")
+        .withColumnRenamed("_ts", left_ts)
+    )
+
+
+@query(
+    "join_asof",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'signup') WHERE rn = 1
+    ),
+    l AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id,
+           l.user_id,
+           strftime(l.ts, '{_TS_US_DUCK}')      AS purchase_ts,
+           round(l.value, 2)                     AS purchase_value,
+           r.event_id                            AS signup_event_id,
+           strftime(r.ts, '{_TS_US_DUCK}')      AS signup_ts,
+           (epoch_us(l.ts) - epoch_us(r.ts)) // 1000000 AS secs_since_signup
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every purchase event matched to the user's most recent signup at
+    or before the purchase time (NULL-extended when the purchase
+    precedes any signup).  The right side is deduped to one row per
+    (user_id, ts) — keep max event_id — so the as-of pick is fully
+    deterministic on both engines."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", "ts", "event_id")
+        .withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    joined = as_of_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"signup_event_id": "event_id", "signup_ts": "ts"},
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_US_SPARK).alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        "signup_event_id",
+        F.date_format("signup_ts", _TS_US_SPARK).alias("signup_ts"),
+        F.expr("(unix_micros(ts) - unix_micros(signup_ts)) div 1000000").alias(
+            "secs_since_signup"
+        ),
+    )

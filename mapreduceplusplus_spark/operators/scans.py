@@ -126,3 +126,76 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source roundtrip: write a projection as headered CSV,
+    read it back with an explicit schema, aggregate.  The aggregate
+    equals the oracle computed on the ORIGINAL table — i.e. the text
+    roundtrip is lossless (Spark writes doubles with Java's
+    shortest-round-trip rendering).  CSV is the closest analogue of the
+    reference's text sink (``src/worker.cc:231-243``), upgraded with
+    schema-on-read and splittable parallel scan."""
+    ensure_utc(spark)
+    proj = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="sink_csv_roundtrip_")
+    try:
+        proj.write.mode("overwrite").option("header", True).csv(out)
+        result = (
+            spark.read.schema("o_orderkey bigint, o_orderstatus string, o_totalprice double")
+            .option("header", True)
+            .csv(out)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip with explicit schema-on-read,
+    aggregated and checked against the original table (lossless numeric
+    roundtrip, same contract as the CSV variant)."""
+    ensure_utc(spark)
+    proj = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="sink_json_roundtrip_")
+    try:
+        proj.write.mode("overwrite").json(out)
+        result = (
+            spark.read.schema("c_custkey bigint, c_mktsegment string, c_acctbal double")
+            .json(out)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            )
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -33,11 +33,13 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.operators.relational",
     "mapreduceplusplus_spark.operators.aggregates",
     "mapreduceplusplus_spark.operators.joins",
+    "mapreduceplusplus_spark.operators.asof",
     "mapreduceplusplus_spark.operators.windows",
     "mapreduceplusplus_spark.operators.setops",
     "mapreduceplusplus_spark.operators.scalars",
     "mapreduceplusplus_spark.plans.queries",
     "mapreduceplusplus_spark.streaming.windows",
+    "mapreduceplusplus_spark.streaming.stateful",
     "mapreduceplusplus_spark.llm.dedup",
     "mapreduceplusplus_spark.llm.similarity",
     "mapreduceplusplus_spark.llm.textstats",

@@ -1,0 +1,130 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(charter: "applyInPandasWithState for custom stateful operators"; the
+reference has no streaming at all).
+
+The operator keeps one running-total state per user — (event count,
+value sum, last event time) — advanced by a SINGLE shared transition
+function used by BOTH execution modes:
+
+- batch (the registered, oracle-checked query): per-user fold over the
+  whole history via ``applyInPandas`` — one Arrow batch per key, the
+  transition applied once;
+- streaming (``stateful_running_total_stream``): the same transition
+  applied incrementally per micro-batch via ``applyInPandasWithState``,
+  state persisted in the state store between batches.
+
+``tests/test_streaming.py`` asserts the two agree: replaying the same
+events through N micro-batches yields exactly the batch result — the
+state-transition associativity contract every production stateful
+pipeline depends on.
+
+Scale: state is 3 scalars per user (O(#distinct users), the minimum
+possible); each micro-batch shuffles only on user_id.  The batch form
+is one shuffle + one Arrow pass per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+#: (n_events bigint, sum_value double, last_ts_us bigint)
+STATE_SCHEMA = "n bigint, total double, last_us bigint"
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
+)
+
+
+def _advance(
+    state: tuple[int, float, int] | None, pdf: pd.DataFrame
+) -> tuple[int, float, int]:
+    """The state transition: fold one batch of a single user's events
+    into (count, sum, max event time in µs).  Associative and
+    order-insensitive, so micro-batch boundaries cannot change the
+    final state."""
+    n, total, last_us = state if state is not None else (0, 0.0, 0)
+    ts_us = (pdf["ts"].astype("int64") // 1000).max()  # pandas ns → µs
+    return (
+        n + len(pdf),
+        total + float(pdf["value"].sum()),
+        max(last_us, int(ts_us)),
+    )
+
+
+def _emit(user_id: int, state: tuple[int, float, int]) -> pd.DataFrame:
+    n, total, last_us = state
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [total],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+@query(
+    "stream_stateful_running_total",
+    oracle="""
+    SELECT user_id,
+           count(*)                              AS n_events,
+           round(sum(value), 2)                  AS sum_value,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stateful operator: the identical ``_advance``
+    transition folded over each user's full history in one
+    ``applyInPandas`` pass.  The oracle recomputes it declaratively —
+    proving the Python state machine implements exactly
+    count/sum/max."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _emit(int(pdf["user_id"].iloc[0]), _advance(None, pdf))
+
+    out = ev.groupBy("user_id").applyInPandas(fold, schema=OUTPUT_SCHEMA)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_seen"),
+    )
+
+
+def stateful_running_total_stream(stream: DataFrame) -> DataFrame:
+    """Streaming form: ``applyInPandasWithState`` advances the per-user
+    state each micro-batch with the same ``_advance`` transition and
+    emits the current state (update semantics).  Input must be a
+    streaming DataFrame with (user_id, ts, value)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cur = state.get if state.exists else None
+        for pdf in pdfs:
+            cur = _advance(cur, pdf)
+        if cur is not None:
+            state.update(cur)
+            yield _emit(int(key[0]), cur)
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

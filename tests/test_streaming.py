@@ -131,3 +131,65 @@ def test_streaming_matches_batch_semantics(spark, stream_dirs):
     )
     batched = {(r.win_start, r.win_end): r.n_events for r in batch_df.collect()}
     assert streamed == batched and len(batched) == 4
+
+
+def test_stateful_running_total_stream_matches_batch(spark, stream_dirs):
+    """The applyInPandasWithState operator replayed over THREE
+    micro-batches must land on exactly the state the batch-mode fold
+    computes over the union — the state-transition associativity
+    contract (streaming/stateful.py)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapreduceplusplus_spark.streaming.stateful import (
+        _advance,
+        stateful_running_total_stream,
+    )
+
+    src, chk = stream_dirs
+    T = datetime
+    batches = [
+        [(T(2024, 1, 1, 10, 0, 30), 1, 5.0), (T(2024, 1, 1, 10, 3, 0), 2, 1.5)],
+        [(T(2024, 1, 1, 11, 0, 0), 1, 2.5), (T(2024, 1, 1, 11, 5, 0), 1, 1.0)],
+        [(T(2024, 1, 1, 12, 0, 0), 2, 4.0), (T(2024, 1, 1, 12, 1, 0), 3, 9.0)],
+    ]
+    schema = "ts timestamp, user_id bigint, value double"
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/batch1")
+
+    stream = spark.readStream.schema(schema).parquet(f"{src}/batch*")
+    q = (
+        stateful_running_total_stream(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_sink")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=2):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/batch{i}")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last update per user wins (update output mode appends each revision)
+    sink = spark.sql("SELECT * FROM stateful_sink").collect()
+    final = {}
+    for r in sink:
+        final[r.user_id] = (r.n_events, round(r.sum_value, 2), r.last_ts)
+
+    all_rows = [r for b in batches for r in b]
+    batch_pdf = pd.DataFrame(all_rows, columns=["ts", "user_id", "value"])
+    expected = {}
+    for uid, grp in batch_pdf.groupby("user_id"):
+        n, total, last_us = _advance(None, grp)
+        expected[uid] = (n, round(total, 2), pd.Timestamp(last_us, unit="us"))
+    assert final == expected
+    # and the streaming state saw every revision: user 1 appears in >=2
+    # distinct update emissions (batch 1 and batch 2)
+    assert sum(1 for r in sink if r.user_id == 1) >= 2
