@@ -62,30 +62,77 @@ SHINGLE_DF_CAP = 16
 #: same decision is the LSH family, not a bigger cap)
 MAX_EXACT_VECS = 1024
 
+#: minimum shared-rare-shingle support for a candidate pair: sharing a
+#: single random trigram is a weak signal (at sf0.1 it admits ~1.1M
+#: candidate pairs for 256 true ones), while actual near-dups share
+#: dozens (measured minimum over true pairs: 9 at sf0.01, 6 at sf0.1 —
+#: 2× headroom over this threshold).  The count is computed with a
+#: codegen'd hash aggregation, so only the ~0.7% of pairs that pass it
+#: ever reach the per-pair array_intersect verification.
+MIN_SHINGLE_SUPPORT = 3
+
+
+def tokens(text_col: Column) -> Column:
+    """Lower-cased ``[a-z]+`` token array."""
+    return F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), 0)
+
+
+def shingles_of_tokens(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column — pure
+    Catalyst expression, no UDF.
+
+    Formulated as ``arrays_zip`` of n shifted slices so the transform
+    lambda touches ONLY its own input element.  The naive formulation
+    (``transform(sequence(1, k), i -> concat(element_at(ws, i), ...))``)
+    re-evaluates the *expression* bound to ``ws`` on every element
+    access — if ``ws`` is an inline ``regexp_extract_all``, that is
+    ~3·k regex executions per row (measured ~47 ms/doc; this version:
+    ~0.3 ms/doc).  Documents with < n words yield an empty array
+    (``slice`` of length 0)."""
+    k = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(ws, j + 1, k) for j in range(n)])
+    grams = F.transform(z, lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(n)]))
+    return F.array_distinct(grams)
+
 
 def shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lower-cased ``[a-z]+`` tokens —
-    pure Catalyst expression (regexp + higher-order transform), no UDF.
-    Documents with < n words get an empty set (the ``when`` guard:
-    Spark's ``sequence(1, k)`` DESCENDS for k < 1 instead of being
-    empty, so unguarded short docs would produce garbage shingles)."""
-    ws = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), 0)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(
-        F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
-    )
+    """Distinct word n-gram shingles of lower-cased ``[a-z]+`` tokens.
+    Note: inlines the tokenizer n+1 times (once per slice + size) —
+    for hot paths, materialize ``tokens()`` in a projection first and
+    call ``shingles_of_tokens`` (see ``_doc_shingles``)."""
+    return shingles_of_tokens(tokens(text_col), n)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select(
-        "doc_id", shingles(F.col("text")).alias("sh")
-    ).where(F.size("sh") > 0)
+    """(doc_id, sh) with the distinct-shingle array per document,
+    CACHED: the shingle expression is a higher-order-function chain
+    (interpreted, not codegen'd) and every near-dup plan references it
+    from several branches (posting lists, both join sides,
+    verification).  Without the cache each branch re-runs the
+    regex+transform from the parquet scan; with it the computation
+    happens once per query.  At 100 TB the same role is played by
+    persisting the shingle table to disk (or a checkpoint) before the
+    self-join."""
+    docs = _spread(spark, load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    return (
+        toks.select("doc_id", shingles_of_tokens(F.col("ws")).alias("sh"))
+        .where(F.size("sh") > 0)
+        .persist()
+    )
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Ensure enough input splits to parallelize an expensive per-row
+    expression.  The fixtures are single small parquet files → ONE scan
+    partition → the whole shingle/tokenize stage runs on one core.  At
+    real scale the scan is split by ``maxPartitionBytes`` and this is a
+    no-op (the guard avoids adding a shuffle there); for few-split
+    inputs the one tiny shuffle buys full-cluster parallelism."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 @query(
@@ -155,14 +202,17 @@ def dedup_ngram_jaccard(
     here: shingles with document frequency > ``df_cap`` are dropped
     *before* the self-join (candidate generation only — verification
     is always on full sets, so the Jaccard VALUES are exact and the
-    result is invariant as long as every true pair shares ≥ 1 rare
-    shingle, which near-identical documents guarantee; pinned by
-    ``tests/test_llm_ops.py``).  The cap turns the join's hot keys from
-    O(corpus) posting lists into bounded ones: worst-case join fan-out
-    per shingle is df_cap², independent of corpus size.
+    result is invariant as long as every true pair shares ≥
+    ``MIN_SHINGLE_SUPPORT`` rare shingles, which near-identical
+    documents guarantee with wide margin; pinned by
+    ``tests/test_operator_edges.py``).  The cap turns the join's hot
+    keys from O(corpus) posting lists into bounded ones: worst-case
+    join fan-out per shingle is df_cap², independent of corpus size.
 
     Shuffle profile at scale: explode(shingles) → shingle-df hash-agg →
-    one hash join on (rare) shingle → pair dedup → verify join."""
+    one hash join on (rare) shingle → per-pair support count
+    (codegen'd hash agg — the cheap filter that kills ~99% of weak
+    candidates) → verify join on the full sets."""
     ensure_utc(spark)
     docs = _doc_shingles(spark, sf_dir)
     posting = docs.select("doc_id", F.explode("sh").alias("s"))
@@ -181,8 +231,10 @@ def dedup_ngram_jaccard(
             b,
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .dropDuplicates(["da", "db"])
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= MIN_SHINGLE_SUPPORT)
+        .select("da", "db")
     )
     full = docs  # (doc_id, sh) with the UNCAPPED shingle sets
     pairs = cand.join(
@@ -220,23 +272,27 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. verify: exact Jaccard via array_intersect on the (bounded,
        per-doc) shingle sets, keep pairs ≥ 0.8.
 
-    At 100 TB the only shuffles are the band-key join and the final
-    pair dedup; per-doc state is O(#shingles) ≤ O(doc length)."""
+    At 100 TB the only shuffles are the signature aggregation, the
+    band-key join, and the final pair dedup; per-doc state is
+    O(#shingles) ≤ O(doc length).
+
+    Physical note: signatures are computed as 64 ``min(xxhash64(i, s))``
+    aggregates over the EXPLODED posting list — whole-stage-codegen'd
+    hash aggregation — rather than 64 ``array_min(transform(...))``
+    higher-order expressions per row, which Spark evaluates interpreted
+    (measured ~6× slower end-to-end at sf0.1).  Same values, same
+    determinism, JVM-tight loop."""
     ensure_utc(spark)
     docs = _doc_shingles(spark, sf_dir)
-
-    def _minhash(i: int) -> Column:
-        # factory keeps the lambda SINGLE-argument: a two-parameter
-        # lambda would make pyspark pass the array *index* as the second
-        # arg, silently replacing the hash-function id
-        return F.array_min(
-            F.transform("sh", lambda s: F.xxhash64(F.lit(i), s))
-        ).alias(f"mh{i}")
-
-    sig = docs.select("doc_id", "sh", *[_minhash(i) for i in range(MINHASH_K)])
+    posting = docs.select("doc_id", F.explode("sh").alias("s"))
+    sig = posting.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
     bands = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -250,7 +306,7 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -264,15 +320,16 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    pairs = cand.join(
+        docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard_raw", inter / union)
+        pairs.withColumn("jaccard_raw", inter / union)
         .where(F.col("jaccard_raw") >= JACCARD_T)
         .select("doc_a", "doc_b", F.round("jaccard_raw", 3).alias("jaccard"))
     )
@@ -294,7 +351,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product); signature is 8 bytes/doc, the cheapest of the
     sketch family."""
     ensure_utc(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select(
         "doc_id",
         F.explode(
