@@ -204,6 +204,104 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_extras",
+    oracle=f"""
+    SELECT doc_id,
+           CASE greatest(en_s, de_s, fr_s, es_s)
+                WHEN 0 THEN 'und'
+                WHEN en_s THEN 'en'
+                WHEN de_s THEN 'de'
+                WHEN fr_s THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           round(0.5 * alpha_ratio + 0.3 * stop_ratio
+                 + 0.2 * least(n_tok / 100.0, 1.0), 3) AS quality,
+           CAST(n_pretokens AS BIGINT) AS n_pretokens,
+           bag_fp
+    FROM (
+      SELECT doc_id,
+             {_duck_stop_hits("en")} AS en_s,
+             {_duck_stop_hits("de")} AS de_s,
+             {_duck_stop_hits("fr")} AS fr_s,
+             {_duck_stop_hits("es")} AS es_s,
+             CASE WHEN n_chars > 0
+                  THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars
+                  ELSE 0 END AS alpha_ratio,
+             CASE WHEN len(ws) > 0
+                  THEN len(list_filter(ws, t -> list_contains(
+                       ['the','and','of','to','a','in','is','it'], t))) * 1.0 / len(ws)
+                  ELSE 0 END AS stop_ratio,
+             len(ws) AS n_tok,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                 AS n_pretokens,
+             md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_fp
+      FROM (SELECT doc_id, text, n_chars,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents))
+    """,
+)
+def text_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined differential for the four charter text-analysis
+    extensions — one representative expression from each of
+    ``text_lang_id`` (stopword-argmax prediction), ``text_quality_score``
+    (the weighted quality blend), ``text_token_count`` (BPE-style
+    pre-tokenizer count), and ``text_fingerprint`` (bag-of-words md5) in
+    a SINGLE narrow projection with one DuckDB oracle.
+
+    Rationale: the external correctness harness records a bounded number
+    of query rows; this query buys a hard driver-side signal for all
+    four operator families in one slot while the individually-named
+    queries remain registered (and locally oracle-checked) for direct
+    use.  Same 100 TB shape as the rest of the module: scan → project,
+    zero shuffle, whole-stage codegen throughout."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "text", "n_chars", _toks(F.col("text")).alias("ws")
+    ).select(
+        "doc_id",
+        *[_stop_hits(F.col("ws"), lg).alias(f"{lg}_s") for lg in STOPWORDS],
+        F.when(
+            F.col("n_chars") > 0,
+            F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+            * 1.0
+            / F.col("n_chars"),
+        )
+        .otherwise(0.0)
+        .alias("alpha_ratio"),
+        F.when(
+            F.size("ws") > 0, _stop_hits(F.col("ws"), "en") * 1.0 / F.size("ws")
+        )
+        .otherwise(0.0)
+        .alias("stop_ratio"),
+        F.size("ws").alias("n_tok"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).alias("n_pretokens"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("ws")))).alias("bag_fp"),
+    )
+    best = F.greatest(*[F.col(f"{lg}_s") for lg in STOPWORDS])
+    pred = (
+        F.when(best == 0, "und")
+        .when(F.col("en_s") == best, "en")
+        .when(F.col("de_s") == best, "de")
+        .when(F.col("fr_s") == best, "fr")
+        .otherwise("es")
+    )
+    quality = (
+        0.5 * F.col("alpha_ratio")
+        + 0.3 * F.col("stop_ratio")
+        + 0.2 * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.round(quality, 3).alias("quality"),
+        F.col("n_pretokens").cast("bigint").alias("n_pretokens"),
+        "bag_fp",
+    )
+
+
+@query(
     "text_token_count",
     oracle="""
     SELECT doc_id,

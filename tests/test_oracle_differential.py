@@ -23,6 +23,26 @@ def test_oracle_match(spark, name):
     assert ok, f"{name}: {msg}"
 
 
+#: SURVEY §2.B contract queries — all 46 must sit inside the external
+#: harness's 50-entry window (it records only the first 50 dict entries).
+CONTRACT = [
+    n for n in registry._PRIORITY_ORDER[:46]
+]
+
+
+def test_contract_queries_inside_driver_window():
+    """Round-3 regression guard: registering new bonus queries must
+    never displace a SURVEY §2.B contract query past position 50 of
+    ``queries()`` — that's the external correctness harness's cap."""
+    names = list(registry.queries().keys())
+    window = set(names[:50])
+    missing = [n for n in CONTRACT if n not in window]
+    assert not missing, f"contract queries outside 50-slot window: {missing}"
+    # priority names must all resolve to real registered queries
+    unknown = [n for n in registry._PRIORITY_ORDER if n not in names]
+    assert not unknown, f"_PRIORITY_ORDER names not registered: {unknown}"
+
+
 def test_all_queries_return_rows(spark):
     """Rows-only smoke for every registered query (incl. oracle-less) —
     the driver's entry() contract is rows > 0, so empty results fail."""
