@@ -68,7 +68,11 @@ MAX_EXACT_VECS = 1024
 #: dozens (measured minimum over true pairs: 9 at sf0.01, 6 at sf0.1 —
 #: 2× headroom over this threshold).  The count is computed with a
 #: codegen'd hash aggregation, so only the ~0.7% of pairs that pass it
-#: ever reach the per-pair array_intersect verification.
+#: ever reach the per-pair array_intersect verification.  The effective
+#: per-pair threshold is ``least(MIN_SHINGLE_SUPPORT, |rare_a|,
+#: |rare_b|)`` so documents with fewer than 3 (rare) shingles — e.g.
+#: 3–4-word docs with 1–2 trigrams — are never silently excluded by a
+#: threshold they cannot physically reach.
 MIN_SHINGLE_SUPPORT = 3
 
 
@@ -103,6 +107,16 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     return shingles_of_tokens(tokens(text_col), n)
 
 
+#: memoized persisted shingle tables, keyed by (applicationId, sf_dir).
+#: A bare ``.persist()`` per call would leak one cached DataFrame into
+#: the session per query invocation (dedup_ngram_jaccard AND
+#: dedup_minhash_near both build it, and bench runs each repeatedly);
+#: memoizing gives every caller THE SAME persisted plan, and
+#: ``release_shingles`` lets bench/tests drop the executor memory
+#: deterministically between timed queries.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) with the distinct-shingle array per document,
     CACHED: the shingle expression is a higher-order-function chain
@@ -110,27 +124,46 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from several branches (posting lists, both join sides,
     verification).  Without the cache each branch re-runs the
     regex+transform from the parquet scan; with it the computation
-    happens once per query.  At 100 TB the same role is played by
-    persisting the shingle table to disk (or a checkpoint) before the
-    self-join."""
+    happens once per session+sf_dir.  At 100 TB the same role is played
+    by persisting the shingle table to disk (or a checkpoint) before
+    the self-join."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = _spread(spark, load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
-    return (
+    sh = (
         toks.select("doc_id", shingles_of_tokens(F.col("ws")).alias("sh"))
         .where(F.size("sh") > 0)
         .persist()
     )
+    _SHINGLE_CACHE[key] = sh
+    return sh
+
+
+def release_shingles() -> None:
+    """Unpersist every memoized shingle table (bench calls this between
+    timed queries; long-lived sessions call it when done with dedup)."""
+    for df in _SHINGLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _SHINGLE_CACHE.clear()
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Ensure enough input splits to parallelize an expensive per-row
     expression.  The fixtures are single small parquet files → ONE scan
     partition → the whole shingle/tokenize stage runs on one core.  At
-    real scale the scan is split by ``maxPartitionBytes`` and this is a
-    no-op (the guard avoids adding a shuffle there); for few-split
-    inputs the one tiny shuffle buys full-cluster parallelism."""
+    real scale the scan has many input files and this is a no-op (the
+    guard avoids adding a shuffle there); for few-file inputs the one
+    tiny shuffle buys full-cluster parallelism.  The guard reads the
+    file index (``inputFiles``), not ``df.rdd`` — the RDD conversion
+    builds a physical plan per call, the file listing is metadata."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 
@@ -167,6 +200,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    # The oracle encodes the SAME candidate-generation semantics as the
+    # implementation (df-cap + adaptive support prefilter), not just the
+    # pure "all pairs with Jaccard >= T" ideal: implementation and oracle
+    # share one spec, so the differential stays exact on ANY fixture —
+    # including corpora where a true pair's shared shingles are mostly
+    # above the df-cap (where the ideal-spec oracle would diverge).  The
+    # empirical claim that the prefilters lose nothing on the test
+    # corpora is pinned separately by test_dedup_df_cap_invariance
+    # (capped == uncapped result) rather than baked into this oracle.
     oracle=f"""
     WITH sh AS (
       SELECT doc_id,
@@ -177,10 +219,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents)
     ),
     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    rare AS (
+      SELECT sh.doc_id, sh.s
+      FROM sh
+      JOIN (SELECT s, count(*) AS df FROM sh GROUP BY s) d ON d.s = sh.s
+      WHERE d.df <= {SHINGLE_DF_CAP}
+    ),
+    nrare AS (SELECT doc_id, count(*) AS nr FROM rare GROUP BY doc_id),
+    supp AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS sup
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY da, db
+    ),
+    cand AS (
+      SELECT s.da, s.db
+      FROM supp s
+      JOIN nrare na ON na.doc_id = s.da
+      JOIN nrare nb ON nb.doc_id = s.db
+      WHERE s.sup >= least({MIN_SHINGLE_SUPPORT}, na.nr, nb.nr)
+    ),
+    inter AS (
+      SELECT c.da, c.db, count(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.da
+      JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+      GROUP BY c.da, c.db
     )
     SELECT da AS doc_a, db AS doc_b,
            round(i * 1.0 / (ca.n + cb.n - i), 3) AS jaccard
@@ -193,21 +256,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, df_cap: int | None = SHINGLE_DF_CAP
 ) -> DataFrame:
-    """EXACT near-dup pairs by word-trigram Jaccard — candidate pairs
-    from an inverted-index equi-join on the shingle (documents sharing
-    no shingle never meet; no cross product), exact Jaccard verified on
+    """Near-dup pairs by word-trigram Jaccard — candidate pairs from an
+    inverted-index equi-join on the shingle (documents sharing no
+    shingle never meet; no cross product), Jaccard computed EXACTLY on
     the FULL shingle sets via ``array_intersect``.
+
+    Contract (shared bit-for-bit with the SQL oracle): a pair is
+    reported iff it shares ≥ ``least(MIN_SHINGLE_SUPPORT, |rare_a|,
+    |rare_b|)`` shingles of document frequency ≤ ``df_cap`` AND its
+    full-set Jaccard ≥ 0.8.  The ``least(...)`` exempts documents whose
+    rare-shingle set is smaller than the absolute threshold (1–2-shingle
+    docs can never lose to a threshold of 3), so the only pairs the
+    prefilters can drop are ones whose shared shingles are almost all
+    stop-phrases — empirically none on the fixtures
+    (``test_dedup_df_cap_invariance`` pins capped == uncapped).
 
     The skew defense promised by the module docstring is implemented
     here: shingles with document frequency > ``df_cap`` are dropped
-    *before* the self-join (candidate generation only — verification
-    is always on full sets, so the Jaccard VALUES are exact and the
-    result is invariant as long as every true pair shares ≥
-    ``MIN_SHINGLE_SUPPORT`` rare shingles, which near-identical
-    documents guarantee with wide margin; pinned by
-    ``tests/test_operator_edges.py``).  The cap turns the join's hot
-    keys from O(corpus) posting lists into bounded ones: worst-case
-    join fan-out per shingle is df_cap², independent of corpus size.
+    *before* the self-join, turning the join's hot keys from O(corpus)
+    posting lists into bounded ones — worst-case join fan-out per
+    shingle is df_cap², independent of corpus size.
 
     Shuffle profile at scale: explode(shingles) → shingle-df hash-agg →
     one hash join on (rare) shingle → per-pair support count
@@ -224,6 +292,8 @@ def dedup_ngram_jaccard(
             .select("s")
         )
         posting = posting.join(rare, "s")
+    # per-doc (rare-)shingle count, for the adaptive support threshold
+    nrare = posting.groupBy("doc_id").agg(F.count("*").alias("nr"))
     a = posting.alias("a")
     b = posting.alias("b")
     cand = (
@@ -233,7 +303,12 @@ def dedup_ngram_jaccard(
         )
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= MIN_SHINGLE_SUPPORT)
+        .join(nrare.select(F.col("doc_id").alias("da"), F.col("nr").alias("nr_a")), "da")
+        .join(nrare.select(F.col("doc_id").alias("db"), F.col("nr").alias("nr_b")), "db")
+        .where(
+            F.col("support")
+            >= F.least(F.lit(MIN_SHINGLE_SUPPORT), F.col("nr_a"), F.col("nr_b"))
+        )
         .select("da", "db")
     )
     full = docs  # (doc_id, sh) with the UNCAPPED shingle sets

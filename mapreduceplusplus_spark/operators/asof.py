@@ -11,8 +11,10 @@ classic UNION + partitioned last-non-null window:
 2. one hash shuffle on the key, sort within partition by
    (ts, side) — right rows sort BEFORE left rows at equal ts, giving
    inclusive (``>=``) as-of semantics;
-3. ``last(value, ignorenulls=True)`` over rows-unbounded-preceding
-   carries each right row's payload forward to every later left row.
+3. the right payload — packed into ONE struct column so the pick is
+   row-atomic even when individual payload columns are NULL — is
+   carried forward to every later left row by a single
+   ``last(struct, ignorenulls=True)`` over rows-unbounded-preceding.
 
 Cost: ONE shuffle + one in-partition sort — same profile as a single
 window query, no range join, no BNLJ, no per-key skew beyond the key
@@ -54,35 +56,58 @@ def as_of_join(
     duplicate wins depends on partition-internal order.
     """
     payload = [c for c in left.columns if c not in on and c != left_ts]
+
+    # internal column names must not collide with user columns —
+    # prepend underscores until unique against both schemas
+    taken = set(left.columns) | set(right.columns) | set(right_cols)
+    tag = "_asof"
+    while any(c.startswith(tag) for c in taken):
+        tag = "_" + tag
+    ts_c, side_c, pack_c = f"{tag}_ts", f"{tag}_side", f"{tag}_r"
+
+    # the right payload travels as ONE struct so a single
+    # last(ignorenulls) carries it row-atomically: a right row whose
+    # payload column is legitimately NULL stays NULL in the output
+    # instead of falling back to an older right row's value (which
+    # per-column last() would do, mixing rows)
+    from pyspark.sql.types import StructField, StructType
+
+    pack_type = StructType(
+        [StructField(out, right.schema[src].dataType) for out, src in right_cols.items()]
+    )
     lsel = (
         [F.col(c) for c in on]
-        + [F.col(left_ts).alias("_ts")]
+        + [F.col(left_ts).alias(ts_c)]
         + [F.col(c) for c in payload]
-        + [F.lit(1).alias("_is_left")]
-        + [
-            F.lit(None).cast(right.schema[src].dataType).alias(out)
-            for out, src in right_cols.items()
-        ]
+        + [F.lit(1).alias(side_c)]
+        + [F.lit(None).cast(pack_type).alias(pack_c)]
     )
     rsel = (
         [F.col(c) for c in on]
-        + [F.col(right_ts).alias("_ts")]
+        + [F.col(right_ts).alias(ts_c)]
         + [F.lit(None).cast(left.schema[c].dataType).alias(c) for c in payload]
-        + [F.lit(0).alias("_is_left")]
-        + [F.col(src).alias(out) for out, src in right_cols.items()]
+        + [F.lit(0).alias(side_c)]
+        + [
+            F.struct(
+                *[F.col(src).alias(out) for out, src in right_cols.items()]
+            ).alias(pack_c)
+        ]
     )
     u = left.select(*lsel).unionByName(right.select(*rsel))
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .orderBy(F.col(ts_c), F.col(side_c))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for out in right_cols:
-        u = u.withColumn(out, F.last(out, ignorenulls=True).over(w))
+    u = u.withColumn(pack_c, F.last(pack_c, ignorenulls=True).over(w))
     return (
-        u.where(F.col("_is_left") == 1)
-        .drop("_is_left")
-        .withColumnRenamed("_ts", left_ts)
+        u.where(F.col(side_c) == 1)
+        .select(
+            *on,
+            F.col(ts_c).alias(left_ts),
+            *payload,
+            *[F.col(f"{pack_c}.{out}").alias(out) for out in right_cols],
+        )
     )
 
 

@@ -38,37 +38,60 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic two-pass global-rank pattern (no single-partition window
     over the full table):
 
-    1. ``repartitionByRange`` on the sort keys — the same sampled range
-       shuffle a distributed ``orderBy`` performs; partition *p* holds a
-       contiguous key range, all ranges ordered by *p*;
-    2. per-partition local ``row_number`` — a window PARTITIONED on the
-       physical partition id, so every task ranks only its own slice;
-    3. per-partition row counts → cumulative offsets.  This window IS
-       single-partition, but over ≤ ``spark.sql.shuffle.partitions``
-       rows (one per partition — a few thousand at cluster scale, not
-       the table), then broadcast back;
-    4. ``sort_rank = offset + local_rank``.
+    1. bucket boundaries on the leading sort key from ``approxQuantile``
+       — ONE sampling job, boundaries come back to the driver (≤
+       #shuffle-partitions doubles) and are embedded as LITERALS;
+    2. per-row bucket id = #boundaries above the row's key — a pure
+       DATA-derived expression, so every plan branch computes the
+       identical bucket for a row no matter how the physical exchanges
+       shake out (an earlier formulation used ``spark_partition_id()``
+       after ``repartitionByRange``, which is only consistent across
+       the offsets job and the output job if AQE happens to reuse the
+       exchange — stage reuse is best-effort under concurrent job
+       submission, and Spark's range sampler is seeded per RDD id, so
+       a non-reused exchange re-samples DIFFERENT boundaries → wrong
+       offsets.  Data-derived buckets need no cross-job agreement);
+    3. per-bucket local ``row_number`` — a window hash-partitioned on
+       the bucket id, each task ranks only its own slice;
+    4. per-bucket row counts → cumulative offsets.  This window IS
+       single-partition, but over ≤ #buckets rows (a few thousand at
+       cluster scale, not the table), broadcast back;
+    5. ``sort_rank = offset + local_rank``.
 
-    The result is invariant to where the sampled range boundaries fall:
-    the (totalprice DESC, orderkey) key is total and unique, so any
-    range partitioning + local rank + offsets reproduces the exact
-    global row_number.
-    """
+    The result is invariant to where the quantile boundaries fall: the
+    (totalprice DESC, orderkey) key is total and unique, and equal
+    prices always land in the same bucket (the bucket is a function of
+    the price alone), so bucket offsets + in-bucket rank reproduce the
+    exact global row_number."""
     ensure_utc(spark)
     orders = load_table(spark, sf_dir, "orders")
     keys = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
-    parted = orders.repartitionByRange(*keys).withColumn(
-        "_pid", F.spark_partition_id()
+    n_b = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    probs = [i / n_b for i in range(1, n_b)]
+    bounds = sorted(
+        set(orders.stat.approxQuantile("o_totalprice", probs, 1.0 / (4 * n_b)))
+        if probs
+        else []
     )
-    local = parted.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
+    # bucket 0 = highest prices (descending sort order ⇒ ascending id)
+    if bounds:
+        bkt = F.size(
+            F.filter(
+                F.array(*[F.lit(float(b)) for b in bounds]),
+                lambda b: b > F.col("o_totalprice"),
+            )
+        )
+    else:  # degenerate: single bucket (n_b == 1 or constant key column)
+        bkt = F.lit(0)
+    local = orders.withColumn("_bkt", bkt).withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_bkt").orderBy(*keys))
     )
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    counts = local.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+        "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
     )
-    return local.join(F.broadcast(offsets), "_pid").select(
+    return local.join(F.broadcast(offsets), "_bkt").select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("totalprice"),
         "o_orderpriority",

@@ -195,3 +195,43 @@ def test_sort_global_rank_is_true_global_rank(spark):
         ).collect()
     }
     assert two_pass == naive
+
+
+def test_asof_join_null_payload_is_row_atomic(spark):
+    """A right row whose payload column is legitimately NULL must win
+    as-of AS A ROW: the NULL stays NULL in the output instead of being
+    back-filled from an older right row (per-column carry would mix
+    rows).  Also exercises internal-name collision: the left side owns
+    columns named _asof_ts/_asof_side/_asof_r."""
+    from mapreduceplusplus_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", ts=10, _asof_ts="x", _asof_side="y", _asof_r="z")]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rts=1, v="old", w=100), Row(k="a", rts=5, v=None, w=200)],
+        "k string, rts int, v string, w int",
+    )
+    out = as_of_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols={"v_out": "v", "w_out": "w"},
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the ts=5 right row wins atomically: v stays NULL, w is 200
+    assert r.v_out is None and r.w_out == 200
+    # user columns that collide with would-be internal names survive
+    assert (r._asof_ts, r._asof_side, r._asof_r) == ("x", "y", "z")
+
+
+def test_asof_join_no_earlier_right_row(spark):
+    """Left rows older than every right row NULL-extend (left as-of)."""
+    from mapreduceplusplus_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([Row(k="a", ts=1), Row(k="b", ts=9)])
+    right = spark.createDataFrame([Row(k="a", rts=5, v="late")])
+    out = {r.k: r.v_out for r in as_of_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols={"v_out": "v"},
+    ).collect()}
+    assert out == {"a": None, "b": None}
