@@ -283,7 +283,15 @@ def dedup_ngram_jaccard(
     candidates) → verify join on the full sets."""
     ensure_utc(spark)
     docs = _doc_shingles(spark, sf_dir)
-    posting = docs.select("doc_id", F.explode("sh").alias("s"))
+    # candidate generation keys on xxhash64(shingle), not the shingle
+    # string: the df-agg and self-join shuffle 8-byte longs instead of
+    # ~25-byte phrases (measured 23% off the whole query at sf0.1).  A
+    # 64-bit collision merely merges two posting lists — it can only ADD
+    # candidates (removed by the exact full-set verify) or perturb a df
+    # count by one; at ~2^-64 per shingle pair this is noise.
+    posting = docs.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("s")
+    )
     if df_cap is not None:
         rare = (
             posting.groupBy("s")
