@@ -163,3 +163,103 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c", 3).alias("cosine"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
+
+
+#: IVF coarse-quantizer configuration: 16 sampled centroids, probe the
+#: 4 nearest lists.  Centroids are the C lowest vec_ids — deterministic
+#: sampled-centroid IVF-flat (production systems refine these with
+#: k-means, e.g. pyspark.ml KMeans; the INDEX/PROBE plan shape below is
+#: identical either way and is what this operator pins down).
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _py_cos(a: list[float], b: list[float]) -> float:
+    import math
+
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb) if na and nb else 0.0
+
+
+@query("sim_search_ivf")  # no SQL oracle: the centroid table is collected
+# from data at runtime, so the equivalent SQL isn't a static string;
+# pinned by tests/test_llm_ops.py (scores equal the exact scorer,
+# recall bound vs sim_search_topk, determinism)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization — the
+    third ANN tier next to brute-force and LSH, and the one real
+    vector stores default to:
+
+    1. INDEX: C centroid vectors (bounded, driver-collected — the same
+       driver-side-literal pattern as ``sort_global``'s quantile
+       boundaries) are embedded as LITERAL arrays; every vector's
+       nearest-centroid assignment is then a pure map-side expression —
+       ZERO shuffle to build the inverted lists;
+    2. PROBE: the probe vector's ``IVF_NPROBE`` nearest centroids are
+       computed driver-side (C tiny cosines in Python); the scan keeps
+       only vectors assigned to those lists — at scale the lists are a
+       table partitioned by ``cid``, so Catalyst prunes ~(1 -
+       nprobe/C) of the data before reading it;
+    3. exact cosine on the surviving ~nprobe/C of the table, then
+       TakeOrderedAndProject top-k.
+
+    Recall is partial by design (ANN contract) and measured against
+    ``sim_search_topk``; raising ``IVF_NPROBE`` is the recall knob."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    cent_rows = (
+        emb.where(F.col("vec_id") < IVF_CENTROIDS)
+        .select("vec_id", "v")
+        .collect()
+    )
+    cents = sorted((int(r.vec_id), [float(x) for x in r.v]) for r in cent_rows)
+    probe_v = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == PROBE_ID).collect()[0].v
+    ]
+    probe_cids = [
+        cid
+        for cid, cv in sorted(cents, key=lambda t: (-_py_cos(t[1], probe_v), t[0]))[
+            :IVF_NPROBE
+        ]
+    ]
+
+    import math
+
+    def _cos_lit(vcol: Column, cvec: list[float]) -> Column:
+        cn = math.sqrt(sum(x * x for x in cvec))
+        lit = F.array(*[F.lit(x) for x in cvec])
+        return _dot(vcol, lit) / (_norm(vcol) * F.lit(cn))
+
+    # argmax over (score, -cid): struct max picks highest score, ties
+    # break to the LOWEST centroid id — deterministic assignment
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _cos_lit(F.col("v"), cv).alias("s"),
+                    F.lit(-cid).alias("negid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+    )
+    pv_lit = F.array(*[F.lit(x) for x in probe_v])
+    pn = math.sqrt(sum(x * x for x in probe_v))
+    cand = (
+        emb.withColumn("cid", (-best["negid"]).cast("int"))
+        .where(F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID))
+        .withColumn("c", _dot(F.col("v"), pv_lit) / (_norm(F.col("v")) * F.lit(pn)))
+    )
+    topk = cand.orderBy(F.col("c").desc(), F.col("vec_id")).limit(TOP_K)
+    w = Window.orderBy(F.col("c").desc(), F.col("vec_id"))
+    return topk.select(
+        "vec_id",
+        "label",
+        F.round("c", 3).alias("cosine"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )

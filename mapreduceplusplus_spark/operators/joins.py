@@ -273,3 +273,68 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_sec"
         ),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    unique_col: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Inner equi-join with manual key salting — the classic skew
+    defense for when one join key holds a disproportionate share of the
+    big side (a celebrity user, a null-ish default key).
+
+    The big side gains a deterministic per-row salt (``xxhash64`` of a
+    unique column mod ``salt``), the small side is replicated ``salt``
+    times; joining on (key, salt) spreads the hot key's rows over
+    ``salt`` shuffle partitions instead of one straggler task.  Output
+    is row-identical to the unsalted join (each big row meets exactly
+    the one replica of its match that carries its salt).
+
+    When to prefer this over AQE's skew-join splitting: AQE splits
+    oversized SORT-MERGE partitions after the shuffle has already
+    placed them; salting re-routes at shuffle time, composes with
+    shuffled-hash joins, and keeps working when the skewed relation
+    feeds a downstream aggregation on the same key.  Cost: the small
+    side is materialized ``salt``× (only acceptable because it is
+    small — for dims small enough to broadcast, broadcast instead)."""
+    b = big.withColumn("_salt_b", F.pmod(F.xxhash64(unique_col), F.lit(salt)))
+    s = small.withColumn(
+        "_salt_s", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return (
+        b.join(
+            s.hint("shuffle_hash"),
+            (b[big_key] == s[small_key]) & (b["_salt_b"] == s["_salt_s"]),
+            "inner",
+        )
+        .drop("_salt_b", "_salt_s")
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer via ``salted_join`` (salt=8, shuffled-hash
+    hinted so the salted path is actually exercised instead of AQE
+    broadcasting the dim), aggregated per market segment.  The oracle is
+    the PLAIN unsalted join — proving salting is result-invariant."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = salted_join(
+        orders, customer, "o_custkey", "c_custkey", unique_col="o_orderkey"
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

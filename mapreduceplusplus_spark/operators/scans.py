@@ -199,3 +199,37 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS sum_price
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip — the second columnar format Spark
+    ships natively (predicate pushdown + column pruning work the same
+    as Parquet's).  Write a projection, read it back, aggregate; the
+    aggregate equals the oracle computed on the ORIGINAL table, proving
+    the roundtrip lossless.  Same eager-materialization shape as the
+    other sinks (the temp dir is deleted before returning)."""
+    ensure_utc(spark)
+    proj = load_table(spark, sf_dir, "part").select("p_brand", "p_retailprice")
+    out = tempfile.mkdtemp(prefix="sink_orc_roundtrip_")
+    try:
+        proj.write.mode("overwrite").orc(out)
+        result = (
+            spark.read.orc(out)
+            .groupBy("p_brand")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+            )
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -6,9 +6,13 @@ The operator keeps one running-total state per user — (event count,
 value sum, last event time) — advanced by a SINGLE shared transition
 function used by BOTH execution modes:
 
-- batch (the registered, oracle-checked query): per-user fold over the
-  whole history via ``applyInPandas`` — one Arrow batch per key, the
-  transition applied once;
+- batch (the registered, oracle-checked query): hash shuffle on
+  user_id + ``sortWithinPartitions`` + ONE streaming ``mapInPandas``
+  pass that detects user runs and folds ``_advance`` incrementally —
+  the same run-streaming shape as ``mr.fold_by_key`` (measured ~18×
+  faster than per-group ``applyInPandas`` at 150k groups, see
+  ``mr.py``); a run spanning Arrow batches exercises the exact
+  state-carry path the streaming mode uses between micro-batches;
 - streaming (``stateful_running_total_stream``): the same transition
   applied incrementally per micro-batch via ``applyInPandasWithState``,
   state persisted in the state store between batches.
@@ -20,7 +24,8 @@ pipeline depends on.
 
 Scale: state is 3 scalars per user (O(#distinct users), the minimum
 possible); each micro-batch shuffles only on user_id.  The batch form
-is one shuffle + one Arrow pass per key.
+is one shuffle + one sorted Arrow sweep per partition, buffering only
+the current run's state (not its rows).
 """
 
 from __future__ import annotations
@@ -84,17 +89,45 @@ def _emit(user_id: int, state: tuple[int, float, int]) -> pd.DataFrame:
 )
 def stream_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the stateful operator: the identical ``_advance``
-    transition folded over each user's full history in one
-    ``applyInPandas`` pass.  The oracle recomputes it declaratively —
-    proving the Python state machine implements exactly
+    transition folded over each user's history, executed as hash
+    shuffle + in-partition sort + ONE streaming ``mapInPandas`` sweep
+    (run detection per Arrow batch, state carried across batch
+    boundaries — ``mr.fold_by_key``'s design, which beats per-group
+    ``applyInPandas`` ~18× at 150k groups).  The oracle recomputes it
+    declaratively — proving the Python state machine implements exactly
     count/sum/max."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    parted = ev.repartition(F.col("user_id")).sortWithinPartitions("user_id")
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _emit(int(pdf["user_id"].iloc[0]), _advance(None, pdf))
+    def run(batches) -> "pd.DataFrame":
+        import numpy as np
 
-    out = ev.groupBy("user_id").applyInPandas(fold, schema=OUTPUT_SCHEMA)
+        cur_key: int | None = None
+        cur_state: tuple[int, float, int] | None = None
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            uid = pdf["user_id"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+            ends = np.r_[starts[1:], n]
+            done: list[pd.DataFrame] = []
+            for s, e in zip(starts, ends):
+                k = int(uid[s])
+                sub = pdf.iloc[s:e]
+                if cur_state is not None and k == cur_key:
+                    cur_state = _advance(cur_state, sub)
+                    continue
+                if cur_state is not None:
+                    done.append(_emit(cur_key, cur_state))
+                cur_key, cur_state = k, _advance(None, sub)
+            if done:
+                yield pd.concat(done, ignore_index=True)
+        if cur_state is not None:
+            yield _emit(cur_key, cur_state)
+
+    out = parted.mapInPandas(run, schema=OUTPUT_SCHEMA)
     return out.select(
         "user_id",
         "n_events",

@@ -112,3 +112,43 @@ def test_fingerprint_matches_hashlib(spark):
     docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text").limit(20).collect()
     for d in docs:
         assert fp[d.doc_id] == hashlib.md5(d.text.encode("utf-8")).hexdigest()
+
+
+def test_ivf_topk_scores_and_recall(spark):
+    """IVF ANN: every returned cosine must equal the exact scorer's
+    value for that vec_id (score correctness is not negotiable), ranks
+    must be contiguous, the result must be deterministic, and recall
+    vs the exact top-k must clear the ANN floor (nprobe=4 of 16 lists;
+    on the fixture the probe's neighbors cluster into few lists)."""
+    qs = registry.queries()
+    ivf = qs["sim_search_ivf"](spark, SF_DIR_ORACLE).collect()
+    assert 0 < len(ivf) <= 10
+    ivf2 = qs["sim_search_ivf"](spark, SF_DIR_ORACLE).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
+
+    exact = qs["sim_search_topk"](spark, SF_DIR_ORACLE).collect()
+    exact_cos = {r.vec_id: r.cosine for r in exact}
+
+    from mapreduceplusplus_spark.llm.similarity import PROBE_ID, _as_double, _dot, _norm
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    probe = emb.where(F.col("vec_id") == PROBE_ID).select(F.col("v").alias("pv"))
+    all_cos = {
+        r.vec_id: r.cosine
+        for r in emb.where(F.col("vec_id") != PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv"))), 3
+            ).alias("cosine"),
+        )
+        .collect()
+    }
+    for r in ivf:
+        assert all_cos[r.vec_id] == r.cosine
+    recall = len({r.vec_id for r in ivf} & set(exact_cos)) / len(exact_cos)
+    assert recall >= 0.5, f"ivf recall {recall:.2f}"
