@@ -139,3 +139,65 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return decode_images(docs)
+
+
+#: output schema of the (stubbed) frame sampler: one row PER SAMPLED
+#: FRAME — the 1→N batch shape a video pipeline needs
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, ts_ms bigint, frame_bytes bigint, "
+    "width int, height int"
+)
+
+
+def _sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched fake frame sampler.  DETERMINISTIC STUB (no ffmpeg
+    in the container): frame count / size / dims derive from payload
+    bytes.  The REAL contract demonstrated: one input row fans out to
+    N output rows inside a single Arrow batch (generator/UDTF shape in
+    pandas), no shuffle, output row count data-dependent."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "frame_idx", "ts_ms", "frame_bytes", "width", "height")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            # --- real decode+sample goes here (ffmpeg keyframes); stub: ---
+            n_frames = n % 5 + 1          # "video length" from payload
+            for i in range(n_frames):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(i * 1000)
+                out["frame_bytes"].append(max(n - i, 0))
+                out["width"].append(n % 640 + 16)
+                out["height"].append((payload[0] if n else 0) * 7 % 480 + 16)
+        yield pd.DataFrame(out)
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Public frame-sampling operator: (doc_id, payload binary) → one
+    typed row per sampled frame.  Narrow ``mapInPandas`` (1→N inside
+    the batch): at 100 TB this is the correct shape for frame
+    extraction — parallel per input split, output volume scales with
+    frames sampled, never a shuffle."""
+    return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
+        _sample_frames_batch, schema=FRAME_SCHEMA
+    )
+
+
+@query("multimodal_frame_sample")  # no SQL oracle: Python mapInPandas
+# stage; determinism + fan-out formula pinned by tests/test_llm_ops.py
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline on the documents fixture (text bytes
+    stand in for a video payload), aggregated per document so the
+    result is compact: frame count, total frame bytes, first/last
+    frame timestamps.  Exercises the full 1→N Arrow path plus a
+    downstream shuffle over the fanned-out rows."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    frames = sample_frames(docs)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum("frame_bytes").cast("bigint").alias("total_frame_bytes"),
+        F.min("ts_ms").cast("bigint").alias("first_ts_ms"),
+        F.max("ts_ms").cast("bigint").alias("last_ts_ms"),
+    )

@@ -185,3 +185,61 @@ def streaming_pipeline(
             "n_events",
         )
     )
+
+
+@query(
+    "stream_dedup",
+    oracle=f"""
+    SELECT user_id, event_type,
+           event_id                             AS first_event_id,
+           strftime(ts, '{_TS_US_DUCK}')        AS first_ts,
+           round(value, 2)                      AS first_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, batch form: keep the FIRST event per
+    (user_id, event_type) in event-time order (event_id tiebreak) —
+    the deterministic-keeper window, one hash shuffle on the dedup key.
+
+    The streaming form is ``streaming_dedup_pipeline``: ``readStream →
+    withWatermark → dropDuplicates(keys)``, which keeps the first
+    ARRIVAL and holds one state row per key until the watermark
+    expires it (``dropDuplicatesWithinWatermark`` is the bounded-state
+    variant when upstream retries can only be near-duplicates in
+    time).  Fed in event-time order the two forms agree —
+    ``tests/test_streaming.py`` replays the fixture through
+    micro-batches and asserts exactly that."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.date_format("ts", _TS_US_SPARK).alias("first_ts"),
+            F.round("value", 2).alias("first_value"),
+        )
+    )
+
+
+def streaming_dedup_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    keys: list[str] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+):
+    """Structured Streaming dedup wiring: file source → watermark →
+    ``dropDuplicates`` on the key columns.  State = one row per
+    distinct key seen within the watermark horizon."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicates(list(keys))

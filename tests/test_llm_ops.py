@@ -152,3 +152,22 @@ def test_ivf_topk_scores_and_recall(spark):
         assert all_cos[r.vec_id] == r.cosine
     recall = len({r.vec_id for r in ivf} & set(exact_cos)) / len(exact_cos)
     assert recall >= 0.5, f"ivf recall {recall:.2f}"
+
+
+def test_frame_sample_fanout_formula(spark):
+    """The fake frame sampler is a placeholder for ffmpeg, but the 1→N
+    Arrow fan-out contract is real: n%5+1 frames per doc, millisecond
+    timestamps, monotone frame sizes."""
+    qs = registry.queries()
+    out = {r.doc_id: r for r in qs["multimodal_frame_sample"](spark, SF_DIR_ORACLE).collect()}
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    for d in docs[:50]:
+        n = len(d.text.encode("utf-8"))
+        exp_frames = n % 5 + 1
+        r = out[d.doc_id]
+        assert r.n_frames == exp_frames
+        assert r.first_ts_ms == 0 and r.last_ts_ms == (exp_frames - 1) * 1000
+        assert r.total_frame_bytes == sum(max(n - i, 0) for i in range(exp_frames))

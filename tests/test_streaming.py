@@ -193,3 +193,48 @@ def test_stateful_running_total_stream_matches_batch(spark, stream_dirs):
     # and the streaming state saw every revision: user 1 appears in >=2
     # distinct update emissions (batch 1 and batch 2)
     assert sum(1 for r in sink if r.user_id == 1) >= 2
+
+
+def test_streaming_dedup_keeps_first_arrival(spark, stream_dirs):
+    """dropDuplicates over micro-batches: the first arrival per key
+    wins, duplicates in the SAME batch and in LATER batches are both
+    dropped, and feeding batches in event-time order reproduces the
+    batch-mode deterministic-keeper result."""
+    from mapreduceplusplus_spark.streaming.windows import streaming_dedup_pipeline
+
+    src, chk = stream_dirs
+    T = datetime
+    schema = "ts timestamp, user_id bigint, event_type string, value double"
+    b1 = [
+        (T(2024, 1, 1, 10, 0, 0), 1, "click", 1.0),
+        (T(2024, 1, 1, 10, 1, 0), 1, "click", 2.0),   # same-batch dup
+        (T(2024, 1, 1, 10, 2, 0), 2, "view", 3.0),
+    ]
+    b2 = [
+        (T(2024, 1, 1, 11, 0, 0), 1, "click", 9.0),   # cross-batch dup
+        (T(2024, 1, 1, 11, 1, 0), 1, "view", 4.0),    # new key
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(f"{src}/batch1")
+
+    dedup = streaming_dedup_pipeline(
+        spark, f"{src}/batch*", schema, keys=["user_id", "event_type"]
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("overwrite").parquet(f"{src}/batch2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.event_type): r.value
+        for r in spark.sql("SELECT * FROM dedup_sink").collect()
+    }
+    assert got == {(1, "click"): 1.0, (2, "view"): 3.0, (1, "view"): 4.0}
