@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_search_topk",        # brute-force cosine top-k over embeddings
     "text_analysis_stats",    # narrow per-doc token statistics
     "multimodal_columns",     # struct/map/binary metadata join
+    "stream_stateful_running_total",  # Arrow run-streaming stateful fold
 ]
 
 
