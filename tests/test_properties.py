@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the generic operator helpers:
+random inputs, compared against trivially-correct pure-Python models.
+Example counts are small — every example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from mapreduceplusplus_spark.operators.asof import as_of_join
+from mapreduceplusplus_spark.operators.joins import salted_join
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.sampled_from(["a", "b", "c"])
+_ts = st.integers(min_value=0, max_value=20)
+
+
+@st.composite
+def _asof_inputs(draw):
+    left = draw(
+        st.lists(st.tuples(_keys, _ts), min_size=1, max_size=12)
+    )
+    right_raw = draw(
+        st.lists(
+            st.tuples(_keys, _ts, st.integers(min_value=-5, max_value=5)),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    # contract: right unique per (key, ts) — keep max value as the dedup
+    right = {}
+    for k, t, v in right_raw:
+        right[(k, t)] = max(v, right.get((k, t), -(10**9)))
+    return left, [(k, t, v) for (k, t), v in right.items()]
+
+
+@given(_asof_inputs())
+@settings(**_SETTINGS)
+def test_asof_join_matches_python_model(spark, data):
+    """as_of_join == per-left-row argmax of right rows with rts <= ts
+    (inclusive), NULL when none — on arbitrary key/ts distributions
+    including duplicate left timestamps and empty right sides."""
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [Row(k=k, ts=t, lid=i) for i, (k, t) in enumerate(left_rows)],
+        "k string, ts int, lid int",
+    )
+    right = spark.createDataFrame([], "k string, rts int, v int") if not right_rows else (
+        spark.createDataFrame(
+            [Row(k=k, rts=t, v=v) for k, t, v in right_rows],
+            "k string, rts int, v int",
+        )
+    )
+    got = {
+        r.lid: r.v_out
+        for r in as_of_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols={"v_out": "v"},
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, f"left row {i} ({k},{t}): {got[i]} != {expect}"
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=20),
+    st.lists(st.tuples(st.integers(0, 5), st.text("xy", max_size=2)), min_size=0, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, big_rows, small_rows):
+    """salted_join is result-invariant vs the plain inner join on
+    arbitrary data — including duplicate keys on BOTH sides (each big
+    row must meet every matching small row exactly once, through
+    exactly one salt replica)."""
+    big = spark.createDataFrame(
+        [Row(bk=k, uid=i, payload=p) for i, (k, p) in enumerate(big_rows)],
+        "bk int, uid int, payload int",
+    )
+    small = spark.createDataFrame(
+        [Row(sk=k, tag=t) for k, t in small_rows], "sk int, tag string"
+    )
+    salted = sorted(
+        (r.uid, r.tag)
+        for r in salted_join(big, small, "bk", "sk", unique_col="uid", salt=4).collect()
+    )
+    plain = sorted(
+        (r.uid, r.tag) for r in big.join(small, big.bk == small.sk, "inner").collect()
+    )
+    assert salted == plain
