@@ -201,3 +201,83 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").cast("bigint").alias("first_ts_ms"),
         F.max("ts_ms").cast("bigint").alias("last_ts_ms"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, payload binary, width int, height int, orig_bytes bigint"
+)
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"doc_id bigint, feature array<float>"
+
+
+def _resize_batch(target_w: int, target_h: int):
+    """Factory for the Arrow-batched fake resizer.  DETERMINISTIC STUB
+    (no PIL): 'resizes' by truncating the payload proportionally to the
+    pixel-count ratio — a real implementation swaps ONLY the marked
+    body; the binary-in/binary-out schema and batching are the real
+    contract (resize is the canonical pre-training image normalization
+    stage)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            # --- real decode→resize→encode goes here (PIL); stub: ---
+            src_px = (n_bytes % 640 + 16) * (n_bytes % 480 + 16)
+            ratio = (target_w * target_h) / src_px
+            keep = (n_bytes * ratio.clip(upper=1.0)).astype("int64").clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        p[:k] for p, k in zip(pdf["payload"], keep)
+                    ],
+                    "width": target_w,
+                    "height": target_h,
+                    "orig_bytes": n_bytes,
+                }
+            )
+
+    return fn
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 224, target_h: int = 224, payload_col: str = "payload"
+) -> DataFrame:
+    """Public resize operator: (doc_id, payload binary) → resized
+    payload + new dims.  Narrow ``mapInPandas``, binary in/binary out —
+    at scale this runs decode→resize→re-encode per Arrow batch with no
+    shuffle."""
+    return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
+        _resize_batch(target_w, target_h), schema=RESIZE_SCHEMA
+    )
+
+
+def _feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched fake feature extractor.  DETERMINISTIC STUB (no
+    torch/onnx): emits a FEATURE_DIM vector derived from payload byte
+    statistics; a real encoder (CLIP/ViT) replaces ONLY the marked
+    body.  The array<float> output column is exactly what the
+    similarity-search operators consume downstream."""
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        for p in pdf["payload"]:
+            # --- real model forward pass goes here; stub: ---
+            arr = np.frombuffer(p[: FEATURE_DIM * 4], dtype=np.uint8)
+            v = np.zeros(FEATURE_DIM, dtype=np.float32)
+            v[: min(FEATURE_DIM, len(arr))] = arr[:FEATURE_DIM]
+            nrm = float(np.linalg.norm(v))
+            feats.append((v / nrm if nrm else v).tolist())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Public feature-extraction operator: (doc_id, payload binary) →
+    unit-norm ``array<float>`` embedding (stub body).  Completes the
+    multimodal pipeline: decode → resize → feature-extract feeds the
+    embedding dedup/similarity operators in ``llm/dedup.py`` /
+    ``llm/similarity.py``."""
+    return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
+        _feature_batch, schema=FEATURE_SCHEMA
+    )

@@ -338,3 +338,65 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+def write_bucketed(
+    spark: SparkSession, df: DataFrame, name: str, key: str, n_buckets: int = 8
+) -> None:
+    """Persist ``df`` as a bucketed+sorted table on ``key`` — the layout
+    that lets every future equi-join or aggregation on ``key`` skip its
+    shuffle entirely (bucket id = hash(key) % n_buckets is fixed at
+    write time, so matching buckets are co-located by construction)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key).saveAsTable(name)
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer with BOTH sides bucketed by the join key
+    (8 buckets each): Spark's bucketed-scan rule aligns bucket i with
+    bucket i and plans a sort-merge join with NO Exchange on either
+    side (pinned by ``test_bucketed_join_has_no_shuffle``).  Caller
+    owns dropping the catalog tables."""
+    from mapreduceplusplus_spark.sources.tables import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    customer = _lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    write_bucketed(spark, orders, "bj_orders", "o_custkey")
+    write_bucketed(spark, customer, "bj_customer", "c_custkey")
+    o = spark.table("bj_orders")
+    c = spark.table("bj_customer")
+    # MERGE hint: at tiny fixture scale the planner would broadcast the
+    # dim and never touch the bucketed path; at real scale (both sides
+    # over the broadcast threshold) SMJ is what it picks anyway — the
+    # hint makes the fixture exercise the plan the layout exists for
+    return o.join(c.hint("merge"), o.o_custkey == c.c_custkey, "inner")
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brief's "bucketing for co-located joins" made concrete:
+    both join sides are written bucketed by the key, the join plans
+    WITHOUT a shuffle on either side, and the aggregate equals the
+    plain-join oracle on the original tables.  At 100 TB this is the
+    standard answer to a repeated fact⋈fact join: pay the bucket
+    shuffle once at ingest, never again.  Eagerly materialized (the
+    catalog tables are dropped before returning)."""
+    ensure_utc(spark)
+    try:
+        j = bucketed_join(spark, sf_dir)
+        result = j.groupBy("c_nationkey").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bj_orders")
+        spark.sql("DROP TABLE IF EXISTS bj_customer")

@@ -233,3 +233,41 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "sink_partitioned_pruned",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang
+    """,
+)
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read — THE layout
+    decision for a 100 TB corpus: ``partitionBy(lang)`` places each
+    language in its own directory, and a reader filtering on the
+    partition column never opens the other directories (Catalyst turns
+    the filter into partition pruning at planning time — verified by
+    ``test_partitioned_write_prunes``, which counts the scanned files).
+    The aggregate equals the oracle on the ORIGINAL table, proving the
+    layout roundtrip lossless."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = tempfile.mkdtemp(prefix="sink_partitioned_")
+    try:
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+        result = (
+            spark.read.parquet(out)
+            .where(F.col("lang").isin("en", "de"))
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -171,3 +171,35 @@ def test_frame_sample_fanout_formula(spark):
         assert r.n_frames == exp_frames
         assert r.first_ts_ms == 0 and r.last_ts_ms == (exp_frames - 1) * 1000
         assert r.total_frame_bytes == sum(max(n - i, 0) for i in range(exp_frames))
+
+
+def test_resize_and_feature_stub_contracts(spark):
+    """Resize: binary in/binary out, payload never grows, target dims
+    stamped.  Feature-extract: unit-norm array<float> of FEATURE_DIM.
+    Both are narrow Arrow stages feeding the similarity operators."""
+    import math
+
+    from mapreduceplusplus_spark.llm.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        resize_images,
+    )
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF_DIR_ORACLE, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .limit(50)
+    )
+    rs = resize_images(docs, 224, 224).collect()
+    assert len(rs) == 50
+    for r in rs:
+        assert r.width == 224 and r.height == 224
+        assert 1 <= len(r.payload) <= r.orig_bytes
+
+    fe = extract_features(docs).collect()
+    assert len(fe) == 50
+    for r in fe:
+        assert len(r.feature) == FEATURE_DIM
+        nrm = math.sqrt(sum(x * x for x in r.feature))
+        assert abs(nrm - 1.0) < 1e-5 or nrm == 0.0

@@ -235,3 +235,50 @@ def test_asof_join_no_earlier_right_row(spark):
         right_cols={"v_out": "v"},
     ).collect()}
     assert out == {"a": None, "b": None}
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed by the join key ⇒ the sort-merge join must
+    plan with ZERO Exchange operators — the co-location contract that
+    makes bucketing pay at scale."""
+    from mapreduceplusplus_spark.operators.joins import bucketed_join
+
+    try:
+        j = bucketed_join(spark, SF_DIR_ORACLE)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, f"unexpected shuffle:\n{plan}"
+        # and it is not silently empty
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bj_orders")
+        spark.sql("DROP TABLE IF EXISTS bj_customer")
+
+
+def test_partitioned_write_prunes(spark):
+    """A filter on the partition column must reach the scan as
+    partition pruning: only the matching lang= directories' files are
+    read."""
+    import tempfile as _tf
+    import shutil as _sh
+
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "lang")
+    out = _tf.mkdtemp(prefix="prune_test_")
+    try:
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+        all_langs = spark.read.parquet(out)
+        pruned = all_langs.where(F.col("lang") == "en")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # the lang filter must appear as a PARTITION filter on the scan
+        # (planning-time directory pruning), not as a data filter
+        assert "PartitionFilters" in plan
+        import re
+
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+        assert "lang" in pf and "en" in pf, pf
+        # and the pruned branch reads fewer rows than the full table
+        assert pruned.count() < all_langs.count()
+    finally:
+        _sh.rmtree(out, ignore_errors=True)
