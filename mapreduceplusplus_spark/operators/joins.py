@@ -341,28 +341,39 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_bucketed(
-    spark: SparkSession, df: DataFrame, name: str, key: str, n_buckets: int = 8
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int = 8,
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed+sorted table on ``key`` — the layout
     that lets every future equi-join or aggregation on ``key`` skip its
     shuffle entirely (bucket id = hash(key) % n_buckets is fixed at
-    write time, so matching buckets are co-located by construction)."""
+    write time, so matching buckets are co-located by construction).
+    ``path`` makes it an EXTERNAL table (data at the given location
+    instead of the session warehouse dir — used by the demo query so
+    nothing lands in the caller's cwd)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key).saveAsTable(name)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
 
 
-def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bucketed_join(spark: SparkSession, sf_dir: str, base_dir: str) -> DataFrame:
     """orders ⋈ customer with BOTH sides bucketed by the join key
     (8 buckets each): Spark's bucketed-scan rule aligns bucket i with
     bucket i and plans a sort-merge join with NO Exchange on either
     side (pinned by ``test_bucketed_join_has_no_shuffle``).  Caller
-    owns dropping the catalog tables."""
+    owns dropping the catalog tables and ``base_dir``."""
     from mapreduceplusplus_spark.sources.tables import load_table as _lt
 
     orders = _lt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     customer = _lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    write_bucketed(spark, orders, "bj_orders", "o_custkey")
-    write_bucketed(spark, customer, "bj_customer", "c_custkey")
+    write_bucketed(spark, orders, "bj_orders", "o_custkey", path=f"{base_dir}/orders")
+    write_bucketed(spark, customer, "bj_customer", "c_custkey", path=f"{base_dir}/customer")
     o = spark.table("bj_orders")
     c = spark.table("bj_customer")
     # MERGE hint: at tiny fixture scale the planner would broadcast the
@@ -388,9 +399,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard answer to a repeated fact⋈fact join: pay the bucket
     shuffle once at ingest, never again.  Eagerly materialized (the
     catalog tables are dropped before returning)."""
+    import shutil
+    import tempfile
+
     ensure_utc(spark)
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
     try:
-        j = bucketed_join(spark, sf_dir)
+        j = bucketed_join(spark, sf_dir, base)
         result = j.groupBy("c_nationkey").agg(
             F.count("*").alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
@@ -400,3 +415,4 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql("DROP TABLE IF EXISTS bj_orders")
         spark.sql("DROP TABLE IF EXISTS bj_customer")
+        shutil.rmtree(base, ignore_errors=True)

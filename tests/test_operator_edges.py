@@ -241,10 +241,14 @@ def test_bucketed_join_has_no_shuffle(spark):
     """Both sides bucketed by the join key ⇒ the sort-merge join must
     plan with ZERO Exchange operators — the co-location contract that
     makes bucketing pay at scale."""
+    import shutil as _sh
+    import tempfile as _tf
+
     from mapreduceplusplus_spark.operators.joins import bucketed_join
 
+    base = _tf.mkdtemp(prefix="bucketed_join_test_")
     try:
-        j = bucketed_join(spark, SF_DIR_ORACLE)
+        j = bucketed_join(spark, SF_DIR_ORACLE, base)
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         assert "Exchange" not in plan, f"unexpected shuffle:\n{plan}"
@@ -253,6 +257,7 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bj_orders")
         spark.sql("DROP TABLE IF EXISTS bj_customer")
+        _sh.rmtree(base, ignore_errors=True)
 
 
 def test_partitioned_write_prunes(spark):
