@@ -289,3 +289,32 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
         F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
     )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2)              AS sd_price,
+           round(var_samp(l_quantity), 2)                      AS var_qty,
+           round(corr(l_extendedprice, l_quantity), 4)         AS corr_pq,
+           round(covar_samp(l_extendedprice, l_discount), 2)   AS cov_pd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — sample stddev/variance, Pearson
+    correlation, sample covariance per return flag.  All implemented by
+    Spark as single-pass moment accumulators with map-side partials
+    (no second pass over the data), so the shuffle carries one small
+    state row per (flag, metric) — the ideal distributed-statistics
+    shape."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("cov_pd"),
+    )

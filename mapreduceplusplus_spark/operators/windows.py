@@ -157,3 +157,34 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("delta_vs_prev"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(4) OVER w AS INT)        AS quartile,
+           round(percent_rank() OVER w, 4)     AS pct_rank,
+           round(cume_dist() OVER w, 4)        AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist per priority class; the quantile-bucketing / percentile
+    family OLAP dashboards run constantly.  Same single hash shuffle on
+    the partition key as any window; the (price, orderkey) ordering is
+    total so every value is deterministic."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
