@@ -646,7 +646,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").cast("bigint").alias("cluster_id"),
             (F.col("label") == F.col("u")).alias("is_canonical"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # truncate the iteration lineage WITHOUT driver materialization
+        # (clustered docs can be millions of rows at scale — never
+        # collect them): localCheckpoint snapshots to executor storage;
+        # on a real cluster a reliable checkpoint()/table write is the
+        # fault-tolerant equivalent
+        return out.localCheckpoint(eager=True)
     finally:
         labels.unpersist()
