@@ -232,3 +232,30 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("bigint").alias("k_num"),
         (k.cast("bigint") % 10).alias("k_mod10"),
     )
+
+
+@query(
+    "scalar_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS k_big
+    FROM events
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data via the VARIANT type (Spark 4): parse the
+    JSON string ONCE into a compact binary variant, then extract typed
+    fields with ``variant_get`` — at scale this beats repeated
+    ``get_json_object`` string parsing (one parse per row instead of
+    one per extraction) and is the open-format answer to schemaless
+    ingestion.  The oracle reads the same fields with DuckDB's JSON
+    extraction — two engines, two encodings, same values."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("pv", F.parse_json("props"))
+    return v.select(
+        "event_id",
+        F.variant_get("pv", "$.k", "bigint").alias("k_variant"),
+        (F.variant_get("pv", "$.k", "bigint") > 50).alias("k_big"),
+    )

@@ -117,3 +117,43 @@ def mr_pipeline_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         kv_schema="word string, cnt bigint",
         combine_fn=_sum_reduce,
     )
+
+
+@query(
+    "udtf_python_native",
+    oracle="""
+    SELECT doc_id, w AS word, CAST(len(w) AS INT) AS wlen
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(text, '[A-Za-z]+')) AS w
+          FROM documents)
+    """,
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE Python UDTF API (``@udtf`` class + LATERAL
+    call): the closest literal analogue of the reference's map
+    coroutine — a user class whose ``eval`` yields any number of rows
+    per input row, invoked per row from SQL.
+
+    Deliberately registered ALONGSIDE ``udtf_flatmap_generator`` (the
+    Arrow ``mapInPandas`` form of the same computation): the class UDTF
+    is row-at-a-time Python — the API-parity demonstration — while the
+    Arrow form is the throughput path a 100 TB job must use (~10-100×
+    per the Pandas-UDF vs row-UDF gap)."""
+    from pyspark.sql.functions import udtf
+
+    ensure_utc(spark)
+
+    @udtf(returnType="word string, wlen int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in _TOKEN.findall(text or ""):
+                yield (w, len(w))
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.wlen
+        FROM udtf_docs d, LATERAL split_words(d.text) s
+        """
+    )

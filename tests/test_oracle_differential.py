@@ -49,3 +49,30 @@ def test_all_queries_return_rows(spark):
     for name, fn in registry.queries().items():
         df = fn(spark, SF_DIR_ORACLE)
         assert df.count() > 0, f"{name} returned no rows"
+
+
+HOSTILE_SUBSET = [
+    "sort_global",              # bucket-count sensitive two-pass rank
+    "agg_groupby",              # flagship
+    "join_bucketed_colocated",  # bucketed-scan rule without AQE
+    "dedup_cluster_canonical",  # iterative fixpoint
+    "window_distribution",      # ntile bucketing
+    "stream_stateful_running_total",  # Arrow run-streaming fold
+]
+
+
+def test_hostile_config_subset(spark):
+    """Config-robustness guard: the external driver owns its
+    SparkSession, so results must not depend on OUR defaults.  Re-run a
+    plan-shape-sensitive subset with AQE disabled, 5 shuffle
+    partitions, and a non-UTC session timezone (a full 66-oracle sweep
+    under this config passed during development; this subset keeps the
+    guard cheap)."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "5")
+    s2.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    qs, os_ = registry.queries(), registry.oracles()
+    for name in HOSTILE_SUBSET:
+        ok, msg = run_compare(s2, SF_DIR_ORACLE, qs[name], os_[name])
+        assert ok, f"{name} under hostile config: {msg}"
