@@ -1,0 +1,136 @@
+"""End-to-end training-data cleaning pipeline — the operators of
+``llm/textstats.py`` and ``llm/dedup.py`` composed into ONE declarative
+plan, the shape a real C4/Gopher-style corpus cleaning job has.
+
+The point of this module is compositionality: each stage is the same
+expression the standalone operator query uses, and because everything is
+Catalyst expressions the WHOLE pipeline is one narrow projection chain +
+exactly ONE shuffle (the dedup window) — Catalyst fuses the quality
+scoring, language gating, and fingerprinting into a single
+whole-stage-codegen pass over the scan.  A 100 TB cleaning run is
+scan-bound, as it should be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+#: minimum blended quality score to survive (same formula as
+#: ``text_quality_score``)
+QUALITY_MIN = 0.5
+#: languages admitted to the training set
+KEEP_LANGS = ("en", "de", "fr")
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round(0.5 * (CASE WHEN n_chars > 0
+                       THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars
+                       ELSE 0 END)
+             + 0.3 * (CASE WHEN len(ws) > 0
+                       THEN len(list_filter(ws, t -> list_contains(
+                            ['the','and','of','to','a','in','is','it'], t))) * 1.0 / len(ws)
+                       ELSE 0 END)
+             + 0.2 * least(len(ws) / 100.0, 1.0), 3) AS quality,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_fp
+      FROM (SELECT doc_id, lang, n_chars, text,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents)
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE quality >= {QUALITY_MIN}
+        AND lang IN ('en', 'de', 'fr')
+    )
+    SELECT doc_id, lang, quality, n_tokens
+    FROM (SELECT *, row_number() OVER (PARTITION BY bag_fp
+                                       ORDER BY quality DESC, doc_id) AS rn
+          FROM gated)
+    WHERE rn = 1
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical cleaning pipeline, one plan:
+
+    1. **score** — the ``text_quality_score`` blend (alpha ratio,
+       stopword ratio, saturating length prior), computed inline;
+    2. **gate** — drop documents below ``QUALITY_MIN`` or outside
+       ``KEEP_LANGS`` (narrow filter, fused into the scan pass);
+    3. **dedup** — bag-of-words fingerprint (``text_fingerprint``'s
+       ``bag_fp``) with a deterministic keeper: the HIGHEST-quality doc
+       per fingerprint, doc_id tiebreak — note the keeper policy is
+       quality-aware, which is why dedup runs AFTER scoring.
+
+    One shuffle total (the fingerprint window).  Filters run before the
+    shuffle, so only surviving documents are ever exchanged — at 100 TB
+    the quality gate typically drops 30-60% of bytes before any network
+    cost is paid."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    d = docs.select("doc_id", "lang", "n_chars", "text", ws.alias("ws"))
+
+    alpha_ratio = F.when(
+        F.col("n_chars") > 0,
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0 / F.col("n_chars"),
+    ).otherwise(0.0)
+    stop_hits = F.size(
+        F.filter("ws", lambda t: t.isin("the", "and", "of", "to", "a", "in", "is", "it"))
+    )
+    stop_ratio = F.when(F.size("ws") > 0, stop_hits * 1.0 / F.size("ws")).otherwise(0.0)
+    quality = F.round(
+        0.5 * alpha_ratio
+        + 0.3 * stop_ratio
+        + 0.2 * F.least(F.size("ws") / 100.0, F.lit(1.0)),
+        3,
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        quality.alias("quality"),
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("ws")))).alias("bag_fp"),
+    )
+    gated = scored.where(
+        (F.col("quality") >= QUALITY_MIN) & F.col("lang").isin(*KEEP_LANGS)
+    )
+    w = Window.partitionBy("bag_fp").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "quality", "n_tokens")
+    )
+
+
+#: per-language sampling fractions — downweight the dominant language,
+#: keep the tail (the standard corpus-rebalancing move)
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}
+SAMPLE_SEED = 42
+
+
+@query("sample_stratified")  # no SQL oracle: Spark's Bernoulli sampler
+# (seeded XORShift per partition) is not reproducible in DuckDB;
+# determinism + per-stratum rate bounds pinned in tests/test_llm_ops.py
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus subsampling: ``sampleBy(lang, fractions,
+    seed)`` keeps each language at its own rate — how training mixes
+    rebalance dominant languages/sources without a shuffle (Bernoulli
+    coin-flip per row inside the scan pass).  The seed is applied PER
+    PARTITION, so the selection is reproducible for a given input
+    layout (same files/splits → same rows every run) but not across
+    repartitionings — for layout-independent selection, filter on
+    ``xxhash64(doc_id) % k`` instead (exact-rate guarantees need the
+    hash form).  At 100 TB this is a narrow map — sampling never
+    justifies an exchange."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)

@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.llm.similarity",
     "mapreduceplusplus_spark.llm.textstats",
     "mapreduceplusplus_spark.llm.multimodal",
+    "mapreduceplusplus_spark.llm.pipeline",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external

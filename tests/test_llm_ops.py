@@ -203,3 +203,34 @@ def test_resize_and_feature_stub_contracts(spark):
         assert len(r.feature) == FEATURE_DIM
         nrm = math.sqrt(sum(x * x for x in r.feature))
         assert abs(nrm - 1.0) < 1e-5 or nrm == 0.0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """sampleBy with a fixed seed: identical rows on every run, empirical
+    per-stratum rates within a loose Bernoulli tolerance, full-rate
+    strata kept verbatim."""
+    from mapreduceplusplus_spark.llm.pipeline import SAMPLE_FRACTIONS
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    qs = registry.queries()
+    s1 = {r.doc_id for r in qs["sample_stratified"](spark, SF_DIR_ORACLE).collect()}
+    s2 = {r.doc_id for r in qs["sample_stratified"](spark, SF_DIR_ORACLE).collect()}
+    assert s1 == s2 and len(s1) > 0
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "lang").collect()
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        if lang not in by_lang:
+            continue
+        kept = len(by_lang[lang] & s1)
+        total = len(by_lang[lang])
+        if frac == 1.0:
+            assert kept == total, f"{lang}: full-rate stratum must keep all"
+        else:
+            # Bernoulli(n≈250, p=0.5): allow ±4σ
+            import math
+
+            sigma = math.sqrt(total * frac * (1 - frac))
+            assert abs(kept - total * frac) <= 4 * sigma, (lang, kept, total)
