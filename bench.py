@@ -43,6 +43,7 @@ HEADLINE = [
     "text_analysis_stats",    # narrow per-doc token statistics
     "multimodal_columns",     # struct/map/binary metadata join
     "stream_stateful_running_total",  # Arrow run-streaming stateful fold
+    "pipeline_clean_corpus",  # composed cleaning pipeline (1 shuffle)
 ]
 
 
