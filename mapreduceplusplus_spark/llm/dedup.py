@@ -142,15 +142,35 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh
 
 
+#: memoized persisted INTERMEDIATE tables (rare posting lists, MinHash
+#: band tables) — each feeds 2-3 plan branches of its query, and
+#: whether Spark's exchange reuse deduplicates those branches at
+#: runtime is scheduler-dependent (measured: ngram candidate stage
+#: swings 2.3-4.2 s warm without the persist, 1.4-2.2 s with it;
+#: MinHash 0.9-2.4 s → 0.5-1.0 s).  Persisting pins the fast path
+#: deterministically.  Released together with the shingle tables.
+_AUX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _persisted_aux(key: tuple, build) -> DataFrame:
+    df = _AUX_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _AUX_CACHE[key] = df
+    return df
+
+
 def release_shingles() -> None:
-    """Unpersist every memoized shingle table (bench calls this between
-    timed queries; long-lived sessions call it when done with dedup)."""
-    for df in _SHINGLE_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped
-    _SHINGLE_CACHE.clear()
+    """Unpersist every memoized dedup table — the shingle tables and
+    the derived posting/band tables (bench calls this between timed
+    queries; long-lived sessions call it when done with dedup)."""
+    for cache in (_SHINGLE_CACHE, _AUX_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+        cache.clear()
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -290,17 +310,26 @@ def dedup_ngram_jaccard(
     # 64-bit collision merely merges two posting lists — it can only ADD
     # candidates (removed by the exact full-set verify) or perturb a df
     # count by one; at ~2^-64 per shingle pair this is noise.
-    posting = docs.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("s")
-    )
-    if df_cap is not None:
-        rare = (
-            posting.groupBy("s")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= df_cap)
-            .select("s")
+    def _build_posting() -> DataFrame:
+        p = docs.select("doc_id", F.explode("sh").alias("s")).select(
+            "doc_id", F.xxhash64("s").alias("s")
         )
-        posting = posting.join(rare, "s")
+        if df_cap is not None:
+            rare = (
+                p.groupBy("s")
+                .agg(F.count("*").alias("df"))
+                .where(F.col("df") <= df_cap)
+                .select("s")
+            )
+            p = p.join(rare, "s")
+        return p
+
+    # persisted: the (rare) posting list feeds THREE branches (both
+    # self-join sides + the nrare count) — see _AUX_CACHE
+    posting = _persisted_aux(
+        (spark.sparkContext.applicationId, sf_dir, "rare_posting", df_cap),
+        _build_posting,
+    )
     # per-doc (rare-)shingle count, for the adaptive support threshold
     nrare = posting.groupBy("doc_id").agg(F.count("*").alias("nr"))
     a = posting.alias("a")
@@ -368,29 +397,41 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism, JVM-tight loop."""
     ensure_utc(spark)
     docs = _doc_shingles(spark, sf_dir)
-    posting = docs.select("doc_id", F.explode("sh").alias("s"))
-    sig = posting.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
-            for i in range(MINHASH_K)
-        ]
+
+    def _build_bands() -> DataFrame:
+        posting = docs.select("doc_id", F.explode("sh").alias("s"))
+        sig = posting.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
+                for i in range(MINHASH_K)
+            ]
+        )
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col(f"mh{b * MINHASH_R + j}")
+                                    for j in range(MINHASH_R)
+                                ]
+                            ).alias("bkey"),
+                        )
+                        for b in range(MINHASH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        )
+
+    # persisted: the band table feeds both self-join sides — see _AUX_CACHE
+    bands = _persisted_aux(
+        (spark.sparkContext.applicationId, sf_dir, "mh_bands"), _build_bands
     )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh{b * MINHASH_R + j}") for j in range(MINHASH_R)]
-                        ).alias("bkey"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
 
     a = bands.alias("a")
     b = bands.alias("b")
