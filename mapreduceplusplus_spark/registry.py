@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.llm.textstats",
     "mapreduceplusplus_spark.llm.multimodal",
     "mapreduceplusplus_spark.llm.pipeline",
+    "mapreduceplusplus_spark.sources.custom",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external

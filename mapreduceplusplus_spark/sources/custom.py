@@ -1,0 +1,95 @@
+"""Custom data source via Spark 4's Python DataSource API — the
+extension point that mirrors the reference's pluggable input readers
+(``/root/reference/src/worker.cc:127-143`` reads whole files handed out
+by the master; a DataSource's ``partitions()`` + ``read(partition)`` is
+the same split-then-read contract, formalized).
+
+The demo source is a deterministic generator (no I/O) so the DuckDB
+oracle can reproduce it closed-form — the point under test is the
+PROTOCOL: schema declaration, planner-visible partitioning, per-partition
+iteration on executors.  A real connector (an internal KV store, a
+proprietary log format, an HTTP API) replaces only ``read()``.
+
+Scale posture: one ``SeqPartition`` per parallel unit — the planner
+schedules each to an executor core, identical to file splits; a real
+source derives partitions from its native sharding (file ranges, topic
+partitions, key ranges) so reads start balanced without a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+
+#: generator extent — total rows and parallel splits
+SEQ_ROWS = 10_000
+SEQ_PARTS = 8
+
+
+class SeqPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SeqReader(DataSourceReader):
+    def partitions(self):
+        step = SEQ_ROWS // SEQ_PARTS
+        return [
+            SeqPartition(i * step, SEQ_ROWS if i == SEQ_PARTS - 1 else (i + 1) * step)
+            for i in range(SEQ_PARTS)
+        ]
+
+    def read(self, partition: SeqPartition):
+        # runs ON THE EXECUTOR, one call per partition — the stand-in
+        # for a real connector's range/shard scan
+        for i in range(partition.start, partition.end):
+            yield (i, i * i, i % 7)
+
+
+class SeqDataSource(DataSource):
+    """``spark.read.format("mrpp_seq")`` — deterministic integer
+    sequence with squares and a bucket column."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mrpp_seq"
+
+    def schema(self) -> str:
+        return "i bigint, sq bigint, bucket int"
+
+    def reader(self, schema) -> SeqReader:
+        return SeqReader()
+
+
+def register_seq_source(spark: SparkSession) -> None:
+    """Idempotent registration of the custom format."""
+    spark.dataSource.register(SeqDataSource)
+
+
+@query(
+    "source_python_datasource",
+    oracle=f"""
+    SELECT CAST(i % 7 AS INT)            AS bucket,
+           count(*)                      AS n,
+           CAST(sum(i * i) AS BIGINT)    AS sum_sq
+    FROM range(0, {SEQ_ROWS}) t(i)
+    GROUP BY 1
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the registered custom source and aggregate per
+    bucket; DuckDB reproduces the generator closed-form with
+    ``range()`` — two engines, two generators, same relation.  The scan
+    itself shows up in the plan as a ``BatchScan`` over 8 planner-known
+    partitions (Arrow-batched executor-side Python)."""
+    ensure_utc(spark)
+    register_seq_source(spark)
+    seq = spark.read.format("mrpp_seq").load()
+    return seq.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("sq").cast("bigint").alias("sum_sq"),
+    )
