@@ -318,3 +318,34 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
         F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("cov_pd"),
     )
+
+
+@query("agg_hll_sketch_merge")  # no SQL oracle: Datasketches HLL binary
+# sketches aren't reproducible in DuckDB; exactness bound pinned in
+# tests/test_operator_edges.py against the exact distinct counts
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the pattern that makes
+    count-distinct tractable at 100 TB: build one HLL sketch per
+    (group, partition) map-side, merge sketches instead of shuffling
+    raw values, estimate at the end.  Demonstrated two-level: per-month
+    sketches of distinct users over events, then a UNION of the monthly
+    sketches re-estimated as the global count — the roll-up a
+    pre-aggregated cube serves without ever rescanning raw data
+    (sketches are the only aggregate state that supports this for
+    count-distinct; exact counts don't compose across overlapping
+    sets)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    monthly = ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    return (
+        monthly.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+                "est_total_users"
+            ),
+            F.sum("exact_users").cast("bigint").alias("sum_monthly_exact"),
+            F.count("*").cast("bigint").alias("n_months"),
+        )
+    )

@@ -287,3 +287,24 @@ def test_partitioned_write_prunes(spark):
         assert pruned.count() < all_langs.count()
     finally:
         _sh.rmtree(out, ignore_errors=True)
+
+
+def test_hll_sketch_merge_accuracy(spark):
+    """The unioned-sketch estimate must be within HLL error (~2% at
+    default lgK=12, take 5%) of the TRUE global distinct count — and
+    must NOT equal the sum of monthly exacts (users active in several
+    months would be double-counted; the sketch union deduplicates)."""
+    qs = registry.queries()
+    row = qs["agg_hll_sketch_merge"](spark, SF_DIR_ORACLE).collect()[0]
+    truth = (
+        load_table(spark, SF_DIR_ORACLE, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(row.est_total_users - truth) <= max(2, truth * 0.05), (
+        row.est_total_users,
+        truth,
+    )
+    if row.n_months > 1:
+        assert row.sum_monthly_exact >= truth  # overlap double-counts
