@@ -349,3 +349,68 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_months"),
         )
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide → long, the inverse of ``agg_pivot`` —
+    ``DataFrame.unpivot`` emits one (key, metric, value) row per
+    measure column.  Narrow 1→N row generation inside the scan pass
+    (the oracle spells it as the classic UNION ALL over 4 scans, which
+    Spark's unpivot plans instead as a single-scan Expand node — same
+    relation, a quarter of the reads)."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            F.col("l_discount").cast("double").alias("discount"),
+            F.col("l_tax").cast("double").alias("tax"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount", "tax"],
+            "metric",
+            "val_raw",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "metric", F.round("val_raw", 2).alias("val")
+        )
+    )
+
+
+@query("agg_approx_quantile")  # no SQL oracle: Spark's percentile_approx
+# (Greenwald-Khanna) and DuckDB's approx_quantile (t-digest) are
+# different sketches; pinned in tests/test_operator_edges.py within
+# the GK accuracy bound of the exact percentiles
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per group — ``percentile_approx`` runs the
+    Greenwald-Khanna sketch as a single-pass mergeable aggregate: at
+    100 TB each partition keeps an ε-summary (size O(1/ε log εn), NOT
+    O(n)) and summaries merge associatively — same scale contract as
+    the HLL sketch, for order statistics.  accuracy=10000 ⇒ ε=1e-4."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx("l_extendedprice", 0.5, 10000), 2).alias("p50"),
+        F.round(F.percentile_approx("l_extendedprice", 0.95, 10000), 2).alias("p95"),
+        F.round(F.percentile_approx("l_extendedprice", 0.99, 10000), 2).alias("p99"),
+    )

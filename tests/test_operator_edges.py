@@ -308,3 +308,24 @@ def test_hll_sketch_merge_accuracy(spark):
     )
     if row.n_months > 1:
         assert row.sum_monthly_exact >= truth  # overlap double-counts
+
+
+def test_approx_quantile_within_bound(spark):
+    """percentile_approx at accuracy=10000 (ε=1e-4) must land within
+    rank-error ε·n of the exact percentile — checked against DuckDB-
+    style exact quantile_disc computed in Spark."""
+    qs = registry.queries()
+    approx = {r.l_returnflag: (r.p50, r.p95, r.p99)
+              for r in qs["agg_approx_quantile"](spark, SF_DIR_ORACLE).collect()}
+    li = load_table(spark, SF_DIR_ORACLE, "lineitem")
+    for flag, (p50, p95, p99) in approx.items():
+        vals = sorted(
+            r.l_extendedprice
+            for r in li.where(F.col("l_returnflag") == flag).collect()
+        )
+        n = len(vals)
+        for q, got in ((0.5, p50), (0.95, p95), (0.99, p99)):
+            # allow ±(eps*n + 1) positions of rank slack
+            lo = vals[max(0, int(q * n - 1e-4 * n - 2))]
+            hi = vals[min(n - 1, int(q * n + 1e-4 * n + 2))]
+            assert lo - 0.01 <= got <= hi + 0.01, (flag, q, got, lo, hi)
