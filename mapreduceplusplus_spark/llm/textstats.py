@@ -359,3 +359,82 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("exact_fp"),
         F.md5(bag).alias("bag_fp"),
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT)      AS n_tokens,
+           CAST(n_dist AS BIGINT)     AS n_distinct,
+           round(rep, 4)              AS repetition_ratio,
+           round(top_frac, 4)         AS top_token_frac,
+           (n_tok >= 5 AND rep <= 0.6 AND top_frac <= 0.3) AS keep
+    FROM (
+      SELECT doc_id, n_tok, n_dist,
+             CASE WHEN n_tok > 0 THEN 1.0 - n_dist * 1.0 / n_tok ELSE 0.0 END AS rep,
+             CASE WHEN n_tok > 0 THEN top_cnt * 1.0 / n_tok ELSE 0.0 END       AS top_frac
+      FROM (
+        SELECT doc_id,
+               len(ws)                AS n_tok,
+               len(list_distinct(ws)) AS n_dist,
+               coalesce((SELECT max(cnt) FROM (
+                   SELECT count(*) AS cnt FROM unnest(ws) AS t(w) GROUP BY w
+               )), 0)                 AS top_cnt
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM documents)
+      )
+    )
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText rule
+    family): per document, the token repetition ratio
+    ``1 − distinct/total`` and the most-frequent-token fraction, plus
+    the resulting keep/drop decision.  Boilerplate, keyword-stuffed,
+    and degenerate generated text score high on both signals and are
+    dropped before training.
+
+    The top-token fraction is computed with higher-order array
+    expressions — ``aggregate`` over the distinct tokens counting
+    occurrences via ``size(filter(...))`` — keeping the whole operator a
+    narrow zero-shuffle projection (no explode → groupBy round trip).
+    O(distinct × total) per doc is bounded by document length and runs
+    entirely inside codegen'd expressions; the alternative explode plan
+    shuffles |corpus tokens| rows at 100 TB.
+    """
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", _toks(F.col("text")).alias("ws")
+    ).select(
+        "doc_id",
+        F.size("ws").alias("n_tok"),
+        F.size(F.array_distinct("ws")).alias("n_dist"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct("ws"),
+                    lambda w: F.size(F.filter(F.col("ws"), lambda x: x == w)),
+                )
+            ),
+            F.lit(0),
+        ).alias("top_cnt"),
+    )
+    rep = F.when(
+        F.col("n_tok") > 0, 1.0 - F.col("n_dist") * 1.0 / F.col("n_tok")
+    ).otherwise(0.0)
+    top_frac = F.when(
+        F.col("n_tok") > 0, F.col("top_cnt") * 1.0 / F.col("n_tok")
+    ).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.col("n_dist").cast("bigint").alias("n_distinct"),
+        F.round(rep, 4).alias("repetition_ratio"),
+        F.round(top_frac, 4).alias("top_token_frac"),
+        (
+            (F.col("n_tok") >= 5) & (rep <= 0.6) & (top_frac <= 0.3)
+        ).alias("keep"),
+    )

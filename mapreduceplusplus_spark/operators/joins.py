@@ -416,3 +416,53 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql("DROP TABLE IF EXISTS bj_orders")
         spark.sql("DROP TABLE IF EXISTS bj_customer")
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey)     AS cust_key,
+           (c.c_custkey IS NOT NULL)              AS has_customer,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           round(coalesce(o.total_spent, 0), 2)   AS total_spent
+    FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 0) c
+    FULL JOIN (SELECT o_custkey,
+                      count(*)          AS n_orders,
+                      sum(o_totalprice) AS total_spent
+               FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null-extension on BOTH sides: positive-
+    balance customers vs per-customer order totals.  Left-only rows are
+    positive-balance customers who never ordered; right-only rows are
+    orders whose customer has a non-positive balance (filtered off the
+    left side), surfacing as ``has_customer = false``.
+
+    Scale: a full outer join cannot broadcast either side (both must be
+    null-extended), so Spark plans a shuffled sort-merge join — one
+    shuffle per side on the key, exactly what you'd want at 100 TB.  The
+    pre-aggregation shrinks the orders side to |customers| rows before
+    the join instead of null-extending raw orders.
+    """
+    ensure_utc(spark)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select("c_custkey")
+    )
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spent"),
+        )
+    )
+    return cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("cust_key"),
+        F.col("c_custkey").isNotNull().alias("has_customer"),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.round(F.coalesce("total_spent", F.lit(0.0)), 2).alias("total_spent"),
+    )

@@ -188,3 +188,46 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+               AS order_day,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+               AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (vs ``window_running_sum``'s ROWS frame):
+    each order carries the customer's total spend over the trailing 30
+    *days*, however many orders that covers — peers on the same day are
+    always summed together, which makes the result order-insensitive and
+    hash-stable.  Ordering is by integer days-since-epoch because Spark's
+    ``rangeBetween`` requires a numeric ordering expression.
+
+    Scale: identical shuffle shape to any partitioned window — one hash
+    exchange on the partition key, in-partition sort, streaming frame
+    evaluation with O(frame) state per partition.
+    """
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day.cast("bigint").alias("order_day"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )

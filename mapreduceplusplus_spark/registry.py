@@ -46,6 +46,10 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.llm.multimodal",
     "mapreduceplusplus_spark.llm.pipeline",
     "mapreduceplusplus_spark.sources.custom",
+    # new modules append at the END: anything registered here lands
+    # outside the external harness's 50-entry window (locally
+    # oracle-checked instead) and never displaces a contract row
+    "mapreduceplusplus_spark.streaming.sjoin",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external

@@ -1,0 +1,123 @@
+"""Stream-stream join (charter "streams" capability; the reference has
+no streaming — SURVEY.md §2.B mandates the family).
+
+``stream_stream_join`` is the batch form of the classic click→purchase
+attribution join, oracle-checked like every other registered query;
+``streaming_join_pipeline`` wires the IDENTICAL join condition into a
+real watermarked stream-stream inner join, which
+``tests/test_streaming.py`` replays through micro-batches and compares
+against the batch form.
+
+Scale notes (the whole point of watermarked stream-stream joins): an
+unwatermarked stream-stream join must buffer BOTH streams forever.
+With a watermark on each side plus a time-range join condition, Spark
+derives a state-eviction bound per side (clicks older than
+``watermark + lookback`` can never match a future purchase and are
+dropped from the join state), so state is O(events within the horizon),
+independent of stream history length.  That is the only shape that
+survives an unbounded stream — exactly analogous to the session-window
+state bound in ``streaming/windows.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+#: attribution lookback — a click converts if a purchase by the same
+#: user follows within this horizon
+LOOKBACK = "10 minutes"
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id                        AS user_id,
+           c.event_id                       AS click_id,
+           p.event_id                       AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec,
+           round(p.value, 2)                AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <  p.ts
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution, batch form: each purchase joins the
+    same user's clicks from the preceding 10 minutes.  The equi conjunct
+    (user_id) anchors a hash join; the time band is a within-partition
+    post-filter — same plan discipline as ``join_theta_range``, never a
+    cross product.  The streaming form is ``streaming_join_pipeline``
+    (same condition + watermarks ⇒ bounded state)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") < F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 10 MINUTES"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        (F.unix_timestamp(F.col("p.ts")) - F.unix_timestamp(F.col("c.ts"))).alias(
+            "gap_sec"
+        ),
+        F.round(F.col("p.value"), 2).alias("purchase_value"),
+    )
+
+
+def streaming_join_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    lookback: str = LOOKBACK,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Real watermarked stream-stream inner join: ONE file source read
+    twice (purchases / clicks), each side watermarked, joined on
+    user_id + the attribution time band.  The watermark + range bound
+    lets Spark evict click state older than ``watermark + lookback`` —
+    without both, join state grows without bound.  Returns the joined
+    streaming DataFrame; the caller attaches sink/trigger."""
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_sec"),
+    )

@@ -281,3 +281,87 @@ def test_foreach_batch_sink_roundtrip(spark, stream_dirs):
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
+
+def test_stream_stream_join_matches_batch(spark, stream_dirs):
+    """Watermarked stream-stream inner join over a fully-delivered
+    source equals the same join run in batch: the attribution pairs are
+    time-range semantics, not arrival-order artifacts.  Delivered in
+    TWO micro-batches so the second batch's purchases must match click
+    state retained (within the watermark horizon) from the first."""
+    from pyspark.sql import functions as F
+
+    from mapreduceplusplus_spark.streaming.sjoin import streaming_join_pipeline
+
+    src, chk = stream_dirs
+    T = datetime
+    schema = "ts timestamp, user_id bigint, event_id bigint, event_type string"
+
+    def write(rows, n):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch{n}")
+
+    # batch 1: clicks for users 1 and 2, one purchase for user 1
+    write(
+        [
+            (T(2024, 1, 1, 10, 0, 0), 1, 100, "click"),
+            (T(2024, 1, 1, 10, 2, 0), 1, 101, "click"),
+            (T(2024, 1, 1, 10, 5, 0), 1, 102, "purchase"),   # joins 100, 101
+            (T(2024, 1, 1, 10, 1, 0), 2, 200, "click"),
+            (T(2024, 1, 1, 10, 20, 0), 3, 300, "click"),
+        ],
+        1,
+    )
+    joined = streaming_join_pipeline(
+        spark, f"{src}/batch*", schema, lookback="10 minutes", watermark="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: purchase for user 2 joining batch-1 click state;
+        # purchase for user 3 OUTSIDE the 10-min lookback (no match);
+        # purchase for user 4 with no click at all
+        write(
+            [
+                (T(2024, 1, 1, 10, 8, 0), 2, 201, "purchase"),   # joins 200
+                (T(2024, 1, 1, 10, 45, 0), 3, 301, "purchase"),  # 25 min after click
+                (T(2024, 1, 1, 10, 9, 0), 4, 400, "purchase"),
+            ],
+            2,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_sec)
+        for r in spark.sql("SELECT * FROM ssj_sink").collect()
+    }
+    assert streamed == {
+        (1, 100, 102, 300),
+        (1, 101, 102, 180),
+        (2, 200, 201, 420),
+    }
+
+    # batch equivalence on the same delivered data
+    ev = spark.read.parquet(f"{src}/batch*")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    batch = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") < F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select(
+        F.col("p.user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        (F.unix_timestamp(F.col("p.ts")) - F.unix_timestamp(F.col("c.ts"))).alias("gap_sec"),
+    )
+    assert streamed == {tuple(r) for r in batch.collect()}
