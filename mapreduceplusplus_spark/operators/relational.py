@@ -146,3 +146,48 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(F.col("a") == F.col("a2")).alias("n_eq_3vl"),
         cnt(F.col("a").eqNullSafe(F.col("a"))).alias("n_nullsafe_self"),
     )
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT)           AS n_small_qty,
+           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+    quantity is below half their part's average quantity, rolled up per
+    brand.  Declared via ``spark.sql`` with the subquery written
+    naturally — Catalyst DECORRELATES it into a per-part aggregate
+    joined back on ``l_partkey`` (one extra scan + one equi-join), never
+    the naive per-row re-execution a tuple-at-a-time engine would do.
+
+    Scale: the decorrelated plan is two scans of lineitem (one
+    pre-aggregated to |parts| rows) plus broadcast-able part — the same
+    cost envelope as a hand-written self-join, with the optimizer doing
+    the rewrite.  At 100 TB that rewrite is the difference between a
+    linear plan and |lineitem| subquery executions.
+    """
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("sq_part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT)             AS n_small_qty,
+               round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM sq_lineitem JOIN sq_part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM sq_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+        """
+    )

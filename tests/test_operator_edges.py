@@ -329,3 +329,31 @@ def test_approx_quantile_within_bound(spark):
             lo = vals[max(0, int(q * n - 1e-4 * n - 2))]
             hi = vals[min(n - 1, int(q * n + 1e-4 * n + 2))]
             assert lo - 0.01 <= got <= hi + 0.01, (flag, q, got, lo, hi)
+
+
+def test_repetition_filter_has_no_shuffle(spark):
+    """The repetition quality gate must stay a narrow projection —
+    zero Exchange operators (the explode→groupBy alternative would
+    shuffle |corpus tokens| rows at scale)."""
+    df = registry.queries()["text_repetition_filter"](spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"unexpected shuffle:\n{plan}"
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """Catalyst must rewrite the Q17-shape correlated scalar subquery
+    into an aggregate+join (linear plan), not leave a per-row subquery
+    in the optimized plan."""
+    df = registry.queries()["subquery_correlated"](spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "scalar-subquery" not in plan.lower(), plan
+    assert "Join" in plan and "Aggregate" in plan
+
+
+def test_full_outer_join_plans_shuffled(spark):
+    """A full outer join cannot broadcast either side — the physical
+    plan must be a shuffled SMJ/SHJ with FullOuter join type."""
+    df = registry.queries()["join_full_outer"](spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
