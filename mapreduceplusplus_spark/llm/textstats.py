@@ -396,31 +396,37 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and degenerate generated text score high on both signals and are
     dropped before training.
 
-    The top-token fraction is computed with higher-order array
-    expressions — ``aggregate`` over the distinct tokens counting
-    occurrences via ``size(filter(...))`` — keeping the whole operator a
-    narrow zero-shuffle projection (no explode → groupBy round trip).
-    O(distinct × total) per doc is bounded by document length and runs
-    entirely inside codegen'd expressions; the alternative explode plan
-    shuffles |corpus tokens| rows at 100 TB.
+    The top-token count is the longest run in the SORTED token array —
+    one ``aggregate`` pass carrying (prev, run, best) state after an
+    ``array_sort``: O(n log n) per doc instead of the naive
+    O(distinct × total) count-each-distinct-token scan, which matters
+    for 100k-token documents.  Everything stays a narrow zero-shuffle
+    projection inside codegen'd higher-order expressions; the
+    alternative explode → groupBy plan shuffles |corpus tokens| rows at
+    100 TB.
     """
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
+    run_state = "struct(cast(null as string) as prev, 0 as run, 0 as best)"
+    top_cnt = F.expr(
+        f"""
+        aggregate(
+          array_sort(ws),
+          {run_state},
+          (s, x) -> named_struct(
+            'prev', x,
+            'run',  if(x <=> s.prev, s.run + 1, 1),
+            'best', greatest(s.best, if(x <=> s.prev, s.run + 1, 1))),
+          s -> s.best)
+        """
+    )
     d = docs.select(
         "doc_id", _toks(F.col("text")).alias("ws")
     ).select(
         "doc_id",
         F.size("ws").alias("n_tok"),
         F.size(F.array_distinct("ws")).alias("n_dist"),
-        F.coalesce(
-            F.array_max(
-                F.transform(
-                    F.array_distinct("ws"),
-                    lambda w: F.size(F.filter(F.col("ws"), lambda x: x == w)),
-                )
-            ),
-            F.lit(0),
-        ).alias("top_cnt"),
+        top_cnt.alias("top_cnt"),
     )
     rep = F.when(
         F.col("n_tok") > 0, 1.0 - F.col("n_dist") * 1.0 / F.col("n_tok")
