@@ -695,3 +695,69 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         labels.unpersist()
+
+
+#: every doc_id divisible by this is "held-out eval" — the stand-in for
+#: a benchmark set the training corpus must be decontaminated against
+EVAL_MOD = 7
+
+
+@query(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(array_to_string(list_sort(list_distinct(
+                 regexp_extract_all(lower(text), '[a-z]+'))), ' ')) AS bag_fp
+      FROM documents
+    ),
+    eval_fp AS (SELECT DISTINCT bag_fp FROM fp WHERE doc_id % {EVAL_MOD} = 0)
+    SELECT f.doc_id, f.source, CAST(f.n_chars AS BIGINT) AS n_chars
+    FROM fp f
+    WHERE f.doc_id % {EVAL_MOD} <> 0
+      AND NOT EXISTS (SELECT 1 FROM eval_fp e WHERE e.bag_fp = f.bag_fp)
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the train/test leakage scrub every
+    serious training corpus runs: drop training documents whose
+    bag-of-words fingerprint collides with ANY held-out eval document
+    (here: ``doc_id % {EVAL_MOD} == 0`` stands in for the benchmark
+    set; at sf0.01 that eval slice shares fingerprints with 37
+    training docs, so the anti-join does actual work).
+
+    Plan: fingerprint both sides from ONE scan (16-byte md5 of the
+    sorted distinct token bag — order/whitespace-insensitive), then a
+    LEFT ANTI join of the training side against the DISTINCT eval
+    fingerprints.  The eval side of any real decontamination job is
+    tiny (benchmarks, not corpora) ⇒ Spark broadcasts it and the anti
+    join is map-side — the 100 TB training scan never shuffles.  For
+    near-duplicate (not exact-bag) contamination, compose with the
+    MinHash band join (``dedup_minhash_near``) using eval docs as the
+    probe side.
+    """
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.array_distinct(
+                        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+                    )
+                ),
+            )
+        ).alias("bag_fp"),
+    )
+    eval_fp = (
+        fp.where(F.col("doc_id") % EVAL_MOD == 0).select("bag_fp").distinct()
+    )
+    return (
+        fp.where(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_fp), "bag_fp", "left_anti")
+        .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )

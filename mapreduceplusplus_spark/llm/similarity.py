@@ -263,3 +263,81 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c", 3).alias("cosine"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
+
+
+#: k-NN join: every vec_id divisible by this is a probe (5 probes per
+#: 500 corpus rows), each returning its KNN_K nearest corpus neighbors
+KNN_PROBE_MOD = 100
+KNN_K = 5
+
+
+@query(
+    "sim_search_knn_join",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} = 0
+    ),
+    corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} <> 0
+    ),
+    scored AS (
+      SELECT p.probe_id, c.vec_id, c.label,
+             list_cosine_similarity(c.v, p.pv) AS s,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY list_cosine_similarity(c.v, p.pv) DESC,
+                                         c.vec_id) AS rnk
+      FROM probes p CROSS JOIN corpus c
+    )
+    SELECT probe_id, vec_id, label,
+           round(s, 3) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= {KNN_K}
+    """,
+)
+def sim_search_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN JOIN — the multi-probe form of ``sim_search_topk``
+    and the actual shape of retrieval / cross-dataset near-dup jobs: a
+    small probe set against the full corpus, k nearest per probe.
+
+    Plan: the probe set (|corpus|/{KNN_PROBE_MOD} rows) is BROADCAST
+    and nested-loop joined — scoring is map-side over the corpus scan,
+    so the big side never shuffles for the join.  The per-probe top-k
+    is ``row_number() <= k`` over (probe, score), which Spark 4 plans
+    with WindowGroupLimit: each task keeps only k rows per probe BEFORE
+    the exchange, so the shuffle carries ≤ tasks×probes×k rows — not
+    the |corpus|×|probes| cross product (pinned in
+    ``tests/test_operator_edges.py``).
+
+    At 100 TB: broadcast holds to ~10k probes × 64 dims; beyond that,
+    bucket both sides with ``lsh_signature`` and equi-join on the
+    bucket id (the ``sim_search_lsh`` layout) before scoring.
+    """
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.where(F.col("vec_id") % KNN_PROBE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            _as_double("embedding").alias("pv"),
+        )
+    )
+    corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    scored = corpus.join(F.broadcast(probes)).withColumn(
+        "s", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KNN_K)
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round("s", 3).alias("cosine"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

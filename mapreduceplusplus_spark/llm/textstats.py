@@ -444,3 +444,85 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tok") >= 5) & (rep <= 0.6) & (top_frac <= 0.3)
         ).alias("keep"),
     )
+
+
+#: PII patterns, written to the common subset of Java regex (Spark) and
+#: RE2 (DuckDB): no backrefs, no lookaround, explicit [0-9] classes
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@ex.com call 555-867-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{PII_IP}')) AS BIGINT)    AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+               '{PII_IP}', '<IP>', 'g')) AS redacted_fp
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training corpus runs before
+    anything else: count and mask emails, NANP-style phone numbers and
+    IPv4 addresses.  The fixture corpus contains no natural PII, so the
+    query first injects a deterministic doc_id-derived PII span into
+    each document (both sides build the identical augmented text); the
+    differential therefore pins the REDACTION MACHINERY — that Spark's
+    Java-regex and DuckDB's RE2 engines agree match-for-match on the
+    shared pattern subset, and that the masked output is byte-identical
+    (compared by md5).
+
+    Scale: three ``regexp_replace`` passes in one narrow projection —
+    zero shuffle, whole-stage codegen, the same shape as every other
+    textstats operator.  Real-world extension: swap the regex set for a
+    vectorized NER model behind ``mapInPandas`` (same plumbing as
+    ``multimodal_decode_stub``)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com call 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_IP), 0))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_fp"),
+    )

@@ -357,3 +357,29 @@ def test_full_outer_join_plans_shuffled(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FullOuter" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_knn_join_uses_window_group_limit(spark):
+    """The batched k-NN join must plan (a) a broadcast of the probe
+    side — the corpus never shuffles for the join — and (b) a
+    WindowGroupLimit so each task keeps ≤ k rows per probe BEFORE the
+    exchange, never the |corpus|×|probes| cross product."""
+    df = registry.queries()["sim_search_knn_join"](spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_decontaminate_drops_contaminated_docs(spark):
+    """Decontamination must remove every training doc whose bag
+    fingerprint appears in the eval slice — and at sf0.01 the fixture
+    really contains such collisions (the filter does work)."""
+    from mapreduceplusplus_spark.llm.dedup import EVAL_MOD
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    n_train = docs.where(F.col("doc_id") % EVAL_MOD != 0).count()
+    kept = registry.queries()["dedup_decontaminate"](spark, SF_DIR_ORACLE)
+    n_kept = kept.count()
+    assert 0 < n_kept < n_train  # some contaminated docs were dropped
+    # no eval doc leaks into the output
+    assert kept.where(F.col("doc_id") % EVAL_MOD == 0).count() == 0
