@@ -414,3 +414,27 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile_approx("l_extendedprice", 0.95, 10000), 2).alias("p95"),
         F.round(F.percentile_approx("l_extendedprice", 0.99, 10000), 2).alias("p99"),
     )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT)     AS n,
+           round(sum(o_totalprice), 2)  AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — the hierarchical prefix of the grouping lattice
+    (completes the trio with ``agg_cube`` and ``agg_grouping_sets``):
+    (priority, status) → (priority) → ().  Spark plans all rollup
+    levels in ONE Expand + hash-agg pass — levels+1 output rows per
+    input row before partial aggregation, never one scan per level."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

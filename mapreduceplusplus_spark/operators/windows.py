@@ -231,3 +231,93 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.cast("bigint").alias("order_day"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
     )
+
+
+@query(
+    "window_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM v) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM c)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    )
+    """,
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users progressed through
+    view → click → purchase IN TIME ORDER (each step strictly after
+    the previous step's first occurrence).
+
+    Plan: ONE shuffle — per-user event history is gathered with
+    ``collect_list(struct(ts, event_type))``, sorted in-memory
+    (``array_sort`` on the struct orders by ts first), and swept by a
+    single ``aggregate`` state machine that advances stage on the
+    first qualifying event.  The oracle spells the same semantics as
+    three cascaded min-agg joins (three shuffles of the full events
+    table) — the HOF form does the funnel in one pass, which is the
+    difference that matters when events is the 100 TB side.  Per-user
+    state is one (stage, ts) struct; history arrays are bounded by
+    per-user event counts (salt/pre-filter the hot user tail if a key
+    exceeds memory).
+    """
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("h")
+    )
+    # state: (stage, adv_ts) — advance on the first strictly-later
+    # event of the next funnel type
+    stage = F.expr(
+        """
+        aggregate(
+          h,
+          struct(0 as stage, cast(null as timestamp) as adv_ts),
+          (s, x) -> CASE
+            WHEN s.stage = 0 AND x.event_type = 'view'
+              THEN named_struct('stage', 1, 'adv_ts', x.ts)
+            WHEN s.stage = 1 AND x.event_type = 'click' AND x.ts > s.adv_ts
+              THEN named_struct('stage', 2, 'adv_ts', x.ts)
+            WHEN s.stage = 2 AND x.event_type = 'purchase' AND x.ts > s.adv_ts
+              THEN named_struct('stage', 3, 'adv_ts', x.ts)
+            ELSE s END,
+          s -> s.stage)
+        """
+    )
+    staged = per_user.select(stage.alias("stage"))
+    steps = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(name).alias("event_type"),
+            )
+            for i, name in [(1, "view"), (2, "click"), (3, "purchase")]
+        ]
+    )
+    return (
+        staged.select(F.explode(steps).alias("s"), "stage")
+        .groupBy("s.step", "s.event_type")
+        .agg(
+            F.count(F.when(F.col("stage") >= F.col("s.step"), 1))
+            .cast("bigint")
+            .alias("n_users")
+        )
+        .select(F.col("step").cast("int").alias("step"), "event_type", "n_users")
+    )
