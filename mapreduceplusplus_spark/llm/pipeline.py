@@ -134,3 +134,44 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+
+
+#: Knuth multiplicative hash constant (2^32 / φ) — portable integer
+#: arithmetic, identical in any engine with 64-bit ints
+_SPLIT_MULT = 2654435761
+_SPLIT_MOD = 4294967296  # 2^32
+
+
+@query(
+    "sample_split",
+    oracle=f"""
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100 AS bucket
+          FROM documents)
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by multiplicative
+    hash of the document key — the split every training corpus needs,
+    with the three properties that matter at 100 TB: (1) stateless and
+    reproducible across runs/engines (pure integer arithmetic, no RNG,
+    no seed files), (2) stable under corpus growth (a doc's split never
+    changes when other docs are added — unlike row_number() % 100), and
+    (3) a narrow zero-shuffle projection.  Unlike ``sample_stratified``
+    (Bernoulli sampler, rows-only checked), this is exactly
+    reproducible in any engine, so it gets a full value-hash oracle."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SPLIT_MULT) % _SPLIT_MOD % 100
+    return docs.select(
+        "doc_id",
+        bucket.cast("bigint").alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
