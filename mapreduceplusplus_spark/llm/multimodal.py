@@ -41,8 +41,8 @@ from mapreduceplusplus_spark.sources.tables import load_table
            d.source                       AS meta_source,
            CAST(len(e.embedding) AS BIGINT) AS emb_dim,
            round(list_aggregate(list_transform(e.embedding[1:8], x -> CAST(x AS DOUBLE)),
-                                'sum'), 3) AS head_sum,
-           round(CAST(e.embedding[1] AS DOUBLE), 3) AS first_val
+                                'sum'), 3) + 0 AS head_sum,
+           round(CAST(e.embedding[1] AS DOUBLE), 3) + 0 AS first_val
     FROM documents d
     JOIN embeddings e ON e.vec_id = d.doc_id
     WHERE d.n_chars > 100
@@ -81,8 +81,10 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.lang").alias("meta_lang"),
         F.element_at("attrs", "source").alias("meta_source"),
         F.size("embedding").cast("bigint").alias("emb_dim"),
-        F.round(F.aggregate(head, F.lit(0.0), lambda a, x: a + x), 3).alias("head_sum"),
-        F.round(F.element_at("embedding", 1).cast("double"), 3).alias("first_val"),
+        (F.round(F.aggregate(head, F.lit(0.0), lambda a, x: a + x), 3) + F.lit(0.0))
+        .alias("head_sum"),
+        (F.round(F.element_at("embedding", 1).cast("double"), 3) + F.lit(0.0))
+        .alias("first_val"),
     )
 
 

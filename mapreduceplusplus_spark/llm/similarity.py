@@ -66,7 +66,7 @@ def _norm(v: Column) -> Column:
       FROM embeddings e, probe p
       WHERE e.vec_id <> {PROBE_ID}
     )
-    SELECT vec_id, label, round(c, 3) AS cosine,
+    SELECT vec_id, label, round(c, 3) + 0 AS cosine,
            CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS rnk
     FROM scored
     ORDER BY c DESC, vec_id
@@ -98,7 +98,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "vec_id",
         "label",
-        F.round("c", 3).alias("cosine"),
+        (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
 
@@ -160,7 +160,7 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "vec_id",
         "label",
-        F.round("c", 3).alias("cosine"),
+        (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
 
@@ -260,7 +260,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "vec_id",
         "label",
-        F.round("c", 3).alias("cosine"),
+        (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
 
@@ -291,7 +291,7 @@ KNN_K = 5
       FROM probes p CROSS JOIN corpus c
     )
     SELECT probe_id, vec_id, label,
-           round(s, 3) AS cosine,
+           round(s, 3) + 0 AS cosine,
            CAST(rnk AS BIGINT) AS rnk
     FROM scored WHERE rnk <= {KNN_K}
     """,
@@ -337,7 +337,7 @@ def sim_search_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             "vec_id",
             "label",
-            F.round("s", 3).alias("cosine"),
+            (F.round("s", 3) + F.lit(0.0)).alias("cosine"),
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )

@@ -297,8 +297,8 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(stddev_samp(l_extendedprice), 2)              AS sd_price,
            round(var_samp(l_quantity), 2)                      AS var_qty,
-           round(corr(l_extendedprice, l_quantity), 4)         AS corr_pq,
-           round(covar_samp(l_extendedprice, l_discount), 2)   AS cov_pd
+           round(corr(l_extendedprice, l_quantity), 4) + 0     AS corr_pq,
+           round(covar_samp(l_extendedprice, l_discount), 2) + 0 AS cov_pd
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -315,8 +315,12 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
         F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
-        F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("cov_pd"),
+        (F.round(F.corr("l_extendedprice", "l_quantity"), 4) + F.lit(0.0)).alias(
+            "corr_pq"
+        ),
+        (F.round(F.covar_samp("l_extendedprice", "l_discount"), 2) + F.lit(0.0)).alias(
+            "cov_pd"
+        ),
     )
 
 

@@ -170,13 +170,13 @@ def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT)                                  AS n_dims,
-           round(CAST(embedding[1] AS DOUBLE), 6)                       AS first_dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) + 0                   AS first_dim,
            round(list_sum(list_transform(embedding[1:3],
-                                         x -> CAST(x AS DOUBLE))), 6)   AS head3_sum,
+                                         x -> CAST(x AS DOUBLE))), 6) + 0 AS head3_sum,
            round(sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)      AS l2_norm,
            round(list_max(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * 2)), 6)                       AS max_scaled
+                 x -> CAST(x AS DOUBLE) * 2)), 6) + 0                   AS max_scaled
     FROM embeddings
     """,
 )
@@ -194,19 +194,25 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
-        F.round(
-            F.aggregate(
-                F.slice(as_double, 1, 3), F.lit(0.0), lambda acc, x: acc + x
-            ),
-            6,
+        (F.round(F.element_at("embedding", 1).cast("double"), 6) + F.lit(0.0)).alias(
+            "first_dim"
+        ),
+        (
+            F.round(
+                F.aggregate(
+                    F.slice(as_double, 1, 3), F.lit(0.0), lambda acc, x: acc + x
+                ),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("head3_sum"),
         F.round(
             F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)), 6
         ).alias("l2_norm"),
-        F.round(F.array_max(F.transform(as_double, lambda x: x * 2)), 6).alias(
-            "max_scaled"
-        ),
+        (
+            F.round(F.array_max(F.transform(as_double, lambda x: x * 2)), 6)
+            + F.lit(0.0)
+        ).alias("max_scaled"),
     )
 
 

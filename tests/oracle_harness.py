@@ -30,8 +30,12 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # round-trip via repr so -0.0 vs 0.0 and float noise collapse
-        return repr(v + 0.0) if v != 0 else "0.0"
+        # STRICT: plain repr, no signed-zero collapsing.  The driver's
+        # hash distinguishes -0.0 from 0.0; a lenient local canon here
+        # masked exactly that divergence in round 4 (multimodal_columns,
+        # VERDICT r4 #1).  Query/oracle pairs must normalize with `+ 0`
+        # on BOTH sides wherever a rounded double can land at -0.0.
+        return repr(v)
     if v is None:
         return "\x00NULL"
     return repr(v)
