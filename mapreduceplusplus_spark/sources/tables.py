@@ -36,26 +36,53 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from a scale-factor directory.
 
-    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as nanos-since-epoch (legacy conf)
-    and truncate to a microsecond timestamp — the same µs truncation
-    DuckDB applies, so the oracle sees identical instants.  Integer
-    ``div`` (not ``/``) avoids double-precision loss on ~1.7e18 values.
+    ``events.ts`` layout compatibility: some dataset generations write it
+    as Parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+    others write plain TIMESTAMP(MICROS), which reads natively.  The
+    loader is type-driven, not generation-pinned: a plain read that
+    succeeds with a timestamp ``ts`` passes through untouched; a nanos
+    file triggers the ``nanosAsLong`` legacy conf, surfaces ``ts`` as
+    BIGINT nanos, and is truncated to a microsecond timestamp — the same
+    µs truncation DuckDB applies, so the oracle sees identical instants.
+    Integer ``div`` (not ``/``) avoids double-precision loss on ~1.7e18
+    values.
 
-    Engine invariant (deliberate, session-wide): ``nanosAsLong`` stays
-    set once an ``events`` read has happened.  It cannot be scoped with
+    Engine invariant (deliberate, session-wide): once set for a nanos
+    file, ``nanosAsLong`` stays set.  It cannot be scoped with
     save/restore because Spark captures the conf at *plan/execution*
     time, not at ``read()`` time — restoring it immediately would break
-    the lazy scan.  Consequence: any TIMESTAMP(NANOS) parquet column in
-    this session is surfaced as BIGINT nanos and must be converted
-    explicitly, exactly as done here.  No driver table other than
-    ``events`` carries nanos, and the conf is a no-op for µs/ms columns.
+    the lazy scan.  The conf is a no-op for µs/ms columns, so µs-layout
+    reads are unaffected either way.
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # TIMESTAMP(NANOS) layout: vectorized reader refused the
+            # schema; re-read with the legacy long-nanos surface.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Interpret the naive wall clock as UTC *independent of the
+            # session timezone* (a plain CAST would shift instants under
+            # a non-UTC session): µs-since-epoch via timestampdiff on
+            # NTZ, then timestamp_micros — same instants as the nanos
+            # branch, and the same naive values DuckDB sees.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+                ),
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
