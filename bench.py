@@ -47,6 +47,8 @@ HEADLINE = [
     "subquery_correlated",    # decorrelated Q17-shape scalar subquery
     "stream_stream_join",     # time-band attribution join (batch form)
     "text_repetition_filter", # sorted-run HOF quality gate, zero shuffle
+    "sim_search_knn_join",    # broadcast probe-set k-NN (quadratic-ish)
+    "dedup_decontaminate",    # bag-fingerprint broadcast anti-join
 ]
 
 

@@ -14,10 +14,11 @@ Scale design (the 100 TB contract):
   band value*.  Candidate generation is always an equi-join Catalyst
   can hash-partition — the O(n²) cross product never materializes.
 - skew: ultra-frequent shingles (stop-phrase shingles) are the hot
-  keys of the inverted-index join.  AQE skew-join splitting handles
-  moderate skew; at extreme scale drop shingles with document
-  frequency above a cap (standard practice — they carry ~no Jaccard
-  signal) before the join.
+  keys of the inverted-index join.  The exact-Jaccard path indexes only
+  each document's df-ordered PREFIX (rarest ~20% of shingles — see
+  ``dedup_ngram_jaccard``), so stop-phrases never become join keys at
+  all: the skew defense is structural and lossless.  AQE skew-join
+  splitting backstops whatever moderate skew remains.
 - everything below is JVM-side Catalyst expressions (higher-order
   array functions, ``xxhash64``) — no Python in any hot path, and all
   hashes are fixed-seed → bit-for-bit deterministic across runs and
@@ -45,16 +46,12 @@ JACCARD_T = 0.8
 #: guaranteed candidates, background pairs essentially never are.
 MINHASH_K, MINHASH_BANDS, MINHASH_R = 64, 16, 4
 
-#: document-frequency cap for the inverted-index join: shingles shared
-#: by more than this many documents are dropped from CANDIDATE
-#: GENERATION (they are stop-phrases — the hot keys of the join — and
-#: carry ~no Jaccard signal).  Verification still uses the FULL shingle
-#: sets, so reported Jaccard values are exact; the only way the cap
-#: could change the result is a true pair (j ≥ 0.8) sharing *only*
-#: hot shingles, which near-identical documents cannot do (measured on
-#: the fixtures: every true pair shares a shingle with df ≤ 3 at
-#: sf0.01, ≤ 10 at sf0.1; max df overall is 25).
-SHINGLE_DF_CAP = 16
+#: Jaccard threshold as an exact integer ratio (t = T_NUM/T_DEN = 0.8).
+#: The prefix-filter arithmetic below must round EXACTLY (a float
+#: ``ceil(0.8*n)`` computes ceil(36.00000000000001) = 37 for n = 45,
+#: silently shortening the prefix and breaking losslessness), so every
+#: ceiling is integer division: ceil(p/q) = (p + q - 1) div q.
+JACCARD_T_NUM, JACCARD_T_DEN = 4, 5
 
 #: bound for the exact all-pairs embedding-cosine baseline: only
 #: vec_id < this participate, keeping the deliberate O(n²) verify
@@ -62,18 +59,6 @@ SHINGLE_DF_CAP = 16
 #: same decision is the LSH family, not a bigger cap)
 MAX_EXACT_VECS = 1024
 
-#: minimum shared-rare-shingle support for a candidate pair: sharing a
-#: single random trigram is a weak signal (at sf0.1 it admits ~1.1M
-#: candidate pairs for 256 true ones), while actual near-dups share
-#: dozens (measured minimum over true pairs: 9 at sf0.01, 6 at sf0.1 —
-#: 2× headroom over this threshold).  The count is computed with a
-#: codegen'd hash aggregation, so only the ~0.7% of pairs that pass it
-#: ever reach the per-pair array_intersect verification.  The effective
-#: per-pair threshold is ``least(MIN_SHINGLE_SUPPORT, |rare_a|,
-#: |rare_b|)`` so documents with fewer than 3 (rare) shingles — e.g.
-#: 3–4-word docs with 1–2 trigrams — are never silently excluded by a
-#: threshold they cannot physically reach.
-MIN_SHINGLE_SUPPORT = 3
 
 
 def tokens(text_col: Column) -> Column:
@@ -218,16 +203,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The ngram oracle encodes the SAME candidate-generation semantics as
-# the implementation (df-cap + adaptive support prefilter), not just the
-# pure "all pairs with Jaccard >= T" ideal: implementation and oracle
-# share one spec, so the differential stays exact on ANY fixture —
-# including corpora where a true pair's shared shingles are mostly
-# above the df-cap (where the ideal-spec oracle would diverge).  The
-# empirical claim that the prefilters lose nothing on the test corpora
-# is pinned separately by test_dedup_df_cap_invariance (capped ==
-# uncapped result) rather than baked into this oracle.  Module-level
-# constant because the clustering oracle reuses it as its pair source.
+# The ngram oracle is the IDEAL spec — every pair with full-set
+# trigram Jaccard >= T, no candidate-generation artifacts — because the
+# implementation's prefix+position filtering is provably LOSSLESS (see
+# dedup_ngram_jaccard), so the two agree on ANY corpus, not just the
+# fixtures.  (DuckDB can afford the all-pairs inverted-index join at
+# oracle scale; Spark takes the filtered path.)  Module-level constant
+# because the clustering oracle reuses it as its pair source.
 _NGRAM_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id,
@@ -238,31 +220,10 @@ _NGRAM_ORACLE = f"""
             FROM documents)
     ),
     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    rare AS (
-      SELECT sh.doc_id, sh.s
-      FROM sh
-      JOIN (SELECT s, count(*) AS df FROM sh GROUP BY s) d ON d.s = sh.s
-      WHERE d.df <= {SHINGLE_DF_CAP}
-    ),
-    nrare AS (SELECT doc_id, count(*) AS nr FROM rare GROUP BY doc_id),
-    supp AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS sup
-      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY da, db
-    ),
-    cand AS (
-      SELECT s.da, s.db
-      FROM supp s
-      JOIN nrare na ON na.doc_id = s.da
-      JOIN nrare nb ON nb.doc_id = s.db
-      WHERE s.sup >= least({MIN_SHINGLE_SUPPORT}, na.nr, nb.nr)
-    ),
     inter AS (
-      SELECT c.da, c.db, count(*) AS i
-      FROM cand c
-      JOIN sh a ON a.doc_id = c.da
-      JOIN sh b ON b.doc_id = c.db AND b.s = a.s
-      GROUP BY c.da, c.db
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY da, db
     )
     SELECT da AS doc_a, db AS doc_b,
            round(i * 1.0 / (ca.n + cb.n - i), 3) AS jaccard
@@ -275,81 +236,132 @@ _NGRAM_ORACLE = f"""
 
 @query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, df_cap: int | None = SHINGLE_DF_CAP
+    spark: SparkSession, sf_dir: str, prefix: bool = True
 ) -> DataFrame:
-    """Near-dup pairs by word-trigram Jaccard — candidate pairs from an
-    inverted-index equi-join on the shingle (documents sharing no
-    shingle never meet; no cross product), Jaccard computed EXACTLY on
-    the FULL shingle sets via ``array_intersect``.
+    """Near-dup pairs by word-trigram Jaccard — EXACT result (every
+    pair with full-set Jaccard ≥ 0.8; the oracle is the ideal spec),
+    computed without ever materializing all pairs.
 
-    Contract (shared bit-for-bit with the SQL oracle): a pair is
-    reported iff it shares ≥ ``least(MIN_SHINGLE_SUPPORT, |rare_a|,
-    |rare_b|)`` shingles of document frequency ≤ ``df_cap`` AND its
-    full-set Jaccard ≥ 0.8.  The ``least(...)`` exempts documents whose
-    rare-shingle set is smaller than the absolute threshold (1–2-shingle
-    docs can never lose to a threshold of 3), so the only pairs the
-    prefilters can drop are ones whose shared shingles are almost all
-    stop-phrases — empirically none on the fixtures
-    (``test_dedup_df_cap_invariance`` pins capped == uncapped).
+    Candidate generation is the canonical all-pairs-similarity prefix
+    filter (Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07 "scaling
+    up all pairs", with PPJoin's position filter, Xiao et al. WWW'08),
+    as a pure DataFrame plan:
 
-    The skew defense promised by the module docstring is implemented
-    here: shingles with document frequency > ``df_cap`` are dropped
-    *before* the self-join, turning the join's hot keys from O(corpus)
-    posting lists into bounded ones — worst-case join fan-out per
-    shingle is df_cap², independent of corpus size.
+    1. impose one GLOBAL total order on shingles: (document frequency
+       ASC, hash) — rarest first;
+    2. each document indexes only its PREFIX under that order: the
+       first ``n - ceil(t·n) + 1`` of its ``n`` shingles (~0.2·n+1 at
+       t = 0.8).  Lossless by the prefix lemma: two sets with Jaccard
+       ≥ t overlap in ≥ ceil(t·max(n_a, n_b)) elements, so they MUST
+       share a prefix element — a pair sharing none cannot qualify;
+    3. inverted-index self-equi-join on the prefix postings only;
+    4. per-pair position filter: with ``cs`` shared prefix elements
+       and (imax, jmax) the positions of the LAST shared one, the true
+       overlap is ≤ ``cs + min(n_a - imax, n_b - jmax)`` (every other
+       common element ranks after it on both sides — if it ranked
+       before a prefix member it would itself be in both prefixes).
+       Prune when that bound < ceil(t/(1+t)·(n_a+n_b)), the overlap a
+       qualifying pair needs.  Also lossless;
+    5. exact verify on the FULL string shingle sets
+       (``array_intersect``) — reported Jaccard values are exact.
 
-    Shuffle profile at scale: explode(shingles) → shingle-df hash-agg →
-    one hash join on (rare) shingle → per-pair support count
-    (codegen'd hash agg — the cheap filter that kills ~99% of weak
-    candidates) → verify join on the full sets."""
+    All ceilings are integer-exact ((p + q - 1) div q — float ceil
+    rounds 0.8·45 up and would shorten a prefix).  Candidate keys are
+    ``xxhash64`` of the shingle (8-byte shuffle keys, not ~25-byte
+    phrases); a 64-bit collision can only ADD candidates or perturb
+    one df count — ~2⁻⁶⁴ noise, and verification is on true strings.
+
+    100 TB design: the prefix keeps only the ~20% RAREST shingles of
+    each document as join keys, so posting lists stay short precisely
+    where Zipfian text is hottest (stop-phrase shingles rank LAST and
+    never enter the index) — the skew defense is structural, not a
+    tunable cap, and unlike a df-cap it loses nothing on corpora where
+    every shingle is moderately frequent.  Shuffle profile: explode →
+    df hash-agg → join (df back to postings) → per-doc rank window →
+    prefix self-join → per-pair hash-agg → verify join; every stage is
+    an equi-join or hash-agg on bounded keys.
+
+    ``prefix=False`` disables steps 2 and 4 (index EVERYTHING — the
+    brute-force inverted index); ``test_dedup_prefix_invariance`` pins
+    filtered == unfiltered, the empirical check of losslessness."""
     ensure_utc(spark)
     docs = _doc_shingles(spark, sf_dir)
-    # candidate generation keys on xxhash64(shingle), not the shingle
-    # string: the df-agg and self-join shuffle 8-byte longs instead of
-    # ~25-byte phrases (measured 23% off the whole query at sf0.1).  A
-    # 64-bit collision merely merges two posting lists — it can only ADD
-    # candidates (removed by the exact full-set verify) or perturb a df
-    # count by one; at ~2^-64 per shingle pair this is noise.
-    def _build_posting() -> DataFrame:
-        p = docs.select("doc_id", F.explode("sh").alias("s")).select(
-            "doc_id", F.xxhash64("s").alias("s")
-        )
-        if df_cap is not None:
-            rare = (
-                p.groupBy("s")
-                .agg(F.count("*").alias("df"))
-                .where(F.col("df") <= df_cap)
-                .select("s")
-            )
-            p = p.join(rare, "s")
-        return p
 
-    # persisted: the (rare) posting list feeds THREE branches (both
-    # self-join sides + the nrare count) — see _AUX_CACHE
-    posting = _persisted_aux(
-        (spark.sparkContext.applicationId, sf_dir, "rare_posting", df_cap),
-        _build_posting,
+    def _build_prefix() -> DataFrame:
+        p = docs.select(
+            "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+        ).select("doc_id", "n", F.xxhash64("s").alias("s"))
+        dfreq = p.groupBy("s").agg(F.count("*").alias("df"))
+        # per-doc ranking WITHOUT a sort-based window: hash-agg the
+        # (df, s) pairs back into one array per doc, sort it in memory
+        # (docs hold dozens of shingles, not millions), slice to the
+        # prefix, posexplode for positions — one shuffle by doc_id with
+        # map-side partial aggregation, vs. the window's full
+        # shuffle-and-sort of every posting row.
+        ordered = (
+            p.join(dfreq, "s")
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ranked"),
+                F.max("n").alias("n"),
+            )
+        )
+        # prefix length n - ceil(t*n) + 1, integer-exact:
+        # ceil(t*n) = (NUM*n + DEN - 1) div DEN
+        plen = (
+            F.col("n")
+            - F.expr(f"({JACCARD_T_NUM}*n + {JACCARD_T_DEN - 1}) div {JACCARD_T_DEN}")
+            + F.lit(1)
+            if prefix
+            else F.col("n")
+        )
+        return (
+            ordered.select(
+                "doc_id",
+                "n",
+                F.posexplode(F.slice(F.col("ranked.s"), F.lit(1), plen)).alias(
+                    "rn0", "s"
+                ),
+            )
+            .select("doc_id", "s", (F.col("rn0") + 1).alias("rn"), "n")
+        )
+
+    # persisted: the prefix posting table feeds both self-join sides —
+    # see _AUX_CACHE
+    pre = _persisted_aux(
+        (spark.sparkContext.applicationId, sf_dir, "prefix_posting", prefix),
+        _build_prefix,
     )
-    # per-doc (rare-)shingle count, for the adaptive support threshold
-    nrare = posting.groupBy("doc_id").agg(F.count("*").alias("nr"))
-    a = posting.alias("a")
-    b = posting.alias("b")
+    a = pre.alias("a")
+    b = pre.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("support"))
-        .join(nrare.select(F.col("doc_id").alias("da"), F.col("nr").alias("nr_a")), "da")
-        .join(nrare.select(F.col("doc_id").alias("db"), F.col("nr").alias("nr_b")), "db")
-        .where(
-            F.col("support")
-            >= F.least(F.lit(MIN_SHINGLE_SUPPORT), F.col("nr_a"), F.col("nr_b"))
+        .agg(
+            F.count("*").alias("cs"),
+            F.max("a.rn").alias("imax"),
+            F.max("b.rn").alias("jmax"),
+            F.max("a.n").alias("na"),
+            F.max("b.n").alias("nb"),
         )
-        .select("da", "db")
     )
-    full = docs  # (doc_id, sh) with the UNCAPPED shingle sets
+    if prefix:
+        # required overlap ceil(t/(1+t)*(na+nb)), integer-exact with
+        # t = NUM/DEN: ceil(NUM*m / (NUM+DEN))
+        need = F.expr(
+            f"({JACCARD_T_NUM}*(na + nb) + {JACCARD_T_NUM + JACCARD_T_DEN - 1})"
+            f" div {JACCARD_T_NUM + JACCARD_T_DEN}"
+        )
+        cand = cand.where(
+            F.col("cs")
+            + F.least(F.col("na") - F.col("imax"), F.col("nb") - F.col("jmax"))
+            >= need
+        )
+    cand = cand.select("da", "db")
+    full = docs  # (doc_id, sh): the FULL string shingle sets
     pairs = cand.join(
         full.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a")), "da"
     ).join(full.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b")), "db")

@@ -156,26 +156,26 @@ def test_sum_invariant_under_repartitioning(spark, n_parts):
     assert again == base
 
 
-def test_dedup_df_cap_invariance(spark):
-    """The shingle df-cap prunes candidate generation only; the result
-    set must be IDENTICAL with the cap active vs disabled.  Run with an
-    aggressively low cap (4) that provably drops shingles on this
-    corpus (max df is 7 at sf0.01), so the pruned path is exercised."""
+def test_dedup_prefix_invariance(spark):
+    """The prefix + position filters prune candidate generation only
+    (they are provably lossless); the result set must be IDENTICAL
+    with the filters active vs the brute-force full inverted index.
+    Guard that the prefix actually drops postings on this corpus, so
+    the pruned path is exercised."""
     sh = (
         load_table(spark, SF_DIR_ORACLE, "documents")
-        .select(F.explode(shingles(F.col("text"))).alias("s"))
-        .groupBy("s")
-        .agg(F.count("*").alias("df"))
+        .select(F.size(shingles(F.col("text"))).alias("n"))
+        .where(F.col("n") > 0)
     )
-    assert sh.agg(F.max("df")).collect()[0][0] > 4, "cap would be a no-op on this corpus"
+    assert sh.agg(F.min("n")).collect()[0][0] > 2, "prefix would be a no-op (all docs tiny)"
 
     def pairs(df):
         return sorted((r.doc_a, r.doc_b, r.jaccard) for r in df.collect())
 
-    capped = pairs(dedup_ngram_jaccard(spark, SF_DIR_ORACLE, df_cap=4))
-    uncapped = pairs(dedup_ngram_jaccard(spark, SF_DIR_ORACLE, df_cap=None))
-    assert len(capped) > 0
-    assert capped == uncapped
+    filtered = pairs(dedup_ngram_jaccard(spark, SF_DIR_ORACLE, prefix=True))
+    brute = pairs(dedup_ngram_jaccard(spark, SF_DIR_ORACLE, prefix=False))
+    assert len(filtered) > 0
+    assert filtered == brute
 
 
 def test_sort_global_rank_is_true_global_rank(spark):
