@@ -49,6 +49,7 @@ HEADLINE = [
     "text_repetition_filter", # sorted-run HOF quality gate, zero shuffle
     "sim_search_knn_join",    # broadcast probe-set k-NN (quadratic-ish)
     "dedup_decontaminate",    # bag-fingerprint broadcast anti-join
+    "pipeline_corpus_end2end",  # clean→decontaminate→split, one plan
 ]
 
 

@@ -75,6 +75,22 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality gate typically drops 30-60% of bytes before any network
     cost is paid."""
     ensure_utc(spark)
+    scored = _scored_docs(spark, sf_dir)
+    gated = scored.where(
+        (F.col("quality") >= QUALITY_MIN) & F.col("lang").isin(*KEEP_LANGS)
+    )
+    w = Window.partitionBy("bag_fp").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "quality", "n_tokens")
+    )
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, quality, n_tokens, bag_fp) — the shared scoring +
+    fingerprinting projection both pipeline queries build on.  Pure
+    narrow expressions; Catalyst fuses it into the scan pass."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
     d = docs.select("doc_id", "lang", "n_chars", "text", ws.alias("ws"))
@@ -93,21 +109,121 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.2 * F.least(F.size("ws") / 100.0, F.lit(1.0)),
         3,
     )
-    scored = d.select(
+    return d.select(
         "doc_id",
         "lang",
         quality.alias("quality"),
         F.size("ws").cast("bigint").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("ws")))).alias("bag_fp"),
     )
+
+
+#: eval holdout used by the decontamination stage (mirrors
+#: ``llm/dedup.py`` EVAL_MOD — doc_id % 7 == 0 stands in for the
+#: benchmark set)
+_EVAL_MOD = 7
+#: Knuth split constants, duplicated in the oracle below
+_E2E_MULT = 2654435761
+_E2E_MOD = 4294967296
+
+
+@query(
+    "pipeline_corpus_end2end",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round(0.5 * (CASE WHEN n_chars > 0
+                       THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars
+                       ELSE 0 END)
+             + 0.3 * (CASE WHEN len(ws) > 0
+                       THEN len(list_filter(ws, t -> list_contains(
+                            ['the','and','of','to','a','in','is','it'], t))) * 1.0 / len(ws)
+                       ELSE 0 END)
+             + 0.2 * least(len(ws) / 100.0, 1.0), 3) AS quality,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_fp
+      FROM (SELECT doc_id, lang, n_chars, text,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents)
+    ),
+    eval_fp AS (
+      SELECT DISTINCT bag_fp FROM scored WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE quality >= {QUALITY_MIN}
+        AND lang IN ('en', 'de', 'fr')
+        AND doc_id % {_EVAL_MOD} <> 0
+    ),
+    kept AS (
+      SELECT doc_id, lang, quality, n_tokens, bag_fp
+      FROM (SELECT *, row_number() OVER (PARTITION BY bag_fp
+                                         ORDER BY quality DESC, doc_id) AS rn
+            FROM gated)
+      WHERE rn = 1
+    ),
+    decon AS (
+      SELECT k.* FROM kept k
+      WHERE NOT EXISTS (SELECT 1 FROM eval_fp e WHERE e.bag_fp = k.bag_fp)
+    )
+    SELECT doc_id, lang, quality, n_tokens,
+           CAST((doc_id * {_E2E_MULT}) % {_E2E_MOD} % 100 AS BIGINT) AS bucket,
+           CASE WHEN (doc_id * {_E2E_MULT}) % {_E2E_MOD} % 100 < 80 THEN 'train'
+                WHEN (doc_id * {_E2E_MULT}) % {_E2E_MOD} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM decon
+    """,
+)
+def pipeline_corpus_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production corpus job — ``clean → decontaminate →
+    split`` composed into ONE declarative plan (the workflow the
+    charter describes: score, gate, dedup, scrub eval leakage, assign
+    train/val/test).  Each stage is the same expression its standalone
+    query uses (``pipeline_clean_corpus``, ``dedup_decontaminate``,
+    ``sample_split``); composing them costs NO extra shuffles:
+
+    - score + gate + fingerprint: narrow, fused into the scan pass;
+      the eval holdout (``doc_id % 7 == 0``) is excluded from the
+      training side BEFORE any exchange;
+    - dedup keeper: the one real shuffle (window by ``bag_fp``);
+    - decontamination: LEFT ANTI join against the DISTINCT eval
+      fingerprints — eval side is tiny (benchmarks, not corpora), so
+      it broadcasts and the anti join is map-side; its own distinct is
+      a micro-shuffle of fingerprints only;
+    - split: pure integer-hash projection, zero shuffle.
+
+    ⇒ one full-data shuffle + one fingerprint-sized micro-shuffle at
+    any scale; a 100 TB run is scan-bound.  The DuckDB oracle composes
+    the same stages in SQL, so the whole pipeline is value-hash
+    checked end-to-end."""
+    ensure_utc(spark)
+    scored = _scored_docs(spark, sf_dir)
+    eval_fp = (
+        scored.where(F.col("doc_id") % _EVAL_MOD == 0).select("bag_fp").distinct()
+    )
     gated = scored.where(
-        (F.col("quality") >= QUALITY_MIN) & F.col("lang").isin(*KEEP_LANGS)
+        (F.col("quality") >= QUALITY_MIN)
+        & F.col("lang").isin(*KEEP_LANGS)
+        & (F.col("doc_id") % _EVAL_MOD != 0)
     )
     w = Window.partitionBy("bag_fp").orderBy(F.col("quality").desc(), "doc_id")
-    return (
+    kept = (
         gated.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "quality", "n_tokens")
+        .select("doc_id", "lang", "quality", "n_tokens", "bag_fp")
+    )
+    decon = kept.join(F.broadcast(eval_fp), "bag_fp", "left_anti")
+    bucket = (F.col("doc_id") * _E2E_MULT) % _E2E_MOD % 100
+    return decon.select(
+        "doc_id",
+        "lang",
+        "quality",
+        "n_tokens",
+        bucket.cast("bigint").alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 

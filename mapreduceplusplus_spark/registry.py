@@ -133,8 +133,11 @@ _PRIORITY_ORDER = [
     # carry a SQL oracle (a no-oracle query here can only ever produce a
     # rows-only row — wasted window).  r4 slots (dedup_ngram_jaccard,
     # dedup_embedding_cosine, text_extras) are already driver-green;
-    # r5 rotates in the round-4 additions + the composed pipeline.
-    "pipeline_clean_corpus",
+    # r5 rotates in the round-4 additions + the composed pipeline
+    # (pipeline_corpus_end2end SUBSUMES pipeline_clean_corpus — same
+    # clean stages plus decontaminate + split, so its driver row is
+    # strictly stronger evidence; clean stays locally differentialed).
+    "pipeline_corpus_end2end",
     "sim_search_knn_join",
     "dedup_decontaminate",
     "text_pii_redact",
