@@ -81,9 +81,10 @@ def main() -> None:
     from mapreduceplusplus_spark.llm.dedup import release_shingles
 
     # best-of-N: single-run wall times on a shared box swing ±30%
-    # (GC, compilation, page cache); the minimum over a few reps is the
+    # (GC, compilation, page cache; measured up to 2× between whole-
+    # suite runs at 24 queries); the minimum over a few reps is the
     # standard low-variance estimator and is reported as such
-    reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     times: dict[str, float] = {}
 
     def timed_cold(name: str) -> float:
