@@ -66,6 +66,7 @@ _QUERY_MODULES = [
     # outside the external harness's 50-entry window (locally
     # oracle-checked instead) and never displaces a contract row
     "mapreduceplusplus_spark.streaming.sjoin",
+    "mapreduceplusplus_spark.operators.timeseries",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external
