@@ -321,3 +321,83 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("step").cast("int").alias("step"), "event_type", "n_users")
     )
+
+
+@query(
+    "window_decay_ema",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             event_id, ts
+      FROM events WHERE user_id < 200
+    )
+    SELECT i.user_id,
+           i.event_id,
+           strftime(i.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           -- weights 2^(L-1-k) (k = event-distance from current, L =
+           -- frame length) are exact integers < 2^53, so the double
+           -- sum is EXACT and order-independent; the quotient is then
+           -- the same double in any engine
+           sum(j.cents * power(2, least(i.rn, 20) - 1 - (i.rn - j.rn)))
+             / (100.0 * (power(2, least(i.rn, 20)) - 1)) AS decay_mean
+    FROM seq i JOIN seq j
+      ON j.user_id = i.user_id AND j.rn BETWEEN i.rn - 19 AND i.rn
+    GROUP BY i.user_id, i.event_id, i.ts, i.rn
+    """,
+)
+def window_decay_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed mean over the last 20 events per user — the
+    exponentially-weighted feature every behavioral model wants
+    ("recent activity counts double"), with half-life decay 1/2 per
+    event and a bounded 20-row frame.
+
+    No closed-form window aggregate exists for exponential decay
+    (the weight depends on the distance to the CURRENT row, which a
+    plain ``sum() OVER frame`` cannot see), and the naive
+    reformulation ``2^rn_cur · Σ value/2^rn_elem`` overflows for long
+    partitions.  Spark-first answer: ``collect_list`` over the ROWS
+    frame + a Horner fold (``aggregate(reverse(frame), 0L,
+    acc*2 + x)``) — a pure JVM higher-order function, no UDF, and
+    numerically EXACT: values are quantized to integer cents, so the
+    fold stays in BIGINT (≤ 20·2^19·max_cents ≪ 2^63) and the final
+    division produces the identical double in every engine and under
+    every partitioning.  The oracle cross-checks with an equivalent
+    banded self-join whose double summands are exact integers < 2^53.
+
+    Scale: one shuffle on user_id + in-partition sort (the same
+    profile as any window); the frame bound caps per-row work at 20
+    elements regardless of partition length.  The oracle's banded
+    self-join shape is what engines WITHOUT higher-order functions
+    must fall back to — 20× the shuffled rows."""
+    ensure_utc(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 200)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    frame = F.collect_list("cents").over(w)  # frame order: oldest first
+    horner = F.aggregate(
+        F.reverse(frame),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc * 2 + x,
+    )
+    denom = 100.0 * (F.pow(F.lit(2.0), F.size(frame)) - 1)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        (horner / denom).alias("decay_mean"),
+    )
