@@ -58,6 +58,8 @@ HOSTILE_SUBSET = [
     "dedup_cluster_canonical",  # iterative fixpoint
     "window_distribution",      # ntile bucketing
     "stream_stateful_running_total",  # Arrow run-streaming fold
+    "ts_resample_gapfill",      # integer-exact grid fill: claims
+    "window_decay_ema",         # partitioning-independence — pin it
 ]
 
 
