@@ -466,3 +466,133 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
         F.round(F.coalesce("total_spent", F.lit(0.0)), 2).alias("total_spent"),
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts FROM events WHERE user_id < 40
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sid, min(ts) AS s0, max(ts) AS s1
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT a.user_id                       AS user_a,
+           b.user_id                       AS user_b,
+           strftime(a.s0, '%Y-%m-%d %H:%M:%S.%f') AS start_a,
+           strftime(b.s0, '%Y-%m-%d %H:%M:%S.%f') AS start_b,
+           epoch_us(least(a.s1, b.s1)) - epoch_us(greatest(a.s0, b.s0))
+                                           AS overlap_us
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id AND a.s0 <= b.s1 AND b.s0 <= a.s1
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi key — the range-join shape
+    ``join_theta_range``'s docstring defers to: find every pair of
+    concurrent sessions across different users.
+
+    A raw theta join (``a.s0 <= b.s1 AND b.s0 <= a.s1``) plans as a
+    nested-loop cross product — the classic range-join scale killer.
+    The distributed pattern used here is TIME BUCKETING:
+
+    1. build the intervals (12-hour-gap sessionization: lag + running
+       sum of breaks + min/max per session — one shuffle on user_id);
+    2. explode each interval into the DAY buckets it covers
+       (``sequence(date_trunc(s0), date_trunc(s1))`` — generated in
+       the plan, bounded by interval length / bucket size);
+    3. hash equi-join on the bucket — only intervals sharing a
+       calendar day ever meet.  LOSSLESS: two overlapping intervals
+       both cover the day containing the overlap's start;
+    4. exact overlap predicate + per-pair dedup (an overlapping pair
+       shares every bucket the overlap spans, so duplicates are
+       expected and removed on the session key pair).
+
+    Bucket granularity trades fan-out (longer intervals explode into
+    more buckets) against hot-bucket size (how many intervals coexist
+    per bucket) — pick ~ the typical interval length; AQE skew-join
+    splitting backstops burst days.  Overlap is reported in exact
+    integer MICROSECONDS (``unix_micros`` difference) — float-free
+    and engine-identical.
+    """
+    ensure_utc(spark)
+    from pyspark.sql import Window as W
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 40)
+        .select("user_id", "ts")
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    brk = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 12 HOURS")),
+            1,
+        ).otherwise(0)
+    )
+    g = e.withColumn("brk", brk).withColumn(
+        "sid",
+        F.sum("brk").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    sess = g.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s0"), F.max("ts").alias("s1")
+    )
+    day = lambda c: F.date_trunc("DAY", F.col(c))  # noqa: E731
+    bucketed = sess.select(
+        "user_id",
+        "sid",
+        "s0",
+        "s1",
+        F.explode(
+            F.sequence(day("s0"), day("s1"), F.expr("interval 1 day"))
+        ).alias("bkt"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s0") <= F.col("b.s1"))
+            & (F.col("b.s0") <= F.col("a.s1")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sid").alias("sid_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.sid").alias("sid_b"),
+            F.col("a.s0").alias("a0"),
+            F.col("a.s1").alias("a1"),
+            F.col("b.s0").alias("b0"),
+            F.col("b.s1").alias("b1"),
+        )
+        .dropDuplicates(["user_a", "sid_a", "user_b", "sid_b"])
+    )
+    return pairs.select(
+        "user_a",
+        "user_b",
+        F.date_format("a0", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("start_a"),
+        F.date_format("b0", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("start_b"),
+        (
+            F.unix_micros(F.least("a1", "b1"))
+            - F.unix_micros(F.greatest("a0", "b0"))
+        ).alias("overlap_us"),
+    )
