@@ -50,6 +50,9 @@ HEADLINE = [
     "sim_search_knn_join",    # broadcast probe-set k-NN (quadratic-ish)
     "dedup_decontaminate",    # bag-fingerprint broadcast anti-join
     "pipeline_corpus_end2end",  # clean→decontaminate→split, one plan
+    "ts_resample_gapfill",    # generated-grid resample + window fills
+    "window_decay_ema",       # frame collect + BIGINT Horner fold
+    "join_interval_overlap",  # day-bucketed no-equi-key range join
 ]
 
 

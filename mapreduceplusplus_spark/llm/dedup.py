@@ -286,6 +286,20 @@ def dedup_ngram_jaccard(
     filtered == unfiltered, the empirical check of losslessness."""
     ensure_utc(spark)
     docs = _doc_shingles(spark, sf_dir)
+    return _ngram_pairs(
+        docs,
+        prefix,
+        aux_key=(spark.sparkContext.applicationId, sf_dir, "prefix_posting", prefix),
+    )
+
+
+def _ngram_pairs(
+    docs: DataFrame, prefix: bool = True, aux_key: tuple | None = None
+) -> DataFrame:
+    """Core of ``dedup_ngram_jaccard`` over an arbitrary ``(doc_id,
+    sh)`` table — separated so adversarial fixtures (boundary-Jaccard
+    pairs, 1-shingle docs, df ties) can exercise the prefix/position
+    arithmetic directly (``tests/test_llm_ops.py``)."""
 
     def _build_prefix() -> DataFrame:
         p = docs.select(
@@ -327,11 +341,9 @@ def dedup_ngram_jaccard(
         )
 
     # persisted: the prefix posting table feeds both self-join sides —
-    # see _AUX_CACHE
-    pre = _persisted_aux(
-        (spark.sparkContext.applicationId, sf_dir, "prefix_posting", prefix),
-        _build_prefix,
-    )
+    # see _AUX_CACHE (test callers pass aux_key=None: no persist, no
+    # cache entry to leak)
+    pre = _persisted_aux(aux_key, _build_prefix) if aux_key else _build_prefix()
     a = pre.alias("a")
     b = pre.alias("b")
     cand = (

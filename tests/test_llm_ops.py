@@ -234,3 +234,69 @@ def test_stratified_sample_rates_and_determinism(spark):
 
             sigma = math.sqrt(total * frac * (1 - frac))
             assert abs(kept - total * frac) <= 4 * sigma, (lang, kept, total)
+
+
+def test_ngram_prefix_losslessness_adversarial(spark):
+    """Directly exercise the prefix/position-filter arithmetic of
+    ``_ngram_pairs`` on corpora built to sit ON its boundaries —
+    places a fixture-corpus invariance test can never reach:
+
+    - 1- and 2-shingle documents (prefix length clamps to 1);
+    - identical documents (Jaccard exactly 1.0);
+    - a pair at exactly the 0.8 threshold (|a∩b|=8, |a|=|b|=9 → 8/10);
+    - a pair just UNDER threshold (7/9 shared → ~0.778, must be absent);
+    - prefix lengths where float ceil(0.8*n) rounds the wrong way
+      (n = 45: exact ceil is 36, float computes 37);
+    - many documents sharing one hot shingle (df-order tail) with no
+      real similarity.
+
+    For every corpus the filtered result must equal the brute-force
+    full-inverted-index result, and the threshold cases must be
+    present/absent exactly."""
+    from mapreduceplusplus_spark.llm.dedup import _ngram_pairs
+
+    def mk(docs):  # docs: {doc_id: [shingle, ...]}
+        rows = [(i, sorted(set(sh))) for i, sh in docs.items() if sh]
+        return spark.createDataFrame(rows, "doc_id: bigint, sh: array<string>")
+
+    def pairs(df):
+        return sorted((r.doc_a, r.doc_b, r.jaccard) for r in df.collect())
+
+    g = lambda k, n: [f"g{k}_{j}" for j in range(n)]  # noqa: E731
+
+    corpora = {
+        "tiny_docs": {
+            1: ["a b c"], 2: ["a b c"],            # 1-shingle identical
+            3: ["a b c", "x y z"], 4: ["a b c", "x y z"],
+            5: ["q r s"],                            # singleton, no pair
+        },
+        "exact_threshold": {
+            # |a|=|b|=9, share 8 → J = 8/10 = 0.8 exactly: MUST appear
+            1: g("s", 8) + ["only a"],
+            2: g("s", 8) + ["only b"],
+            # |c|=|d|=9, share 7 → 7/11 ≈ 0.636: must NOT appear
+            3: g("t", 7) + ["c x", "c y"],
+            4: g("t", 7) + ["d x", "d y"],
+        },
+        "float_ceil_n45": {
+            # n=45 each, share 41 → J = 41/49 ≈ 0.837 ≥ 0.8.  With the
+            # float-ceil bug the prefix would be 45-37+1=9 instead of
+            # 10 — still likely caught, but the arithmetic is pinned
+            # by equality with brute force either way.
+            1: g("c", 41) + ["a1 x", "a2 x", "a3 x", "a4 x"],
+            2: g("c", 41) + ["b1 x", "b2 x", "b3 x", "b4 x"],
+        },
+        "hot_shingle": {
+            # 30 docs all share one stop-phrase; no pair qualifies
+            i: [f"u{i} v", f"w{i} z", "the hot one"] for i in range(30)
+        },
+    }
+    for name, docs in corpora.items():
+        df = mk(docs)
+        got = pairs(_ngram_pairs(df, prefix=True))
+        brute = pairs(_ngram_pairs(df, prefix=False))
+        assert got == brute, f"{name}: filtered != brute force"
+    # threshold semantics, checked on the corpus built for them
+    thr = pairs(_ngram_pairs(mk(corpora["exact_threshold"]), prefix=True))
+    assert (1, 2, 0.8) in thr, "exact-0.8 pair must be reported"
+    assert not any(a == 3 and b == 4 for a, b, _ in thr), "sub-threshold pair leaked"
