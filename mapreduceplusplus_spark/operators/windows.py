@@ -401,3 +401,63 @@ def window_decay_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         (horner / denom).alias("decay_mean"),
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 200
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           -- lower median of the frame, exact in integer cents
+           cents_sorted[(len(cents_sorted) + 1) // 2] / 100.0 AS roll_median
+    FROM (
+      SELECT user_id, event_id, ts,
+             list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 14 PRECEDING AND CURRENT ROW))
+               AS cents_sorted
+      FROM seq
+    )
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of the last 15 events per user — the
+    robust-statistics window percentile_approx cannot give exactly and
+    a self-join gives at 15× the shuffle volume.
+
+    Spark-first: ``collect_list`` over the ROWS frame, ``sort_array``,
+    index the LOWER median — all JVM higher-order expressions, one
+    shuffle + in-partition sort, per-row work capped by the frame.
+    The lower-median convention (element ``(L+1) div 2`` of the sorted
+    frame, 1-based) avoids averaging two middle values, so with values
+    quantized to integer cents the result is exact and
+    engine-identical — no float summation, no rounding ties (the same
+    determinism contract as ``window_decay_ema``)."""
+    ensure_utc(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 200)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, Window.currentRow)
+    )
+    sorted_frame = F.sort_array(F.collect_list("cents").over(w))
+    med = F.element_at(sorted_frame, ((F.size(sorted_frame) + 1) / 2).cast("int"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        (med / 100.0).alias("roll_median"),
+    )
