@@ -191,3 +191,77 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         """
     )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH src AS (
+      -- simulated change set, derived deterministically from the
+      -- target: every 3rd customer gets a balance update, and a
+      -- shifted key range arrives as brand-new rows
+      SELECT c_custkey                        AS k,
+             round(c_acctbal + 100.0, 2)      AS new_bal,
+             c_mktsegment                     AS new_seg
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, round(c_acctbal, 2), 'NEWSEG'
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT coalesce(s.k, t.c_custkey)  AS c_custkey,
+           CASE WHEN s.k IS NOT NULL AND t.c_custkey IS NOT NULL THEN 'update'
+                WHEN s.k IS NOT NULL THEN 'insert'
+                ELSE 'keep' END        AS merge_action,
+           coalesce(s.new_bal, round(t.c_acctbal, 2)) AS acctbal,
+           coalesce(s.new_seg, t.c_mktsegment)        AS mktsegment
+    FROM customer t FULL OUTER JOIN src s ON s.k = t.c_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / upsert as a pure DataFrame plan — the lakehouse
+    write pattern (update matched rows, insert new ones, keep the
+    rest) expressed engine-agnostically: one FULL OUTER equi-join of
+    target and change set on the key, then per-column ``coalesce``
+    picks source-over-target.  The change set here is derived
+    deterministically from the target (every 3rd key updated, a
+    shifted key range inserted) so the query is self-contained and
+    oracle-checkable.
+
+    Scale: ONE hash shuffle on the merge key for each side — exactly
+    what Delta/Iceberg MERGE compiles to before file rewriting; with
+    a small change set Spark broadcasts it and the target never
+    shuffles (AQE decides — the common CDC case).  The
+    ``merge_action`` column is the audit trail a real pipeline writes
+    to its commit log."""
+    ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    src = (
+        cust.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("new_bal"),
+            F.col("c_mktsegment").alias("new_seg"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 5 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.round("c_acctbal", 2).alias("new_bal"),
+                F.lit("NEWSEG").alias("new_seg"),
+            )
+        )
+    )
+    t = cust.alias("t")
+    s = src.alias("s")
+    joined = t.join(s, F.col("s.k") == F.col("t.c_custkey"), "full_outer")
+    matched = F.col("s.k").isNotNull() & F.col("t.c_custkey").isNotNull()
+    return joined.select(
+        F.coalesce(F.col("s.k"), F.col("t.c_custkey")).alias("c_custkey"),
+        F.when(matched, "update")
+        .when(F.col("s.k").isNotNull(), "insert")
+        .otherwise("keep")
+        .alias("merge_action"),
+        F.coalesce(F.col("s.new_bal"), F.round(F.col("t.c_acctbal"), 2)).alias(
+            "acctbal"
+        ),
+        F.coalesce(F.col("s.new_seg"), F.col("t.c_mktsegment")).alias("mktsegment"),
+    )
