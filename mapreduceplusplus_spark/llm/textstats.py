@@ -526,3 +526,79 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id, ln(f.c / (SELECT n FROM tot)) AS lp
+      FROM tok t JOIN freq f ON f.w = t.w
+    ),
+    folded AS (
+      -- sum in SORTED order so the float fold is order-independent
+      -- and engine-identical
+      SELECT doc_id,
+             list_sum(list_sort(list(lp))) AS s,
+             count(*) AS n
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT)     AS n_tokens,
+           round(s / n, 2) + 0   AS mean_logprob
+    FROM folded
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics language-model scoring: mean unigram
+    log-probability per document under the corpus's own empirical
+    unigram distribution — the classic cheap "does this read like the
+    corpus" quality signal (low scores = boilerplate/garbage built
+    from rare junk tokens; used alongside the rule-based
+    ``text_quality_score``).
+
+    Two-pass corpus-statistics pattern: (1) global token-frequency
+    aggregation (integer counts — exact); (2) join frequencies back to
+    the token stream and fold per document.  At 100 TB pass 1 is a
+    vocabulary-sized hash agg and pass 2 a hash join the optimizer can
+    broadcast when the vocabulary is small — the document scan is
+    never shuffled twice.
+
+    Determinism: the per-doc fold sums ``ln(freq/total)`` doubles in
+    SORTED order (``sort_array`` + ``aggregate`` here,
+    ``list_sort`` + ``list_sum`` in the oracle), so the summation
+    order — and therefore the float result — is identical on any
+    partitioning and in any engine (a plain SUM() shuffles-order the
+    addends).  The remaining cross-engine risk is a last-ulp ``ln``
+    difference, absorbed by the 2-decimal rounding."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("lp")).alias("lps"),
+        F.count("*").alias("n"),
+    )
+    s = F.aggregate("lps", F.lit(0.0), lambda acc, x: acc + x)
+    return folded.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        (F.round(s / F.col("n"), 2) + F.lit(0)).alias("mean_logprob"),
+    )
