@@ -442,3 +442,42 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                                     AS n_purchases,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) + 0
+                                     AS purchase_value,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+                                     AS n_clicks
+    FROM events
+    WHERE user_id < 300
+    GROUP BY user_id
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (the SQL ``FILTER (WHERE ...)`` clause) —
+    several differently-conditioned aggregates from ONE scan and ONE
+    hash aggregation, instead of N self-joined subqueries.  Spark
+    expresses the same thing with conditional aggregates
+    (``sum(when(...))``); the plan is a single partial+final hash agg,
+    so at 100 TB the fact table is read and shuffled once no matter
+    how many conditions are added."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    is_p = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count(F.when(is_p, 1)).cast("bigint").alias("n_purchases"),
+        (F.round(F.sum(F.when(is_p, F.col("value"))), 2) + F.lit(0)).alias(
+            "purchase_value"
+        ),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("n_clicks"),
+    )

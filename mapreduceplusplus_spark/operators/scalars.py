@@ -265,3 +265,35 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("pv", "$.k", "bigint").alias("k_variant"),
         (F.variant_get("pv", "$.k", "bigint") > 50).alias("k_big"),
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255                      AS low_byte,
+           event_id | 4096                     AS with_flag,
+           xor(event_id, 1365)                 AS xored,
+           CAST(event_id << 3 AS BIGINT)       AS shifted_l,
+           CAST(event_id >> 2 AS BIGINT)       AS shifted_r,
+           CAST(bit_count(event_id) AS INT)    AS popcount
+    FROM events WHERE event_id < 2000
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family — AND/OR/XOR, shifts, popcount (the ops
+    flag fields, bloom probes, and fingerprint arithmetic are built
+    from; ``dedup_simhash`` uses the same primitives in anger).  All
+    codegen'd JVM integer ops; narrow projection, zero shuffle."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        eid.bitwiseXOR(F.lit(1365)).alias("xored"),
+        F.expr("shiftleft(event_id, 3)").cast("bigint").alias("shifted_l"),
+        F.expr("shiftright(event_id, 2)").cast("bigint").alias("shifted_r"),
+        F.bit_count(eid).cast("int").alias("popcount"),
+    )

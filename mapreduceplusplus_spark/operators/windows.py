@@ -461,3 +461,39 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         (med / 100.0).alias("roll_median"),
     )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice)  OVER w, 2) AS last_price,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over each customer's full
+    order history.  The classic trap is the DEFAULT frame: with ROWS
+    UNBOUNDED PRECEDING AND CURRENT ROW, ``last_value`` degenerates to
+    the current row — both sides pin the full
+    UNBOUNDED-PRECEDING-TO-UNBOUNDED-FOLLOWING frame explicitly, and
+    the (date, key) ordering is total so every value is deterministic."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
