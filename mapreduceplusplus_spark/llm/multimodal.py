@@ -283,3 +283,45 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
         _feature_batch, schema=FEATURE_SCHEMA
     )
+
+
+@query("multimodal_resize")  # no SQL oracle: Python mapInPandas stage;
+# proportional-truncation formula + dims pinned by tests/test_llm_ops.py
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``resize_images`` on the documents fixture
+    (text bytes as payload): binary→binary Arrow ``mapInPandas``
+    resize to 224×224, surfaced as (doc_id, dims, payload size + md5)
+    so the result is hashable and deterministic."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    out = resize_images(docs)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("payload").cast("bigint").alias("payload_bytes"),
+        F.md5("payload").alias("payload_fp"),
+    )
+
+
+@query("multimodal_features")  # no SQL oracle: Python mapInPandas stage;
+# unit-norm + byte-statistics formula pinned by tests/test_llm_ops.py
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``extract_features``: binary payload →
+    unit-norm ``array<float>`` embedding (stub body, real Arrow
+    plumbing), surfaced as (doc_id, dim, norm, head values) — the
+    column shape the similarity/dedup operators consume."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    out = extract_features(docs)
+    norm = F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x))
+    return out.select(
+        "doc_id",
+        F.size("feature").cast("int").alias("dim"),
+        F.round(norm, 3).alias("norm"),
+        F.round(F.element_at("feature", 1), 3).alias("f0"),
+    )
