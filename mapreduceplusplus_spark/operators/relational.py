@@ -265,3 +265,174 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(F.col("s.new_seg"), F.col("t.c_mktsegment")).alias("mktsegment"),
     )
+
+
+@query(
+    "dq_constraint_check",
+    oracle="""
+    SELECT 'customer_key_unique' AS check_name,
+           CAST((SELECT count(*) FROM customer) AS BIGINT)  AS n_checked,
+           CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+                AS BIGINT)                                  AS n_violations
+    UNION ALL
+    SELECT 'customer_name_not_null',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer WHERE c_name IS NULL)
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'orders_price_nonnegative',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders WHERE o_totalprice < 0)
+    UNION ALL
+    SELECT 'lineitem_discount_in_range',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    """,
+)
+def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (the Deequ/dbt-test shape): uniqueness,
+    not-null, referential-integrity, and range constraints evaluated
+    as ONE DataFrame whose rows are the check results — what a
+    production pipeline runs before publishing a table version.
+
+    Plan shape: each check is an aggregation over one scan; the
+    referential check is a LEFT ANTI join (broadcast when the parent
+    key set is small).  Catalyst collapses the per-table checks into
+    shared scans; all counters are exact integers, so the audit is
+    deterministic and engine-portable.  At 100 TB every check is a
+    map-side count except the FK anti-join — one shuffle (or none,
+    broadcast) — and adding more checks adds no new scans."""
+    ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name: str, checked, violations):
+        return checked.crossJoin(violations).select(
+            F.lit(name).alias("check_name"),
+            F.col("n_checked").cast("bigint"),
+            F.col("n_violations").cast("bigint"),
+        )
+
+    uniq = row(
+        "customer_key_unique",
+        cust.agg(F.count("*").alias("n_checked")),
+        cust.agg(
+            (F.count("*") - F.countDistinct("c_custkey")).alias("n_violations")
+        ),
+    )
+    nn = row(
+        "customer_name_not_null",
+        cust.agg(F.count("*").alias("n_checked")),
+        cust.agg(
+            F.count(F.when(F.col("c_name").isNull(), 1)).alias("n_violations")
+        ),
+    )
+    fk = row(
+        "orders_fk_customer",
+        orders.agg(F.count("*").alias("n_checked")),
+        orders.join(
+            cust.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("n_violations")),
+    )
+    rng = row(
+        "orders_price_nonnegative",
+        orders.agg(F.count("*").alias("n_checked")),
+        orders.agg(
+            F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("n_violations")
+        ),
+    )
+    disc = row(
+        "lineitem_discount_in_range",
+        li.agg(F.count("*").alias("n_checked")),
+        li.agg(
+            F.count(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            ).alias("n_violations")
+        ),
+    )
+    return uniq.unionByName(nn).unionByName(fk).unionByName(rng).unionByName(disc)
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH new_snap AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal + 50.0, 2)
+                  ELSE round(c_acctbal, 2) END AS bal
+      FROM customer WHERE c_custkey % 11 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, round(c_acctbal, 2)
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    old_snap AS (SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer)
+    SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END            AS change_type,
+           o.bal                              AS old_bal,
+           n.bal                              AS new_bal
+    FROM old_snap o FULL OUTER JOIN new_snap n ON n.c_custkey = o.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL OR o.bal <> n.bal
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diffing — the detect side of
+    the ``merge_upsert`` apply side: given two table versions, emit
+    added / removed / changed rows (and nothing for unchanged).  The
+    "new" snapshot is derived deterministically from the fixture
+    (every 7th balance changed, every 11th key deleted, a shifted
+    range inserted) so the query is self-contained.
+
+    One FULL OUTER hash join on the key + a change predicate — at
+    100 TB both snapshots shuffle once on the key (or co-located
+    bucketed snapshots join with no shuffle at all); the change
+    predicate prunes unchanged rows BEFORE anything downstream, so
+    the emitted delta is |changes|, not |table|."""
+    ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    old_snap = cust.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    new_snap = (
+        cust.where(F.col("c_custkey") % 11 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 50.0, 2)
+            )
+            .otherwise(F.round("c_acctbal", 2))
+            .alias("bal"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.round("c_acctbal", 2).alias("bal"),
+            )
+        )
+    )
+    o = old_snap.alias("o")
+    n = new_snap.alias("n")
+    joined = o.join(n, F.col("n.c_custkey") == F.col("o.c_custkey"), "full_outer")
+    return joined.where(
+        F.col("o.c_custkey").isNull()
+        | F.col("n.c_custkey").isNull()
+        | (F.col("o.bal") != F.col("n.bal"))
+    ).select(
+        F.coalesce(F.col("n.c_custkey"), F.col("o.c_custkey")).alias("c_custkey"),
+        F.when(F.col("o.c_custkey").isNull(), "added")
+        .when(F.col("n.c_custkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("o.bal").alias("old_bal"),
+        F.col("n.bal").alias("new_bal"),
+    )
