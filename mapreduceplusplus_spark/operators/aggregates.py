@@ -481,3 +481,44 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_clicks"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           round(CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0, 1)
+                                                         AS bucket_lo,
+           CAST(count(*) AS BIGINT)                      AS n,
+           round(min(o_totalprice), 2)                   AS bucket_min,
+           round(max(o_totalprice), 2)                   AS bucket_max
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (25k buckets) — the
+    profiling aggregation every column-stats / data-exploration pass
+    runs.  Bucket id is ``floor(x / width)`` — a pure projection, so
+    the whole histogram is ONE hash aggregation with map-side partial
+    combine: at 100 TB the shuffle carries |buckets| rows per task,
+    not data.  (Equi-width is the scan-friendly choice; equi-DEPTH
+    needs quantiles first — see ``agg_approx_quantile``.)"""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000.0).cast("bigint")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * 25000.0, 1).alias("bucket_lo"),
+            "n",
+            "bucket_min",
+            "bucket_max",
+        )
+    )

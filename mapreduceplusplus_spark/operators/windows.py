@@ -497,3 +497,58 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
         F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
     )
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id < 200
+    ),
+    tagged AS (
+      SELECT user_id, d,
+             -- island id: day minus its per-user rank is CONSTANT
+             -- within a run of consecutive days
+             date_diff('day', DATE '1970-01-01', d)
+               - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    )
+    SELECT user_id,
+           strftime(min(d), '%Y-%m-%d')        AS streak_start,
+           strftime(max(d), '%Y-%m-%d')        AS streak_end,
+           CAST(count(*) AS BIGINT)            AS streak_days
+    FROM tagged
+    GROUP BY user_id, grp
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of CONSECUTIVE active days
+    (activity streaks) — the canonical technique for "current streak" /
+    "longest streak" features.  The island id is ``day_number −
+    row_number()``: constant exactly within a consecutive run, strictly
+    monotone across gaps — turning run detection into a plain GROUP BY
+    with no iterative logic.
+
+    Plan: distinct day set (one shuffle, map-side combine), ranking
+    window + island GROUP BY on the same user_id partitioning —
+    Catalyst reuses one exchange for all three.  Integer day
+    arithmetic throughout; nothing float, nothing engine-variant."""
+    ensure_utc(spark)
+    days = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 200)
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    tagged = days.withColumn(
+        "grp",
+        F.datediff("d", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    return tagged.groupBy("user_id", "grp").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+        F.count("*").cast("bigint").alias("streak_days"),
+    ).drop("grp")
