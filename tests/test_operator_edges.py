@@ -383,3 +383,42 @@ def test_decontaminate_drops_contaminated_docs(spark):
     assert 0 < n_kept < n_train  # some contaminated docs were dropped
     # no eval doc leaks into the output
     assert kept.where(F.col("doc_id") % EVAL_MOD == 0).count() == 0
+
+
+def test_e2e_pipeline_shuffle_budget(spark):
+    """pipeline_corpus_end2end promises one full-data shuffle plus a
+    fingerprint-sized micro-shuffle: the physical plan must stay
+    within 3 Exchanges (window + eval-distinct + post-window
+    bookkeeping), broadcast the eval anti-join, and never re-scan per
+    stage."""
+    df = registry.queries()["pipeline_corpus_end2end"](spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 3, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_merge_upsert_single_join(spark):
+    """merge_upsert must plan exactly ONE FullOuter join of target and
+    change set — no per-action re-scans of the target."""
+    df = registry.queries()["merge_upsert"](spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan, plan
+    import re
+    assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)) == 1, plan
+
+
+def test_ngram_prefix_shrinks_postings(spark):
+    """The prefix filter must index strictly fewer postings than the
+    full inverted index (~20% + 1 per doc at t = 0.8) — the structural
+    skew/scale defense the docstring promises."""
+    from mapreduceplusplus_spark.llm.dedup import _doc_shingles
+    from pyspark.sql import functions as F2
+
+    docs = _doc_shingles(spark, SF_DIR_ORACLE)
+    stats = docs.select(
+        F2.sum(F2.size("sh")).alias("full"),
+        F2.sum(
+            F2.size("sh") - F2.expr("(4*size(sh) + 4) div 5") + 1
+        ).alias("prefix"),
+    ).collect()[0]
+    assert stats.prefix < 0.35 * stats.full, (stats.prefix, stats.full)
