@@ -785,3 +785,63 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eval_fp), "bag_fp", "left_anti")
         .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
     )
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest([md5(array_to_string(w[i*20+1 : i*20+20], ' '))
+                     for i in range(0, CAST((len(w) + 19) // 20 AS INT))])
+               AS fp
+      FROM ws WHERE len(w) > 0
+    ),
+    freq AS (SELECT fp, count(*) AS c FROM chunks GROUP BY fp)
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT)                          AS n_chunks,
+           CAST(count(*) FILTER (WHERE f.c > 1) AS BIGINT)   AS n_dup_chunks
+    FROM chunks ch JOIN freq f ON f.fp = ch.fp
+    GROUP BY ch.doc_id
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup statistics — the
+    fine-grained pass production pipelines run AFTER document-level
+    dedup: split every document into consecutive 20-token chunks,
+    fingerprint each, count corpus-wide repeats, and report per
+    document how many of its chunks occur more than once anywhere
+    (boilerplate headers, repeated disclaimers, template text).
+
+    Plan: chunking is a pure projection (``transform(sequence(...))``
+    over the token array → md5 per chunk — no UDF), then one explode +
+    one fingerprint hash-agg + a join back keyed on the 16-byte md5.
+    At 100 TB the shuffled unit is fingerprints (16 B + doc_id), never
+    text; the md5 keyspace is uniform so the agg has no skew by
+    construction.  Outputs are integer counts only — the dup FRACTION
+    is left to the consumer, because a rounded ratio can land on an
+    exact representable tie (1/16 = .0625) where engines' tie-breaking
+    diverges."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    ).where(F.size("w") > 0)
+    nc = F.expr("(size(w) + 19) div 20").cast("int")
+    chunk_fps = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("w", i * 20 + 1, 20))),
+    )
+    chunks = docs.select("doc_id", F.explode(chunk_fps).alias("fp"))
+    freq = chunks.groupBy("fp").agg(F.count("*").alias("c"))
+    return (
+        chunks.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.count(F.when(F.col("c") > 1, 1)).cast("bigint").alias("n_dup_chunks"),
+        )
+    )
