@@ -522,3 +522,50 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_max",
         )
     )
+
+
+@query(
+    "agg_bitmap_segments",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id,
+             bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'purchase' THEN 4 ELSE 8 END) AS segment_bits
+      FROM events WHERE ts < TIMESTAMP '2024-01-03'
+      GROUP BY user_id
+    )
+    SELECT CAST(segment_bits AS INT)     AS segment_bits,
+           CAST(count(*) AS BIGINT)      AS n_users,
+           (segment_bits & 4) <> 0       AS has_purchase
+    FROM flags GROUP BY segment_bits
+    """,
+)
+def agg_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral segmentation via BITWISE AGGREGATION: fold each
+    user's event types into one bitmap with ``bit_or`` (view=1,
+    click=2, purchase=4, other=8), then count users per bitmap — the
+    compact "which behavior combinations exist" rollup that would
+    otherwise take K boolean max() columns and 2^K CASE rows.
+
+    Two map-side-combinable integer hash aggs (bit_or is commutative/
+    associative/idempotent — the ideal combiner), so at 100 TB the
+    event scan shuffles one int per user and the second agg is
+    |bitmaps| ≤ 2^K rows.  All integer — engine-exact."""
+    ensure_utc(spark)
+    # first-two-days slice: over the full year every user hits every
+    # event type and all bitmaps collapse to one; the early window
+    # keeps 15 distinct behavior combinations at sf0.01
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    flag = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .otherwise(8)
+    )
+    flags = ev.groupBy("user_id").agg(F.bit_or(flag).alias("segment_bits"))
+    return flags.groupBy(F.col("segment_bits").cast("int").alias("segment_bits")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.first(F.col("segment_bits").bitwiseAND(F.lit(4)) != 0).alias("has_purchase"),
+    )
