@@ -67,9 +67,9 @@ def test_hostile_config_subset(spark):
     """Config-robustness guard: the external driver owns its
     SparkSession, so results must not depend on OUR defaults.  Re-run a
     plan-shape-sensitive subset with AQE disabled, 5 shuffle
-    partitions, and a non-UTC session timezone (a full 66-oracle sweep
-    under this config passed during development; this subset keeps the
-    guard cheap)."""
+    partitions, and a non-UTC session timezone (a full 98-oracle sweep
+    under this config passed in round 5; this subset keeps the guard
+    cheap)."""
     s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "5")
