@@ -552,3 +552,82 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
         F.count("*").cast("bigint").alias("streak_days"),
     ).drop("grp")
+
+
+@query(
+    "window_anomaly_zscore",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE user_id < 200
+    ),
+    st AS (
+      SELECT user_id, event_id, ts, x,
+             count(*) OVER w          AS n,
+             sum(x)   OVER w          AS sx,
+             sum(x*x) OVER w          AS sxx
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           x / 100.0                             AS value,
+           CAST(n AS BIGINT)                     AS n_window,
+           n >= 8 AND (n*x - sx)*(n*x - sx) > 9 * (n*sxx - sx*sx)
+                                                 AS is_anomaly
+    FROM st
+    """,
+)
+def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag: mark events whose value deviates
+    more than 3 population standard deviations from their trailing
+    20-event window (minimum 8 events of history) — the streaming-
+    telemetry outlier detector, as a pure window plan.
+
+    INTEGER-EXACT throughout: values quantize to cents; the window
+    keeps integer ``Σx`` and ``Σx²``; and the 3σ test compares
+    ``(n·x − Σx)² > 9·(n·Σx² − (Σx)²)`` — the z² inequality cleared
+    of divisions and square roots, so there is no float anywhere and
+    the flag is bitwise identical on any engine and partitioning
+    (bounds: cents ≤ 6e4 ⇒ LHS ≤ ~1.3e12, RHS ≤ ~1.1e13 ≪ 2^63).
+    A constant history (variance 0) flags ANY deviation, by
+    convention.  One shuffle on user_id; frame-bounded state."""
+    ensure_utc(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 200)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    st = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    lhs = (F.col("n") * F.col("x") - F.col("sx")) * (
+        F.col("n") * F.col("x") - F.col("sx")
+    )
+    rhs = 9 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return st.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        (F.col("x") / 100.0).alias("value"),
+        F.col("n").cast("bigint").alias("n_window"),
+        ((F.col("n") >= 8) & (lhs > rhs)).alias("is_anomaly"),
+    )
