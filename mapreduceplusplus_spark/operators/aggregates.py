@@ -569,3 +569,45 @@ def agg_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_users"),
         F.first(F.col("segment_bits").bitwiseAND(F.lit(4)) != 0).alias("has_purchase"),
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                           + c_custkey)  AS richest,
+           arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                           + c_custkey)  AS poorest,
+           round(max(c_acctbal), 2)      AS max_bal,
+           round(min(c_acctbal), 2)      AS min_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregation (``max_by`` / ``min_by``): per
+    nation, WHICH customer holds the extreme balance — the "value of
+    one column at another column's extreme" aggregate that otherwise
+    costs a window + filter pass.
+
+    Determinism: raw ``max_by(x, bal)`` is engine-arbitrary on ties,
+    so the ordering key is a composite encoded into ONE bigint
+    (``cents·10⁷ + custkey`` — exact: cents < 10⁸, custkey < 10⁷),
+    making the winner unique and identical everywhere; the same trick
+    is what DuckDB's scalar-only ``arg_max`` needs anyway.  One
+    map-side-combinable hash agg (max_by's combiner keeps a single
+    (key, value) pair), one shuffle of |groups| rows."""
+    ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * 10000000
+        + F.col("c_custkey")
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.max_by("c_name", key).alias("richest"),
+        F.min_by("c_name", key).alias("poorest"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+    )
