@@ -132,16 +132,16 @@ _PRIORITY_ORDER = [
     # --- bonus slots 47–50: rotate each round across the oracle-bearing
     # tail so driver-side hash evidence accumulates.  Every slot must
     # carry a SQL oracle (a no-oracle query here can only ever produce a
-    # rows-only row — wasted window).  r4 slots (dedup_ngram_jaccard,
-    # dedup_embedding_cosine, text_extras) are already driver-green;
-    # r5 rotates in the round-4 additions + the composed pipeline
-    # (pipeline_corpus_end2end SUBSUMES pipeline_clean_corpus — same
-    # clean stages plus decontaminate + split, so its driver row is
-    # strictly stronger evidence; clean stays locally differentialed).
-    "pipeline_corpus_end2end",
-    "sim_search_knn_join",
-    "dedup_decontaminate",
-    "text_pii_redact",
+    # rows-only row — wasted window).  Driver-green history: r4 =
+    # dedup_ngram_jaccard, dedup_embedding_cosine, text_extras; r5 =
+    # pipeline_corpus_end2end, sim_search_knn_join, dedup_decontaminate,
+    # text_pii_redact.  r6 rotates in four never-driver-checked rows
+    # from the round-5 additions (all stay locally differentialed every
+    # pytest run regardless of slot position).
+    "ts_resample_gapfill",
+    "merge_upsert",
+    "window_funnel",
+    "agg_argmax",
 ]
 
 _loaded = False

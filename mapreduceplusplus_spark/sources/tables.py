@@ -56,11 +56,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
+        from pyspark.errors import AnalysisException
+
         try:
             df = spark.read.parquet(path)
-        except Exception:
-            # TIMESTAMP(NANOS) layout: vectorized reader refused the
-            # schema; re-read with the legacy long-nanos surface.
+        except AnalysisException as exc:
+            # Only the TIMESTAMP(NANOS) schema refusal is retryable;
+            # anything else (missing file, corrupt footer, permissions)
+            # must surface as-is rather than be masked by a session-wide
+            # conf flip and a confusing second failure.
+            msg = str(exc)
+            if "Illegal Parquet type" not in msg and "NANOS" not in msg:
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
         from pyspark.sql.types import LongType, TimestampNTZType

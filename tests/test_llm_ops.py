@@ -244,7 +244,10 @@ def test_ngram_prefix_losslessness_adversarial(spark):
     - 1- and 2-shingle documents (prefix length clamps to 1);
     - identical documents (Jaccard exactly 1.0);
     - a pair at exactly the 0.8 threshold (|a∩b|=8, |a|=|b|=9 → 8/10);
-    - a pair just UNDER threshold (7/9 shared → ~0.778, must be absent);
+    - a clearly-below pair (|a|=|b|=9 sharing 7 → 7/11 ≈ 0.636, absent);
+    - a pair JUST under threshold (|a|=|b|=44 sharing 39 → 39/49 ≈
+      0.7959, must be absent — the tightest integer gap near 0.8 at
+      this size, so an off-by-one in the ceiling arithmetic flips it);
     - prefix lengths where float ceil(0.8*n) rounds the wrong way
       (n = 45: exact ceil is 36, float computes 37);
     - many documents sharing one hot shingle (df-order tail) with no
@@ -278,6 +281,13 @@ def test_ngram_prefix_losslessness_adversarial(spark):
             3: g("t", 7) + ["c x", "c y"],
             4: g("t", 7) + ["d x", "d y"],
         },
+        "just_under_threshold": {
+            # |a|=|b|=44, share 39 → J = 39/49 ≈ 0.7959: the closest an
+            # equal-size integer pair gets to 0.8 from below at this
+            # size — must NOT appear (share 40 would be 40/48 ≈ 0.833)
+            1: g("n", 39) + [f"a{j} x" for j in range(5)],
+            2: g("n", 39) + [f"b{j} x" for j in range(5)],
+        },
         "float_ceil_n45": {
             # n=45 each, share 41 → J = 41/49 ≈ 0.837 ≥ 0.8.  With the
             # float-ceil bug the prefix would be 45-37+1=9 instead of
@@ -300,3 +310,5 @@ def test_ngram_prefix_losslessness_adversarial(spark):
     thr = pairs(_ngram_pairs(mk(corpora["exact_threshold"]), prefix=True))
     assert (1, 2, 0.8) in thr, "exact-0.8 pair must be reported"
     assert not any(a == 3 and b == 4 for a, b, _ in thr), "sub-threshold pair leaked"
+    near = pairs(_ngram_pairs(mk(corpora["just_under_threshold"]), prefix=True))
+    assert near == [], f"0.7959 pair leaked past the 0.8 threshold: {near}"

@@ -43,6 +43,21 @@ def test_contract_queries_inside_driver_window():
     assert not unknown, f"_PRIORITY_ORDER names not registered: {unknown}"
 
 
+def test_readme_query_count_matches_registry():
+    """ADVICE r5: the README's surface count drifted (94 vs 112).  Pin
+    it to the registry so it can never drift again."""
+    import pathlib
+    import re
+
+    readme = pathlib.Path(__file__).parent.parent / "README.md"
+    m = re.search(r"(\d+) registered queries", readme.read_text())
+    assert m, "README no longer states the registered-query count"
+    assert int(m.group(1)) == len(registry.queries()), (
+        f"README says {m.group(1)} queries, registry has "
+        f"{len(registry.queries())} — update README.md"
+    )
+
+
 def test_all_queries_return_rows(spark):
     """Rows-only smoke for every registered query (incl. oracle-less) —
     the driver's entry() contract is rows > 0, so empty results fail."""
