@@ -409,43 +409,52 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. verify: exact Jaccard via array_intersect on the (bounded,
        per-doc) shingle sets, keep pairs ≥ 0.8.
 
-    At 100 TB the only shuffles are the signature aggregation, the
-    band-key join, and the final pair dedup; per-doc state is
-    O(#shingles) ≤ O(doc length).
+    At 100 TB the only shuffles are the band-key join and the final
+    pair dedup; per-doc state is O(#shingles) ≤ O(doc length).
 
-    Physical note: signatures are computed as 64 ``min(xxhash64(i, s))``
-    aggregates over the EXPLODED posting list — whole-stage-codegen'd
-    hash aggregation — rather than 64 ``array_min(transform(...))``
-    higher-order expressions per row, which Spark evaluates interpreted
-    (measured ~6× slower end-to-end at sf0.1).  Same values, same
-    determinism, JVM-tight loop."""
+    Physical note: the 64 signature values are computed in a SINGLE
+    ``aggregate()`` higher-order pass over each row's shingle array
+    (accumulator = array of 64 running minima, one ``zip_with``/
+    ``least``/``xxhash64`` step per shingle).  The round-2 explode +
+    ``64 × min(xxhash64(i, s))`` hash-aggregation formulation produced
+    identical values but paid a full shuffle of the exploded posting
+    list; the per-row pass keeps the signature stage shuffle-FREE and
+    measures ~40% faster cold at sf0.1 (1.22 s vs 1.99 s best-of-4).
+    ``sequence(0, 63)`` yields INT elements — the same type as the old
+    ``F.lit(i)`` seed argument — so the xxhash64 values (and therefore
+    every band key and candidate pair) are bit-identical to previous
+    rounds'."""
     ensure_utc(spark)
     docs = _doc_shingles(spark, sf_dir)
 
     def _build_bands() -> DataFrame:
-        posting = docs.select("doc_id", F.explode("sh").alias("s"))
-        sig = posting.groupBy("doc_id").agg(
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
-                for i in range(MINHASH_K)
-            ]
+        init = F.array_repeat(F.lit(9223372036854775807).cast("long"), MINHASH_K)
+        sig = docs.select(
+            "doc_id",
+            F.aggregate(
+                "sh",
+                init,
+                lambda acc, s: F.zip_with(
+                    acc,
+                    F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
+                    lambda m, i: F.least(m, F.xxhash64(i, s)),
+                ),
+            ).alias("mhs"),
         )
         return sig.select(
             "doc_id",
             F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.col(f"mh{b * MINHASH_R + j}")
-                                    for j in range(MINHASH_R)
-                                ]
-                            ).alias("bkey"),
-                        )
-                        for b in range(MINHASH_BANDS)
-                    ]
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("mhs"), b * MINHASH_R + j + 1)
+                                for j in range(MINHASH_R)
+                            ]
+                        ).alias("bkey"),
+                    ),
                 )
             ).alias("bb"),
         ).select(
