@@ -1,5 +1,6 @@
 """Multimodal-column operators (SURVEY.md §2.B row ``multimodal_columns``
-+ charter extension ``multimodal_decode_stub``).
++ charter extensions ``multimodal_decode`` / resize / features /
+frame-sample).
 
 North-star contract: image/audio/video are opaque ``binary`` columns
 with typed metadata travelling beside them.  Two tiers:
@@ -9,21 +10,29 @@ with typed metadata travelling beside them.  Two tiers:
   join + filter, and projected back out to flat scalars (what the
   DuckDB oracle can check).  Nested columns are first-class in
   Parquet + Tungsten; nothing here leaves the JVM.
-- ``multimodal_decode_stub`` — the Python-side decode path: binary
-  payload → ``mapInPandas`` batch decoder → typed metadata struct.
-  The real decoder (PIL/ffmpeg/torchaudio) is NOT in this container,
-  so the decode is a clearly-marked deterministic fake; the Spark
-  plumbing — binary column, Arrow batch transfer, output schema,
-  partition-preserving narrow execution — is real and is what the
-  operator contract tests.  At 100 TB the decode is the textbook
-  ``mapInPandas`` use case: per-batch Python, no shuffle, scales with
-  input splits.
+- the decode family — the Python-side pixel path, implemented as a REAL
+  dependency-free codec: payloads are PPM (P6) images — a genuinely
+  self-describing public format (header ``P6\\n<w> <h>\\n<maxval>\\n``
+  followed by the RGB raster) — parsed and processed with pure numpy.
+  No PIL/ffmpeg needed: decode reads the header and computes true
+  per-channel pixel statistics from the raster; resize is true
+  nearest-neighbor resampling re-encoded to P6; feature-extract is a
+  16-dim vector of real pixel statistics.  Because the driver fixtures
+  carry text (not images), each registered query first runs the
+  ``encode_ppm`` stage, which deterministically renders a document's
+  bytes into a P6 payload — so the decode stages exercise the identical
+  parse-real-bytes path they would on disk-resident images.  At 100 TB
+  every stage is the textbook ``mapInPandas`` shape: per-batch Python,
+  Arrow both ways, no shuffle, scales with input splits.  Swapping the
+  codec body for PIL/ffmpeg changes none of the Spark plumbing.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,63 +97,146 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: output schema of the (stubbed) decoder — the real contract a PIL/
-#: ffmpeg-backed implementation would fill
+# --------------------------------------------------------------------------
+# PPM (P6) codec — pure numpy, no image libraries.
+# --------------------------------------------------------------------------
+
+#: fixed raster width of encoder-produced images (bytes render 3-per-
+#: pixel, row-major, zero-padded to a full w×h raster)
+PPM_W = 16
+
+#: header parser: ``P6`` magic, width, height, maxval, one whitespace,
+#: then the binary raster.  (Comments — ``#`` lines — are legal PPM but
+#: never produced by our encoder; payloads carrying them simply decode
+#: as ok=False, the same contract as any foreign/corrupt payload.)
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def ppm_encode(data: bytes, width: int = PPM_W) -> bytes:
+    """Render raw bytes as a P6 image: 3 bytes per RGB pixel, row-major
+    at fixed ``width``, zero-padded to the last full row.  Deterministic
+    and self-describing — the decoder recovers dims from the header and
+    the leading ``len(data)`` raster bytes are the input verbatim."""
+    n_px = max(1, -(-len(data) // 3))
+    h = max(1, -(-n_px // width))
+    raster = data.ljust(width * h * 3, b"\x00")
+    return b"P6\n%d %d\n255\n" % (width, h) + raster
+
+
+def ppm_decode(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Parse one P6 image → (width, height, h×w×3 uint8 array), or
+    ``None`` when the payload is not a complete P6 image."""
+    m = _PPM_HEADER.match(payload)
+    if not m:
+        return None
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    raster = np.frombuffer(payload, dtype=np.uint8, offset=m.end())
+    if raster.size < w * h * 3:
+        return None
+    return w, h, raster[: w * h * 3].reshape(h, w, 3)
+
+
+def _ppm_frames(payload: bytes) -> list[bytes]:
+    """Split a document's bytes into its deterministic multi-frame
+    'video': F = (len % 4) + 1 near-equal chunks, each encoded P6 and
+    concatenated.  Purely a fixture-side container builder (real videos
+    arrive as real containers); the SAMPLER below does real parsing."""
+    n = len(payload)
+    f = n % 4 + 1
+    step = -(-n // f) if n else 1
+    return [ppm_encode(payload[i * step : (i + 1) * step]) for i in range(f)]
+
+
+def _encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": pdf["payload"].map(ppm_encode)}
+        )
+
+
+def encode_ppm(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, raw bytes) → (doc_id, P6 image payload).  Narrow Arrow
+    ``mapInPandas`` — the fixture-to-image bridge each registered query
+    runs so the decode stages parse genuine image bytes."""
+    return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
+        _encode_batch, schema="doc_id bigint, payload binary"
+    )
+
+
+#: decoder output: real header fields + true per-channel pixel means
 DECODE_SCHEMA = (
-    "doc_id bigint, n_bytes bigint, format string, width int, height int, ok boolean"
+    "doc_id bigint, n_bytes bigint, format string, width int, height int, "
+    "ok boolean, mean_r double, mean_g double, mean_b double"
 )
 
 
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched fake decoder.  DETERMINISTIC STUB: derives
-    metadata from the payload length/first byte instead of decoding —
-    the container has no image/audio libraries.  A real implementation
-    replaces ONLY the body marked below; schema, batching, and
-    distribution are already production-shaped."""
+    """Arrow-batched REAL decoder: parses the P6 header, validates the
+    raster, and computes true per-channel means from the pixels.
+    Foreign/corrupt payloads yield ok=False with null metadata instead
+    of failing the task — at 100 TB a poisoned payload must never kill
+    a 10k-row batch."""
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
-        first = payloads.map(lambda b: b[0] if len(b) else 0)
-        # --- real decode goes here (PIL.Image.open etc.); stub: ---
-        out = pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes,
-                "format": first.map(lambda x: ["png", "jpeg", "webp"][x % 3]),
-                "width": (n_bytes % 640 + 16).astype("int32"),
-                "height": (first * 7 % 480 + 16).astype("int32"),
-                "ok": n_bytes > 0,
-            }
-        )
+        rows = {k: [] for k in (
+            "doc_id", "n_bytes", "format", "width", "height",
+            "ok", "mean_r", "mean_g", "mean_b",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(payload))
+            img = ppm_decode(payload)
+            if img is None:
+                rows["format"].append(None)
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["ok"].append(False)
+                rows["mean_r"].append(None)
+                rows["mean_g"].append(None)
+                rows["mean_b"].append(None)
+                continue
+            w, h, px = img
+            means = px.reshape(-1, 3).mean(axis=0)
+            rows["format"].append("ppm")
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["ok"].append(True)
+            rows["mean_r"].append(round(float(means[0]), 3))
+            rows["mean_g"].append(round(float(means[1]), 3))
+            rows["mean_b"].append(round(float(means[2]), 3))
+        out = pd.DataFrame(rows)
+        out["width"] = out["width"].astype("Int32")
+        out["height"] = out["height"].astype("Int32")
         yield out
 
 
 def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Public decode operator: (doc_id, payload binary) → typed
-    metadata.  Narrow ``mapInPandas`` — no shuffle, one Python worker
-    per input split, Arrow both ways."""
+    metadata + real pixel statistics.  Narrow ``mapInPandas`` — no
+    shuffle, one Python worker per input split, Arrow both ways."""
     return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
         _decode_batch, schema=DECODE_SCHEMA
     )
 
 
-@query("multimodal_decode_stub")  # no SQL oracle: the decode is a
-# Python mapInPandas stage; determinism + formula pinned by
-# tests/test_llm_ops.py
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode pipeline on the documents fixture: text
-    bytes stand in for an image payload (``cast(text AS BINARY)``),
-    flowing through the Arrow decode stage.  Returns one metadata row
-    per document."""
+@query("multimodal_decode")  # no SQL oracle: the decode is a Python
+# mapInPandas stage; header fields + pixel means are pinned exactly by
+# tests/test_llm_ops.py against an independent reimplementation
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline on the documents fixture: document
+    bytes are rendered to real P6 images by ``encode_ppm``, then the
+    REAL decoder parses headers and computes per-channel pixel means.
+    One metadata row per document."""
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return decode_images(docs)
+    return decode_images(encode_ppm(docs))
 
 
-#: output schema of the (stubbed) frame sampler: one row PER SAMPLED
-#: FRAME — the 1→N batch shape a video pipeline needs
+#: frame-sampler output: one row PER FRAME — the 1→N batch shape a
+#: video pipeline needs
 FRAME_SCHEMA = (
     "doc_id bigint, frame_idx int, ts_ms bigint, frame_bytes bigint, "
     "width int, height int"
@@ -152,31 +244,41 @@ FRAME_SCHEMA = (
 
 
 def _sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched fake frame sampler.  DETERMINISTIC STUB (no ffmpeg
-    in the container): frame count / size / dims derive from payload
-    bytes.  The REAL contract demonstrated: one input row fans out to
-    N output rows inside a single Arrow batch (generator/UDTF shape in
-    pandas), no shuffle, output row count data-dependent."""
+    """Arrow-batched REAL frame walker: a 'video' payload is a
+    concatenation of P6 frames; the sampler repeatedly parses a header,
+    measures that frame (header + w·h·3 raster bytes), emits one typed
+    row, and advances — data-dependent 1→N fan-out inside one Arrow
+    batch, no shuffle.  Trailing garbage / truncated frames terminate
+    the walk cleanly (partial frames are not emitted)."""
     for pdf in batches:
-        out = {k: [] for k in ("doc_id", "frame_idx", "ts_ms", "frame_bytes", "width", "height")}
+        out = {k: [] for k in (
+            "doc_id", "frame_idx", "ts_ms", "frame_bytes", "width", "height"
+        )}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n = len(payload)
-            # --- real decode+sample goes here (ffmpeg keyframes); stub: ---
-            n_frames = n % 5 + 1          # "video length" from payload
-            for i in range(n_frames):
+            off, idx = 0, 0
+            while off < len(payload):
+                m = _PPM_HEADER.match(payload[off : off + 64])
+                if not m:
+                    break
+                w, h = int(m.group(1)), int(m.group(2))
+                size = m.end() + w * h * 3
+                if off + size > len(payload):
+                    break
                 out["doc_id"].append(doc_id)
-                out["frame_idx"].append(i)
-                out["ts_ms"].append(i * 1000)
-                out["frame_bytes"].append(max(n - i, 0))
-                out["width"].append(n % 640 + 16)
-                out["height"].append((payload[0] if n else 0) * 7 % 480 + 16)
+                out["frame_idx"].append(idx)
+                out["ts_ms"].append(idx * 1000)
+                out["frame_bytes"].append(size)
+                out["width"].append(w)
+                out["height"].append(h)
+                off += size
+                idx += 1
         yield pd.DataFrame(out)
 
 
 def sample_frames(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Public frame-sampling operator: (doc_id, payload binary) → one
-    typed row per sampled frame.  Narrow ``mapInPandas`` (1→N inside
-    the batch): at 100 TB this is the correct shape for frame
+    """Public frame-sampling operator: (doc_id, multi-frame payload) →
+    one typed row per contained frame.  Narrow ``mapInPandas`` (1→N
+    inside the batch): at 100 TB this is the correct shape for frame
     extraction — parallel per input split, output volume scales with
     frames sampled, never a shuffle."""
     return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
@@ -184,19 +286,34 @@ def sample_frames(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def _frame_container_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["payload"].map(lambda b: b"".join(_ppm_frames(b))),
+            }
+        )
+
+
 @query("multimodal_frame_sample")  # no SQL oracle: Python mapInPandas
-# stage; determinism + fan-out formula pinned by tests/test_llm_ops.py
+# stage; per-frame parse + fan-out pinned by tests/test_llm_ops.py
+# against an independent reimplementation
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling pipeline on the documents fixture (text bytes
-    stand in for a video payload), aggregated per document so the
-    result is compact: frame count, total frame bytes, first/last
-    frame timestamps.  Exercises the full 1→N Arrow path plus a
-    downstream shuffle over the fanned-out rows."""
+    """Frame-sampling pipeline on the documents fixture: document bytes
+    become a real multi-frame P6 container, the REAL frame walker
+    parses every frame header, and the fanned-out rows aggregate back
+    per document: frame count, total frame bytes, first/last frame
+    timestamps.  Exercises the full 1→N Arrow path plus a downstream
+    shuffle over the fanned-out rows."""
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    frames = sample_frames(docs)
+    container = docs.mapInPandas(
+        _frame_container_batch, schema="doc_id bigint, payload binary"
+    )
+    frames = sample_frames(container)
     return frames.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_frames"),
         F.sum("frame_bytes").cast("bigint").alias("total_frame_bytes"),
@@ -209,33 +326,36 @@ RESIZE_SCHEMA = (
     "doc_id bigint, payload binary, width int, height int, orig_bytes bigint"
 )
 FEATURE_DIM = 16
-FEATURE_SCHEMA = f"doc_id bigint, feature array<float>"
+FEATURE_SCHEMA = "doc_id bigint, feature array<float>"
 
 
 def _resize_batch(target_w: int, target_h: int):
-    """Factory for the Arrow-batched fake resizer.  DETERMINISTIC STUB
-    (no PIL): 'resizes' by truncating the payload proportionally to the
-    pixel-count ratio — a real implementation swaps ONLY the marked
-    body; the binary-in/binary-out schema and batching are the real
-    contract (resize is the canonical pre-training image normalization
-    stage)."""
+    """Factory for the Arrow-batched REAL resizer: decode P6 →
+    nearest-neighbor resample to (target_w, target_h) via numpy index
+    arithmetic → re-encode P6.  Undecodable payloads yield an all-black
+    target-size frame (ok-shaped output keeps downstream stages total;
+    the decode query is where corrupt payloads get flagged)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resize(payload: bytes) -> bytes:
+            img = ppm_decode(payload)
+            if img is None:
+                px = np.zeros((target_h, target_w, 3), dtype=np.uint8)
+            else:
+                w, h, src = img
+                yi = (np.arange(target_h) * h) // target_h
+                xi = (np.arange(target_w) * w) // target_w
+                px = src[yi][:, xi]
+            return b"P6\n%d %d\n255\n" % (target_w, target_h) + px.tobytes()
+
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
-            # --- real decode→resize→encode goes here (PIL); stub: ---
-            src_px = (n_bytes % 640 + 16) * (n_bytes % 480 + 16)
-            ratio = (target_w * target_h) / src_px
-            keep = (n_bytes * ratio.clip(upper=1.0)).astype("int64").clip(lower=1)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": [
-                        p[:k] for p, k in zip(pdf["payload"], keep)
-                    ],
+                    "payload": pdf["payload"].map(resize),
                     "width": target_w,
                     "height": target_h,
-                    "orig_bytes": n_bytes,
+                    "orig_bytes": pdf["payload"].map(len),
                 }
             )
 
@@ -245,38 +365,50 @@ def _resize_batch(target_w: int, target_h: int):
 def resize_images(
     df: DataFrame, target_w: int = 224, target_h: int = 224, payload_col: str = "payload"
 ) -> DataFrame:
-    """Public resize operator: (doc_id, payload binary) → resized
-    payload + new dims.  Narrow ``mapInPandas``, binary in/binary out —
-    at scale this runs decode→resize→re-encode per Arrow batch with no
-    shuffle."""
+    """Public resize operator: (doc_id, P6 payload) → nearest-neighbor
+    resized P6 payload + new dims.  Narrow ``mapInPandas``, binary
+    in/binary out — decode→resample→re-encode per Arrow batch with no
+    shuffle (the canonical pre-training image normalization stage)."""
     return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
         _resize_batch(target_w, target_h), schema=RESIZE_SCHEMA
     )
 
 
 def _feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched fake feature extractor.  DETERMINISTIC STUB (no
-    torch/onnx): emits a FEATURE_DIM vector derived from payload byte
-    statistics; a real encoder (CLIP/ViT) replaces ONLY the marked
-    body.  The array<float> output column is exactly what the
+    """Arrow-batched REAL feature extractor: decode P6 and emit a
+    16-dim vector of true pixel statistics — per-channel means and
+    standard deviations (scaled to [0,1]), an 8-bin luminance
+    histogram (fractions), log10 pixel count, and aspect ratio — then
+    L2-normalize.  A learned encoder (CLIP/ViT) would replace only this
+    statistics body; the array<float> output column is exactly what the
     similarity-search operators consume downstream."""
-    import numpy as np
-
     for pdf in batches:
         feats = []
         for p in pdf["payload"]:
-            # --- real model forward pass goes here; stub: ---
-            arr = np.frombuffer(p[: FEATURE_DIM * 4], dtype=np.uint8)
-            v = np.zeros(FEATURE_DIM, dtype=np.float32)
-            v[: min(FEATURE_DIM, len(arr))] = arr[:FEATURE_DIM]
+            img = ppm_decode(p)
+            if img is None:
+                feats.append([0.0] * FEATURE_DIM)
+                continue
+            w, h, px = img
+            flat = px.reshape(-1, 3).astype(np.float64)
+            lum = flat @ np.array([0.299, 0.587, 0.114])
+            hist = np.histogram(lum, bins=8, range=(0.0, 256.0))[0]
+            v = np.concatenate(
+                [
+                    flat.mean(axis=0) / 255.0,
+                    flat.std(axis=0) / 255.0,
+                    hist / len(lum),
+                    [np.log10(w * h), w / h],
+                ]
+            )
             nrm = float(np.linalg.norm(v))
-            feats.append((v / nrm if nrm else v).tolist())
+            feats.append((v / nrm if nrm else v).astype(np.float32).tolist())
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Public feature-extraction operator: (doc_id, payload binary) →
-    unit-norm ``array<float>`` embedding (stub body).  Completes the
+    """Public feature-extraction operator: (doc_id, P6 payload) →
+    unit-norm ``array<float>`` of real pixel statistics.  Completes the
     multimodal pipeline: decode → resize → feature-extract feeds the
     embedding dedup/similarity operators in ``llm/dedup.py`` /
     ``llm/similarity.py``."""
@@ -286,17 +418,17 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 @query("multimodal_resize")  # no SQL oracle: Python mapInPandas stage;
-# proportional-truncation formula + dims pinned by tests/test_llm_ops.py
+# nearest-neighbor pixel values pinned by tests/test_llm_ops.py
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of ``resize_images`` on the documents fixture
-    (text bytes as payload): binary→binary Arrow ``mapInPandas``
-    resize to 224×224, surfaced as (doc_id, dims, payload size + md5)
+    (bytes rendered to P6 by ``encode_ppm``): real nearest-neighbor
+    resample to 224×224, surfaced as (doc_id, dims, payload size + md5)
     so the result is hashable and deterministic."""
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    out = resize_images(docs)
+    out = resize_images(encode_ppm(docs))
     return out.select(
         "doc_id",
         "width",
@@ -307,17 +439,18 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("multimodal_features")  # no SQL oracle: Python mapInPandas stage;
-# unit-norm + byte-statistics formula pinned by tests/test_llm_ops.py
+# pixel-statistics vector pinned by tests/test_llm_ops.py against an
+# independent reimplementation
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered form of ``extract_features``: binary payload →
-    unit-norm ``array<float>`` embedding (stub body, real Arrow
-    plumbing), surfaced as (doc_id, dim, norm, head values) — the
-    column shape the similarity/dedup operators consume."""
+    """Registered form of ``extract_features``: P6 payload → unit-norm
+    ``array<float>`` of real pixel statistics, surfaced as (doc_id,
+    dim, norm, first value) — the column shape the similarity/dedup
+    operators consume."""
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    out = extract_features(docs)
+    out = extract_features(encode_ppm(docs))
     norm = F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x))
     return out.select(
         "doc_id",

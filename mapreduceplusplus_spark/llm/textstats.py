@@ -491,7 +491,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle, whole-stage codegen, the same shape as every other
     textstats operator.  Real-world extension: swap the regex set for a
     vectorized NER model behind ``mapInPandas`` (same plumbing as
-    ``multimodal_decode_stub``)."""
+    ``multimodal_decode``)."""
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     aug = F.concat(

@@ -85,23 +85,57 @@ def test_lsh_topk_subset_of_exact_scores(spark):
     assert ranks == list(range(1, len(lsh) + 1))
 
 
-def test_decode_stub_formula(spark):
-    """The fake decoder is a placeholder for PIL/ffmpeg, but its
-    plumbing contract is real: deterministic per-payload metadata,
-    one output row per input row, Arrow-batched."""
+def test_decode_real_ppm_pixels(spark):
+    """The decoder is a REAL P6 parser: header dims and per-channel
+    pixel means must match an independent numpy reimplementation of the
+    PPM spec (header text parse + raster mean), one row per input row,
+    Arrow-batched."""
+    import numpy as np
+
+    from mapreduceplusplus_spark.llm.multimodal import PPM_W
+
     qs = registry.queries()
-    out = {r.doc_id: r for r in qs["multimodal_decode_stub"](spark, SF_DIR_ORACLE).collect()}
+    out = {r.doc_id: r for r in qs["multimodal_decode"](spark, SF_DIR_ORACLE).collect()}
     from mapreduceplusplus_spark.sources.tables import load_table
 
     docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text").collect()
     assert len(out) == len(docs)
     for d in docs[:50]:
-        payload = d.text.encode("utf-8")
+        data = d.text.encode("utf-8")
+        # independent expectation: ceil-divide layout + zero padding
+        n_px = max(1, (len(data) + 2) // 3)
+        exp_h = max(1, (n_px + PPM_W - 1) // PPM_W)
+        raster = np.frombuffer(
+            data + b"\x00" * (PPM_W * exp_h * 3 - len(data)), dtype=np.uint8
+        ).reshape(-1, 3)
         r = out[d.doc_id]
-        assert r.n_bytes == len(payload)
-        assert r.format == ["png", "jpeg", "webp"][payload[0] % 3]
-        assert r.width == len(payload) % 640 + 16
-        assert r.ok is True
+        assert r.ok is True and r.format == "ppm"
+        assert (r.width, r.height) == (PPM_W, exp_h)
+        header = b"P6\n%d %d\n255\n" % (PPM_W, exp_h)
+        assert r.n_bytes == len(header) + PPM_W * exp_h * 3
+        assert r.mean_r == round(float(raster[:, 0].mean()), 3)
+        assert r.mean_g == round(float(raster[:, 1].mean()), 3)
+        assert r.mean_b == round(float(raster[:, 2].mean()), 3)
+
+
+def test_decode_rejects_foreign_payloads(spark):
+    """Corrupt/non-PPM payloads must yield ok=False rows, not task
+    failures — a poisoned payload can't kill a batch at scale."""
+    from mapreduceplusplus_spark.llm.multimodal import decode_images
+
+    df = spark.createDataFrame(
+        [
+            (1, b"not an image at all"),
+            (2, b"P6\n4 4\n255\n\x01\x02"),  # truncated raster
+            (3, b"P6\n2 1\n255\n" + bytes(6)),  # valid 2x1 black
+        ],
+        "doc_id: bigint, payload: binary",
+    )
+    rows = {r.doc_id: r for r in decode_images(df).collect()}
+    assert rows[1].ok is False and rows[1].width is None
+    assert rows[2].ok is False
+    assert rows[3].ok is True and (rows[3].width, rows[3].height) == (2, 1)
+    assert rows[3].mean_r == 0.0
 
 
 def test_fingerprint_matches_hashlib(spark):
@@ -154,10 +188,13 @@ def test_ivf_topk_scores_and_recall(spark):
     assert recall >= 0.5, f"ivf recall {recall:.2f}"
 
 
-def test_frame_sample_fanout_formula(spark):
-    """The fake frame sampler is a placeholder for ffmpeg, but the 1→N
-    Arrow fan-out contract is real: n%5+1 frames per doc, millisecond
-    timestamps, monotone frame sizes."""
+def test_frame_sample_real_container_walk(spark):
+    """The frame sampler REALLY parses a concatenation of P6 frames:
+    per-doc frame count, timestamps, and total bytes must match an
+    independent walk of the same container built here from the raw
+    document bytes."""
+    from mapreduceplusplus_spark.llm.multimodal import _ppm_frames
+
     qs = registry.queries()
     out = {r.doc_id: r for r in qs["multimodal_frame_sample"](spark, SF_DIR_ORACLE).collect()}
     from mapreduceplusplus_spark.sources.tables import load_table
@@ -165,44 +202,92 @@ def test_frame_sample_fanout_formula(spark):
     docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text").collect()
     assert len(out) == len(docs)
     for d in docs[:50]:
-        n = len(d.text.encode("utf-8"))
-        exp_frames = n % 5 + 1
+        frames = _ppm_frames(d.text.encode("utf-8"))
         r = out[d.doc_id]
-        assert r.n_frames == exp_frames
-        assert r.first_ts_ms == 0 and r.last_ts_ms == (exp_frames - 1) * 1000
-        assert r.total_frame_bytes == sum(max(n - i, 0) for i in range(exp_frames))
+        assert r.n_frames == len(frames)
+        assert r.first_ts_ms == 0 and r.last_ts_ms == (len(frames) - 1) * 1000
+        assert r.total_frame_bytes == sum(len(f) for f in frames)
 
 
-def test_resize_and_feature_stub_contracts(spark):
-    """Resize: binary in/binary out, payload never grows, target dims
-    stamped.  Feature-extract: unit-norm array<float> of FEATURE_DIM.
-    Both are narrow Arrow stages feeding the similarity operators."""
-    import math
+def test_frame_sampler_stops_at_garbage(spark):
+    """A container with trailing garbage or a truncated final frame
+    yields exactly the complete leading frames."""
+    from mapreduceplusplus_spark.llm.multimodal import ppm_encode, sample_frames
+
+    good = ppm_encode(b"hello world, enough bytes here")
+    df = spark.createDataFrame(
+        [
+            (1, good + b"GARBAGE TRAILER"),
+            (2, good + good[: len(good) // 2]),  # truncated 2nd frame
+            (3, good + good),
+        ],
+        "doc_id: bigint, payload: binary",
+    )
+    counts = {
+        r.doc_id: r.cnt
+        for r in sample_frames(df).groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert counts == {1: 1, 2: 1, 3: 2}
+
+
+def test_resize_exact_nearest_neighbor_pixels(spark):
+    """Resize is REAL nearest-neighbor resampling: on a hand-built 2×2
+    image upscaled to 4×4, every output pixel must equal the source
+    pixel the floor-index rule selects, and the output must be a valid
+    P6 the decoder round-trips."""
+    from mapreduceplusplus_spark.llm.multimodal import ppm_decode, resize_images
+
+    # 2×2 image with 4 distinct solid pixels
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    raster = b"".join(bytes(p) for p in px)
+    df = spark.createDataFrame(
+        [(1, b"P6\n2 2\n255\n" + raster)], "doc_id: bigint, payload: binary"
+    )
+    row = resize_images(df, 4, 4).collect()[0]
+    assert (row.width, row.height, row.orig_bytes) == (4, 4, 11 + 12)
+    w, h, out = ppm_decode(bytes(row.payload))
+    assert (w, h) == (4, 4)
+    # nearest-neighbor with yi = floor(y*2/4): rows 0,1 -> src 0; 2,3 -> src 1
+    for y in range(4):
+        for x in range(4):
+            assert tuple(out[y, x]) == px[(y // 2) * 2 + (x // 2)], (y, x)
+
+
+def test_feature_vector_real_pixel_statistics(spark):
+    """Feature-extract computes REAL pixel statistics: the 16-dim
+    vector (channel means/stds, 8-bin luminance histogram, log-pixel-
+    count, aspect) must match an independent numpy computation on the
+    same decoded raster, unit-normalized."""
+    import numpy as np
 
     from mapreduceplusplus_spark.llm.multimodal import (
         FEATURE_DIM,
         extract_features,
-        resize_images,
+        ppm_encode,
     )
-    from mapreduceplusplus_spark.sources.tables import load_table
 
-    docs = (
-        load_table(spark, SF_DIR_ORACLE, "documents")
-        .select("doc_id", F.col("text").cast("binary").alias("payload"))
-        .limit(50)
+    data = bytes(range(256)) * 3
+    df = spark.createDataFrame([(1, ppm_encode(data))], "doc_id: bigint, payload: binary")
+    row = extract_features(df).collect()[0]
+    assert len(row.feature) == FEATURE_DIM
+
+    n_px = (len(data) + 2) // 3
+    h = (n_px + 15) // 16
+    flat = np.frombuffer(
+        data + b"\x00" * (16 * h * 3 - len(data)), dtype=np.uint8
+    ).reshape(-1, 3).astype(np.float64)
+    lum = flat @ np.array([0.299, 0.587, 0.114])
+    v = np.concatenate(
+        [
+            flat.mean(axis=0) / 255.0,
+            flat.std(axis=0) / 255.0,
+            np.histogram(lum, bins=8, range=(0.0, 256.0))[0] / len(lum),
+            [np.log10(16 * h), 16 / h],
+        ]
     )
-    rs = resize_images(docs, 224, 224).collect()
-    assert len(rs) == 50
-    for r in rs:
-        assert r.width == 224 and r.height == 224
-        assert 1 <= len(r.payload) <= r.orig_bytes
-
-    fe = extract_features(docs).collect()
-    assert len(fe) == 50
-    for r in fe:
-        assert len(r.feature) == FEATURE_DIM
-        nrm = math.sqrt(sum(x * x for x in r.feature))
-        assert abs(nrm - 1.0) < 1e-5 or nrm == 0.0
+    v = (v / np.linalg.norm(v)).astype(np.float32)
+    assert np.allclose(np.array(row.feature, dtype=np.float32), v, atol=1e-6)
+    assert abs(float(np.linalg.norm(row.feature)) - 1.0) < 1e-5
 
 
 def test_stratified_sample_rates_and_determinism(spark):
