@@ -13,6 +13,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "hostile: full 100-oracle sweep under a hostile Spark config "
+        "(AQE off, 5 shuffle partitions, non-UTC timezone) — opt-in via "
+        "`-m hostile`, run once per round before BENCH; the every-run "
+        "guard is the cheap 8-query subset in test_oracle_differential",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("-m"):
+        return  # explicit marker expression given — respect it
+    skip = pytest.mark.skip(reason="opt-in: run with -m hostile")
+    for item in items:
+        if "hostile" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="mrpp-tests", cpus=8, shuffle_partitions=8)
