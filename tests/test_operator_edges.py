@@ -422,3 +422,71 @@ def test_ngram_prefix_shrinks_postings(spark):
         ).alias("prefix"),
     ).collect()[0]
     assert stats.prefix < 0.35 * stats.full, (stats.prefix, stats.full)
+
+
+def test_aqe_skew_join_splits_and_agrees(spark):
+    """VERDICT r5 stretch: AQE skew-join splitting, demonstrated and
+    result-pinned.  A planted hot key (50% of a 120k-row fact side on
+    key 1) is joined under AQE with aggressive skew thresholds; the
+    test asserts (a) the executed plan really split the skewed
+    partition (``skew=true`` on the join node), (b) the AQE result, the
+    manually salted join, and a plain no-AQE join all agree exactly —
+    the two skew defenses are result-invariant, and AQE is the zero-
+    code-change backstop the 100 TB design leans on for moderate skew."""
+    from mapreduceplusplus_spark.operators.joins import salted_join
+
+    def skewed_inputs(s):
+        facts = s.range(120000).select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, F.lit(1))
+            .otherwise(F.pmod("id", 1000))
+            .alias("k"),
+            (F.col("id") * 3 % 997).alias("v"),
+        )
+        dims = s.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), "id").alias("label")
+        )
+        return facts, dims
+
+    def agg(j):
+        return {
+            r.label: (r.n, r.sv)
+            for r in j.groupBy("label")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+            .collect()
+        }
+
+    # AQE session with thresholds small enough for fixture-scale bytes
+    s_aqe = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        s_aqe.conf.set(k, v)
+    facts, dims = skewed_inputs(s_aqe)
+    j_aqe = facts.join(dims.hint("merge"), "k", "inner").groupBy("label").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv")
+    )
+    aqe_rows = {r.label: (r.n, r.sv) for r in j_aqe.collect()}
+    plan = j_aqe._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, f"AQE did not split the skewed partition:\n{plan[:2000]}"
+
+    # plain no-AQE baseline
+    s_plain = spark.newSession()
+    s_plain.conf.set("spark.sql.adaptive.enabled", "false")
+    s_plain.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    facts_p, dims_p = skewed_inputs(s_plain)
+    plain_rows = agg(facts_p.join(dims_p, "k", "inner"))
+
+    # manually salted join on the same plain session
+    salted_rows = agg(
+        salted_join(facts_p, dims_p, "k", "k", unique_col="id").drop(dims_p["k"])
+    )
+
+    assert aqe_rows == plain_rows == salted_rows
+    assert sum(n for n, _ in plain_rows.values()) == 120000
