@@ -602,3 +602,52 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_tokens"),
         (F.round(s / F.col("n"), 2) + F.lit(0)).alias("mean_logprob"),
     )
+
+
+@query(
+    "text_line_dedup",
+    oracle="""
+    -- DuckDB's list_distinct does NOT preserve element order, so the
+    -- first-occurrence semantics are reconstructed explicitly: keep
+    -- each line's minimum ordinal, re-concatenate in that order
+    WITH lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS i
+      FROM documents
+    ),
+    firsts AS (
+      SELECT doc_id, line, min(i) AS mi FROM lines GROUP BY doc_id, line
+    ),
+    totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lines GROUP BY doc_id
+    ),
+    uniq AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_unique_lines,
+             md5(string_agg(line, chr(10) ORDER BY mi)) AS dedup_fp
+      FROM firsts GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_lines, u.n_unique_lines, u.dedup_fp
+    FROM totals t JOIN uniq u USING (doc_id)
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document line dedup — the boilerplate-stripping pass LLM
+    corpus cleaning runs before inter-document dedup (repeated nav/
+    footer lines inflate shingle overlap and token counts).  Pure
+    Catalyst: split on newline, order-preserving ``array_distinct``
+    (keeps the FIRST occurrence — semantics DuckDB's list_distinct
+    matches), fingerprint the deduped text.  Zero shuffle, zero Python;
+    at 100 TB this is a narrow map stage pipelined into the scan."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    dedup = F.array_distinct(lines)
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(dedup).cast("bigint").alias("n_unique_lines"),
+        F.md5(F.array_join(dedup, "\n")).alias("dedup_fp"),
+    )

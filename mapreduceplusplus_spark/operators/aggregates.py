@@ -611,3 +611,83 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT lang, source AS modal_source, CAST(n AS BIGINT) AS n_docs
+    FROM (
+      SELECT lang, source, count(*) AS n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY count(*) DESC, source) AS rn
+      FROM documents
+      GROUP BY lang, source
+    )
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic
+    tiebreak — the categorical summary SQL lacks a direct aggregate
+    for.  Two-level shape: count per (group, value), then one
+    row_number window ordered by (count DESC, value) picks the winner —
+    ties always resolve to the lexicographically smallest value, so
+    the result is partitioning-independent (a bare ``mode()`` aggregate
+    is not, which is why Spark doesn't ship one pre-3.4 and DuckDB's
+    breaks ties arbitrarily).
+
+    At 100 TB: the (group, value) count is a map-side-combined hash
+    aggregation (cardinality = |groups|·|domain|, tiny for categorical
+    domains); the window then runs on that REDUCED table — the heavy
+    input is touched once, no second full-data shuffle."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("source"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("source").alias("modal_source"),
+            F.col("n").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT r_name AS region,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG / string_agg — the report-friendly "concatenate
+    the group's values" aggregate.  Spark has no ORDER BY clause inside
+    an aggregate, so the deterministic form is ``array_join(sort_array(
+    collect_list(...)))`` — sorting AFTER collection makes the result
+    independent of partition arrival order (a bare collect_list concat
+    is nondeterministic, the same trap as ``agg_collect_list``).
+
+    At 100 TB: one broadcast join (region is a dim) + one hash
+    aggregation; per-group state is the value list — fine for bounded
+    groups like dims, the wrong aggregate for unbounded ones (cap the
+    list first or use a top-k window)."""
+    ensure_utc(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").cast("bigint").alias("n_nations"),
+        )
+    )

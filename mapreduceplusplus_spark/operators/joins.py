@@ -596,3 +596,99 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.greatest("a0", "b0"))
         ).alias("overlap_us"),
     )
+
+
+@query(
+    "join_market_basket",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence — the top part pairs bought in the
+    same order, via a self-equi-join of lineitem on the basket key.
+    The ordered predicate ``part_a < part_b`` halves the pair space and
+    canonicalizes the pair; the top-k carries the full (count, part_a,
+    part_b) tiebreak so the limit is deterministic.
+
+    At 100 TB: the self-join hash-partitions both sides on l_orderkey
+    (one co-keyed shuffle — Catalyst reuses the exchange for the two
+    identical scans), and per-basket fan-out is m·(m-1)/2 with m =
+    lines per order, bounded at 7 in TPC-H-shaped data — so the join
+    output is a small constant multiple of the input.  Pipelines with
+    unbounded basket sizes cap m first (slice the per-key list) — the
+    standard A-Priori candidate bound; the final TakeOrdered(20) never
+    materializes the full pair distribution on the driver."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "join_nullsafe_eq",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_custkey % 50 END AS k
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    r AS (
+      SELECT CASE WHEN n_nationkey = 0 THEN NULL ELSE n_nationkey % 50 END AS k,
+             n_name
+      FROM nation
+    )
+    SELECT l.o_orderkey, r.n_name
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics dimension a
+    plain equi-join cannot express (its NULL rows silently drop, see
+    ``filter_null_semantics`` for the scalar version of the trap).
+    Both sides derive keys with planted NULLs so the NULL↔NULL match
+    path is actually exercised.
+
+    Physical note: ``<=>`` is still a HASH-partitionable equality — all
+    NULLs hash to one key, so Catalyst plans a normal shuffled equi-join
+    (NOT a nested loop, which a ``coalesce(k, sentinel)`` rewrite or an
+    OR-form predicate would force).  At 100 TB the NULL bucket is the
+    hot key to watch: if NULL-heavy, filter-and-union or AQE skew
+    splitting handles it."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    nation = load_table(spark, sf_dir, "nation")
+    l = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_custkey") % 50
+        ).alias("k"),
+    )
+    r = nation.select(
+        F.when(F.col("n_nationkey") == 0, F.lit(None)).otherwise(
+            F.col("n_nationkey") % 50
+        ).alias("k"),
+        "n_name",
+    )
+    return l.join(r, l["k"].eqNullSafe(r["k"])).select("o_orderkey", "n_name")

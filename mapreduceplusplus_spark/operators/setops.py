@@ -203,3 +203,56 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return customer.subtract(orders)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus <> 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — MULTISET difference (each row survives max(l−r, 0)
+    times), the bag semantics ``EXCEPT``'s implicit distinct throws
+    away: here a customer with 5 non-F and 2 F orders keeps 3 rows.
+    Spark plans ``exceptAll`` as a per-row ±1 count aggregation +
+    generate — one shuffle on the row value, no join.
+
+    At 100 TB that plan is exactly right: hash-partition by row,
+    map-side-combine the signed counts, re-expand — skew follows the
+    value distribution and AQE splits hot values."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.where(F.col("o_orderstatus") != "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.exceptAll(right)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min(l, r) copies per
+    value): customers counted once per matched pair of O- and F-status
+    orders.  Same aggregate-and-regenerate physical shape as
+    ``set_except_all`` — one value-keyed shuffle, no join."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.intersectAll(right)

@@ -181,3 +181,194 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pm") / 1000.0).alias("ffill_value"),
         (F.col("interp_m") / 1000.0).alias("interp_value"),
     )
+
+
+@query(
+    "window_sessionize",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marks
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT)                    AS session_id,
+           CAST(count(*) AS BIGINT)                      AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')     AS session_start,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+           CAST(sum(cents) AS BIGINT)                    AS sum_cents
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the canonical event-analytics
+    operator the reference's key-grouped fold cannot express (it has no
+    ordering within a group; reference ``src/worker.cc:208-229`` folds
+    unordered value lists).
+
+    Classic two-window formulation: mark rows whose gap from the
+    previous event exceeds 30 min (``lag``), run-sum the marks into a
+    per-user session id, then aggregate each session.  Deterministic
+    under ties via the (ts, event_id) composite ordering; session
+    duration is exact integer microseconds (no float, no truncation
+    ambiguity between engines); values are cent-quantized integers.
+
+    At 100 TB: ONE shuffle on user_id serves both windows and the final
+    aggregation (same partitioning key); state per row is O(1).  This
+    is the batch shape of ``stream_session_window`` — the streaming
+    twin uses Spark's native ``session_window`` with a watermark."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros: the exact integer µs clock (no float, no truncation)
+    marks = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1000000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marks.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_us"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    ).select(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events", "session_start", "duration_us", "sum_cents",
+    )
+
+
+@query(
+    "events_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_d FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(f.cohort_d, '%Y-%m-%d')          AS cohort_day,
+           CAST(date_diff('day', f.cohort_d, a.d) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT)                  AS n_active_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort_d, date_diff('day', f.cohort_d, a.d)
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple: users grouped
+    by first-activity day, then counted per (cohort, day-offset) cell.
+    ``count(*)`` over the DISTINCT (user, day) activity set equals
+    count-distinct users but keeps the final aggregation EXPAND-free.
+
+    At 100 TB: the first-day aggregation and the distinct-activity set
+    both hash-partition on user_id (one logical shuffle each, AQE can
+    pipeline them from the same scan), the join is co-keyed on user_id,
+    and only the final small (cohort × offset) rollup reshuffles — the
+    output is bounded by days², independent of corpus size."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_d", F.datediff("d", "cohort_d").alias("day_offset"))
+        .agg(F.count("*").cast("bigint").alias("n_active_users"))
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_active_users",
+        )
+    )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH px AS (
+      SELECT user_id,
+             date_trunc('hour', ts) AS bar,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id)      AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+      WHERE user_id < 10
+    )
+    SELECT user_id,
+           strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_c,
+           CAST(max(cents) AS BIGINT)  AS high_c,
+           CAST(min(cents) AS BIGINT)  AS low_c,
+           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_c,
+           CAST(count(*) AS BIGINT)    AS n_ticks
+    FROM px
+    GROUP BY user_id, bar
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation — irregular ticks rolled to hourly
+    open/high/low/close bars, the standard financial/telemetry
+    downsampling.  Open/close are the FIRST/LAST tick by the composite
+    (ts, event_id) order: row_number + conditional-max keeps the whole
+    computation in one windowed pass + one hash aggregation, exactly
+    reproducible under ties (min_by/arg_min on a bare timestamp would
+    be nondeterministic if two ticks share one).  Cent-quantized
+    integer prices; user_id < 10 bounds the fixture output.
+
+    At 100 TB: window and aggregation share the (user_id, bar) hash
+    partitioning — one shuffle total; bars per key are bounded by the
+    time span, not the tick volume."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10).select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("bar"),
+        "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w_a = Window.partitionBy("user_id", "bar").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("user_id", "bar").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    px = ev.select(
+        "user_id", "bar", "cents",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return px.groupBy("user_id", "bar").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).cast("bigint").alias("open_c"),
+        F.max("cents").cast("bigint").alias("high_c"),
+        F.min("cents").cast("bigint").alias("low_c"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("bigint").alias("close_c"),
+        F.count("*").cast("bigint").alias("n_ticks"),
+    ).select(
+        "user_id",
+        F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        "open_c", "high_c", "low_c", "close_c", "n_ticks",
+    )
