@@ -53,6 +53,8 @@ HEADLINE = [
     "ts_resample_gapfill",    # generated-grid resample + window fills
     "window_decay_ema",       # frame collect + BIGINT Horner fold
     "join_interval_overlap",  # day-bucketed no-equi-key range join
+    "window_sessionize",      # gap sessionization, 1 shuffle, 2 windows
+    "join_market_basket",     # self-join pair co-occurrence + top-k
 ]
 
 
