@@ -651,3 +651,74 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(dedup).cast("bigint").alias("n_unique_lines"),
         F.md5(F.array_join(dedup, "\n")).alias("dedup_fp"),
     )
+
+
+@query(
+    "text_idf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST((1000 * tf.tf * (n.n_docs + 1)) // (df.df + 1) AS BIGINT)
+               AS score_milli,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY (1000 * tf.tf * (n.n_docs + 1))
+                                         // (df.df + 1) DESC, tf.term) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score_milli
+    FROM scored WHERE rn <= 3
+    """,
+)
+def text_idf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic keyword-extraction
+    signal (and the rarity-weighting idea behind the dedup prefix
+    filter, ``llm/dedup.py``).  The score is kept RATIONAL instead of
+    logarithmic: score = ⌊1000·tf·(N+1)/(df+1)⌋ — order-equivalent to
+    tf·idf per fixed tf and exactly representable in BIGINT, so the
+    ranking (and hash) is engine- and partitioning-identical, where a
+    float ``ln()`` would differ in last bits between libm
+    implementations.  Ties break lexicographically.
+
+    At 100 TB: tokenize+tf is one (doc, term) hash agg off the scan;
+    df is a second agg over the already-reduced tf table (hot terms are
+    map-side combined); N broadcasts as a 1-row table; the top-3 window
+    runs per-doc on the tf table, WindowGroupLimit-pruned before its
+    exchange."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_milli",
+            F.expr("(1000 * tf * (n_docs + 1)) div (df + 1)").cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_milli").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "score_milli")
+    )

@@ -699,3 +699,110 @@ def join_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
     )
     return l.join(r, l["k"].eqNullSafe(r["k"])).select("o_orderkey", "n_name")
+
+
+@query(
+    "tpch_q3_shipping",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-01'
+      AND l_shipdate  > TIMESTAMP '1996-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): the classic 3-table
+    benchmark join with filters on all three tables and a top-k over
+    grouped revenue.  Complements ``join_multiway`` (Q5 shape) and
+    ``subquery_correlated`` (Q17 shape) so the recognizable TPC-H
+    trio is covered.
+
+    Scale: both filters are pushed below the join (customer's segment
+    filter shrinks the broadcastable side; the date filters prune
+    orders and lineitem at the scan), facts shuffle once each on the
+    join keys, and the top-10 is TakeOrderedAndProject — no global
+    sort materializes.  ``l_orderkey`` in the ORDER BY makes the limit
+    deterministic under revenue ties."""
+    ensure_utc(spark)
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "join_broadcast_range_lookup",
+    oracle="""
+    SELECT t.tier,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders o
+    JOIN (VALUES (0.0,     50000.0,  'small'),
+                 (50000.0, 200000.0, 'medium'),
+                 (200000.0, 1e9,     'large')) AS t(lo, hi, tier)
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier
+    """,
+)
+def join_broadcast_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-dimension range lookup — classifying a fact column
+    against a tiny table of [lo, hi) bands, the non-equi join every
+    pricing/tiering/SLA pipeline runs.  The band table is BROADCAST, so
+    the physical plan is a BroadcastNestedLoopJoin that is really a
+    map-side scan: each fact row tests 3 bands, no shuffle of the fact
+    side at all — the ONE case where a nested-loop join is the right
+    plan at 100 TB (contrast ``join_theta_range``, which buckets two
+    FACT-sized sides to avoid exactly this plan).  Integer-cents sum
+    keeps the aggregate engine-exact."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [(0.0, 50000.0, "small"), (50000.0, 200000.0, "medium"), (200000.0, 1e9, "large")],
+        "lo double, hi double, tier string",
+    )
+    return (
+        orders.join(
+            F.broadcast(tiers),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )

@@ -372,3 +372,104 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
         "open_c", "high_c", "low_c", "close_c", "n_ticks",
     )
+
+
+@query(
+    "events_top_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_t
+      FROM events
+    )
+    SELECT prev_t                    AS from_type,
+           event_type                AS to_type,
+           CAST(count(*) AS BIGINT)  AS n_transitions
+    FROM seq
+    WHERE prev_t IS NOT NULL
+    GROUP BY prev_t, event_type
+    """,
+)
+def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (behavioral bigrams): each user's
+    event sequence contributes (previous → current) pairs, counted
+    corpus-wide — the Markov-chain summary behind "what do users do
+    after X" product questions and next-event-prediction features.
+
+    One lag window per user + one hash aggregation over a |types|²
+    domain — the aggregate output is constant-size regardless of event
+    volume.  At 100 TB the single shuffle is the user_id window; the
+    transition rollup is map-side combined into almost nothing."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_t", F.lag("event_type").over(w))
+    return (
+        seq.where(F.col("prev_t").isNotNull())
+        .groupBy(
+            F.col("prev_t").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    lagged AS (
+      SELECT user_id, d,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS pd
+      FROM days
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN pd IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN date_diff('day', pd, d) = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS retained_users,
+           CAST(sum(CASE WHEN date_diff('day', pd, d) > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS resurrected_users
+    FROM lagged
+    GROUP BY d
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — every active (user, day) classified as
+    NEW (first day ever), RETAINED (also active the previous day) or
+    RESURRECTED (returning after a gap), the standard DAU decomposition
+    every growth team reports.  Cohort matrix's
+    (``events_retention_cohort``) day-over-day twin.
+
+    Shape: distinct (user, day) set → one lag window per user → date
+    rollup.  Both shuffles key on user_id except the final bounded
+    (≤ #days) rollup.  Churn (yesterday-active, today-absent) is the
+    same lag on the REVERSED axis — left out so every output row is an
+    observed activity row, not a generated absence."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    days = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagged = days.withColumn("pd", F.lag("d").over(w))
+    gap = F.datediff("d", "pd")
+    return (
+        lagged.groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("pd").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(gap == 1, 1).otherwise(0)).cast("bigint").alias("retained_users"),
+            F.sum(F.when(gap > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("resurrected_users"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "new_users", "retained_users", "resurrected_users",
+        )
+    )
