@@ -691,3 +691,44 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_nations"),
         )
     )
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS sum_price_exact,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+             AS sum_qty_exact,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT money aggregation on DecimalType — the type-system surface
+    the engine adds over the reference (SURVEY §1.3: the reference has
+    no types beyond streamable text).  Casting to DECIMAL(18,2) BEFORE
+    summing makes the aggregate exact fixed-point arithmetic: the
+    result is identical on any partitioning, any accumulation order,
+    and any engine — the property float sums structurally lack (they
+    are merely *rounded* to agreement elsewhere in this repo).  Output
+    rendered as canonical decimal STRINGS so the two engines' internal
+    precisions (Spark DECIMAL(28,2) vs DuckDB DECIMAL(38,2)) cannot
+    leak into the comparison.
+
+    At 100 TB: decimal hash aggregation is map-side combined like any
+    sum; Spark keeps Decimal(≤18+10 digits) in compact unscaled-long
+    form, so the exactness is ~free until precision 28."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("sum_price_exact"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("sum_qty_exact"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )

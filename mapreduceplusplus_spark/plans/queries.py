@@ -157,3 +157,39 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL split_words(d.text) s
         """
     )
+
+
+#: ONE SQL text, two engines: the flagship Q1 written in the dialect
+#: intersection of Spark SQL and DuckDB — registered verbatim as both
+#: the Spark query (via spark.sql) and the DuckDB oracle, so the
+#: comparison proves the raw-SQL API surface end-to-end with zero
+#: translation layer.
+_Q1_SHARED_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_passthrough_q1", oracle=_Q1_SHARED_SQL)
+def sql_passthrough_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL API surface: register the parquet table as a temp
+    view and run the flagship Q1 through ``spark.sql`` — the SAME text
+    the DuckDB oracle executes (dialect-intersection SQL, no
+    translation).  Companion to ``agg_groupby``, which builds the
+    identical plan through the DataFrame API: Catalyst compiles both
+    entry points to one logical plan, so this row pins the SQL parser
+    path specifically."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_SHARED_SQL)
