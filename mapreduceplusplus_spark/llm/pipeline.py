@@ -291,3 +291,44 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "sample_per_group_topk_hash",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def sample_per_group_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample — exactly k docs per
+    language, chosen by ranking on a content-independent hash of the
+    key (md5 of doc_id).  The reservoir-sampling replacement for
+    pipelines that need REPRODUCIBLE samples: the same rows come back
+    on any engine, any partitioning, any day — unlike ``sample()``/
+    reservoir approaches whose output depends on seed plumbing and
+    iteration order.  Growth-stable: adding documents only displaces
+    rows whose hash ranks below the newcomers.
+
+    One window shuffle on the group key; WindowGroupLimit prunes each
+    partition to k rows before the exchange, so the shuffle carries
+    ~k·|groups| rows, not the corpus."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )

@@ -341,3 +341,48 @@ def sim_search_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@query(
+    "sim_search_range",
+    oracle=f"""
+    WITH probe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = {PROBE_ID}
+    )
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 3) + 0
+             AS cosine
+    FROM embeddings e, probe p
+    WHERE e.vec_id <> {PROBE_ID}
+      AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) >= 0.25
+    """,
+)
+def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search — every vector with cosine ≥ τ of the
+    probe (the dedup/recall-sweep complement of top-k: result size is
+    data-dependent, not fixed).  Same physical shape as
+    ``sim_search_topk`` — 1-row broadcast probe, map-side ``zip_with``
+    scoring — but the selection is a pushed-down filter instead of
+    TakeOrdered, so there is NO sort and NO limit stage at all: scan →
+    score → filter, embarrassingly parallel at any scale.
+
+    The τ = 0.25 threshold (chosen inside the fixture's score range at every SF) is compared on the RAW cosine (both engines'
+    double arithmetic on identical inputs yields bit-identical values
+    for the same expression shape); only the REPORTED value is rounded."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    probe = emb.where(F.col("vec_id") == PROBE_ID).select(F.col("v").alias("pv"))
+    scored = (
+        emb.where(F.col("vec_id") != PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .withColumn(
+            "c", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
+        )
+    )
+    return scored.where(F.col("c") >= 0.25).select(
+        "vec_id",
+        "label",
+        (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
+    )

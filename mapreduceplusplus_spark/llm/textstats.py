@@ -722,3 +722,77 @@ def text_idf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "score_milli")
     )
+
+
+#: corpus-top-bigram count for the coverage signal
+_TOP_BIGRAMS = 100
+
+
+@query(
+    "text_bigram_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+      FROM toks
+    ),
+    top AS (
+      SELECT bg FROM (
+        SELECT bg, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, bg) AS rn
+        FROM bigrams GROUP BY bg
+      ) WHERE rn <= {_TOP_BIGRAMS}
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT)                        AS n_bigrams,
+           CAST(sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_top_hits
+    FROM bigrams b LEFT JOIN top t ON b.bg = t.bg
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-coverage quality signal: how much of each document is
+    built from the corpus's TOP-{K} word bigrams — high coverage flags
+    templated/boilerplate text, near-zero coverage flags noise; both
+    are pretraining-filter inputs (the bigram step up from the unigram
+    signals in this module).  All-integer outputs → engine-exact.
+
+    Two-pass shape like ``text_unigram_logprob``: (1) corpus bigram
+    counts → deterministic top-K (count DESC, bigram) — a TINY table;
+    (2) LEFT join the per-doc bigram stream against the broadcast top
+    set and count hits per doc.  At 100 TB the bigram counts are
+    map-side combined, the top-K is a TakeOrdered of a reduced table,
+    and the coverage join is broadcast — the document stream shuffles
+    once, on doc_id."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _toks(F.col("text"))
+    k = F.greatest(F.size("ws") - 1, F.lit(0))
+    z = F.arrays_zip(F.slice("ws", 1, k), F.slice("ws", 2, k))
+    toks = docs.select("doc_id", ws.alias("ws"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(z, lambda x: F.concat_ws(" ", x["0"], x["1"]))
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("bg").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("bg"))
+    top = counts.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _TOP_BIGRAMS
+    ).select("bg", F.lit(1).alias("hit"))
+    return (
+        bigrams.join(F.broadcast(top), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_top_hits"),
+        )
+    )
