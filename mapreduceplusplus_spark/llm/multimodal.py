@@ -458,3 +458,66 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 3).alias("norm"),
         F.round(F.element_at("feature", 1), 3).alias("f0"),
     )
+
+
+#: samples per analysis frame of the audio-energy operator
+AUDIO_FRAME = 256
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples bigint, n_frames bigint, "
+    "total_energy bigint, max_frame_energy bigint"
+)
+
+
+def _audio_energy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched REAL PCM analysis: the payload is interpreted as
+    16-bit little-endian mono PCM (trailing odd byte dropped), split
+    into {AUDIO_FRAME}-sample frames (last frame ragged), and each
+    frame's energy Σx² is computed in exact int64 — the framing +
+    per-frame-statistic shape every audio pipeline (VAD, loudness
+    normalization, silence trimming) starts from.  Bounded exactly:
+    |x| ≤ 2¹⁵ ⇒ frame energy ≤ 256·2³⁰ ≪ 2⁶³."""
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_samples", "n_frames", "total_energy", "max_frame_energy"
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload) // 2
+            samples = np.frombuffer(payload, dtype="<i2", count=n).astype(np.int64)
+            energies = [
+                int((samples[i : i + AUDIO_FRAME] ** 2).sum())
+                for i in range(0, n, AUDIO_FRAME)
+            ]
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(n)
+            out["n_frames"].append(len(energies))
+            out["total_energy"].append(sum(energies))
+            out["max_frame_energy"].append(max(energies, default=0))
+        yield pd.DataFrame(out)
+
+
+def audio_frame_energy(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Public audio operator: (doc_id, PCM16 payload) → per-document
+    framing + energy statistics.  Narrow Arrow ``mapInPandas`` like the
+    image/video stages — no shuffle, scales with input splits."""
+    return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
+        _audio_energy_batch, schema=AUDIO_SCHEMA
+    )
+
+
+@query("multimodal_audio_energy")  # no SQL oracle: binary int16 PCM
+# parsing isn't SQL-expressible; pinned by tests/test_llm_ops.py
+# against an independent pure-Python reimplementation
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality operator on the documents fixture (text bytes
+    stand in for a PCM16 payload — every 2 bytes ARE a genuine int16
+    sample, so the parse is real): framing + exact-integer energy per
+    document.  Completes the modality trio (image = PPM codec, video =
+    multi-frame container walk, audio = PCM framing) with the same
+    production Spark shape: opaque binary column + narrow Arrow
+    decode."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return audio_frame_energy(docs)

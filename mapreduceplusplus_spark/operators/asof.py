@@ -173,3 +173,49 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "secs_since_signup"
         ),
     )
+
+
+@query(
+    "scd2_build_validity",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                    '%Y-%m-%d')               AS valid_to,
+           CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                IS NULL AS BOOLEAN)           AS is_current,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           o_orderkey
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def scd2_build_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an SCD Type-2 dimension from a change stream: each change
+    row becomes a validity interval [valid_from, valid_to) with
+    ``valid_to`` = the NEXT change's date (NULL ⇒ current row) — one
+    ``lead`` window per key, the standard warehouse pattern that turns
+    an event history into a point-in-time-joinable dimension (the
+    produced intervals are exactly what ``join_asof`` /
+    ``join_interval_overlap`` consume).  Composite (date, orderkey)
+    ordering keeps same-day changes deterministic; prices are integer
+    cents.
+
+    At 100 TB: one shuffle on the dimension key, O(1) window state per
+    row, output row-for-row with the change stream."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        "o_orderkey",
+    )

@@ -397,3 +397,33 @@ def test_ngram_prefix_losslessness_adversarial(spark):
     assert not any(a == 3 and b == 4 for a, b, _ in thr), "sub-threshold pair leaked"
     near = pairs(_ngram_pairs(mk(corpora["just_under_threshold"]), prefix=True))
     assert near == [], f"0.7959 pair leaked past the 0.8 threshold: {near}"
+
+
+def test_audio_energy_exact_int16_framing(spark):
+    """The audio operator REALLY parses int16 LE PCM: on hand-built
+    waveforms the frame count and exact Σx² energies must match an
+    independent struct-module reimplementation, including the ragged
+    last frame and the odd-trailing-byte drop."""
+    import struct
+
+    from mapreduceplusplus_spark.llm.multimodal import AUDIO_FRAME, audio_frame_energy
+
+    waves = {
+        1: [0, 1, -1, 32767, -32768] * 120,      # 600 samples: 2 frames, ragged
+        2: [1000] * AUDIO_FRAME,                  # exactly one full frame
+        3: [],                                    # empty payload
+    }
+    rows = [
+        (k, struct.pack(f"<{len(v)}h", *v) + (b"\x07" if k == 1 else b""))
+        for k, v in waves.items()
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, payload: binary")
+    got = {r.doc_id: r for r in audio_frame_energy(df).collect()}
+    for k, v in waves.items():
+        frames = [v[i : i + AUDIO_FRAME] for i in range(0, len(v), AUDIO_FRAME)]
+        energies = [sum(x * x for x in fr) for fr in frames]
+        r = got[k]
+        assert r.n_samples == len(v), k
+        assert r.n_frames == len(frames), k
+        assert r.total_energy == sum(energies), k
+        assert r.max_frame_energy == (max(energies) if energies else 0), k
