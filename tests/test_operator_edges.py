@@ -490,3 +490,42 @@ def test_aqe_skew_join_splits_and_agrees(spark):
 
     assert aqe_rows == plain_rows == salted_rows
     assert sum(n for n, _ in plain_rows.values()) == 120000
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_ops_plan_shapes(spark):
+    """Plan pins for the round-6 operators' scale claims — the claims
+    in the docstrings are enforced, not aspirational:
+    - range lookup: broadcast nested loop (map-side scan), no exchange
+      of the fact side before the join;
+    - market basket: shuffled-hash self-join (no sort-merge sorts);
+    - per-group hash sample: WindowGroupLimit prunes before exchange;
+    - sessionize: exactly ONE hash exchange (both windows + rollup
+      share the user_id partitioning);
+    - Q3: the date filters reach the parquet scans as PushedFilters."""
+    import re
+
+    qs = registry.queries()
+
+    p = _plan(qs["join_broadcast_range_lookup"](spark, SF_DIR_ORACLE))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "Exchange hashpartitioning" not in p.split("BroadcastNestedLoopJoin")[1], (
+        "fact side shuffled before the broadcast join"
+    )
+
+    p = _plan(qs["join_market_basket"](spark, SF_DIR_ORACLE))
+    assert "ShuffledHashJoin" in p, p
+
+    p = _plan(qs["sample_per_group_topk_hash"](spark, SF_DIR_ORACLE))
+    assert "WindowGroupLimit" in p, p
+
+    p = _plan(qs["window_sessionize"](spark, SF_DIR_ORACLE))
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+
+    p = _plan(qs["tpch_q3_shipping"](spark, SF_DIR_ORACLE))
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("l_shipdate" in s and "GreaterThan" in s for s in pushed), pushed
+    assert any("o_orderdate" in s and "LessThan" in s for s in pushed), pushed
