@@ -796,3 +796,41 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_top_hits"),
         )
     )
+
+
+@query(
+    "text_token_count_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting through ``mapInArrow`` — the RecordBatch-level
+    Python API one rung below ``mapInPandas`` (no pandas conversion at
+    all: Arrow buffers in, Arrow buffers out, vectorized RE2 via
+    ``pyarrow.compute``).  Same result as the JVM-side
+    ``text_token_count``; this row pins the remaining Python-API
+    surface the engine exposes for when a pipeline already speaks
+    Arrow (zero-copy from Parquet readers, Rust/C++ UDF cores).
+
+    Scale shape identical to every decode stage: narrow, no shuffle,
+    one Python worker per split — but with pyarrow.compute the regex
+    loop itself runs in C++, so the GIL never sees per-row work."""
+    ensure_utc(spark)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count_tokens(batches):
+        for batch in batches:
+            lower = pc.utf8_lower(batch.column("text"))
+            n = pc.count_substring_regex(lower, "[a-z]+")
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.cast(n, pa.int64())],
+                ["doc_id", "n_tokens"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(count_tokens, schema="doc_id bigint, n_tokens bigint")

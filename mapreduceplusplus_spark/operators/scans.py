@@ -271,3 +271,55 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                        AS n_rows,
+           CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+                                                           AS n_nonpositive_price,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                                                           AS sum_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                                                           AS max_cents
+    FROM orders
+    """,
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``Observation`` API — Spark's zero-extra-pass pipeline
+    observability surface: metrics are accumulated AS A SIDE CHANNEL of
+    the main job (here a noop-sink write of the orders scan), not by a
+    second scan.  This is how production pipelines assert row counts /
+    invariants on every run without paying for a monitoring query; the
+    oracle recomputes the same metrics declaratively, proving the
+    side-channel values equal the first-class aggregation.
+
+    The bounded ``collect``-like step is ``obs.get`` — four scalars off
+    the driver-side listener, independent of data size.  (Spark
+    restricts observe() metrics to deterministic non-DISTINCT built-in
+    aggregates — count/sum/min/max shapes like these.)"""
+    from pyspark.sql import Observation
+
+    ensure_utc(spark)
+    obs = Observation("dq")
+    orders = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_nonpositive_price"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("sum_cents"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("max_cents"),
+    )
+    orders.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_nonpositive_price"]),
+                int(m["sum_cents"]),
+                int(m["max_cents"]),
+            )
+        ],
+        "n_rows bigint, n_nonpositive_price bigint, sum_cents bigint, max_cents bigint",
+    )
