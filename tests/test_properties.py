@@ -96,3 +96,45 @@ def test_salted_join_equals_plain_join(spark, big_rows, small_rows):
         (r.uid, r.tag) for r in big.join(small, big.bk == small.sk, "inner").collect()
     )
     assert salted == plain
+
+
+@given(st.binary(min_size=0, max_size=4000))
+@settings(**_SETTINGS)
+def test_ppm_codec_roundtrip(data):
+    """PPM codec totality/roundtrip (pure functions — no Spark in the
+    loop): encode always yields a decodable P6 whose raster starts with
+    the input bytes verbatim (padding is zeros), and the re-encoded
+    decode is byte-identical (idempotent fixpoint)."""
+    from mapreduceplusplus_spark.llm.multimodal import ppm_decode, ppm_encode
+
+    payload = ppm_encode(data)
+    decoded = ppm_decode(payload)
+    assert decoded is not None
+    w, h, px = decoded
+    flat = px.tobytes()
+    assert flat[: len(data)] == data
+    assert set(flat[len(data):]) <= {0}
+    assert ppm_encode(flat[: len(data)]) == payload
+
+
+@given(st.binary(min_size=0, max_size=2000))
+@settings(**_SETTINGS)
+def test_ppm_frame_walk_totality(data):
+    """The multi-frame container built from ANY byte string is walked
+    back into exactly its frame count with exact sizes (the sampler
+    never under- or over-reads a well-formed container)."""
+    import re as _re
+
+    from mapreduceplusplus_spark.llm.multimodal import _PPM_HEADER, _ppm_frames
+
+    frames = _ppm_frames(data)
+    container = b"".join(frames)
+    off, walked = 0, []
+    while off < len(container):
+        m = _PPM_HEADER.match(container[off : off + 64])
+        assert m, "walk desynchronized"
+        w, h = int(m.group(1)), int(m.group(2))
+        size = m.end() + w * h * 3
+        walked.append(size)
+        off += size
+    assert walked == [len(f) for f in frames]
