@@ -75,6 +75,8 @@ HOSTILE_SUBSET = [
     "stream_stateful_running_total",  # Arrow run-streaming fold
     "ts_resample_gapfill",      # integer-exact grid fill: claims
     "window_decay_ema",         # partitioning-independence — pin it
+    "ts_ohlc_bars",             # date_trunc buckets: tz-sensitive
+    "events_growth_accounting", # CAST(ts AS DATE): tz-sensitive
 ]
 
 
@@ -103,8 +105,9 @@ def test_hostile_config_subset(spark):
     plan-shape-sensitive subset with AQE disabled, 5 shuffle
     partitions, and a non-UTC session timezone.  The FULL sweep is the
     ``-m hostile`` marker above, run once per round before BENCH
-    (round 5: 98/98 green one-off; round 6: 100/100 green via the
-    marker); this subset keeps the every-run guard cheap."""
+    (round 5: 98/98 green one-off; round 6: all 123 oracles green via
+    the marker at round end); this subset keeps the every-run guard
+    cheap."""
     s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "5")
