@@ -81,11 +81,13 @@ def main() -> None:
     # warmup: prime codegen, Arrow, and every table's parquet footer —
     # scan_parquet touches all 10 tables and is NOT in the timed set,
     # so no timed query gets a cache advantage over the others.  The
-    # SECOND (warm) scan_parquet run is recorded as a load-calibration
+    # best-of-3 WARM scan_parquet time is recorded as a load-calibration
     # constant: its plan is frozen, so round-over-round drift in it
     # measures the box (CPU contention, page cache, GC pressure), not
     # the code — divide cross-round ratios by the calibration ratio to
     # load-normalize (BENCH_r05 recorded a phantom 1.32× this way).
+    # Best-of-3 (same estimator as the timed queries), not a single run,
+    # so the constant itself is low-variance.
     run_one(spark, qs["scan_parquet"], sf_dir)
     calib = round(
         min(run_one(spark, qs["scan_parquet"], sf_dir) for _ in range(3)), 4
@@ -111,14 +113,14 @@ def main() -> None:
         release_shingles()
         return t
 
+    import statistics
+
     for name in names:
         raw = sorted(round(timed_cold(name), 3) for _ in range(reps))
         times[name] = raw[0]
         detail[name] = {
             "min": raw[0],
-            "median": raw[len(raw) // 2] if reps % 2 else round(
-                (raw[reps // 2 - 1] + raw[reps // 2]) / 2, 3
-            ),
+            "median": round(statistics.median(raw), 3),
             "reps_raw": raw,
         }
     total = round(sum(times.values()), 3)

@@ -92,14 +92,20 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     return shingles_of_tokens(tokens(text_col), n)
 
 
-#: memoized persisted shingle tables, keyed by (applicationId, sf_dir).
+#: memoized persisted shingle tables, keyed by (SparkSession, sf_dir) —
+#: the SESSION object, not the applicationId: sibling sessions from
+#: ``spark.newSession()`` share one application but carry their OWN conf
+#: (the hostile-config sweep relies on this), and a DataFrame resolved
+#: against one session silently executes under THAT session's conf, so
+#: cross-session cache hits would leak the builder's config into the
+#: reuser's plans.
 #: A bare ``.persist()`` per call would leak one cached DataFrame into
 #: the session per query invocation (dedup_ngram_jaccard AND
 #: dedup_minhash_near both build it, and bench runs each repeatedly);
 #: memoizing gives every caller THE SAME persisted plan, and
 #: ``release_shingles`` lets bench/tests drop the executor memory
 #: deterministically between timed queries.
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +118,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens once per session+sf_dir.  At 100 TB the same role is played
     by persisting the shingle table to disk (or a checkpoint) before
     the self-join."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -289,7 +295,7 @@ def dedup_ngram_jaccard(
     return _ngram_pairs(
         docs,
         prefix,
-        aux_key=(spark.sparkContext.applicationId, sf_dir, "prefix_posting", prefix),
+        aux_key=(spark, sf_dir, "prefix_posting", prefix),
     )
 
 
@@ -463,7 +469,7 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # persisted: the band table feeds both self-join sides — see _AUX_CACHE
     bands = _persisted_aux(
-        (spark.sparkContext.applicationId, sf_dir, "mh_bands"), _build_bands
+        (spark, sf_dir, "mh_bands"), _build_bands
     )
 
     a = bands.alias("a")

@@ -260,7 +260,12 @@ def _sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 m = _PPM_HEADER.match(payload[off : off + 64])
                 if not m:
                     break
-                w, h = int(m.group(1)), int(m.group(2))
+                w, h, maxval = (int(g) for g in m.groups())
+                # same validity contract as ppm_decode: a zero-area or
+                # wrong-maxval "frame" is corruption, not a frame — stop
+                # rather than fan out header-only rows forever
+                if maxval != 255 or w <= 0 or h <= 0:
+                    break
                 size = m.end() + w * h * 3
                 if off + size > len(payload):
                     break

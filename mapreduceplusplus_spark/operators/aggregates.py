@@ -53,9 +53,12 @@ def tpch_q1(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     )
 
 
-@query(
-    "agg_groupby",
-    oracle="""
+#: the flagship Q1 text, written in the Spark-SQL ∩ DuckDB dialect
+#: intersection.  ONE constant, two consumers: the oracle here and the
+#: ``sql_passthrough_q1`` query (``plans/queries.py``), which executes
+#: it verbatim through ``spark.sql`` — shared so the two registered Q1
+#: semantics can never drift apart.
+TPCH_Q1_SQL = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
@@ -69,8 +72,10 @@ def tpch_q1(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
-    """,
-)
+    """
+
+
+@query("agg_groupby", oracle=TPCH_Q1_SQL)
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     return tpch_q1(load_table(spark, sf_dir, "lineitem"))

@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceplusplus_spark.mr import flat_map, fold_by_key, map_reduce
+# the Q1 text is SHARED with agg_groupby's oracle (one constant) —
+# executed verbatim on both engines by sql_passthrough_q1 below
+from mapreduceplusplus_spark.operators.aggregates import TPCH_Q1_SQL as _Q1_SHARED_SQL
 from mapreduceplusplus_spark.registry import query
 from mapreduceplusplus_spark.session import ensure_utc
 from mapreduceplusplus_spark.sources.tables import load_table
@@ -157,28 +160,6 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL split_words(d.text) s
         """
     )
-
-
-#: ONE SQL text, two engines: the flagship Q1 written in the dialect
-#: intersection of Spark SQL and DuckDB — registered verbatim as both
-#: the Spark query (via spark.sql) and the DuckDB oracle, so the
-#: comparison proves the raw-SQL API surface end-to-end with zero
-#: translation layer.
-_Q1_SHARED_SQL = """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
-"""
 
 
 @query("sql_passthrough_q1", oracle=_Q1_SHARED_SQL)

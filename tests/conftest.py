@@ -24,8 +24,11 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("-m"):
-        return  # explicit marker expression given — respect it
+    # the sweep is opt-in: it runs only when the -m expression actually
+    # mentions the hostile marker (a mere `-m "not slow"` must not
+    # accidentally un-skip 123 Spark-session-spawning cases)
+    if "hostile" in (config.getoption("-m") or ""):
+        return
     skip = pytest.mark.skip(reason="opt-in: run with -m hostile")
     for item in items:
         if "hostile" in item.keywords:

@@ -220,6 +220,8 @@ def test_frame_sampler_stops_at_garbage(spark):
             (1, good + b"GARBAGE TRAILER"),
             (2, good + good[: len(good) // 2]),  # truncated 2nd frame
             (3, good + good),
+            (4, good + b"P6\n0 0\n255\n" * 100),  # zero-area pseudo-frames
+            (5, good + b"P6\n2 1\n15\n" + bytes(6)),  # wrong maxval
         ],
         "doc_id: bigint, payload: binary",
     )
@@ -227,7 +229,9 @@ def test_frame_sampler_stops_at_garbage(spark):
         r.doc_id: r.cnt
         for r in sample_frames(df).groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
     }
-    assert counts == {1: 1, 2: 1, 3: 2}
+    # zero-area / wrong-maxval frames are corruption, not frames: the
+    # walk keeps the leading good frame and stops
+    assert counts == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
 
 
 def test_resize_exact_nearest_neighbor_pixels(spark):
