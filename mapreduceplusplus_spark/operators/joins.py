@@ -806,3 +806,49 @@ def join_broadcast_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_cents"),
         )
     )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey,
+           CAST(round(l.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM customer c
+    JOIN LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) l ON true
+    WHERE c.c_custkey < 200
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join — the correlated table subquery (SQL:1999 LATERAL /
+    CROSS APPLY): for every customer, their top-2 orders by price.
+    Declaratively this is a nested per-row query; Catalyst DECORRELATES
+    it (DecorrelateInnerQuery) into the same window-top-k + equi-join
+    shape ``window_topk_per_group`` builds by hand — so the row pins
+    that the decorrelation rewrite, not a per-customer re-scan, is what
+    executes.  A per-row execution would be O(|customers|) scans of
+    orders; the decorrelated plan is one shuffle of each side.
+
+    Expressed through ``spark.sql`` because LATERAL is a SQL-syntax
+    feature with no DataFrame-API equivalent — the dialect text is
+    shared with the oracle verbatim (both engines parse the same
+    query)."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey,
+               CAST(round(l.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM customer c
+        JOIN LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) l
+        WHERE c.c_custkey < 200
+        """
+    )

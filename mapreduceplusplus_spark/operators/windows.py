@@ -631,3 +631,45 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_window"),
         ((F.col("n") >= 8) & (lhs > rhs)).alias("is_anomaly"),
     )
+
+
+@query(
+    "window_distinct_rolling",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_types_10
+    FROM events
+    WHERE user_id < 20
+    """,
+)
+def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count — distinct event types in each user's
+    trailing 10-event frame (behavioral-diversity feature).  Spark
+    rejects DISTINCT inside window aggregates outright, so the exact
+    equivalent is built from primitives: ``size(array_distinct(
+    collect_list(...) over frame))`` — the collect/sort HOF recipe this
+    repo already uses for exact rolling medians.  DuckDB supports the
+    DISTINCT window natively, which makes the oracle a true independent
+    formulation rather than a transliteration.
+
+    At 100 TB: one shuffle on user_id; per-row state is the 10-element
+    frame list (bounded by the frame, not the partition).  For wide
+    frames with low-cardinality domains, a bitmask aggregate (see
+    ``agg_bitmap_segments``) is the cheaper encoding."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("bigint")
+        .alias("distinct_types_10"),
+    )
