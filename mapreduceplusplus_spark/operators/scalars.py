@@ -297,3 +297,41 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(event_id, 2)").cast("bigint").alias("shifted_r"),
         F.bit_count(eid).cast("int").alias("popcount"),
     )
+
+
+@query(
+    "scalar_binary_codecs",
+    oracle="""
+    SELECT doc_id,
+           to_base64(CAST(text AS BLOB))        AS b64,
+           md5(text)                            AS md5_hex,
+           sha256(text)                         AS sha256_hex,
+           hex(CAST(substr(text, 1, 4) AS BLOB)) AS head_hex,
+           (decode(from_base64(to_base64(CAST(text AS BLOB)))) = text)
+                                                AS roundtrip_ok
+    FROM documents
+    """,
+)
+def scalar_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec scalar family: base64, MD5/SHA-256 digests, hex
+    dump, and an in-plan decode roundtrip proof.  Engine gotcha pinned
+    here: Spark's ``base64`` emits MIME-CHUNKED output (a CRLF every 76
+    chars, java.util.Base64.getMimeEncoder) while DuckDB/RFC 4648
+    produce one unbroken string — the canonical form requires stripping
+    the line breaks, and anyone diffing digests-of-base64 across
+    engines without knowing this gets phantom mismatches.  (``F.hex``
+    after ``F.md5`` is a second trap — md5 already returns hex, hex()
+    would re-encode the ASCII — avoided here.)  All narrow projections:
+    zero shuffle, codegen'd digest loops."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tb = F.col("text").cast("binary")
+    b64 = F.regexp_replace(F.base64(tb), "[\r\n]", "")
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.md5(tb).alias("md5_hex"),
+        F.sha2(tb, 256).alias("sha256_hex"),
+        F.hex(F.substring("text", 1, 4).cast("binary")).alias("head_hex"),
+        (F.decode(F.unbase64(b64), "UTF-8") == F.col("text")).alias("roundtrip_ok"),
+    )
