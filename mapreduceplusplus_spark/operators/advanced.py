@@ -1,0 +1,283 @@
+"""Advanced SQL-surface operators added in round 6: recursive CTEs,
+the TPC-H Q10 join shape, and integer-exact statistical regression.
+
+Reference heritage: the reference engine has no recursion or
+regression — these extend the engine the way SURVEY.md §2's "beyond
+the reference" charter describes (complete analytics surface a user
+of a modern OLAP engine expects), re-expressed Spark-first.
+
+Determinism contract (same as the rest of the tree): every value that
+reaches the driver's hash is either integer-exact, a string, or a
+double produced by identical rational arithmetic on both engines —
+no libm-dependent floats (see ``text_zipf_slope``: the log-log
+regression runs on MICRO-UNIT BIGINT logs so the slope is an exact
+rational before the final rounded division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+#: Shared dialect-intersection body of the recursive month calendar —
+#: the Spark query and the DuckDB oracle run the SAME recursion, only
+#: the final date-rendering function differs (``date_format`` vs
+#: ``strftime``), spliced in via ``{render}``.
+_RECURSIVE_MONTHS_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('month', min(o_orderdate)) AS m0,
+             date_trunc('month', max(o_orderdate)) AS m1
+      FROM orders
+    ),
+    months(mo) AS (
+      SELECT m0 FROM bounds
+      UNION ALL
+      SELECT mo + INTERVAL '1' MONTH FROM months
+      WHERE mo < (SELECT m1 FROM bounds)
+    ),
+    agg AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT {render} AS month,
+           CAST(coalesce(agg.n_orders, 0) AS BIGINT) AS n_orders,
+           coalesce(agg.revenue, 0.0) AS revenue
+    FROM months LEFT JOIN agg ON months.mo = agg.mo
+"""
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_MONTHS_SQL.format(
+        render="strftime(months.mo, '%Y-%m')"
+    ),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (``WITH RECURSIVE``, new in Spark 4.x): build the
+    complete month calendar between the first and last order date by
+    recursion, then left-join monthly order counts/revenue so empty
+    months surface as explicit zero rows — the gap-revealing calendar
+    dimension every BI layer needs (and the one shape a plain
+    ``GROUP BY`` can never produce, because absent months have no rows
+    to group).  Complements ``ts_resample_gapfill``, which builds its
+    per-user daily grid non-recursively via ``sequence``/``explode``:
+    this row pins the recursive-query engine surface itself.
+
+    Spark executes the recursion as an iterative UnionLoop over the
+    anchor + recursive step; depth here is #months (~80), far under
+    the safety limit, and each step is a single-row projection so the
+    loop cost is negligible.  At 100 TB the recursion is still driver-
+    cheap: it runs on the 2-row ``bounds`` aggregate, never on the
+    fact table; the fact table is touched exactly once by the monthly
+    hash-aggregate and once by the min/max agg (both map-side
+    combined, one shuffle each).
+
+    The SQL text is shared verbatim with the DuckDB oracle (dialect-
+    intersection recursion), only the date renderer differs.
+    """
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _RECURSIVE_MONTHS_SQL.format(render="date_format(months.mo, 'yyyy-MM')")
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    -- revenue accumulated in integer 1e-4 units (price has 2 decimals,
+    -- discount 2) so the sum is accumulation-order-exact, divided and
+    -- rounded once at the end
+    SELECT c_custkey,
+           c_name,
+           CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50)
+                // 100 AS BIGINT) / 100.0 AS revenue,
+           round(c_acctbal, 2) AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC,
+             c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): 4-table join —
+    lineitem⋈orders⋈customer⋈nation — with a quarter filter on orders
+    and a flag filter on lineitem, grouped per customer, top-20 by
+    lost revenue.  Completes the TPC-H quartet alongside Q1
+    (``agg_groupby``), Q3 (``tpch_q3_shipping``) and the Q5 shape
+    (``join_multiway``).
+
+    Scale: the quarter predicate prunes orders at the scan (3 months
+    of ~80) and the returnflag predicate prunes lineitem; nation
+    (25 rows) broadcasts; orders⋈lineitem is the only fact-fact
+    shuffle, and the customer join shuffles the already-quarter-
+    reduced fact side.  The top-20 is TakeOrderedAndProject — no
+    global sort.  ``c_custkey`` tiebreaks revenue ties.
+
+    Revenue is accumulated in integer 1e-4 units (cents × discount
+    basis points) so the per-customer sum — which spans enough rows
+    for double accumulation order to flip the 2nd decimal — is exact
+    on both engines, divided and rounded once.
+    """
+    ensure_utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    rev_e4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev_e4.alias("rev_e4"))
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.expr("(rev_e4 + 50) div 100") / 100.0).alias("revenue"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+            "rev_e4",
+        )
+        .orderBy(F.col("rev_e4").desc(), "c_custkey")
+        .limit(20)
+        .drop("rev_e4")
+    )
+
+
+#: top-N token ranks entering the Zipf regression — the classic fit
+#: window (rank 1..200) where the power law holds before the tail bends
+_ZIPF_TOP = 200
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    freq AS (
+      SELECT term, count(*) AS f FROM toks GROUP BY term
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+      FROM freq
+    ),
+    pts AS (
+      -- micro-unit logs: x = round(1e6*ln(rank)), y = round(1e6*ln(freq))
+      -- as BIGINT, so every downstream sum is integer-exact
+      SELECT CAST(round(1000000 * ln(r)) AS BIGINT) AS x,
+             CAST(round(1000000 * ln(f)) AS BIGINT) AS y
+      FROM ranked WHERE r <= {_ZIPF_TOP}
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) / n
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / n)) / 1000000.0, 4)
+               AS zipf_intercept_ln
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(freq) vs ln(rank) for the top-200 terms — the standard corpus-
+    health diagnostic (natural language sits near slope −1; corrupted
+    or templated corpora drift off it), a first-class signal in
+    training-data quality pipelines.
+
+    Engine-exactness: rather than trusting ``regr_slope`` over raw
+    doubles (accumulation order and libm ``ln`` differ between Spark's
+    JVM and DuckDB's C), both engines quantize the logs to MICRO-UNIT
+    BIGINTs (round(1e6·ln(·))) and form the normal-equation sums in
+    integer arithmetic — the slope is an exact rational (n·Σxy−ΣxΣy)/
+    (n·Σxx−Σx²) rounded once at the end.  Max |x·y| ≈ 2.9e13 and the
+    200-row sums stay far inside BIGINT.
+
+    At 100 TB: tokenize+count is the word-count shape (one shuffle,
+    map-side combined); ranking the vocabulary is a top-k over the
+    *vocab* table (millions of rows, not the corpus) pruned to 200 by
+    TakeOrderedAndProject semantics inside the row_number window; the
+    final sums reduce 200 rows.  Slope ≈ −1 (never near −0.0) and the
+    intercept is strictly positive, so no signed-zero hazard.
+    """
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), "term")
+    # the unpartitioned window is limit-pruned: row_number + the r<=200
+    # filter compiles to a WindowGroupLimit(200) before any exchange,
+    # so only 200 rows per map task reach the single reducer
+    pts = (
+        freq.select("f", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= _ZIPF_TOP)
+        .select(
+            F.round(F.lit(1000000) * F.log("r")).cast("bigint").alias("x"),
+            F.round(F.lit(1000000) * F.log("f")).cast("bigint").alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - slope * (F.col("sx").cast("double") / F.col("n"))
+            )
+            / 1000000.0,
+            4,
+        ).alias("zipf_intercept_ln"),
+    )

@@ -67,6 +67,7 @@ _QUERY_MODULES = [
     # oracle-checked instead) and never displaces a contract row
     "mapreduceplusplus_spark.streaming.sjoin",
     "mapreduceplusplus_spark.operators.timeseries",
+    "mapreduceplusplus_spark.operators.advanced",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external
