@@ -852,3 +852,66 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 200
         """
     )
+
+
+@query(
+    "join_prefilter_bitmap",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def join_prefilter_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style runtime pre-filter join: before the exact semi join,
+    the fact side is pre-filtered by a BROADCAST HASH-BUCKET BITMAP of
+    the dim keys — ``pmod(xxhash64(key), m)`` bucket ids, distinct-ed
+    to ≤ m rows — then the surviving candidate superset (false
+    positives possible, false negatives impossible) is resolved by the
+    exact broadcast semi join.  This is a k=1 Bloom filter made
+    explicit in the DataFrame algebra; it is exactly the shape Spark's
+    own InjectRuntimeFilter rewrites to internally (bloom_filter_agg /
+    might_contain are not exposed to the public API, so the engine
+    surfaces the pattern portably).
+
+    Why it matters at 100 TB: when the dim's key set is too big for a
+    plain IN-list but its BUCKET SET is small (m = 4096 here; even
+    m = 2^26 is an 8 MB broadcast as a bitmap), the fact scan drops
+    non-matching rows map-side BEFORE any shuffle or join build —
+    for a 1%-selective dim that is a ~99% reduction in shuffled
+    bytes.  Both joins broadcast; the fact never shuffles until the
+    final (already-reduced) aggregation.
+
+    The oracle is the plain exact semi join — the bitmap is pure
+    optimization, provably result-invariant (superset then exact)."""
+    ensure_utc(spark)
+    m = 4096
+    orders = load_table(spark, sf_dir, "orders")
+    dim_keys = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    buckets = dim_keys.select(
+        F.pmod(F.xxhash64("c_custkey"), F.lit(m)).alias("bkt")
+    ).distinct()
+    candidates = orders.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64("o_custkey"), F.lit(m)) == F.col("bkt"),
+    ).drop("bkt")
+    exact = candidates.join(
+        F.broadcast(dim_keys),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

@@ -335,3 +335,67 @@ def scalar_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.substring("text", 1, 4).cast("binary")).alias("head_hex"),
         (F.decode(F.unbase64(b64), "UTF-8") == F.col("text")).alias("roundtrip_ok"),
     )
+
+
+@query(
+    "scalar_map_ops",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_quantity) AS BIGINT)          AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_discount * 100) AS BIGINT)    AS disc_bp
+      FROM lineitem WHERE l_orderkey < 200
+    )
+    SELECT l_orderkey, l_linenumber, k, v FROM (
+      SELECT l_orderkey, l_linenumber, 'qty' AS k, 2 * qty AS v
+      FROM base WHERE qty > 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'price_cents', 2 * price_cents
+      FROM base WHERE price_cents > 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'disc_bp', 2 * disc_bp
+      FROM base WHERE disc_bp > 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'linenum', CAST(l_linenumber AS BIGINT)
+      FROM base
+    )
+    """,
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP-type scalar family — ``map_from_arrays`` construction,
+    ``map_filter`` (drop zero-valued entries), ``transform_values``
+    (lambda over values), ``map_concat`` (merge a computed entry), and
+    ``explode`` back to relational (key, value) rows.  Maps are the
+    idiomatic carrier for sparse per-row feature bags in training-data
+    pipelines (per-doc signal dictionaries), and the lambda HOFs run
+    JVM-side in codegen — no Python.
+
+    DuckDB's MAP type hashes differently, so the differential contract
+    is on the EXPLODED relational form: the oracle states the same
+    entries as filtered UNION ALL branches — the dropped ``disc_bp = 0``
+    entries prove ``map_filter`` really filtered, the doubling proves
+    ``transform_values`` applied, the ``linenum`` entry proves
+    ``map_concat`` merged.  Narrow projection off one scan, zero
+    shuffle; the bounded ``l_orderkey < 200`` slice is pushed to the
+    parquet scan."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price_cents"), F.lit("disc_bp")),
+        F.array(
+            F.round("l_quantity").cast("bigint"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+            F.round(F.col("l_discount") * 100).cast("bigint"),
+        ),
+    )
+    scaled = F.transform_values(
+        F.map_filter(m, lambda k, v: v > 0), lambda k, v: v * 2
+    )
+    full = F.map_concat(
+        scaled,
+        F.create_map(F.lit("linenum"), F.col("l_linenumber").cast("bigint")),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", F.explode(full).alias("k", "v")
+    )

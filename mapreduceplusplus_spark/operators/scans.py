@@ -323,3 +323,72 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, n_nonpositive_price bigint, sum_cents bigint, max_cents bigint",
     )
+
+
+@query(
+    "join_dpp_partition_pruned",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-01', '1996-02', '1996-03')
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is laid out
+    Hive-partitioned by month, the query joins it to a small filtered
+    dimension on the PARTITION column, and Spark prunes the fact scan
+    AT RUNTIME to only the partitions the dimension selects — the
+    filter values come from executing the dim side first (a
+    ``dynamicpruningexpression`` subquery in the physical plan,
+    asserted by ``tests/test_plan_shapes.py``), not from any static
+    predicate on the fact.
+
+    This is THE 100 TB access-path feature static pruning can't give:
+    a star-schema query "this quarter's months" never states the
+    months literally — they arrive via the calendar/dim join — and
+    without DPP the fact side would scan all ~80 month partitions
+    instead of 3.  Complements ``sink_partitioned_pruned`` (static
+    partition pruning from a literal predicate).
+
+    The dimension here is a 3-row quarter→month table built inline
+    (filtered on ``quarter = '1996-Q1'`` so the plan has the selective
+    dim Filter DPP keys off); the oracle states the equivalent literal
+    month predicate, proving the runtime-pruned join computes exactly
+    the statically-pruned aggregate.  Same eager write→read→cleanup
+    shape as the other sink queries (bounded collect of the 3-row
+    aggregate so the temp layout can be deleted)."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    dim = spark.createDataFrame(
+        [("1996-01", "1996-Q1"), ("1996-02", "1996-Q1"),
+         ("1996-03", "1996-Q1"), ("1996-04", "1996-Q2")],
+        "d_month string, d_quarter string",
+    ).where(F.col("d_quarter") == "1996-Q1")
+    out = tempfile.mkdtemp(prefix="dpp_fact_")
+    try:
+        orders.write.mode("overwrite").partitionBy("o_month").parquet(out)
+        fact = spark.read.parquet(out)
+        result = (
+            fact.join(F.broadcast(dim), fact["o_month"] == dim["d_month"])
+            .groupBy("o_month")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .select(F.col("o_month").alias("month"), "n_orders", "sum_cents")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -529,3 +529,58 @@ def test_new_ops_plan_shapes(spark):
     pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
     assert any("l_shipdate" in s and "GreaterThan" in s for s in pushed), pushed
     assert any("o_orderdate" in s and "LessThan" in s for s in pushed), pushed
+
+
+def test_round6_session2_plan_shapes(spark):
+    """Plan pins for the second round-6 batch:
+    - DPP: the partitioned fact scan carries a dynamicpruningexpression
+      PartitionFilter (runtime pruning from the dim side), not just a
+      static IN-list;
+    - bitmap prefilter: BOTH the bucket join and the exact semi join
+      broadcast — the fact side reaches the aggregation without a
+      single pre-join shuffle;
+    - recursive CTE: the loop executes (UnionLoop/Recursion node) and the
+      fact table is NOT inside the recursion (it aggregates once).
+    """
+    qs = registry.queries()
+
+    # DPP — build the same fact layout the query builds and pin the
+    # pruning expression on the pre-collect plan (the registered query
+    # collects eagerly to clean its temp dir, so probe the join shape
+    # directly here)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_DIR_ORACLE}/orders.parquet").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    dim = spark.createDataFrame(
+        [("1996-01", "1996-Q1"), ("1996-02", "1996-Q1")],
+        "d_month string, d_quarter string",
+    ).where(F.col("d_quarter") == "1996-Q1")
+    out = tempfile.mkdtemp(prefix="dpp_pin_")
+    try:
+        orders.write.mode("overwrite").partitionBy("o_month").parquet(out)
+        fact = spark.read.parquet(out)
+        j = fact.join(F.broadcast(dim), fact["o_month"] == dim["d_month"])
+        p = _plan(j)
+        assert "dynamicpruningexpression" in p.lower(), p
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    # bitmap prefilter — two broadcast joins, fact never exchanges
+    # before the final aggregation's own shuffle
+    p = _plan(qs["join_prefilter_bitmap"](spark, SF_DIR_ORACLE))
+    assert p.count("BroadcastHashJoin") == 2, p
+    pre_agg = p.split("HashAggregate")[-1]  # below the partial agg
+    assert "Exchange hashpartitioning" not in pre_agg, (
+        "fact side shuffled before the prefilter joins"
+    )
+
+    # recursive CTE executes as a loop over the bounds, not the fact
+    p = _plan(qs["sql_recursive_cte"](spark, SF_DIR_ORACLE))
+    assert "UnionLoop" in p or "Recursion" in p, p
