@@ -281,3 +281,135 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_intercept_ln"),
     )
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH g AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    cust AS (
+      SELECT o_custkey AS custkey,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents,
+             max(o_orderdate) AS last_o
+      FROM orders GROUP BY o_custkey
+    ),
+    c2 AS (
+      SELECT custkey, frequency, m_cents,
+             CAST(date_diff('day', last_o, g.maxd) AS BIGINT) AS r_days
+      FROM cust CROSS JOIN g
+    ),
+    q AS (
+      SELECT round(quantile_cont(r_days, 0.2), 3) AS r1,
+             round(quantile_cont(r_days, 0.4), 3) AS r2,
+             round(quantile_cont(r_days, 0.6), 3) AS r3,
+             round(quantile_cont(r_days, 0.8), 3) AS r4,
+             round(quantile_cont(frequency, 0.2), 3) AS f1,
+             round(quantile_cont(frequency, 0.4), 3) AS f2,
+             round(quantile_cont(frequency, 0.6), 3) AS f3,
+             round(quantile_cont(frequency, 0.8), 3) AS f4,
+             round(quantile_cont(m_cents, 0.2), 3) AS m1,
+             round(quantile_cont(m_cents, 0.4), 3) AS m2,
+             round(quantile_cont(m_cents, 0.6), 3) AS m3,
+             round(quantile_cont(m_cents, 0.8), 3) AS m4
+      FROM c2
+    ),
+    scored AS (
+      SELECT custkey, r_days, frequency, m_cents,
+             1 + (CASE WHEN r_days > q.r1 THEN 1 ELSE 0 END)
+               + (CASE WHEN r_days > q.r2 THEN 1 ELSE 0 END)
+               + (CASE WHEN r_days > q.r3 THEN 1 ELSE 0 END)
+               + (CASE WHEN r_days > q.r4 THEN 1 ELSE 0 END) AS r_score,
+             1 + (CASE WHEN frequency > q.f1 THEN 1 ELSE 0 END)
+               + (CASE WHEN frequency > q.f2 THEN 1 ELSE 0 END)
+               + (CASE WHEN frequency > q.f3 THEN 1 ELSE 0 END)
+               + (CASE WHEN frequency > q.f4 THEN 1 ELSE 0 END) AS f_score,
+             1 + (CASE WHEN m_cents > q.m1 THEN 1 ELSE 0 END)
+               + (CASE WHEN m_cents > q.m2 THEN 1 ELSE 0 END)
+               + (CASE WHEN m_cents > q.m3 THEN 1 ELSE 0 END)
+               + (CASE WHEN m_cents > q.m4 THEN 1 ELSE 0 END) AS m_score
+      FROM c2 CROSS JOIN q
+    )
+    SELECT custkey, r_days, frequency, m_cents,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           'R' || CAST(r_score AS VARCHAR) || 'F' || CAST(f_score AS VARCHAR)
+               || 'M' || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the canonical marketing-analytics rollup: per customer, days since
+    last order, order count, and lifetime cents, each scored 1–5 by
+    which population quintile the value falls in, concatenated into
+    the familiar 'R3F5M4' segment label.
+
+    Scored WITHOUT any global window: the quintile boundaries come
+    from one exact-``percentile`` aggregate (a 1-row result,
+    broadcast by the cross join) and each customer's scores are plain
+    threshold comparisons — so the plan is two hash aggregates and a
+    broadcast, nothing that degrades as customers grow to 10^8 (an
+    ``ntile`` formulation would need a single-partition window over
+    every customer).  This 'boundary quantile' semantics differs from
+    ``ntile`` only in how it spreads EXACT TIES across buckets —
+    analytically the right behavior (equal values get equal scores).
+
+    Determinism: metrics are exact integers; boundaries are linear-
+    interpolated quantiles of integers at p ∈ {.2,.4,.6,.8} rounded
+    to 3 decimals on BOTH engines — the true boundary's fractional
+    part is a multiple of 0.2 (interpolation fraction × integer gap),
+    never near a rounding half-point, so the last-ulp difference
+    between Spark's and DuckDB's interpolation formula cannot flip
+    the rounded value or an integer-vs-boundary comparison."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.agg(F.max("o_orderdate").alias("maxd"))
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("m_cents"),
+        F.max("o_orderdate").alias("last_o"),
+    )
+    c2 = cust.join(F.broadcast(g)).select(
+        "custkey",
+        "frequency",
+        "m_cents",
+        F.datediff("maxd", "last_o").cast("bigint").alias("r_days"),
+    )
+    qcols = []
+    for metric, tag in [("r_days", "r"), ("frequency", "f"), ("m_cents", "m")]:
+        for j, p in enumerate([0.2, 0.4, 0.6, 0.8], start=1):
+            qcols.append(
+                F.round(F.expr(f"percentile({metric}, {p})"), 3).alias(
+                    f"{tag}{j}"
+                )
+            )
+    q = c2.agg(*qcols)
+
+    def score(metric: str, tag: str):
+        s = F.lit(1)
+        for j in range(1, 5):
+            s = s + F.when(F.col(metric) > F.col(f"{tag}{j}"), 1).otherwise(0)
+        return s.cast("int").alias(f"{tag}_score")
+
+    scored = c2.join(F.broadcast(q)).select(
+        "custkey",
+        "r_days",
+        "frequency",
+        "m_cents",
+        score("r_days", "r"),
+        score("frequency", "f"),
+        score("m_cents", "m"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.lit("R"), F.col("r_score").cast("string"),
+            F.lit("F"), F.col("f_score").cast("string"),
+            F.lit("M"), F.col("m_score").cast("string"),
+        ),
+    )

@@ -68,6 +68,7 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.streaming.sjoin",
     "mapreduceplusplus_spark.operators.timeseries",
     "mapreduceplusplus_spark.operators.advanced",
+    "mapreduceplusplus_spark.operators.maintenance",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external

@@ -584,3 +584,15 @@ def test_round6_session2_plan_shapes(spark):
     # recursive CTE executes as a loop over the bounds, not the fact
     p = _plan(qs["sql_recursive_cte"](spark, SF_DIR_ORACLE))
     assert "UnionLoop" in p or "Recursion" in p, p
+
+
+def test_zorder_buckets_are_2d_tiles(spark):
+    """The Z-order claim made concrete: grouping by the top-4 Morton
+    bits must bound EVERY bucket's envelope to ≤ 64 of 256 normalized
+    units on BOTH axes simultaneously — i.e. the layout clusters in
+    two dimensions at once, which no single-column sort achieves."""
+    rows = registry.queries()["layout_zorder"](spark, SF_DIR_ORACLE).collect()
+    assert rows, "no z-buckets produced"
+    for r in rows:
+        assert r.max_x - r.min_x <= 63, r
+        assert r.max_y - r.min_y <= 63, r
