@@ -1,0 +1,172 @@
+"""Graph analytics over a derived co-purchase graph — the missing
+family between relational OLAP and the dedup clustering ops
+(``llm/dedup.py`` already does connected components; these rows add
+degree statistics and triangle counting, the standard
+graph-health / community-structure primitives).
+
+Graph definition (shared by both queries and both engines): vertices
+are parts with ``p_partkey < 400``; an undirected edge (a, b), a < b,
+exists iff the two parts co-occur in at least one order.  Distinct-ing
+the pair set makes the graph simple (no multi-edges, no loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+_VMAX = 400
+
+_EDGES_SQL = f"""
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < {_VMAX} AND b.l_partkey < {_VMAX}
+"""
+
+_DEGREE_SQL = f"""
+    WITH e AS ({_EDGES_SQL}),
+    verts AS (
+      SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+    ),
+    deg AS (
+      SELECT v, count(*) AS degree FROM verts GROUP BY v
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           count(*) AS n_vertices
+    FROM deg GROUP BY degree
+"""
+
+
+@query("graph_degree_distribution", oracle=_DEGREE_SQL)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first thing
+    anyone profiles about a graph (power-law tail ⇒ hub-skew risk for
+    every downstream per-vertex operation).  Built relationally: the
+    edge list is a self-join of lineitem on the order key (distinct-ed
+    to a simple graph), degrees are one hash aggregate over the edge
+    endpoints (UNION ALL, no per-vertex state), and the histogram is a
+    second, already-tiny aggregate.
+
+    At 100 TB the only real shuffle is the edge-list distinct on the
+    pair key; per-order fan-out is bounded by lines-per-order (≤ 7 in
+    TPC-H-shaped data), so the self-join never explodes — the same
+    bounded-basket argument as ``join_market_basket``.  Shared SQL
+    text with the oracle."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_DEGREE_SQL)
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    m AS (SELECT count(*) AS n_edges FROM e),
+    n AS (SELECT count(DISTINCT v) AS n_vertices
+          FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e))
+    SELECT CAST(n.n_vertices AS BIGINT) AS n_vertices,
+           CAST(m.n_edges AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles
+    FROM tri CROSS JOIN m CROSS JOIN n
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with DEGREE-ORDERED ORIENTATION — the
+    MapReduce-era algorithm (Suri & Vassilvitskii's "Counting
+    triangles and the curse of the last reducer") that makes triangle
+    enumeration skew-proof: every undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, turning the graph
+    into a DAG where each vertex's OUT-degree is O(√m) regardless of
+    how big a hub its undirected degree made it.  Wedges are then a
+    self-join of out-edges on the source, and a wedge (s→u, s→w) forms
+    a triangle iff the oriented edge u→w exists (u, w canonicalized by
+    the SAME (degree, id) order, so each triangle is found exactly
+    once at its minimum vertex).
+
+    Why not the naive 3-way self-join the ORACLE uses: on a power-law
+    graph the naive join materializes Σ deg² wedges — the hub vertex
+    alone can exceed the rest of the graph combined ("the curse of the
+    last reducer"); orientation caps per-vertex work at Σ outdeg² ≤
+    O(m^1.5) with no hot key.  The oracle keeps the independent naive
+    formulation precisely so the optimized algorithm is checked
+    against un-optimized semantics.
+
+    Plan: edge distinct (one shuffle) → degree agg (one shuffle) →
+    degree join-back → wedge self-join on src → closing-edge join on
+    (u, w).  All joins hash-partitionable; AQE broadcasts the reduced
+    sides at test scale."""
+    ensure_utc(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < _VMAX)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("x")
+    b = li.alias("y")
+    edges = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    verts = edges.select(F.col("a").alias("v")).unionAll(
+        edges.select(F.col("b").alias("v"))
+    )
+    deg = verts.groupBy("v").agg(F.count("*").alias("d"))
+    # orient each edge from the (degree, id)-smaller endpoint
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ed = edges.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    )
+    o1 = oriented.select(
+        F.col("src"), F.col("dst").alias("u"), F.col("ddst").alias("du")
+    )
+    o2 = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("ddst").alias("dw")
+    )
+    # each unordered out-pair once, ordered by the SAME (degree, id) key
+    wedges = o1.join(o2, "src").where(
+        (F.col("du") < F.col("dw"))
+        | ((F.col("du") == F.col("dw")) & (F.col("u") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["u", "w"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    m = edges.agg(F.count("*").alias("n_edges"))
+    n = verts.agg(F.countDistinct("v").alias("n_vertices"))
+    return (
+        tri.crossJoin(m)
+        .crossJoin(n)
+        .select(
+            F.col("n_vertices").cast("bigint").alias("n_vertices"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        )
+    )

@@ -69,6 +69,7 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.operators.timeseries",
     "mapreduceplusplus_spark.operators.advanced",
     "mapreduceplusplus_spark.operators.maintenance",
+    "mapreduceplusplus_spark.operators.graph",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external
