@@ -55,6 +55,8 @@ HEADLINE = [
     "join_interval_overlap",  # day-bucketed no-equi-key range join
     "window_sessionize",      # gap sessionization, 1 shuffle, 2 windows
     "join_market_basket",     # self-join pair co-occurrence + top-k
+    "tpch_q10_returned_items",  # TPC-H Q10 4-table join, integer-exact revenue
+    "graph_triangle_count",   # oriented triangle counting (5 joins, 2 aggs)
 ]
 
 
