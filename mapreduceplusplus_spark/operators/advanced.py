@@ -99,6 +99,25 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", F.max("o_orderdate")), "yyyy-MM-dd"
         ).alias("m1"),
     ).collect()[0]
+    if b.m0 is None:
+        # empty input degrades to an empty calendar (every other query
+        # returns empty-on-empty; a None splice would be a parse error)
+        return spark.createDataFrame(
+            [], "month string, n_orders bigint, revenue double"
+        )
+    # months between the bounds, +headroom; the default
+    # spark.sql.cteRecursionLevelLimit is 100 and the data spans ~80
+    # months already — a wider generated date range must not turn into
+    # a recursion-abort the DuckDB oracle doesn't share
+    n_months = (
+        (int(b.m1[:4]) - int(b.m0[:4])) * 12
+        + int(b.m1[5:7])
+        - int(b.m0[5:7])
+        + 1
+    )
+    spark.conf.set(
+        "spark.sql.cteRecursionLevelLimit", str(max(200, 2 * n_months))
+    )
     return spark.sql(
         _RECURSIVE_MONTHS_SQL.format(
             render="date_format(months.mo, 'yyyy-MM')",
@@ -224,11 +243,11 @@ _ZIPF_TOP = 200
     )
     SELECT CAST(n AS BIGINT) AS n_points,
            round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope,
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0 AS zipf_slope,
            round((CAST(sy AS DOUBLE) / n
                   - (CAST(n * sxy - sx * sy AS DOUBLE)
                      / CAST(n * sxx - sx * sx AS DOUBLE))
-                    * (CAST(sx AS DOUBLE) / n)) / 1000000.0, 4)
+                    * (CAST(sx AS DOUBLE) / n)) / 1000000.0, 4) + 0
                AS zipf_intercept_ln
     FROM s
     """,
@@ -250,10 +269,14 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: tokenize+count is the word-count shape (one shuffle,
     map-side combined); ranking the vocabulary is a top-k over the
-    *vocab* table (millions of rows, not the corpus) pruned to 200 by
-    TakeOrderedAndProject semantics inside the row_number window; the
-    final sums reduce 200 rows.  Slope ≈ −1 (never near −0.0) and the
-    intercept is strictly positive, so no signed-zero hazard.
+    *vocab* table (millions of rows, not the corpus) pruned by the
+    row_number window's rank filter; the final sums reduce ≤ 200 rows.
+    The fit actually uses min(200, |vocab|) points — the synthetic
+    corpus has a ~31-term vocabulary and a shallow slope (≈ −0.18),
+    exactly the templated-corpus signal the diagnostic exists to
+    catch.  A near-flat corpus could drive the rounded slope into
+    (−0.00005, 0), so both sides carry the registry's ``+ 0`` signed-
+    zero normalization.
     """
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -290,14 +313,17 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = num.cast("double") / den.cast("double")
     return s.select(
         F.col("n").cast("bigint").alias("n_points"),
-        F.round(slope, 4).alias("zipf_slope"),
-        F.round(
-            (
-                F.col("sy").cast("double") / F.col("n")
-                - slope * (F.col("sx").cast("double") / F.col("n"))
+        (F.round(slope, 4) + F.lit(0.0)).alias("zipf_slope"),
+        (
+            F.round(
+                (
+                    F.col("sy").cast("double") / F.col("n")
+                    - slope * (F.col("sx").cast("double") / F.col("n"))
+                )
+                / 1000000.0,
+                4,
             )
-            / 1000000.0,
-            4,
+            + F.lit(0.0)
         ).alias("zipf_intercept_ln"),
     )
 
@@ -367,14 +393,17 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the familiar 'R3F5M4' segment label.
 
     Scored WITHOUT any global window: the quintile boundaries come
-    from one exact-``percentile`` aggregate (a 1-row result,
-    broadcast by the cross join) and each customer's scores are plain
-    threshold comparisons — so the plan is two hash aggregates and a
-    broadcast, nothing that degrades as customers grow to 10^8 (an
-    ``ntile`` formulation would need a single-partition window over
-    every customer).  This 'boundary quantile' semantics differs from
-    ``ntile`` only in how it spreads EXACT TIES across buckets —
-    analytically the right behavior (equal values get equal scores).
+    from one exact-``percentile`` aggregate whose 12-double result is
+    collected and spliced back as LITERALS (the bounded-driver-state
+    convention of ``sort_global``'s quantile boundaries — joining the
+    uncollected 1-row aggregate instead would re-run the whole
+    customer rollup a second time inside the scoring plan), and each
+    customer's scores are plain threshold comparisons — nothing that
+    degrades as customers grow to 10^8 (an ``ntile`` formulation
+    would need a single-partition window over every customer).  This
+    'boundary quantile' semantics differs from ``ntile`` only in how
+    it spreads EXACT TIES across buckets — analytically the right
+    behavior (equal values get equal scores).
 
     Determinism: metrics are exact integers; boundaries are linear-
     interpolated quantiles of integers at p ∈ {.2,.4,.6,.8} rounded
@@ -407,15 +436,17 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{tag}{j}"
                 )
             )
-    q = c2.agg(*qcols)
+    qrow = c2.agg(*qcols).collect()[0]
 
     def score(metric: str, tag: str):
         s = F.lit(1)
         for j in range(1, 5):
-            s = s + F.when(F.col(metric) > F.col(f"{tag}{j}"), 1).otherwise(0)
+            b = qrow[f"{tag}{j}"]
+            cond = F.col(metric) > F.lit(b) if b is not None else F.lit(False)
+            s = s + F.when(cond, 1).otherwise(0)
         return s.cast("int").alias(f"{tag}_score")
 
-    scored = c2.join(F.broadcast(q)).select(
+    scored = c2.select(
         "custkey",
         "r_days",
         "frequency",
