@@ -70,6 +70,7 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.operators.advanced",
     "mapreduceplusplus_spark.operators.maintenance",
     "mapreduceplusplus_spark.operators.graph",
+    "mapreduceplusplus_spark.operators.ml",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external
