@@ -452,3 +452,65 @@ def test_stream_stream_join_matches_batch(spark, stream_dirs):
         (F.unix_timestamp(F.col("p.ts")) - F.unix_timestamp(F.col("c.ts"))).alias("gap_sec"),
     )
     assert streamed == {tuple(r) for r in batch.collect()}
+
+
+def test_foreach_batch_idempotent_replay(spark, stream_dirs):
+    """The exactly-once SINK idiom: foreachBatch writing epoch-
+    partitioned parquet with DYNAMIC partition overwrite is idempotent
+    under micro-batch replay — after a failure between the sink write
+    and the checkpoint commit, Structured Streaming re-delivers the
+    same epoch, and the overwrite semantics make the re-delivery
+    rewrite (not duplicate) that epoch's partition.  This is the sink
+    half of the exactly-once story; ``test_stateful_checkpoint_
+    recovery`` covers the state half."""
+    import shutil
+    import tempfile
+    from datetime import datetime as T
+
+    from pyspark.sql import functions as F
+
+    src, chk = stream_dirs
+    out = tempfile.mkdtemp(prefix="feb_idem_")
+    schema = "ts timestamp, user_id bigint"
+    b1 = [(T(2024, 1, 1, 10, 0, 0), 1), (T(2024, 1, 1, 10, 1, 0), 2)]
+    b2 = [(T(2024, 1, 1, 11, 0, 0), 3)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/batch1")
+
+    def sink(df, epoch_id):
+        (
+            df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out)
+        )
+
+    stream = spark.readStream.schema(schema).parquet(f"{src}/batch*")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_after_b1 = spark.read.parquet(out).count()
+        # simulate the replay: the engine re-invokes the sink with the
+        # SAME epoch id and the same batch content after a crash-before-
+        # commit — the dynamic overwrite must leave the sink unchanged
+        sink(spark.createDataFrame(b1, schema), 0)
+        assert spark.read.parquet(out).count() == n_after_b1, (
+            "epoch replay duplicated rows — sink is not idempotent"
+        )
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/batch2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert sorted(r.user_id for r in got.collect()) == [1, 2, 3]
+    shutil.rmtree(out, ignore_errors=True)
