@@ -596,3 +596,68 @@ def test_zorder_buckets_are_2d_tiles(spark):
     for r in rows:
         assert r.max_x - r.min_x <= 63, r
         assert r.max_y - r.min_y <= 63, r
+
+
+def test_morton16_is_a_bijection():
+    """The Z-order formula is pure dialect-intersection SQL text; prove
+    its semantics directly: over the full 256×256 domain the interleave
+    is a bijection onto 0..65535 (no collisions, no out-of-range), and
+    the inverse de-interleave recovers (x, y) — checked in DuckDB, the
+    same engine the oracle runs on."""
+    import duckdb
+
+    from mapreduceplusplus_spark.operators.maintenance import _morton16
+
+    expr = _morton16("x", "y")
+    con = duckdb.connect()
+    n, mn, mx = con.execute(
+        f"""
+        SELECT count(DISTINCT z), min(z), max(z) FROM (
+          SELECT {expr} AS z
+          FROM (SELECT unnest(generate_series(0, 255)) AS x),
+               (SELECT unnest(generate_series(0, 255)) AS y))
+        """
+    ).fetchone()
+    assert (n, mn, mx) == (65536, 0, 65535)
+    # spot-check the inverse on a diagonal slice: extracting the even
+    # bits gives back x, the odd bits y
+    bad = con.execute(
+        f"""
+        WITH z AS (
+          SELECT x, y, {expr} AS z
+          FROM (SELECT unnest(generate_series(0, 255)) AS x),
+               (SELECT unnest(generate_series(0, 255)) AS y)
+          WHERE (x + y) % 17 = 0
+        )
+        SELECT count(*) FROM z WHERE
+          {" + ".join(f"(CAST(floor(z / {1 << (2 * i)}) AS BIGINT) % 2) * {1 << i}" for i in range(8))} != x
+          OR {" + ".join(f"(CAST(floor(z / {1 << (2 * i + 1)}) AS BIGINT) % 2) * {1 << i}" for i in range(8))} != y
+        """
+    ).fetchone()[0]
+    assert bad == 0
+    con.close()
+
+
+def test_compaction_plan_bins_are_wellformed(spark):
+    """Next-fit binning invariants on the real output: per (source,
+    bin) the packed total never exceeds target + that bin's largest
+    item (one straddling item is the next-fit guarantee), and bin ids
+    are contiguous from 1 within every source."""
+    from collections import defaultdict
+
+    from mapreduceplusplus_spark.operators.maintenance import _COMPACT_TARGET
+
+    rows = registry.queries()["maintenance_compaction_plan"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+    assert rows
+    per_bin = defaultdict(list)
+    for r in rows:
+        per_bin[(r.source, r.bin_id)].append(r.n_chars)
+    for (src, b), sizes in per_bin.items():
+        assert sum(sizes) <= _COMPACT_TARGET + max(sizes), (src, b, sizes)
+    by_src = defaultdict(set)
+    for src, b in per_bin:
+        by_src[src].add(b)
+    for src, bins in by_src.items():
+        assert bins == set(range(1, len(bins) + 1)), (src, bins)
