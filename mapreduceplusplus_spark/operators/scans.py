@@ -392,3 +392,62 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_rows,
+           count(CASE WHEN doc_id >= 250 THEN n_chars END) AS n_with_chars,
+           CAST(coalesce(sum(CASE WHEN doc_id >= 250 THEN n_chars END), 0)
+                AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (``mergeSchema``): a table whose earliest files
+    were written BEFORE a column existed — file v1 carries (doc_id,
+    lang), file v2 adds ``n_chars`` — is read as ONE relation with the
+    union schema; rows from the pre-evolution file surface NULL for
+    the later column (never a junk default, never a read error).
+
+    This is a daily reality of a 100 TB lake: columns are added over
+    months of ingest and a reader must span the whole history.
+    Parquet's footer-per-file schema plus Spark's ``mergeSchema``
+    reconciliation (by NAME, not position) is the engine surface being
+    pinned; the aggregate proves both halves land with the right
+    nullability — counts per lang equal the original table, non-null
+    ``n_chars`` exists only for v2 rows.
+
+    Scale note: ``mergeSchema`` reads every file footer at planning
+    time — on a million-file table one sets the union schema
+    explicitly (``spark.read.schema(...)``) instead; both paths
+    produce this same relation, the demo keeps the self-describing
+    form.  Same eager write→read→cleanup shape as the sibling sink
+    queries (3-ish-row bounded collect)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        docs.where(F.col("doc_id") < 250).select("doc_id", "lang").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/v1")
+        docs.where(F.col("doc_id") >= 250).select(
+            "doc_id", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(f"{out}/v2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{out}/v1", f"{out}/v2"
+        )
+        result = merged.groupBy("lang").agg(
+            F.count("*").alias("n_rows"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_chars"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
