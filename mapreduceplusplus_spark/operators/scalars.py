@@ -399,3 +399,83 @@ def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_linenumber", F.explode(full).alias("k", "v")
     )
+
+
+@query(
+    "udtf_explode_outer",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN len(a) = 0 THEN [CAST(NULL AS VARCHAR)]
+                       ELSE a END) AS quword,
+           CAST(len(a) AS INT) AS n_matches
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), 'qu[a-z]+') AS a
+          FROM documents)
+    """,
+)
+def udtf_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` — the LEFT-OUTER generator: documents whose
+    pattern-match array is EMPTY (115 of 500 here for ``qu[a-z]+``)
+    survive as a (doc_id, NULL) row instead of silently vanishing the
+    way plain ``explode`` drops them.  The distinction is the classic
+    fan-out bug in per-document feature extraction: inner-generate and
+    every matchless document disappears from the corpus, skewing any
+    downstream per-doc statistic.  DuckDB has no outer unnest, so the
+    oracle states the semantics explicitly (empty → [NULL]) — which is
+    precisely the definition being pinned.  Narrow projection, zero
+    shuffle; ``n_matches`` disambiguates a true NULL match from an
+    empty-array placeholder row."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.regexp_extract_all(F.lower("text"), F.lit("qu[a-z]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(arr).cast("int").alias("n_matches"),
+        F.explode_outer(arr).alias("quword"),
+    ).select("doc_id", "quword", "n_matches")
+
+
+@query(
+    "scalar_try_functions",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size = 10 THEN NULL
+                ELSE round(p_retailprice / (p_size - 10), 4) END
+               AS try_ratio,
+           TRY_CAST(CASE WHEN p_partkey % 2 = 0
+                         THEN CAST(p_size AS VARCHAR)
+                         ELSE p_name END AS INT) AS try_int,
+           string_split(p_name, ' ')[5] AS try_fifth_word
+    FROM part
+    """,
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_``-function family — ANSI-mode error handling as
+    VALUES instead of job-killing exceptions.  Spark 4 runs with
+    ``spark.sql.ansi.enabled=true``, where ``/`` by zero,
+    out-of-range casts, and out-of-bounds ``element_at`` all RAISE;
+    the ``try_`` variants return NULL instead, which is the only
+    sane behavior for a 100 TB batch job (one malformed row must not
+    kill a 10-hour run — NULL now, quarantine via a
+    ``dq_constraint_check``-style audit after).
+
+    Pinned: ``try_divide`` (NULL exactly where the divisor hits 0),
+    ``try_cast`` over a mixed parse-able/junk string column, and
+    ``try_element_at`` past the array end.  DuckDB's counterparts
+    (CASE-guarded divide, TRY_CAST, bracket indexing that is
+    NULL-on-OOB by definition) state the same semantics.  Narrow
+    codegen projection, zero shuffle."""
+    ensure_utc(spark)
+    part = load_table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.col("p_size").cast("string")
+    ).otherwise(F.col("p_name"))
+    return part.select(
+        "p_partkey",
+        F.round(
+            F.try_divide(F.col("p_retailprice"), F.col("p_size") - 10), 4
+        ).alias("try_ratio"),
+        mixed.try_cast("int").alias("try_int"),
+        F.try_element_at(F.split("p_name", " "), F.lit(5)).alias(
+            "try_fifth_word"
+        ),
+    )

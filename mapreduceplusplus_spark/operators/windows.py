@@ -673,3 +673,77 @@ def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("distinct_types_10"),
     )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    WITH sparse AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) END
+               AS obs_cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, obs_cents,
+           last_value(obs_cents IGNORE NULLS) OVER w_prev  AS ffill_cents,
+           first_value(obs_cents IGNORE NULLS) OVER w_next AS bfill_cents,
+           nth_value(obs_cents, 2 IGNORE NULLS) OVER w_all AS second_obs_cents
+    FROM sparse
+    WINDOW
+      w_prev AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_next AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+      w_all  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation as a first-class surface —
+    forward-fill (``last`` over the preceding frame), backward-fill
+    (``first`` over the following frame), and ``nth_value(·, 2)`` over
+    the full frame, all skipping the planted NULLs (2 of 3 orders
+    observe no value).  This is the sparse-observation carry-forward
+    primitive ``ts_resample_gapfill`` and ``join_asof`` build on,
+    registered standalone so the semantics (the DEFAULT is RESPECT
+    NULLS — forgetting the flag silently forward-fills nothing) are
+    pinned against DuckDB's independent implementation.
+
+    One hash exchange on the partition key serves all three frames
+    (identical partitioning+ordering); integer cents, total (date,
+    orderkey) ordering — deterministic under ties."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    obs = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+    )
+    base = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", obs.alias("obs_cents")
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_all = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "obs_cents",
+        F.last("obs_cents", ignorenulls=True).over(w_prev).alias("ffill_cents"),
+        F.first("obs_cents", ignorenulls=True).over(w_next).alias("bfill_cents"),
+        F.nth_value("obs_cents", 2, ignoreNulls=True)
+        .over(w_all)
+        .alias("second_obs_cents"),
+    )
