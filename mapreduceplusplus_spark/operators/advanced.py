@@ -463,3 +463,64 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("M"), F.col("m_score").cast("string"),
         ),
     )
+
+
+@query(
+    "etl_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation by PARTIAL-STATE MERGE — the production
+    ETL shape that makes a 100 TB daily rollup affordable: the
+    historical summary (here, orders before 2000-01-01) is aggregated
+    once and stored; each new batch aggregates ONLY its own rows and
+    the two partial states merge algebraically (counts add, sums add,
+    min/max combine).  The registered query runs both legs and the
+    merge in one plan and the oracle recomputes the aggregate from
+    scratch over the whole table — equality IS the proof that the
+    aggregate is decomposable and the incremental pipeline can never
+    drift from a full recompute.
+
+    Only algebraic/distributive aggregates merge this way (count, sum,
+    min, max, and sketches like HLL — see ``agg_hll_sketch_merge``);
+    holistic ones (exact median, exact distinct) do not, which is
+    exactly why the sketch family exists.  At 100 TB the history leg
+    is a stored ~priority-cardinality-row table, not a scan: the
+    daily cost is one partition's aggregation plus a merge over
+    kilobytes of state."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+            F.min(cents).cast("bigint").alias("min_cents"),
+            F.max(cents).cast("bigint").alias("max_cents"),
+        )
+
+    history = partial(orders.where(F.col("o_orderdate") < cutoff))
+    new_batch = partial(orders.where(F.col("o_orderdate") >= cutoff))
+    return (
+        history.unionAll(new_batch)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+            F.min("min_cents").cast("bigint").alias("min_cents"),
+            F.max("max_cents").cast("bigint").alias("max_cents"),
+        )
+    )
