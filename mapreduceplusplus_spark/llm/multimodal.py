@@ -526,3 +526,107 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return audio_frame_energy(docs)
+
+
+SCENE_SCHEMA = "doc_id bigint, frame_idx int, sad_per_px bigint"
+
+#: per-pixel mean absolute difference (0..255) at/above which two
+#: consecutive frames are called a scene cut
+SCENE_CUT_THRESHOLD = 30
+
+
+def _scene_cut_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched REAL scene-change scorer: walk the multi-frame P6
+    container decoding each raster, and score every consecutive frame
+    pair by the mean per-pixel sum-of-absolute-differences (SAD) — the
+    classic hard-cut detector.  All-integer (uint8 rasters diffed in
+    int64, floor-divided by the pixel count), so the scores are exact
+    and partitioning-independent.  Frames whose dimensions differ are
+    scored against the overlapping top-left region (real cut detectors
+    letterbox/resample; the overlap keeps this dependency-free and
+    total).  Emits one row per frame TRANSITION (frame_idx = the later
+    frame); single-frame payloads emit nothing."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "sad_per_px": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            off, idx = 0, 0
+            prev = None
+            while off < len(payload):
+                m = _PPM_HEADER.match(payload[off : off + 64])
+                if not m:
+                    break
+                w, h, maxval = (int(g) for g in m.groups())
+                if maxval != 255 or w <= 0 or h <= 0:
+                    break
+                size = m.end() + w * h * 3
+                if off + size > len(payload):
+                    break
+                cur = (
+                    np.frombuffer(
+                        payload, dtype=np.uint8, offset=off + m.end(),
+                        count=w * h * 3,
+                    )
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                if prev is not None:
+                    hh = min(h, prev.shape[0])
+                    ww = min(w, prev.shape[1])
+                    a = cur[:hh, :ww, :]
+                    b = prev[:hh, :ww, :]
+                    sad = int(np.abs(a - b).sum()) // (hh * ww * 3)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["sad_per_px"].append(sad)
+                prev = cur
+                off += size
+                idx += 1
+        yield pd.DataFrame(out)
+
+
+def detect_scene_cuts(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Public scene-cut operator: (doc_id, multi-frame payload) → one
+    integer SAD score per frame transition.  Narrow ``mapInPandas``
+    (decode + diff inside the Arrow batch, no shuffle); at 100 TB the
+    per-split cost is linear in raster bytes and the emitted rows are
+    tiny — the aggregation after is the only exchange."""
+    return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
+        _scene_cut_batch, schema=SCENE_SCHEMA
+    )
+
+
+@query("multimodal_scene_cuts")  # no SQL oracle: binary P6 decode +
+# raster SAD is a Python mapInPandas stage; semantics pinned by
+# tests/test_llm_ops.py against an independent numpy reimplementation
+# and a synthetic container with one constructed hard cut
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the 'video' modality — the shot-
+    boundary signal every video-training pipeline computes before
+    frame dedup/sampling: per document, the multi-frame container is
+    decoded and every consecutive frame pair scored by integer mean
+    SAD; transitions at/above ``SCENE_CUT_THRESHOLD`` count as cuts.
+    Completes the video story begun by ``multimodal_frame_sample``
+    (structure walk) with actual cross-frame CONTENT analysis.
+
+    Output per document: transition count, cut count, and the max/mean
+    SAD (mean as an exact integer floor to stay hash-stable).  One
+    Arrow stage + one hash agg — same scale shape as the other
+    multimodal rows."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    container = docs.mapInPandas(
+        _frame_container_batch, schema="doc_id bigint, payload binary"
+    )
+    scores = detect_scene_cuts(container)
+    return scores.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_transitions"),
+        F.sum(
+            (F.col("sad_per_px") >= SCENE_CUT_THRESHOLD).cast("bigint")
+        ).alias("n_cuts"),
+        F.max("sad_per_px").cast("bigint").alias("max_sad"),
+        F.expr("CAST(sum(sad_per_px) div count(*) AS BIGINT)").alias(
+            "mean_sad_floor"
+        ),
+    )

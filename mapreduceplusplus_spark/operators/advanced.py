@@ -1,5 +1,7 @@
 """Advanced SQL-surface operators added in round 6: recursive CTEs,
-the TPC-H Q10 join shape, and integer-exact statistical regression.
+the TPC-H Q10 join shape, integer-exact statistical regression,
+window-free RFM segmentation, and the incremental-ETL
+partial-aggregate merge proof.
 
 Reference heritage: the reference engine has no recursion or
 regression — these extend the engine the way SURVEY.md §2's "beyond

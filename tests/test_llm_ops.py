@@ -431,3 +431,67 @@ def test_audio_energy_exact_int16_framing(spark):
         assert r.n_frames == len(frames), k
         assert r.total_energy == sum(energies), k
         assert r.max_frame_energy == (max(energies) if energies else 0), k
+
+
+def test_scene_cuts_match_independent_sad(spark):
+    """The scene-cut scorer's integer SAD per transition must match an
+    independent numpy walk of the same containers (decode via
+    ppm_decode, diff on the top-left overlap, floor-divide by pixels),
+    and a constructed container with an identical-frame transition
+    followed by an inverted-frame transition must score (0, 255) —
+    exactly one detected cut."""
+    import numpy as np
+
+    from mapreduceplusplus_spark.llm.multimodal import (
+        SCENE_CUT_THRESHOLD,
+        _ppm_frames,
+        detect_scene_cuts,
+        ppm_decode,
+        ppm_encode,
+    )
+
+    qs = registry.queries()
+    out = {
+        r.doc_id: r
+        for r in qs["multimodal_scene_cuts"](spark, SF_DIR_ORACLE).collect()
+    }
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF_DIR_ORACLE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    for d in docs[:30]:
+        frames = [ppm_decode(f) for f in _ppm_frames(d.text.encode("utf-8"))]
+        sads = []
+        for prev, cur in zip(frames, frames[1:]):
+            (pw, ph, pr), (cw, ch, cr) = (
+                (prev[0], prev[1], prev[2]),
+                (cur[0], cur[1], cur[2]),
+            )
+            hh, ww = min(ph, ch), min(pw, cw)
+            a = cr[:hh, :ww, :].astype(np.int64)
+            b = pr[:hh, :ww, :].astype(np.int64)
+            sads.append(int(np.abs(a - b).sum()) // (hh * ww * 3))
+        if not sads:
+            assert d.doc_id not in out  # single-frame: no transitions
+            continue
+        r = out[d.doc_id]
+        assert r.n_transitions == len(sads)
+        assert r.max_sad == max(sads)
+        assert r.n_cuts == sum(s >= SCENE_CUT_THRESHOLD for s in sads)
+        assert r.mean_sad_floor == sum(sads) // len(sads)
+
+    # constructed hard cut: frame A, frame A again (SAD 0), then A
+    # inverted — per-byte |x - (255-x)| = |2x-255|, mean 208 here —
+    # exactly one transition over threshold
+    base = bytes(range(48)) * 2  # 96 bytes -> 4x8 raster at width 4
+    a = ppm_encode(base, width=4)
+    inv = ppm_encode(bytes(255 - b for b in base), width=4)
+    expected_cut_sad = sum(abs(2 * x - 255) for x in base) // len(base)
+    assert expected_cut_sad >= SCENE_CUT_THRESHOLD
+    payload = a + a + inv
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    rows = detect_scene_cuts(df).orderBy("frame_idx").collect()
+    assert [r.sad_per_px for r in rows] == [0, expected_cut_sad]
