@@ -179,3 +179,115 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("bigint").alias("n_triangles"),
         )
     )
+
+
+_PR_ITERS = 3
+_PR_UNIT = 1_000_000  # per-vertex starting mass in micro-units
+_PR_BASE = 150_000    # 0.15 teleport base (unnormalized formulation)
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One quantized PageRank step as dialect-intersection SQL: each
+    vertex sends floor(pr / outdeg) along every incident edge and
+    collects base + floor(0.85 * inflow)."""
+    return f"""
+    {out} AS (
+      SELECT e.dst AS v,
+             CAST({_PR_BASE} + (85 * sum(p.pr // d.outdeg)) // 100 AS BIGINT)
+               AS pr
+      FROM E2 e
+      JOIN {prev} p ON p.v = e.src
+      JOIN D d ON d.src = e.src
+      GROUP BY e.dst
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    E2 AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL
+      SELECT b AS src, a AS dst FROM e
+    ),
+    D AS (SELECT src, count(*) AS outdeg FROM E2 GROUP BY src),
+    P0 AS (SELECT src AS v, CAST({_PR_UNIT} AS BIGINT) AS pr FROM D),
+    {_pr_iter_sql("P0", "P1")},
+    {_pr_iter_sql("P1", "P2")},
+    {_pr_iter_sql("P2", "P3")}
+    SELECT v AS vertex, pr AS pr_micro
+    FROM P3
+    ORDER BY pr DESC, v
+    LIMIT 25
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed power iterations, damping 0.85) over the
+    co-purchase graph, QUANTIZED to integer micro-units so the
+    distributed run is bit-identical to the SQL-unrolled oracle —
+    the same determinism device as ``ml_kmeans_lloyd``: a float
+    PageRank's per-vertex sums are accumulation-order-dependent,
+    the integer formulation (contribution = pr // outdeg, update =
+    base + 85·inflow // 100) is partitioning-independent by
+    construction.  Uses the classic unnormalized teleport (0.15 per
+    vertex) — ranking-equivalent to the 1/N form on a fixed graph.
+
+    Spark side: the undirected edge list is doubled into directed
+    form ONCE and localCheckpointed; each iteration is one join to the
+    current rank vector + one hash aggregate on the destination —
+    checkpointed so iteration k+1's lineage starts at k's result
+    (the ``dedup_cluster_canonical`` iterate-and-truncate pattern;
+    without it the plan re-executes all prior iterations).  At 100 TB
+    scale the edge relation is hash-partitioned on src and the rank
+    vector co-shuffles — the canonical Pregel-on-relational shape.
+    Top-25 by final rank, full (pr, id) tiebreak."""
+    ensure_utc(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < _VMAX)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("x")
+    b = li.alias("y")
+    edges = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    e2 = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    d = e2.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(
+        eager=True
+    )
+    pr = d.select(F.col("src").alias("v"), F.lit(_PR_UNIT).cast("bigint").alias("pr"))
+    for _ in range(_PR_ITERS):
+        pr = (
+            e2.join(pr, e2["src"] == pr["v"])
+            .join(d, "src")
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr("(85 * sum(pr div outdeg)) div 100")
+                )
+                .cast("bigint")
+                .alias("pr")
+            )
+            .select(F.col("v2").alias("v"), "pr")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        pr.select(F.col("v").alias("vertex"), F.col("pr").alias("pr_micro"))
+        .orderBy(F.col("pr_micro").desc(), "vertex")
+        .limit(25)
+    )
