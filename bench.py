@@ -57,6 +57,8 @@ HEADLINE = [
     "join_market_basket",     # self-join pair co-occurrence + top-k
     "tpch_q10_returned_items",  # TPC-H Q10 4-table join, integer-exact revenue
     "graph_triangle_count",   # oriented triangle counting (5 joins, 2 aggs)
+    "ml_kmeans_lloyd",        # 2 quantized Lloyd iterations (iterative ML)
+    "graph_pagerank",         # 3 quantized power iterations (iterative graph)
 ]
 
 

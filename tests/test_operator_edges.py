@@ -661,3 +661,22 @@ def test_compaction_plan_bins_are_wellformed(spark):
         by_src[src].add(b)
     for src, bins in by_src.items():
         assert bins == set(range(1, len(bins) + 1)), (src, bins)
+
+
+def test_iterative_ops_plan_shapes(spark):
+    """Scale pins for the iterative operators:
+    - k-means: the per-iteration distance join must BROADCAST the
+      centroid side (k·d = 256 rows), never shuffle the exploded
+      vectors for it;
+    - PageRank: each iteration starts from a checkpointed rank vector,
+      so the final plan contains NO parquet scan at all (lineage was
+      truncated at the last iteration) and exactly one aggregate for
+      the final top-k."""
+    qs = registry.queries()
+
+    p = _plan(qs["ml_kmeans_lloyd"](spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in p, p
+
+    p = _plan(qs["graph_pagerank"](spark, SF_DIR_ORACLE))
+    assert "Scan parquet" not in p, p
+    assert "TakeOrderedAndProject" in p, p
