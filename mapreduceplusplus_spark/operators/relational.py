@@ -436,3 +436,84 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.bal").alias("old_bal"),
         F.col("n.bal").alias("new_bal"),
     )
+
+
+@query(
+    "subquery_not_in_null_trap",
+    oracle="""
+    WITH probe AS (
+      -- a key set that CONTAINS a NULL: the classic trap ingredient
+      SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+                  ELSE c_custkey END AS k
+      FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ),
+    not_in AS (
+      SELECT count(*) AS n FROM orders
+      WHERE o_custkey NOT IN (SELECT k FROM probe)
+    ),
+    not_exists AS (
+      SELECT count(*) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey)
+    ),
+    in_cnt AS (
+      SELECT count(*) AS n FROM orders
+      WHERE o_custkey IN (SELECT k FROM probe)
+    )
+    SELECT not_in.n AS n_not_in,
+           not_exists.n AS n_not_exists,
+           in_cnt.n AS n_in,
+           (SELECT count(*) FROM orders) AS n_total
+    FROM not_in CROSS JOIN not_exists CROSS JOIN in_cnt
+    """,
+)
+def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``NOT IN`` null trap, pinned as a differential fact: when
+    the subquery's key set contains even ONE NULL, ``x NOT IN (...)``
+    is never TRUE for any row (three-valued logic: ``x <> NULL`` is
+    UNKNOWN, so the conjunction can at best be UNKNOWN) — here
+    ``n_not_in = 0`` while the NULL-immune ``NOT EXISTS`` form counts
+    the real complement, and ``n_in + n_not_exists = n_total``.  Both
+    engines agree on all four counts, which is exactly the semantics a
+    migrating user must not discover in production.
+
+    Physically Spark plans ``NOT IN`` as a NULL-AWARE anti join
+    (BroadcastNestedLoopJoin for the null-check) and ``NOT EXISTS`` as
+    a plain left-anti hash join — same data, different operators,
+    15000× different answer; the companion ``join_anti`` row covers
+    the well-behaved no-NULL case.  All four counts reduce map-side;
+    the probe set broadcasts."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    probe = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "MACHINERY")
+        .select(
+            F.when(F.col("c_custkey") % 100 == 0, None)
+            .otherwise(F.col("c_custkey"))
+            .alias("k")
+        )
+    )
+    orders.createOrReplaceTempView("orders_nt")
+    probe.createOrReplaceTempView("probe_nt")
+    return spark.sql(
+        """
+        WITH not_in AS (
+          SELECT count(*) AS n FROM orders_nt
+          WHERE o_custkey NOT IN (SELECT k FROM probe_nt)
+        ),
+        not_exists AS (
+          SELECT count(*) AS n FROM orders_nt o
+          WHERE NOT EXISTS (SELECT 1 FROM probe_nt p
+                            WHERE p.k = o.o_custkey)
+        ),
+        in_cnt AS (
+          SELECT count(*) AS n FROM orders_nt
+          WHERE o_custkey IN (SELECT k FROM probe_nt)
+        )
+        SELECT not_in.n AS n_not_in,
+               not_exists.n AS n_not_exists,
+               in_cnt.n AS n_in,
+               (SELECT count(*) FROM orders_nt) AS n_total
+        FROM not_in CROSS JOIN not_exists CROSS JOIN in_cnt
+        """
+    )
