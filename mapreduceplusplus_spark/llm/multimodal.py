@@ -630,3 +630,145 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_sad_floor"
         ),
     )
+
+
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+#: Hamming radius at/below which two 64-bit aHashes are near-duplicates
+PHASH_HAMMING_MAX = 6
+#: band layout for candidate generation: 4 bands × 16 bits
+PHASH_BANDS = 4
+
+
+def _ahash64(px: "np.ndarray") -> int:
+    """64-bit average hash of an RGB raster: nearest-neighbor resample
+    to 8×8 via integer index arithmetic, integer grayscale (the exact
+    (r+g+b)//3), threshold at the integer mean — bit i (row-major MSB
+    first) set iff cell i is at/above the mean.  All-integer, so the
+    hash is platform- and partitioning-exact."""
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    cells = px[ys][:, xs].astype(np.int64)
+    gray = cells.sum(axis=2) // 3
+    thresh = int(gray.sum()) // 64
+    bits = (gray >= thresh).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # map to signed 64-bit so it round-trips through a Spark BIGINT
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"doc_id": [], "phash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = ppm_decode(payload)
+            if img is None:
+                continue  # undecodable ⇒ no hash row (decode query flags it)
+            _, _, px = img
+            out["doc_id"].append(doc_id)
+            out["phash"].append(_ahash64(px))
+        yield pd.DataFrame(out, dtype="object" if not out["doc_id"] else None)
+
+
+def image_phash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Public perceptual-hash operator: (doc_id, payload) → 64-bit
+    aHash.  Narrow ``mapInPandas``; 8 bytes per image downstream."""
+    return df.select("doc_id", F.col(payload_col).alias("payload")).mapInPandas(
+        _phash_batch, schema=PHASH_SCHEMA
+    )
+
+
+@query("multimodal_image_dedup_phash")  # no SQL oracle: the hash needs
+# the binary P6 decode; semantics pinned by tests/test_llm_ops.py via an
+# independent numpy aHash and a constructed near-identical image pair
+def multimodal_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection by perceptual hash — the
+    multimodal twin of ``dedup_simhash``: every decoded image gets a
+    64-bit average-hash (8×8 integer grayscale thresholded at its own
+    mean — invariant to uniform brightness scaling and to any resize
+    the nearest-neighbor pipeline applies), candidates are generated
+    by 16-BIT BAND EQUALITY (two hashes within Hamming distance 6 of
+    each other must agree on at least one of 4 bands — pigeonhole, so
+    banding is RECALL-LOSSLESS at the radius), and candidates are
+    verified with an exact JVM-side ``bit_count(a XOR b)``.
+
+    Never all-pairs: the self-join is an equi-join on (band index,
+    band value), the same structural-skew-capped shape as the SimHash
+    and MinHash dedups; at 100 TB each image contributes 4 rows of
+    8-byte keys and the verify runs only inside band buckets.
+
+    Output per image: its hash, candidate-partner count, and verified
+    near-dup count (0 for most of this text-derived corpus — the
+    constructed-pair test is where recall is pinned)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    encoded = docs.mapInPandas(
+        _encode_batch, schema="doc_id bigint, payload binary"
+    )
+    hashes = image_phash(encoded).localCheckpoint(eager=True)
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("phash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "phash", "band.band_idx", "band.band_val")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.phash").alias("ha"),
+            F.col("r.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    )
+    pair_stats = (
+        verified.select(F.col("a").alias("doc_id"), "hamming")
+        .unionAll(verified.select(F.col("b").alias("doc_id"), "hamming"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.sum(
+                (F.col("hamming") <= PHASH_HAMMING_MAX).cast("bigint")
+            ).alias("n_near_dups"),
+        )
+    )
+    return (
+        hashes.join(pair_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "phash",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_near_dups", F.lit(0)).cast("bigint").alias(
+                "n_near_dups"
+            ),
+        )
+    )

