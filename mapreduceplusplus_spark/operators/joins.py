@@ -915,3 +915,102 @@ def join_prefilter_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+#: spatial-join scale: coordinates in integer milli-units, radius R
+_SPATIAL_R = 300
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey AS id,
+             CAST(p_size * 200 AS BIGINT) AS x,
+             CAST(round(p_retailprice * 100) AS BIGINT) - 90000 AS y
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM p a JOIN p b
+      ON a.id < b.id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         <= {_SPATIAL_R} * {_SPATIAL_R}
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join by GRID BUCKETING — the distance join every
+    geo/embedding workload needs, made equi-joinable: points (parts in
+    integer (size, price) milli-unit space) hash into R-sized grid
+    cells, each LEFT point is expanded to its 3×3 cell neighborhood,
+    candidates come from an EQUI-join on the cell key, and an exact
+    integer distance² predicate verifies.  Lossless by construction:
+    two points within R differ by at most one cell index per axis, so
+    every true pair meets in some neighborhood cell; the a<b key plus
+    ``distinct``-free single-home-cell-right design yields each pair
+    exactly once (the left side's 9 cells never overlap for one
+    neighbor's single home cell).
+
+    Why not the oracle's naive θ-join: that is O(n²) distance checks —
+    at 10⁸ points it is dead; the grid form does O(n) expansion rows
+    and only intra-cell work, the same structural-skew cap as every
+    banding dedup in ``llm/``.  All-integer coordinates keep the
+    predicate engine-exact (no float epsilon disagreements on the
+    boundary).
+
+    Plan: one 9× narrow expansion (generator, no shuffle), one hash
+    shuffle per side on the cell key, codegen'd verify."""
+    ensure_utc(spark)
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_partkey").alias("id"),
+        (F.col("p_size") * 200).cast("bigint").alias("x"),
+        (F.round(F.col("p_retailprice") * 100).cast("bigint") - 90000).alias(
+            "y"
+        ),
+    )
+    r = F.lit(_SPATIAL_R)
+    home = pts.select(
+        "id",
+        "x",
+        "y",
+        F.expr(f"x div {_SPATIAL_R}").alias("cx"),
+        F.expr(f"y div {_SPATIAL_R}").alias("cy"),
+    )
+    shifts = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    left = home.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(shifts).alias("s"),
+        "cx",
+        "cy",
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.col("cx") + F.col("s.dx")).alias("jx"),
+        (F.col("cy") + F.col("s.dy")).alias("jy"),
+    )
+    right = home.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(right, ["jx", "jy"])
+        .where((F.col("id_a") < F.col("id_b")) & (d2 <= r * r))
+        .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
+    )
