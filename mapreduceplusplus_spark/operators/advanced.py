@@ -526,3 +526,109 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_cents").cast("bigint").alias("max_cents"),
         )
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): count orders per
+    priority that have at least one LATE line item — an EXISTS
+    correlated on the join key with a cross-table date predicate
+    (the schema has no commit/receipt dates, so 'late' is ship >
+    order + 60 days; the plan shape is Q4's exactly).  Catalyst
+    rewrites the EXISTS to a LEFT SEMI join on ``l_orderkey``, so the
+    lineitem side deduplicates per order before the count — the
+    semantics ``join_semi`` pins, here under a correlated predicate
+    that must travel into the join condition.
+
+    Scale: half-year scan pruning on orders; semi join short-circuits
+    per matched order (no fan-out by line count); one shuffle each
+    side, priority rollup is a 5-row aggregate."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+             (p_type = 'PROMO') AS is_promo
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-02-01'
+    )
+    SELECT CAST((20000 * sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END)
+                 + sum(rev_e4)) // (2 * sum(rev_e4)) AS BIGINT) / 100.0
+               AS promo_pct,
+           CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END) AS BIGINT)
+               AS promo_rev_e4,
+           CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4
+    FROM j
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    revenue earned by PROMO-type parts — the conditional-aggregate
+    ratio pattern (CASE inside sum over a fact⋈dim join).  Revenue
+    accumulates in integer 1e-4 units and the percentage is an
+    integer half-up in basis points divided once at the end, so the
+    headline ratio is engine-exact (a float sum ratio could flip its
+    2nd decimal by accumulation order).
+
+    Scale: one month of lineitem after scan pruning joins the part
+    dim (broadcastable); single partial-aggregated reduction to one
+    row.  The raw integer numerator/denominator ride along for
+    auditability."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).select(
+        rev_e4.alias("rev_e4"), (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("is_promo"), F.col("rev_e4")).otherwise(0)).alias(
+            "promo"
+        ),
+        F.sum("rev_e4").alias("total"),
+    )
+    return agg.select(
+        (F.expr("(20000 * promo + total) div (2 * total)") / 100.0).alias(
+            "promo_pct"
+        ),
+        F.col("promo").cast("bigint").alias("promo_rev_e4"),
+        F.col("total").cast("bigint").alias("total_rev_e4"),
+    )
