@@ -479,3 +479,45 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_fifth_word"
         ),
     )
+
+
+@query(
+    "scalar_collation",
+    oracle="""
+    SELECT count(CASE WHEN lower(p_type) = 'promo' THEN 1 END)
+               AS n_type_promo_ci,
+           count(CASE WHEN lower(substr(p_name, 1, 1)) = 'a' THEN 1 END)
+               AS n_name_starts_a_ci,
+           CAST(count(DISTINCT lower(p_brand)) AS BIGINT)
+               AS n_distinct_brands_ci,
+           count(*) AS n_total
+    FROM part
+    """,
+)
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATION (new engine surface in Spark 4): comparisons,
+    filters, and DISTINCT under ``UTF8_LCASE`` collation — the
+    engine-native way to get case-insensitive semantics WITHOUT
+    rewriting every predicate through ``lower()`` (collation-aware
+    comparisons keep codegen, can use collation-aware statistics, and
+    apply to joins/grouping keys uniformly).  The oracle states the
+    semantics in portable ``lower()`` form — equality of the counts
+    IS the definition of the collation being correct.
+
+    One scan, one aggregate; collated comparisons stay JVM-side."""
+    ensure_utc(spark)
+    part = load_table(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_coll")
+    return spark.sql(
+        """
+        SELECT count(CASE WHEN p_type COLLATE UTF8_LCASE = 'promo' THEN 1 END)
+                   AS n_type_promo_ci,
+               count(CASE WHEN substr(p_name, 1, 1) COLLATE UTF8_LCASE = 'a'
+                          THEN 1 END)
+                   AS n_name_starts_a_ci,
+               count(DISTINCT p_brand COLLATE UTF8_LCASE)
+                   AS n_distinct_brands_ci,
+               count(*) AS n_total
+        FROM part_coll
+        """
+    )

@@ -138,3 +138,40 @@ def test_ppm_frame_walk_totality(data):
         walked.append(size)
         off += size
     assert walked == [len(f) for f in frames]
+
+
+@given(
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=1, max_value=55),
+)
+@settings(max_examples=30, deadline=None)
+def test_ahash_brightness_shift_invariance(seed, shift):
+    """aHash property: adding a uniform (non-clipping) brightness shift
+    to every pixel leaves the hash unchanged — the threshold is the
+    image's own mean, so it shifts along with the cells."""
+    import numpy as np
+
+    from mapreduceplusplus_spark.llm.multimodal import _ahash64
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 200, size=(16, 16, 3)).astype(np.uint8)
+    shifted = (px.astype(np.int64) + shift).clip(0, 255).astype(np.uint8)
+    assert (shifted.astype(np.int64) - px.astype(np.int64) == shift).all()
+    assert _ahash64(px) == _ahash64(shifted)
+
+
+@given(st.integers(min_value=0, max_value=200))
+@settings(max_examples=20, deadline=None)
+def test_ahash_block_upscale_invariance(seed):
+    """aHash property: 2x nearest-neighbor block upscaling of an 8x8
+    image leaves the hash unchanged — the 8x8 resample lands on the
+    same cell values, which is exactly the resize-robustness claim
+    perceptual hashing rests on."""
+    import numpy as np
+
+    from mapreduceplusplus_spark.llm.multimodal import _ahash64
+
+    rng = np.random.RandomState(seed)
+    small = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    big = small.repeat(2, axis=0).repeat(2, axis=1)
+    assert _ahash64(small) == _ahash64(big)
