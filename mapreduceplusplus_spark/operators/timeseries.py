@@ -473,3 +473,55 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_users", "retained_users", "resurrected_users",
         )
     )
+
+
+@query(
+    "events_ab_lift",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    )
+    SELECT variant,
+           count(*) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST((20000 * sum(converted) + count(*)) // (2 * count(*))
+                AS BIGINT) AS conv_bp
+    FROM users GROUP BY variant
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — per-variant conversion measured the
+    way experimentation platforms do: unit of analysis is the USER
+    (``max``-collapsed over their events, so a heavy clicker can't
+    inflate a rate), variant assignment is a deterministic hash of the
+    unit id, and the rate is an integer half-up in basis points so
+    the readout is engine-exact (a float ratio's last digit is
+    accumulation noise exactly where experiment decisions live).
+
+    At 100 TB this is one user-keyed aggregate (map-side combined —
+    the per-user collapse shrinks events to units before the variant
+    rollup) and a 2-row reduction; the same shape serves any metric
+    that is a per-unit indicator or sum.  Significance testing on top
+    is ``window_anomaly_zscore``'s cleared-denominator pattern
+    (compare n·Δ² against the pooled variance in integers)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "converted",
+    )
+    return users.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.expr(
+            "CAST((20000 * sum(converted) + count(*)) div (2 * count(*)) AS BIGINT)"
+        ).alias("conv_bp"),
+    )
