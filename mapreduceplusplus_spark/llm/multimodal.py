@@ -243,40 +243,48 @@ FRAME_SCHEMA = (
 )
 
 
+def _walk_frames(payload: bytes):
+    """THE container frame-walk (single source of truth for every
+    multi-frame consumer): repeatedly parse a P6 header within a
+    64-byte window, enforce the validity contract (maxval 255,
+    positive area — a corrupt pseudo-header stops the walk rather
+    than fanning out forever), measure the frame, and yield
+    ``(frame_idx, offset, header_end, w, h, size)``.  Trailing
+    garbage / truncated final frames terminate cleanly (partial
+    frames are not yielded)."""
+    off, idx = 0, 0
+    while off < len(payload):
+        m = _PPM_HEADER.match(payload[off : off + 64])
+        if not m:
+            return
+        w, h, maxval = (int(g) for g in m.groups())
+        if maxval != 255 or w <= 0 or h <= 0:
+            return
+        size = m.end() + w * h * 3
+        if off + size > len(payload):
+            return
+        yield idx, off, m.end(), w, h, size
+        off += size
+        idx += 1
+
+
 def _sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched REAL frame walker: a 'video' payload is a
-    concatenation of P6 frames; the sampler repeatedly parses a header,
-    measures that frame (header + w·h·3 raster bytes), emits one typed
-    row, and advances — data-dependent 1→N fan-out inside one Arrow
-    batch, no shuffle.  Trailing garbage / truncated frames terminate
-    the walk cleanly (partial frames are not emitted)."""
+    concatenation of P6 frames; each complete frame becomes one typed
+    row — data-dependent 1→N fan-out inside one Arrow batch, no
+    shuffle.  The walk itself is the shared ``_walk_frames``."""
     for pdf in batches:
         out = {k: [] for k in (
             "doc_id", "frame_idx", "ts_ms", "frame_bytes", "width", "height"
         )}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            off, idx = 0, 0
-            while off < len(payload):
-                m = _PPM_HEADER.match(payload[off : off + 64])
-                if not m:
-                    break
-                w, h, maxval = (int(g) for g in m.groups())
-                # same validity contract as ppm_decode: a zero-area or
-                # wrong-maxval "frame" is corruption, not a frame — stop
-                # rather than fan out header-only rows forever
-                if maxval != 255 or w <= 0 or h <= 0:
-                    break
-                size = m.end() + w * h * 3
-                if off + size > len(payload):
-                    break
+            for idx, _off, _he, w, h, size in _walk_frames(payload):
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(idx)
                 out["ts_ms"].append(idx * 1000)
                 out["frame_bytes"].append(size)
                 out["width"].append(w)
                 out["height"].append(h)
-                off += size
-                idx += 1
         yield pd.DataFrame(out)
 
 
@@ -537,9 +545,10 @@ SCENE_CUT_THRESHOLD = 30
 
 def _scene_cut_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched REAL scene-change scorer: walk the multi-frame P6
-    container decoding each raster, and score every consecutive frame
-    pair by the mean per-pixel sum-of-absolute-differences (SAD) — the
-    classic hard-cut detector.  All-integer (uint8 rasters diffed in
+    container (the shared ``_walk_frames`` — one validity contract for
+    every consumer) decoding each raster, and score every consecutive
+    frame pair by the mean per-pixel sum-of-absolute-differences (SAD)
+    — the classic hard-cut detector.  All-integer (uint8 rasters diffed in
     int64, floor-divided by the pixel count), so the scores are exact
     and partitioning-independent.  Frames whose dimensions differ are
     scored against the overlapping top-left region (real cut detectors
@@ -549,21 +558,11 @@ def _scene_cut_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"doc_id": [], "frame_idx": [], "sad_per_px": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            off, idx = 0, 0
             prev = None
-            while off < len(payload):
-                m = _PPM_HEADER.match(payload[off : off + 64])
-                if not m:
-                    break
-                w, h, maxval = (int(g) for g in m.groups())
-                if maxval != 255 or w <= 0 or h <= 0:
-                    break
-                size = m.end() + w * h * 3
-                if off + size > len(payload):
-                    break
+            for idx, off, he, w, h, _size in _walk_frames(payload):
                 cur = (
                     np.frombuffer(
-                        payload, dtype=np.uint8, offset=off + m.end(),
+                        payload, dtype=np.uint8, offset=off + he,
                         count=w * h * 3,
                     )
                     .reshape(h, w, 3)
@@ -579,8 +578,6 @@ def _scene_cut_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     out["frame_idx"].append(idx)
                     out["sad_per_px"].append(sad)
                 prev = cur
-                off += size
-                idx += 1
         yield pd.DataFrame(out)
 
 
@@ -636,8 +633,11 @@ PHASH_SCHEMA = "doc_id bigint, phash bigint"
 
 #: Hamming radius at/below which two 64-bit aHashes are near-duplicates
 PHASH_HAMMING_MAX = 6
-#: band layout for candidate generation: 4 bands × 16 bits
-PHASH_BANDS = 4
+#: band layout for candidate generation: 8 bands × 8 bits.  Pigeonhole
+#: needs bands > radius for losslessness: d ≤ 6 flipped bits can touch
+#: at most 6 of 8 bands, so some band is always equal.  (4 × 16 would
+#: only be lossless to d ≤ 3 — a distance-4 pair can differ in all 4.)
+PHASH_BANDS = 8
 
 
 def _ahash64(px: "np.ndarray") -> int:
@@ -690,10 +690,12 @@ def multimodal_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit average-hash (8×8 integer grayscale thresholded at its own
     mean — invariant to uniform brightness scaling and to any resize
     the nearest-neighbor pipeline applies), candidates are generated
-    by 16-BIT BAND EQUALITY (two hashes within Hamming distance 6 of
-    each other must agree on at least one of 4 bands — pigeonhole, so
-    banding is RECALL-LOSSLESS at the radius), and candidates are
-    verified with an exact JVM-side ``bit_count(a XOR b)``.
+    by 8-BIT BAND EQUALITY (two hashes within Hamming distance 6 of
+    each other must agree on at least one of 8 bands — pigeonhole
+    needs MORE BANDS THAN THE RADIUS, so 8×8 is RECALL-LOSSLESS at
+    d ≤ 7 where a 4×16 layout would silently miss distance-4 pairs
+    that spread one flip per band), and candidates are verified with
+    an exact JVM-side ``bit_count(a XOR b)``.
 
     Never all-pairs: the self-join is an equi-join on (band index,
     band value), the same structural-skew-capped shape as the SimHash
@@ -719,8 +721,8 @@ def multimodal_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftright("phash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("phash", 8 * i)
+                        .bitwiseAND(F.lit(0xFF))
                         .alias("band_val"),
                     )
                     for i in range(PHASH_BANDS)

@@ -438,9 +438,13 @@ def udtf_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_try_functions",
     oracle="""
     SELECT p_partkey,
+           (p_size = 10) AS try_div_is_null,
            CASE WHEN p_size = 10 THEN NULL
-                ELSE round(p_retailprice / (p_size - 10), 4) END
-               AS try_ratio,
+                ELSE (CASE WHEN p_size > 10 THEN 1 ELSE -1 END)
+                     * CAST((20000 * CAST(round(p_retailprice * 100) AS BIGINT)
+                             + 100 * abs(p_size - 10))
+                            // (200 * abs(p_size - 10)) AS BIGINT) END
+               AS ratio_bp,
            TRY_CAST(CASE WHEN p_partkey % 2 = 0
                          THEN CAST(p_size AS VARCHAR)
                          ELSE p_name END AS INT) AS try_int,
@@ -458,22 +462,34 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     kill a 10-hour run — NULL now, quarantine via a
     ``dq_constraint_check``-style audit after).
 
-    Pinned: ``try_divide`` (NULL exactly where the divisor hits 0),
-    ``try_cast`` over a mixed parse-able/junk string column, and
-    ``try_element_at`` past the array end.  DuckDB's counterparts
-    (CASE-guarded divide, TRY_CAST, bracket indexing that is
-    NULL-on-OOB by definition) state the same semantics.  Narrow
-    codegen projection, zero shuffle."""
+    Pinned: ``try_divide`` (NULL exactly where the divisor hits 0 —
+    compared as the NULL-mask boolean, while the ratio VALUE itself is
+    re-derived in exact integer basis points with sign-split half-up
+    rounding, because a rounded float quotient is the one divergence
+    class the repo bans: Spark rounds the shortest decimal repr,
+    DuckDB the binary double), ``try_cast`` over a mixed
+    parse-able/junk string column, and ``try_element_at`` past the
+    array end.  DuckDB's counterparts (CASE-guarded divide, TRY_CAST,
+    bracket indexing that is NULL-on-OOB by definition) state the
+    same semantics.  Narrow codegen projection, zero shuffle."""
     ensure_utc(spark)
     part = load_table(spark, sf_dir, "part")
     mixed = F.when(
         F.col("p_partkey") % 2 == 0, F.col("p_size").cast("string")
     ).otherwise(F.col("p_name"))
+    sign = F.when(F.col("p_size") > 10, 1).otherwise(-1)
+    bp_mag = F.expr(
+        "(20000 * CAST(round(p_retailprice * 100) AS BIGINT)"
+        " + 100 * abs(p_size - 10)) div (200 * abs(p_size - 10))"
+    )
     return part.select(
         "p_partkey",
-        F.round(
-            F.try_divide(F.col("p_retailprice"), F.col("p_size") - 10), 4
-        ).alias("try_ratio"),
+        F.try_divide(F.col("p_retailprice"), (F.col("p_size") - 10).cast("double"))
+        .isNull()
+        .alias("try_div_is_null"),
+        F.when(F.col("p_size") == 10, None)
+        .otherwise((sign * bp_mag).cast("bigint"))
+        .alias("ratio_bp"),
         mixed.try_cast("int").alias("try_int"),
         F.try_element_at(F.split("p_name", " "), F.lit(5)).alias(
             "try_fifth_word"

@@ -501,9 +501,9 @@ def test_image_phash_independent_and_banding_lossless(spark):
     """Image perceptual-hash dedup pins:
     1. the registered hashes equal an independent numpy aHash over the
        same encoded payloads;
-    2. a constructed pair of near-identical images (6 bits flipped —
-       exactly the Hamming radius) MUST be found by the band join
-       (pigeonhole: 6 flips cannot touch all 4 bands) and verified;
+    2. a constructed pair of near-identical images within the Hamming
+       radius MUST be found by the band join (pigeonhole: ≤6 flips
+       cannot touch all 8 bands) and verified;
     3. a far pair (alternating-bit complement) must NOT be a near-dup."""
     import numpy as np
 
@@ -552,8 +552,24 @@ def test_image_phash_independent_and_banding_lossless(spark):
     h = {r.doc_id: r.phash for r in image_phash(df).collect()}
     ham = bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1")
     assert 0 < ham <= PHASH_HAMMING_MAX, ham
-    # pigeonhole: within the radius, at least one 16-bit band is equal
+    # pigeonhole: within the radius, at least one 8-bit band is equal
     assert any(
-        (h[1] >> (16 * i)) & 0xFFFF == (h[2] >> (16 * i)) & 0xFFFF
-        for i in range(4)
+        (h[1] >> (8 * i)) & 0xFF == (h[2] >> (8 * i)) & 0xFF
+        for i in range(8)
     )
+    # and the adversarial case the 4x16 layout would MISS: distance-4
+    # hashes with one flip in each 16-bit quarter still share an 8-bit
+    # band (exhaustive over the flip positions within each quarter)
+    for bits in [(0, 16, 32, 48), (15, 31, 47, 63), (7, 23, 39, 55)]:
+        x = 0
+        y = x
+        for b_ in bits:
+            y ^= 1 << b_
+        assert not any(  # every 16-bit band differs -> 4x16 misses it
+            (x >> (16 * i)) & 0xFFFF == (y >> (16 * i)) & 0xFFFF
+            for i in range(4)
+        )
+        assert any(  # but an 8-bit band survives -> 8x8 finds it
+            (x >> (8 * i)) & 0xFF == (y >> (8 * i)) & 0xFF
+            for i in range(8)
+        )
