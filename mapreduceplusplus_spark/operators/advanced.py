@@ -632,3 +632,30 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("promo").cast("bigint").alias("promo_rev_e4"),
         F.col("total").cast("bigint").alias("total_rev_e4"),
     )
+
+
+#: GROUP BY ALL — dialect-intersection text (Spark 4 and DuckDB both
+#: infer the grouping keys as every non-aggregate select item)
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderpriority,
+           o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the analyst-ergonomics surface (grouping
+    keys inferred as every non-aggregate select item) that DuckDB
+    popularized and Spark 4 adopted; one shared dialect-intersection
+    text runs verbatim on both engines, pinning that key inference
+    picks exactly (priority, status) and nothing else.  Physically
+    identical to the explicit GROUP BY — one map-side-combined hash
+    aggregate."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)

@@ -256,3 +256,101 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return left.intersectAll(right)
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           'orders' AS src
+    FROM orders WHERE o_orderkey < 500
+    UNION ALL
+    SELECT l_orderkey AS k, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+           'lineitem' AS src
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName`` — union resolved BY COLUMN NAME, not position:
+    the two inputs here project the same columns in DIFFERENT orders,
+    which positional ``UNION ALL`` would silently mis-map (key into
+    cents, string into bigint → corrupt data or a late cast error);
+    by-name resolution is the only safe union across independently-
+    authored subqueries or evolved schemas.  The oracle states the
+    intended mapping with explicitly aligned projections — equality
+    proves the by-name resolution mapped every column correctly.
+
+    Same zero-shuffle concatenation physics as ``set_union_all``."""
+    ensure_utc(spark)
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 500)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.lit("orders").alias("src"),
+        )
+    )
+    # deliberately reversed column order on the second input
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 500)
+        .select(
+            F.lit("lineitem").alias("src"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("l_orderkey").alias("k"),
+        )
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    WITH sparse AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey, v,
+           CAST(row_number() OVER (ORDER BY v ASC NULLS FIRST, o_orderkey)
+                AS BIGINT) AS rk_nulls_first,
+           CAST(row_number() OVER (ORDER BY v DESC NULLS LAST, o_orderkey)
+                AS BIGINT) AS rk_nulls_last
+    FROM sparse
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL placement in ordering — ``NULLS FIRST`` / ``NULLS LAST``
+    pinned as ranks (the engines' DEFAULTS differ: Spark sorts NULLs
+    first on ASC, DuckDB sorts them last, so any cross-engine ORDER
+    BY comparison that doesn't state placement explicitly is silently
+    different — the exact portability trap this row nails down).
+    Both rank columns state placement explicitly on both sides;
+    ``o_orderkey`` tiebreaks make the ranks total.
+
+    One hash-free ordering per window at test scale; at 100 TB both
+    windows are single-partition and the production form would use the
+    two-pass ``sort_global`` bucket rank — the semantics pinned here
+    carry over unchanged."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 2000
+    )
+    v = F.when(
+        F.col("o_orderkey") % 7 == 0, None
+    ).otherwise(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+    base = orders.select("o_orderkey", v.alias("v"))
+    w1 = Window.orderBy(F.col("v").asc_nulls_first(), "o_orderkey")
+    w2 = Window.orderBy(F.col("v").desc_nulls_last(), "o_orderkey")
+    return base.select(
+        "o_orderkey",
+        "v",
+        F.row_number().over(w1).cast("bigint").alias("rk_nulls_first"),
+        F.row_number().over(w2).cast("bigint").alias("rk_nulls_last"),
+    )
