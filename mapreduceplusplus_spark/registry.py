@@ -71,6 +71,7 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.operators.maintenance",
     "mapreduceplusplus_spark.operators.graph",
     "mapreduceplusplus_spark.operators.ml",
+    "mapreduceplusplus_spark.operators.tpch",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external
