@@ -1,0 +1,319 @@
+"""Training-batch assembly operators: sequence packing, deterministic
+corpus shuffling, and mixture rebalancing — the step between a cleaned
+corpus (``llm/pipeline.py``) and the GPU dataloader.
+
+Reference heritage: none (the reference engine stops at key-grouped
+aggregation); these extend the engine per SURVEY.md §2's "operations a
+large-scale training-data pipeline needs" charter.
+
+Determinism contract: token counts come from the oracle-proven
+``\\S+`` regexp (``llm/textstats.py:text_token_count``), shuffle keys
+from the portable Knuth multiplicative hash (``llm/pipeline.py:
+sample_split``), and every offset/bin/position is exact BIGINT
+arithmetic — identical on any engine, any partitioning, any day.
+That reproducibility is not cosmetic: training-run bitwise repro and
+checkpoint-resume both depend on the batch stream being a pure
+function of the corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+#: context window (tokens) for concat-then-chunk packing
+PACK_CTX = 512
+#: bin capacity (tokens) for next-fit document packing
+BIN_BUDGET = 256
+#: shard fan-out for the deterministic corpus shuffle
+N_SHARDS = 64
+#: prefix-sum bucket width (docs per bucket) — the distributed
+#: prefix-sum granularity; any value works, offsets are exact
+PREFIX_BUCKET = 64
+
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+#: whitespace token count — the oracle-proven tokenizer from
+#: text_token_count
+_NTOK_SQL = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+
+
+def _ntok():
+    return F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).cast("bigint")
+
+
+@query(
+    "pack_concat_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_NTOK_SQL} AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS tok_start
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(tok_start // {PACK_CTX} AS BIGINT) AS first_chunk,
+           CAST((tok_start + greatest(n_tokens, 1) - 1) // {PACK_CTX}
+                AS BIGINT) AS last_chunk,
+           CAST((tok_start + greatest(n_tokens, 1) - 1) // {PACK_CTX}
+                - tok_start // {PACK_CTX} + 1 AS BIGINT) AS n_chunks
+    FROM c
+    """,
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-style dataloader):
+    documents concatenate in doc_id order into one token stream that
+    is sliced into fixed ``PACK_CTX``-token context windows; each doc
+    reports its global token offset and the chunk span it lands in
+    (``n_chunks > 1`` = the doc is split across a chunk boundary).
+
+    The global exclusive prefix-sum is computed the DISTRIBUTED way —
+    never a single-partition window: (1) docs bucket by
+    ``doc_id div PREFIX_BUCKET`` and each bucket's token total rolls
+    up (map-side combined, one micro-shuffle); (2) an exclusive cumsum
+    over the ~#docs/64-row bucket table (driver-scale, the only
+    unpartitioned window) yields each bucket's starting offset; (3)
+    offsets broadcast back and an in-bucket exclusive cumsum
+    (hash-partitioned window) finishes the exact global offset.  The
+    same two-pass shape as ``sort_global``'s rank assignment — at
+    100 TB every stage is parallel and the serial step touches only
+    the bucket census.
+
+    Oracle: the definitionally-equivalent single global cumsum."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _ntok().alias("n_tokens")
+    )
+    docs = docs.withColumn(
+        "bucket", F.expr(f"doc_id div {PREFIX_BUCKET}").cast("bigint")
+    )
+    bucket_tot = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.select(
+        F.col("bucket").alias("ob"),
+        F.coalesce(F.sum("btok").over(w_b), F.lit(0)).alias("bucket_off"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("bucket_off") + F.coalesce(
+        F.sum("n_tokens").over(w_in), F.lit(0)
+    )
+    span_end = start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return (
+        docs.join(F.broadcast(offsets), F.col("bucket") == F.col("ob"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.cast("bigint").alias("tok_start"),
+        )
+        .withColumn("first_chunk", F.expr(f"tok_start div {PACK_CTX}").cast("bigint"))
+        .withColumn(
+            "last_chunk",
+            F.expr(
+                f"(tok_start + greatest(n_tokens, 1) - 1) div {PACK_CTX}"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "n_chunks",
+            (F.col("last_chunk") - F.col("first_chunk") + 1).cast("bigint"),
+        )
+        .select(
+            "doc_id", "n_tokens", "tok_start", "first_chunk", "last_chunk",
+            "n_chunks",
+        )
+    )
+
+
+@query(
+    "corpus_shard_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(hv % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % {N_SHARDS}
+                                   ORDER BY hv // {N_SHARDS}, doc_id)
+                AS BIGINT) AS pos
+    FROM (SELECT doc_id,
+                 (doc_id * {_KNUTH}) % {_MOD} AS hv
+          FROM documents)
+    """,
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle, sharded: every doc gets a shard
+    (``hash % {N_SHARDS}``) and an exact position within its shard
+    (rank by the remaining hash bits) — how production dataloaders
+    randomize 100 TB: no global permutation is ever materialized;
+    readers consume shards round-robin and each shard's internal
+    order is a pure function of the corpus (same Knuth multiplicative
+    hash as ``sample_split``; tiebreak on doc_id makes rank total).
+
+    Scale: ONE shuffle on the shard key; each rank window is
+    hash-partitioned by shard — no unpartitioned window, no driver
+    state.  Growth-stable ordering: adding docs never swaps the
+    relative order of existing pairs (their hash keys don't change)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"(doc_id * {_KNUTH}) % {_MOD}").alias("hv")
+    )
+    shard = F.expr(f"hv % {N_SHARDS}").cast("bigint")
+    w = Window.partitionBy(shard).orderBy(
+        F.expr(f"hv div {N_SHARDS}"), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+_BIN_SHARDS = 8
+
+
+@query(
+    "pack_bins_nextfit",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT doc_id,
+             CAST(doc_id % {_BIN_SHARDS} AS BIGINT) AS shard,
+             row_number() OVER (PARTITION BY doc_id % {_BIN_SHARDS}
+                                ORDER BY doc_id) AS rn,
+             least({_NTOK_SQL}, {BIN_BUDGET}) AS t
+      FROM documents
+    ),
+    walk AS (
+      SELECT shard, rn, doc_id, t,
+             CAST(0 AS BIGINT) AS bin_id, t AS fill
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.t,
+             CASE WHEN w.fill + s.t > {BIN_BUDGET}
+                  THEN w.bin_id + 1 ELSE w.bin_id END,
+             CASE WHEN w.fill + s.t > {BIN_BUDGET}
+                  THEN s.t ELSE w.fill + s.t END
+      FROM walk w
+      JOIN seq s ON s.shard = w.shard AND s.rn = w.rn + 1
+    )
+    SELECT doc_id, shard, bin_id, CAST(t AS BIGINT) AS n_tokens
+    FROM walk
+    """,
+)
+def pack_bins_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit document packing: docs partition into {_BIN_SHARDS}
+    shards (``doc_id % shards``) and each shard's doc_id-ordered
+    stream folds greedily into ``BIN_BUDGET``-token bins — a new bin
+    opens exactly when the incoming doc would overflow the current one
+    (overlong docs truncate to the budget).  Unlike
+    ``pack_concat_chunks`` this never splits a document across
+    training sequences — the packing used when document integrity
+    matters (instruction tuning, long-context curricula).
+
+    The fold is ORDER-DEPENDENT state that no window frame expresses,
+    so this is the repo's canonical custom-stateful-operator path:
+    token counts compute JVM-side (regexp, codegen), then one
+    ``applyInPandas`` per shard runs the O(rows) fold over Arrow
+    batches — the same shape as ``stream_stateful_running_total``'s
+    batch twin.  At 100 TB the shard count scales with the cluster
+    (each shard's fold is embarrassingly parallel to the others) and
+    per-shard state is one integer.
+
+    Oracle: a recursive CTE walks every shard's sequence one rank per
+    step — exponentially slower than the fold but definitionally the
+    same recurrence (all shards advance in lock-step, depth =
+    max rows/shard)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"doc_id % {_BIN_SHARDS}").cast("bigint").alias("shard"),
+        F.least(_ntok(), F.lit(BIN_BUDGET)).cast("bigint").alias("n_tokens"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, bin_id = [], 0, 0
+        first = True
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if first:
+                fill, first = t, False
+            elif fill + t > BIN_BUDGET:
+                bin_id += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "shard", "bin_id", "n_tokens"]]
+
+    return docs.groupBy("shard").applyInPandas(
+        fold, schema="doc_id long, shard long, bin_id long, n_tokens long"
+    )
+
+
+@query(
+    "mixture_lang_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             count(*) AS n_langs
+      FROM counts
+    )
+    SELECT c.lang, c.n_docs,
+           CAST(c.n_docs * 1000000 // t.total AS BIGINT) AS obs_ppm,
+           CAST(t.total * 1000000 // (t.n_langs * c.n_docs) AS BIGINT)
+               AS weight_ppm
+    FROM counts c, tot t
+    """,
+)
+def mixture_lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing weights: per-language sampling weight that
+    reshapes the corpus toward a UNIFORM language mix —
+    ``weight = target_share / observed_share``, the multiplier every
+    data-mixture pipeline (sampling temperatures, DoReMi-style
+    reweighting) starts from.  Both the observed share and the weight
+    are floor-divided parts-per-million BIGINTs, so the numbers that
+    drive a sampling decision are engine-exact — a float share ratio
+    can disagree in the last ulp across engines and flip a
+    threshold-based mixture cap.
+
+    Scale: one map-side-combined rollup to ~#languages rows, then a
+    1-row cross join for the totals — nothing else touches the
+    corpus.  Under-represented languages get weight_ppm > 1e6
+    (upsample), over-represented < 1e6 (downsample)."""
+    ensure_utc(spark)
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tot = counts.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count("*").alias("n_langs"),
+    )
+    return counts.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("n_docs * 1000000 div total").cast("bigint").alias("obs_ppm"),
+        F.expr("total * 1000000 div (n_langs * n_docs)")
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )

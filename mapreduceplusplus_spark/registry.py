@@ -72,6 +72,7 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.operators.graph",
     "mapreduceplusplus_spark.operators.ml",
     "mapreduceplusplus_spark.operators.tpch",
+    "mapreduceplusplus_spark.llm.packing",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external
