@@ -437,6 +437,13 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        # explicit NOT NULL on the grouping key: the join leg infers it
+        # from the equi-join condition, so stating it here makes BOTH
+        # consumers' exchange subtrees canonically identical and lets
+        # AQE's stage reuse compute the rollup once (without it the two
+        # legs differ by exactly this inferred filter and the quarter
+        # of lineitem is scanned+shuffled twice)
+        & F.col("l_suppkey").isNotNull()
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_rev_e4()).cast("bigint").alias("total_revenue_e4")

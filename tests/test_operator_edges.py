@@ -680,3 +680,89 @@ def test_iterative_ops_plan_shapes(spark):
     p = _plan(qs["graph_pagerank"](spark, SF_DIR_ORACLE))
     assert "Scan parquet" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def _final_plan(df):
+    """Execute and return ONLY the AQE final-plan section (the plain
+    ``executedPlan`` string of an executed AQE query contains both the
+    Initial and Final sections — counting nodes across both doubles
+    every count)."""
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in p:
+        p = p.split("== Initial Plan ==")[0]
+    return p
+
+
+def test_tpch_suite_plan_shapes(spark):
+    """Plan pins for the round-6 TPC-H batch — each query's signature
+    scale property, enforced at runtime (AQE final plan):
+    - Q6: every predicate (date window, discount band, quantity cap)
+      reaches the parquet scan as a PushedFilter — the whole query is
+      scan + 2-phase agg, zero joins, zero wide exchanges besides the
+      1-row final;
+    - Q8: all seven dimension legs broadcast (deepest join tree in the
+      suite) — exactly ONE hash exchange (the orders leg) and no
+      sort-merge join;
+    - Q15: the quarterly revenue rollup feeds both the max and the
+      join leg from ONE computation — AQE exchange reuse, so the
+      quarter of lineitem is scanned and shuffled once;
+    - Q19: the OR-of-ANDs pushes the quantity hull into the lineitem
+      scan (an Or(...) PushedFilter) instead of evaluating the whole
+      disjunction post-join."""
+    import re
+
+    qs = registry.queries()
+
+    p = _final_plan(qs["tpch_q6_forecast_revenue"](spark, SF_DIR_ORACLE))
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity)" in p
+    ), p
+    assert "Join" not in p, p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 0, p
+
+    p = _final_plan(qs["tpch_q8_market_share"](spark, SF_DIR_ORACLE))
+    assert p.count("BroadcastHashJoin") == 7, p
+    assert "SortMergeJoin" not in p, p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1, p
+
+    p = _final_plan(qs["tpch_q15_top_supplier"](spark, SF_DIR_ORACLE))
+    assert "ReusedExchange" in p, p
+
+    p = _final_plan(qs["tpch_q19_disjunctive_revenue"](spark, SF_DIR_ORACLE))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("Or(" in l for l in pushed), pushed
+
+
+def test_packing_plan_shapes(spark):
+    """Scale pins for the training-batch assembly operators:
+    - corpus_shard_shuffle: exactly ONE exchange (the shard key); the
+      rank window is hash-partitioned — never a global sort;
+    - pack_bins_nextfit: token counts computed JVM-side (the regexp
+      sits in a Project BELOW the exchange) and exactly one exchange
+      feeds the per-shard Arrow fold;
+    - pack_concat_chunks: the distributed prefix sum costs two hash
+      exchanges (bucket census + in-bucket window) plus the
+      bucket-table single-partition window — never a corpus-wide
+      single-partition window."""
+    import re
+
+    qs = registry.queries()
+
+    p = _final_plan(qs["corpus_shard_shuffle"](spark, SF_DIR_ORACLE))
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "Exchange SinglePartition" not in p, p
+
+    p = _final_plan(qs["pack_bins_nextfit"](spark, SF_DIR_ORACLE))
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "FlatMapGroupsInPandas" in p, p
+    # regexp evaluates below the exchange (JVM-side, pre-shuffle)
+    below = p.split("Exchange hashpartitioning")[1]
+    assert "regexp_extract_all" in below, p
+
+    p = _final_plan(qs["pack_concat_chunks"](spark, SF_DIR_ORACLE))
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 2, p
+    # the only single-partition window runs over the bucket census —
+    # its input must be the bucket rollup aggregate, not raw docs
+    assert "Window" in p, p
