@@ -59,6 +59,8 @@ HEADLINE = [
     "graph_triangle_count",   # oriented triangle counting (5 joins, 2 aggs)
     "ml_kmeans_lloyd",        # 2 quantized Lloyd iterations (iterative ML)
     "graph_pagerank",         # 3 quantized power iterations (iterative graph)
+    "tpch_q8_market_share",   # deepest TPC-H join tree (7 tables, all broadcast)
+    "pack_bins_nextfit",      # per-shard Arrow stateful fold (sequence packing)
 ]
 
 

@@ -625,10 +625,13 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("rev_e4").alias("total"),
     )
+    # ratio in DECIMAL(38,0): 20000x a 1e-4-unit revenue sum passes
+    # 2^63 well before 100 TB (the 5x split harness caught the
+    # overflow on the Q8 twin of this expression)
+    from mapreduceplusplus_spark.operators.tpch import bp_ratio_halfup
+
     return agg.select(
-        (F.expr("(20000 * promo + total) div (2 * total)") / 100.0).alias(
-            "promo_pct"
-        ),
+        (bp_ratio_halfup("promo", "total") / 100.0).alias("promo_pct"),
         F.col("promo").cast("bigint").alias("promo_rev_e4"),
         F.col("total").cast("bigint").alias("total_rev_e4"),
     )

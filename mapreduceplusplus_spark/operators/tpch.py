@@ -49,6 +49,24 @@ _REV_E4_SQL = (
 )
 
 
+def bp_ratio_halfup(num: str, den: str):
+    """Half-up basis points of ``num/den`` as an exact integer —
+    ``(20000·num + den) div (2·den)`` — computed in DECIMAL(38,0) so
+    the 20000× blow-up cannot overflow BIGINT.  The 5× split-
+    replication harness caught exactly this: 1e-4-unit revenue sums
+    reach ~2.3e16 at 5× sf0.1 (1e9 per line × tens of millions of
+    lines), and 20000× that is past 2^63 — ANSI Spark threw
+    ARITHMETIC_OVERFLOW while DuckDB's HUGEINT sum sailed through.
+    DECIMAL(38,0) holds ~1e38: safe past 1e33 in the denominator,
+    i.e. any conceivable money sum.  ``div`` on decimals returns
+    BIGINT, which the ≤10000 result always fits."""
+    d38 = "DECIMAL(38,0)"
+    return F.expr(
+        f"(20000 * CAST({num} AS {d38}) + {den})"
+        f" div (2 * CAST({den} AS {d38}))"
+    ).cast("bigint")
+
+
 @query(
     "tpch_q6_forecast_revenue",
     oracle=f"""
@@ -248,9 +266,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "o_year",
-        F.expr("(20000 * tgt + total) div (2 * total)")
-        .cast("bigint")
-        .alias("mkt_share_bp"),
+        bp_ratio_halfup("tgt", "total").alias("mkt_share_bp"),
         F.col("total").cast("bigint").alias("total_rev_e4"),
     )
 

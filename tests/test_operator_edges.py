@@ -766,3 +766,26 @@ def test_packing_plan_shapes(spark):
     # the only single-partition window runs over the bucket census —
     # its input must be the bucket rollup aggregate, not raw docs
     assert "Window" in p, p
+
+
+def test_bp_ratio_no_overflow_at_scale(spark):
+    """Regression for the 5x-replication finding: basis-point ratios
+    over 1e-4-unit money sums overflow BIGINT once the denominator
+    passes ~4.6e14 (20000x blow-up > 2^63).  The DECIMAL(38,0) form
+    must return the exact half-up value at the magnitudes the 5x
+    harness produced (~2.3e16) and far beyond."""
+    from mapreduceplusplus_spark.operators.tpch import bp_ratio_halfup
+
+    cases = [
+        (22672353376562500, 22686860075406250),   # actual 5x sf0.1 sums
+        (1, 3),
+        (2, 3),
+        (10**18, 4 * 10**18),                      # ~100 TB ballpark
+        (0, 7),
+        (5, 5),
+    ]
+    df = spark.createDataFrame(
+        [(n, d) for n, d in cases], "tgt long, total long"
+    ).select(bp_ratio_halfup("tgt", "total").alias("bp"), "tgt", "total")
+    for r in df.collect():
+        assert r.bp == (20000 * r.tgt + r.total) // (2 * r.total), r
