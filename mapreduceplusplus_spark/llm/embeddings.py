@@ -1,0 +1,171 @@
+"""Embedding-column maintenance operators: int8 quantization and
+exact per-label centroids — the storage/serving side of the similarity
+family (``llm/similarity.py`` consumes vectors; this module produces
+the compressed and aggregated forms a 100 TB vector corpus actually
+stores).
+
+Reference heritage: none (SURVEY §2 "beyond the reference" charter —
+similarity-search support operators).
+
+Determinism contract: quantization is ``floor(x/scale·127 + 0.5)`` —
+one IEEE double expression evaluated in the same literal order on both
+engines (float→double casts are exact), so every code is bit-identical;
+centroid accumulation happens in micro-unit BIGINTs (floats never sum),
+so the aggregate is exact under any partitioning/accumulation order —
+the float-mean alternative differs between engines in the last ulp and
+between RUNS of the same engine when partitioning changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark.registry import query
+from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.sources.tables import load_table
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                AS DOUBLE) AS scale,
+           CASE WHEN list_max(list_transform(embedding,
+                                             x -> abs(CAST(x AS DOUBLE)))) = 0
+                THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE)
+                               / list_max(list_transform(embedding,
+                                          y -> abs(CAST(y AS DOUBLE))))
+                               * 127 + 0.5) AS BIGINT))
+           END AS codes,
+           CAST(CASE WHEN list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) = 0 THEN 0
+                ELSE list_sum(list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE)
+                               / list_max(list_transform(embedding,
+                                          y -> abs(CAST(y AS DOUBLE))))
+                               * 127 + 0.5) AS BIGINT)))
+           END AS BIGINT) AS sum_codes
+    FROM embeddings
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x_i|``,
+    ``code_i = floor(x_i/scale·127 + 0.5)`` ∈ [-127, 127] — the 4×
+    compression every billion-vector ANN index applies before anything
+    else (IVF-PQ's first stage, scalar-quantized HNSW).  Dot products
+    on codes then run in integer SIMD and the reconstruction
+    ``code·scale/127`` bounds error at ``scale/254`` per dim.
+
+    Engine-exactness: float→double casts are exact, max-of-abs is a
+    selection (no accumulation), and the quantizer is ONE double
+    expression written in identical evaluation order on both engines
+    — followed by ``floor``, which is exact on doubles.  Half-up via
+    ``+0.5``-then-floor (not ``round``) because banker's-rounding
+    differences between engines would flip codes sitting exactly on
+    .5 boundaries.  All-zero vectors get scale 0 and all-zero codes
+    (guarded division).
+
+    Scale: narrow map over the vector column, no shuffle, no Python —
+    higher-order ``transform``/``aggregate`` stay in codegen.  At
+    100 TB this runs as a projection inside whatever scan already
+    touches the vectors."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    d = emb.select("vec_id", dbl.alias("v"), scale.cast("double").alias("scale"))
+    codes = F.when(
+        F.col("scale") == 0,
+        F.transform("v", lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.floor(x / F.col("scale") * 127 + 0.5).cast("bigint"),
+        )
+    )
+    return d.select(
+        "vec_id",
+        "scale",
+        codes.alias("codes"),
+        F.aggregate(
+            codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c
+        ).alias("sum_codes"),
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v_e6
+      FROM embeddings
+    ),
+    dim AS (
+      SELECT label, pos,
+             CAST(sum(v_e6) AS BIGINT) AS s,
+             count(*) AS n
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_vecs,
+           list(s ORDER BY pos) AS centroid_sum_e6,
+           list(CASE WHEN s >= 0 THEN s // n
+                     ELSE -((-s + n - 1) // n) END
+                ORDER BY pos) AS centroid_mean_e6
+    FROM dim GROUP BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors with EXACT integer accumulation:
+    each dimension quantizes to micro-units (round(x·1e6) as BIGINT)
+    and sums per (label, dim) — the aggregation a learned-index /
+    IVF training step runs over the full corpus, made reproducible.
+    Summing raw floats here is the classic nondeterminism trap: the
+    result depends on partitioning and reduce order, so two runs of
+    the same engine disagree, let alone two engines.  The mean is the
+    FLOOR integer division, spelled out as an explicit CASE on both
+    engines (``-((-s + n - 1) div n)`` for negative sums) because
+    Spark's ``div`` truncates toward zero while DuckDB's ``//``
+    floors — left bare, they differ on every negative sum.
+
+    Scale: posexplode fans 64 rows per vector into a map-side-combined
+    (label, dim) rollup — the shuffle carries |labels|·|dims| partial
+    sums per task, not vectors; the final per-label fold touches
+    |labels|·|dims| rows total.  Dimension order is restored by
+    sorting the collected (pos, sum) structs — never by assuming
+    arrival order."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("val").cast("double") * 1000000).cast("bigint").alias("v_e6"),
+    )
+    dim = ex.groupBy("label", "pos").agg(
+        F.sum("v_e6").cast("bigint").alias("s"), F.count("*").alias("n")
+    )
+    mean = F.expr("CASE WHEN s >= 0 THEN s div n ELSE -((-s + n - 1) div n) END")
+    return (
+        dim.select("label", "pos", "s", "n", mean.cast("bigint").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda t: t.getField("s"),
+            ).alias("centroid_sum_e6"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda t: t.getField("m"),
+            ).alias("centroid_mean_e6"),
+        )
+    )

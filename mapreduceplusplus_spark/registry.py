@@ -73,6 +73,7 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.operators.ml",
     "mapreduceplusplus_spark.operators.tpch",
     "mapreduceplusplus_spark.llm.packing",
+    "mapreduceplusplus_spark.llm.embeddings",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external

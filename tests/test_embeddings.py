@@ -1,0 +1,56 @@
+"""Property pins for the embedding maintenance operators
+(``llm/embeddings.py``): quantizer range/error bounds and centroid
+exactness against a driver-side numpy recomputation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mapreduceplusplus_spark.llm.embeddings import (
+    embedding_label_centroids,
+    embedding_quantize_int8,
+)
+from mapreduceplusplus_spark.sources.tables import load_table
+from tests.conftest import SF_DIR_ORACLE
+
+
+def test_quantizer_range_and_error_bound(spark):
+    rows = embedding_quantize_int8(spark, SF_DIR_ORACLE).collect()
+    raw = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, SF_DIR_ORACLE, "embeddings").collect()
+    }
+    assert rows
+    for r in rows:
+        codes = np.asarray(r.codes, dtype=np.int64)
+        assert np.abs(codes).max() <= 127
+        x = np.asarray(raw[r.vec_id], dtype=np.float64)
+        if r.scale == 0:
+            assert not codes.any()
+            continue
+        # the max-|x| element maps to exactly ±127
+        assert np.abs(codes).max() == 127
+        # reconstruction error bounded by half a quantization step
+        recon = codes * r.scale / 127.0
+        assert np.abs(x - recon).max() <= r.scale / 254.0 * (1 + 1e-9)
+        assert r.sum_codes == int(codes.sum())
+
+
+def test_centroids_match_numpy_integer_recompute(spark):
+    rows = {r.label: r for r in embedding_label_centroids(spark, SF_DIR_ORACLE).collect()}
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            [int(round(float(v) * 1_000_000)) for v in r.embedding]
+        )
+    assert set(rows) == set(by_label)
+    for label, vecs in by_label.items():
+        a = np.asarray(vecs, dtype=np.int64)
+        got = rows[label]
+        assert got.n_vecs == len(vecs)
+        assert list(a.sum(axis=0)) == list(got.centroid_sum_e6)
+        # floor-division mean, including negative sums
+        want_mean = [s // len(vecs) for s in a.sum(axis=0)]
+        assert want_mean == list(got.centroid_mean_e6)
