@@ -923,3 +923,139 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "s_name", "bal_cents")
     )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)
+                      * CAST(round(p.p_retailprice * 100) AS BIGINT))
+                  AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE s.s_nationkey IN (2, 4)
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_cents
+    FROM v
+    WHERE value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM v)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts whose held
+    value within a nation group exceeds a fraction (1/1000) of the
+    group's total — the grouped-aggregate-vs-global-scalar-of-the-
+    SAME-aggregate pattern.  No ``partsupp`` in the schema, so held
+    value derives from shipped volume × retail cents (exact BIGINT);
+    the plan shape — one rollup consumed by both the filter and the
+    scalar total — is Q11's.
+
+    The threshold comparison is cross-multiplied (``value·1000 >
+    total``) instead of dividing the total: exact integers, no
+    fraction-epsilon ambiguity across engines.
+
+    Scale: supplier/part broadcast under the nation cut; one shuffle
+    to the per-part rollup; the scalar total re-aggregates the
+    #parts-row rollup and broadcasts back 1 row — with AQE exchange
+    reuse the rollup computes once (same structure the Q15 pin
+    enforces)."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey").isNotNull()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey").isin(2, 4))
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    v = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_quantity").cast("bigint") * _cents("p_retailprice")
+            )
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    )
+    total = v.agg(F.sum("value_cents").cast("bigint").alias("tot"))
+    return (
+        v.join(F.broadcast(total))
+        .where(F.col("value_cents") * 1000 > F.col("tot"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@query(
+    "tpch_q20_dominant_suppliers",
+    oracle="""
+    WITH red96 AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    tot AS (
+      SELECT l_partkey AS pk, CAST(sum(q) AS BIGINT) AS tq
+      FROM red96 GROUP BY l_partkey
+    )
+    SELECT s.s_name,
+           count(*) AS n_dominant_parts
+    FROM red96 r
+    JOIN tot ON r.l_partkey = tot.pk
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE 4 * r.q > tot.tq
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers holding a
+    DOMINANT position (>25% of one year's shipped quantity) in any
+    'red' part — the two-granularity aggregate comparison (per
+    supplier-part vs per part) followed by a join back to the supplier
+    dim.  The original compares ``ps_availqty`` to half the year's
+    shipments; without ``partsupp`` the same plan shape compares the
+    supplier's share of the part's demand, cross-multiplied
+    (``4·q > total``) for integer exactness.
+
+    Scale: the (supplier, part) rollup is the one fact shuffle; the
+    per-part total re-aggregates that rollup (micro-shuffle on
+    partkey, #pairs rows); the dominance filter joins the two on
+    partkey — co-partitioned, no new exchange under AQE; supplier
+    broadcasts for the name."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    red = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    red96 = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    )
+    tot = red96.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("q").cast("bigint").alias("tq")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        red96.join(tot, F.col("l_partkey") == F.col("pk"))
+        .where(4 * F.col("q") > F.col("tq"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_dominant_parts"))
+    )
