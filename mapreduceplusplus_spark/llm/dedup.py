@@ -881,25 +881,33 @@ def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     VLDB'01): one edit destroys at most q positional q-grams, so
     ``dist(a,b) <= k`` forces ``shared q-grams >= max(|a|,|b|) - q + 1
     - k*q``.  With q=2, k=2 and names >= 7 chars, a qualifying pair
-    must share at least one 2-gram ((7-1)/2 = 3 > k) — so the 2-gram
-    equi-join is provably LOSSLESS here, and the multiset-count bound
-    (sum of min(count_a, count_b) >= max_len - 5) prunes further
-    before the exact DP verify.  ``F.levenshtein`` and DuckDB
-    ``levenshtein`` implement the same classic DP — pinned by this
-    differential.
+    must share at least one 2-gram ((7-1)/2 = 3 > k) — so 2-gram
+    candidate generation is provably LOSSLESS here.  Skew is bounded
+    by the SAME df-ordered prefix filter ``dedup_ngram_jaccard``
+    uses: a qualifying pair shares >= T = max(|a|,|b|) - 5 positional
+    grams (multiset bound, items = (gram, occurrence#)), and by the
+    prefix lemma two item sets intersecting in >= T elements must
+    collide within each record's (n_items - T_r + 1) RAREST items
+    under a global document-frequency order — per-record T_r = max(
+    ln - 5, 1) <= T keeps the prefix a superset of the required one.
+    Only those rarest ~min(5, ln-1) items per name post to the join,
+    so a frequent gram like 'er' never builds a quadratic bucket.
+    ``F.levenshtein`` and DuckDB ``levenshtein`` implement the same
+    classic DP — pinned by this differential.
 
-    Scale: same structure as ``dedup_ngram_jaccard`` — explode to a
-    posting list keyed by gram, equi-join inside gram buckets, exact
-    verify only on survivors.  At 100 TB the common-gram skew is
-    bounded the same way (rarest-prefix postings); nothing is ever
-    compared across different gram buckets."""
+    Scale: explode → df census (map-side combined) → broadcast df
+    back → per-name rank window (hash-partitioned by name) → prefix
+    postings equi-join → exact verify on survivors only."""
     ensure_utc(spark)
+    from pyspark.sql import Window as _W
+
     names = (
         load_table(spark, sf_dir, "part").select("p_name").distinct()
         .select(F.col("p_name").alias("name"), F.length("p_name").alias("ln"))
     )
-    # per-(name, gram) 2-gram multiplicities
-    gram_counts = (
+    # positional 2-gram items: (gram, occurrence#) — turns the
+    # multiset bound into a plain set bound
+    items = (
         names.select(
             "name",
             "ln",
@@ -911,24 +919,32 @@ def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("name", "ln", "g")
         .agg(F.count("*").alias("c"))
-    )
-    a = gram_counts.select(
-        F.col("name").alias("name_a"), F.col("ln").alias("ln_a"),
-        "g", F.col("c").alias("ca"),
-    )
-    b = gram_counts.select(
-        F.col("name").alias("name_b"), F.col("ln").alias("ln_b"),
-        "g", F.col("c").alias("cb"),
-    )
-    cand = (
-        a.join(b, "g")
-        .where(F.col("name_a") < F.col("name_b"))
-        .groupBy("name_a", "name_b", "ln_a", "ln_b")
-        .agg(F.sum(F.least("ca", "cb")).alias("shared"))
-        .where(
-            F.col("shared")
-            >= F.greatest("ln_a", "ln_b") - 1 - 4  # maxlen - q + 1 - k*q
+        .select(
+            "name",
+            "ln",
+            "g",
+            F.explode(F.sequence(F.lit(1), F.col("c"))).alias("occ"),
         )
+    )
+    df_tab = items.groupBy("g", "occ").agg(F.count("*").alias("df"))
+    ranked = items.join(F.broadcast(df_tab), ["g", "occ"]).withColumn(
+        "rk",
+        F.row_number().over(
+            _W.partitionBy("name").orderBy("df", "g", "occ")
+        ),
+    )
+    # prefix size = n_items - T_r + 1 with n_items = ln-1, T_r = max(ln-5, 1)
+    prefix = ranked.where(
+        F.col("rk")
+        <= F.col("ln") - 1 - F.greatest(F.col("ln") - 5, F.lit(1)) + 1
+    )
+    a = prefix.select(F.col("name").alias("name_a"), "g", "occ")
+    b = prefix.select(F.col("name").alias("name_b"), "g", "occ")
+    cand = (
+        a.join(b, ["g", "occ"])
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
     )
     return (
         cand.select(

@@ -43,11 +43,11 @@ from mapreduceplusplus_spark.sources.tables import load_table
            END AS codes,
            CAST(CASE WHEN list_max(list_transform(embedding,
                                    x -> abs(CAST(x AS DOUBLE)))) = 0 THEN 0
-                ELSE list_sum(list_transform(embedding,
+                ELSE COALESCE(list_sum(list_transform(embedding,
                      x -> CAST(floor(CAST(x AS DOUBLE)
                                / list_max(list_transform(embedding,
                                           y -> abs(CAST(y AS DOUBLE))))
-                               * 127 + 0.5) AS BIGINT)))
+                               * 127 + 0.5) AS BIGINT))), 0)
            END AS BIGINT) AS sum_codes
     FROM embeddings
     """,
@@ -67,7 +67,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``+0.5``-then-floor (not ``round``) because banker's-rounding
     differences between engines would flip codes sitting exactly on
     .5 boundaries.  All-zero vectors get scale 0 and all-zero codes
-    (guarded division).
+    (guarded division); empty vectors yield empty codes and
+    ``sum_codes = 0`` on BOTH engines (the oracle COALESCEs DuckDB's
+    ``list_sum([]) = NULL`` to match ``F.aggregate``'s init value).
 
     Scale: narrow map over the vector column, no shuffle, no Python —
     higher-order ``transform``/``aggregate`` stay in codegen.  At

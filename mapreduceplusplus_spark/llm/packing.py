@@ -151,13 +151,14 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY hv // {N_SHARDS}, doc_id)
                 AS BIGINT) AS pos
     FROM (SELECT doc_id,
-                 (doc_id * {_KNUTH}) % {_MOD} AS hv
+                 CAST(CAST(doc_id AS HUGEINT) * {_KNUTH} % {_MOD}
+                      AS BIGINT) AS hv
           FROM documents)
     """,
 )
 def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle, sharded: every doc gets a shard
-    (``hash % {N_SHARDS}``) and an exact position within its shard
+    (``hash % N_SHARDS``, 64 shards) and an exact position within its shard
     (rank by the remaining hash bits) — how production dataloaders
     randomize 100 TB: no global permutation is ever materialized;
     readers consume shards round-robin and each shard's internal
@@ -169,8 +170,16 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     state.  Growth-stable ordering: adding docs never swaps the
     relative order of existing pairs (their hash keys don't change)."""
     ensure_utc(spark)
+    # the Knuth multiply rides in DECIMAL(38,0) (HUGEINT on the DuckDB
+    # side): doc_id * 2654435761 passes 2^63 at doc_id ~3.47e9, well
+    # inside a 100 TB corpus — same overflow class bp_ratio_halfup
+    # fixed for money ratios
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(f"(doc_id * {_KNUTH}) % {_MOD}").alias("hv")
+        "doc_id",
+        F.expr(
+            f"CAST(CAST(doc_id AS DECIMAL(38,0)) * {_KNUTH} % {_MOD}"
+            " AS BIGINT)"
+        ).alias("hv"),
     )
     shard = F.expr(f"hv % {N_SHARDS}").cast("bigint")
     w = Window.partitionBy(shard).orderBy(
@@ -215,8 +224,8 @@ _BIN_SHARDS = 8
     """,
 )
 def pack_bins_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Next-fit document packing: docs partition into {_BIN_SHARDS}
-    shards (``doc_id % shards``) and each shard's doc_id-ordered
+    """Next-fit document packing: docs partition into ``_BIN_SHARDS``
+    (8) shards (``doc_id % shards``) and each shard's doc_id-ordered
     stream folds greedily into ``BIN_BUDGET``-token bins — a new bin
     opens exactly when the incoming doc would overflow the current one
     (overlong docs truncate to the budget).  Unlike

@@ -167,9 +167,12 @@ _E2E_MOD = 4294967296
       WHERE NOT EXISTS (SELECT 1 FROM eval_fp e WHERE e.bag_fp = k.bag_fp)
     )
     SELECT doc_id, lang, quality, n_tokens,
-           CAST((doc_id * {_E2E_MULT}) % {_E2E_MOD} % 100 AS BIGINT) AS bucket,
-           CASE WHEN (doc_id * {_E2E_MULT}) % {_E2E_MOD} % 100 < 80 THEN 'train'
-                WHEN (doc_id * {_E2E_MULT}) % {_E2E_MOD} % 100 < 90 THEN 'val'
+           CAST(CAST(doc_id AS HUGEINT) * {_E2E_MULT} % {_E2E_MOD}
+                AS BIGINT) % 100 AS bucket,
+           CASE WHEN CAST(CAST(doc_id AS HUGEINT) * {_E2E_MULT}
+                          % {_E2E_MOD} AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(CAST(doc_id AS HUGEINT) * {_E2E_MULT}
+                          % {_E2E_MOD} AS BIGINT) % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM decon
     """,
@@ -213,7 +216,15 @@ def pipeline_corpus_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "quality", "n_tokens", "bag_fp")
     )
     decon = kept.join(F.broadcast(eval_fp), "bag_fp", "left_anti")
-    bucket = (F.col("doc_id") * _E2E_MULT) % _E2E_MOD % 100
+    # DECIMAL(38,0) multiply — the bare BIGINT product overflows at
+    # doc_id ~3.47e9 (see sample_split)
+    bucket = (
+        F.expr(
+            f"CAST(CAST(doc_id AS DECIMAL(38,0)) * {_E2E_MULT}"
+            f" % {_E2E_MOD} AS BIGINT)"
+        )
+        % 100
+    )
     return decon.select(
         "doc_id",
         "lang",
@@ -266,7 +277,8 @@ _SPLIT_MOD = 4294967296  # 2^32
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM (SELECT doc_id,
-                 (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100 AS bucket
+                 CAST(CAST(doc_id AS HUGEINT) * {_SPLIT_MULT}
+                      % {_SPLIT_MOD} AS BIGINT) % 100 AS bucket
           FROM documents)
     """,
 )
@@ -282,7 +294,15 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible in any engine, so it gets a full value-hash oracle."""
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * _SPLIT_MULT) % _SPLIT_MOD % 100
+    # DECIMAL(38,0) multiply (HUGEINT oracle-side): the bare BIGINT
+    # product overflows at doc_id ~3.47e9 — inside 100 TB corpus range
+    bucket = (
+        F.expr(
+            f"CAST(CAST(doc_id AS DECIMAL(38,0)) * {_SPLIT_MULT}"
+            f" % {_SPLIT_MOD} AS BIGINT)"
+        )
+        % 100
+    )
     return docs.select(
         "doc_id",
         bucket.cast("bigint").alias("bucket"),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduceplusplus_spark.operators.tpch import bp_ratio_halfup
 from mapreduceplusplus_spark.registry import query
 from mapreduceplusplus_spark.session import ensure_utc
 from mapreduceplusplus_spark.sources.tables import load_table
@@ -628,8 +629,6 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ratio in DECIMAL(38,0): 20000x a 1e-4-unit revenue sum passes
     # 2^63 well before 100 TB (the 5x split harness caught the
     # overflow on the Q8 twin of this expression)
-    from mapreduceplusplus_spark.operators.tpch import bp_ratio_halfup
-
     return agg.select(
         (bp_ratio_halfup("promo", "total") / 100.0).alias("promo_pct"),
         F.col("promo").cast("bigint").alias("promo_rev_e4"),

@@ -496,15 +496,25 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplies a part iff it ever shipped it), and the "complaints"
     blacklist is negative account balance.  The shape survives intact:
     negated dim predicates + an IN-list, a NOT IN sub-select on the
-    supplier key (safe here: ``s_suppkey`` is never NULL, so the NOT
-    IN null-trap pinned by ``subquery_not_in_null_trap`` cannot fire),
-    and a COUNT DISTINCT over a many-to-many bridge.
+    supplier key (safe on the subquery side: ``s_suppkey`` is never
+    NULL, so the NOT IN null-trap pinned by
+    ``subquery_not_in_null_trap`` cannot fire; the probe side filters
+    NULL keys explicitly because NOT IN drops them while a bare
+    left-anti keeps them), and a COUNT DISTINCT over a many-to-many
+    bridge.
 
     Scale: the blacklist broadcasts (~#suppliers rows) as an anti
     join; part prunes before broadcast; the distinct-count shuffles
     (brand,type,size,suppkey) once then folds — no row explosion."""
     ensure_utc(spark)
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # NOT IN also drops NULL probe keys (NULL NOT IN (...) is NULL);
+    # left_anti would KEEP them — the explicit isNotNull makes the
+    # anti-join exactly NOT IN even if the key column ever gains NULLs
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .where(F.col("l_suppkey").isNotNull())
+    )
     part = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
