@@ -779,3 +779,37 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("skew"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt"),
     )
+
+
+@query(
+    "agg_boolean_family",
+    oracle="""
+    SELECT o_orderstatus,
+           count_if(o_totalprice > 100000) AS n_large,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boolean-aggregate surface: ``count_if`` (conditional count
+    without the CASE-sum circumlocution), ``bool_and``/``bool_or``
+    (universal/existential quantifiers over a group) — identical names
+    and three-valued-logic semantics in Spark 4 and DuckDB, one shared
+    behavior pinned differentially.  ``bool_and`` short-circuit
+    semantics matter for DQ assertions ("every order in this status
+    has a positive total") where a CASE-sum would silently coerce
+    NULLs.
+
+    Scale: plain map-side-combined hash aggregate — booleans fold to
+    one byte of state per group per function."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )

@@ -93,3 +93,66 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("sq").cast("bigint").alias("sum_sq"),
     )
+
+
+#: deterministic on-disk binary fixture for the ``binaryFile`` source —
+#: content restricted to printable ASCII so DuckDB's ``decode(content)``
+#: (valid-UTF-8 requirement) hashes the SAME raw bytes Spark's
+#: ``md5(binary)`` does
+_BINSRC_DIR = "/tmp/spark_graft_binsrc"
+_BINSRC_N = 8
+
+
+def _ensure_binsrc_fixture() -> None:
+    import os
+
+    os.makedirs(_BINSRC_DIR, exist_ok=True)
+    for i in range(_BINSRC_N):
+        body = "".join(
+            chr(32 + (i * 7 + j) % 95) for j in range(100 * (i + 1))
+        )
+        payload = f"BLOB {i}\n{body}".encode("ascii")
+        path = os.path.join(_BINSRC_DIR, f"doc_{i}.bin")
+        # idempotent: same bytes every run; rewrite only on drift
+        if not os.path.exists(path) or open(path, "rb").read() != payload:
+            with open(path, "wb") as f:
+                f.write(payload)
+
+
+@query(
+    "source_binary_files",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+           CAST(size AS BIGINT) AS n_bytes,
+           md5(decode(content)) AS digest
+    FROM read_blob('{_BINSRC_DIR}/*.bin')
+    """,
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — Spark's ingestion path for opaque
+    media payloads (the on-disk half of the multimodal contract:
+    ``llm/multimodal.py`` processes binary COLUMNS; this reads binary
+    FILES into such a column).  Emits (path, modificationTime, length,
+    content) per file; the query projects basename, byte length, and
+    the md5 of the raw bytes, differentially checked against DuckDB's
+    ``read_blob`` over the same directory.
+
+    The fixture is 8 deterministic printable-ASCII files written
+    idempotently by the query itself (same bytes every run — ASCII
+    because DuckDB's md5 hashes VARCHARs, so ``decode(content)`` must
+    be valid UTF-8 to reproduce Spark's binary md5).
+
+    Scale: binaryFile lists and assigns FILES to tasks (a file never
+    splits — fine for media objects, which are processed whole);
+    at 100 TB the listing itself is the bottleneck, so real pipelines
+    shard the directory tree and let ``pathGlobFilter``/partition
+    directories prune — the same partition-pruning machinery
+    ``sink_partitioned_pruned`` pins for parquet."""
+    ensure_utc(spark)
+    _ensure_binsrc_fixture()
+    df = spark.read.format("binaryFile").load(_BINSRC_DIR + "/*.bin")
+    return df.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
