@@ -899,12 +899,25 @@ def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     back → per-name rank window (hash-partitioned by name) → prefix
     postings equi-join → exact verify on survivors only."""
     ensure_utc(spark)
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    return editdist_pairs(names, max_dist=2)
+
+
+def editdist_pairs(names: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Distinct-name pairs within Levenshtein ``max_dist``, via the
+    lossless df-ordered q-gram prefix filter (q=2) described in
+    ``join_fuzzy_editdist``.  ``names`` needs a single ``name``
+    column; losslessness requires every name at least
+    ``q·(max_dist + 1/q) = 2·max_dist + 1 + 1`` chars — for
+    max_dist=2: length >= 6, since a zero-shared-gram pair of length-L
+    strings has distance >= (L-1)/2 > max_dist only then."""
     from pyspark.sql import Window as _W
 
-    names = (
-        load_table(spark, sf_dir, "part").select("p_name").distinct()
-        .select(F.col("p_name").alias("name"), F.length("p_name").alias("ln"))
-    )
+    names = names.select("name", F.length("name").alias("ln"))
     # positional 2-gram items: (gram, occurrence#) — turns the
     # multiset bound into a plain set bound
     items = (
@@ -933,11 +946,10 @@ def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             _W.partitionBy("name").orderBy("df", "g", "occ")
         ),
     )
-    # prefix size = n_items - T_r + 1 with n_items = ln-1, T_r = max(ln-5, 1)
-    prefix = ranked.where(
-        F.col("rk")
-        <= F.col("ln") - 1 - F.greatest(F.col("ln") - 5, F.lit(1)) + 1
-    )
+    # prefix size = n_items - T_r + 1 with n_items = ln-1,
+    # T_r = max(ln - 1 - q*max_dist, 1)
+    t_r = F.greatest(F.col("ln") - 1 - 2 * max_dist, F.lit(1))
+    prefix = ranked.where(F.col("rk") <= F.col("ln") - 1 - t_r + 1)
     a = prefix.select(F.col("name").alias("name_a"), "g", "occ")
     b = prefix.select(F.col("name").alias("name_b"), "g", "occ")
     cand = (
@@ -952,5 +964,5 @@ def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_b",
             F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
         )
-        .where(F.col("dist") <= 2)
+        .where(F.col("dist") <= max_dist)
     )

@@ -175,3 +175,42 @@ def test_ahash_block_upscale_invariance(seed):
     small = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
     big = small.repeat(2, axis=0).repeat(2, axis=1)
     assert _ahash64(small) == _ahash64(big)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+_words = st.text(alphabet="abcde", min_size=6, max_size=12)
+
+
+@given(st.lists(_words, min_size=2, max_size=14, unique=True))
+@settings(**_SETTINGS)
+def test_editdist_pairs_lossless_vs_bruteforce(spark, names):
+    """The df-ordered q-gram prefix filter in ``editdist_pairs`` is
+    LOSSLESS: over random >=6-char words from a tiny alphabet (chosen
+    to maximize shared-gram collisions AND near-miss pairs), the
+    filtered join returns exactly the all-pairs Levenshtein<=2 set —
+    no survivor pruned, no phantom pair."""
+    from mapreduceplusplus_spark.llm.dedup import editdist_pairs
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in editdist_pairs(df, max_dist=2).collect()
+    }
+    want = {
+        (a, b, _lev(a, b))
+        for i, a in enumerate(sorted(names))
+        for b in sorted(names)[i + 1:]
+        if _lev(a, b) <= 2
+    }
+    assert got == want
