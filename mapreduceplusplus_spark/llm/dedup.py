@@ -966,3 +966,89 @@ def editdist_pairs(names: DataFrame, max_dist: int = 2) -> DataFrame:
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+@query(
+    "text_eval_overlap_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, g
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(w) - 2),  -- range is upper-EXCLUSIVE
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])
+               )) AS g
+        FROM toks WHERE len(w) >= 4
+      )
+    ),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(e.g) AS BIGINT) AS n_dirty,
+           CAST(count(e.g) * 1000000 // count(*) AS BIGINT) AS dirty_ppm
+    FROM grams t
+    LEFT JOIN eval_grams e ON t.g = e.g
+    WHERE t.doc_id % {EVAL_MOD} <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def text_eval_overlap_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured eval contamination (the GPT-3-appendix "dirtiness"
+    statistic): for every TRAINING document, the fraction of its word
+    4-grams that also occur anywhere in the eval split — the graded
+    companion to ``dedup_decontaminate``'s boolean whole-doc filter.
+    Real pipelines threshold on this rate (e.g. drop > X% dirty) and
+    report the distribution in the model card; the rate is a floor-
+    divided ppm BIGINT so the threshold decision is engine-exact.
+
+    4-grams (not the paper's 13) because the fixture docs are short;
+    the plan is length-independent.  Counting is per OCCURRENCE (a
+    repeated dirty gram counts each time) — denominator = all 4-gram
+    positions, numerator = positions whose gram is in the eval set.
+
+    Scale: the eval gram set is benchmark-sized (small by
+    construction) → one DISTINCT micro-rollup, then a broadcast LEFT
+    join against the training gram stream — the 100-TB training scan
+    never shuffles; per-doc rollup partial-aggregates map-side."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    ).where(F.size("w") >= 4)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 3),"
+                " i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("g"),
+    )
+    eval_grams = (
+        grams.where(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
+        .select(F.col("g").alias("eg"))
+    )
+    train = grams.where(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(eval_grams), F.col("g") == F.col("eg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count("eg").cast("bigint").alias("n_dirty"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dirty",
+            F.expr("n_dirty * 1000000 div n_grams").cast("bigint").alias(
+                "dirty_ppm"
+            ),
+        )
+    )
