@@ -834,3 +834,50 @@ def text_token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(count_tokens, schema="doc_id bigint, n_tokens bigint")
+
+
+@query(
+    "corpus_datasheet",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+               AS total_ws_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+    FROM documents
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus datasheet — the summary block every dataset
+    card / "Datasheets for Datasets" report opens with: document and
+    token volume, language/source diversity, and the length
+    distribution (min/max/p50/p90).  ONE aggregation pass produces all
+    nine numbers: counts and sums fold map-side, the two distinct
+    counts expand in the same aggregate, and the exact interpolated
+    percentiles reuse the ``agg_median`` equivalence (Spark
+    ``percentile`` == DuckDB ``quantile_cont``).
+
+    Scale: at 100 TB the exact percentiles are the only non-mergeable
+    piece — swap them for ``percentile_approx`` (mergeable KLL-style
+    sketch) and the whole datasheet computes in one map-side-combined
+    pass with O(1) driver state; everything else is already exact and
+    mergeable."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+    return docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(ws).cast("bigint").alias("total_ws_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+    )
