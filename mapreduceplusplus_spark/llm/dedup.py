@@ -1052,3 +1052,83 @@ def text_eval_overlap_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(concat_ws(' ',
+                 list_sort(regexp_extract_all(lower(text), '[a-z]+')))) AS bag_fp
+      FROM documents
+    ),
+    corpus AS (
+      SELECT DISTINCT bag_fp FROM fp WHERE doc_id % 3 <> 0
+    ),
+    batch AS (
+      SELECT f.doc_id, f.bag_fp,
+             row_number() OVER (PARTITION BY f.bag_fp
+                                ORDER BY f.doc_id) AS rn
+      FROM fp f WHERE f.doc_id % 3 = 0
+    )
+    SELECT b.doc_id,
+           (c.bag_fp IS NOT NULL) AS dup_vs_corpus,
+           (b.rn > 1) AS dup_in_batch,
+           CASE WHEN c.bag_fp IS NOT NULL OR b.rn > 1
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM batch b
+    LEFT JOIN corpus c ON b.bag_fp = c.bag_fp
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the shape PRODUCTION dedup actually
+    runs: an incoming batch (``doc_id % 3 = 0`` stands in for today's
+    crawl) checks against (a) the EXISTING corpus's fingerprint index
+    and (b) itself, without ever rescanning corpus text.  Each batch
+    doc gets both flags plus the keep/drop verdict: duplicates within
+    the batch keep their lowest-doc_id representative (same
+    deterministic-keeper rule as ``dedup_exact``), and anything whose
+    sorted-bag-of-words md5 already exists in the corpus drops.
+
+    Fingerprints are order-insensitive (sorted token bag → md5, the
+    ``dedup_decontaminate`` convention), so re-renderings of the same
+    content collide.
+
+    Scale: the corpus leg is a STORED fingerprint table in practice
+    (built once, appended per batch) — here it derives in-plan from
+    the same parquet for self-containment; the batch⋈index join
+    shuffles only fingerprints (16 B/doc), the in-batch window
+    shuffles one day's batch, and corpus text is never touched.  This
+    is why incremental dedup at 100 TB costs minutes, not a full-
+    corpus rescan."""
+    ensure_utc(spark)
+    from pyspark.sql import Window as _W
+
+    fp = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(tokens(F.col("text"))))).alias(
+            "bag_fp"
+        ),
+    )
+    corpus = (
+        fp.where(F.col("doc_id") % 3 != 0)
+        .select(F.col("bag_fp").alias("corpus_fp"))
+        .distinct()
+    )
+    batch = fp.where(F.col("doc_id") % 3 == 0).withColumn(
+        "rn", F.row_number().over(_W.partitionBy("bag_fp").orderBy("doc_id"))
+    )
+    dup_corpus = F.col("corpus_fp").isNotNull()
+    dup_batch = F.col("rn") > 1
+    return (
+        batch.join(corpus, F.col("bag_fp") == F.col("corpus_fp"), "left")
+        .select(
+            "doc_id",
+            dup_corpus.alias("dup_vs_corpus"),
+            dup_batch.alias("dup_in_batch"),
+            F.when(dup_corpus | dup_batch, "drop")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
