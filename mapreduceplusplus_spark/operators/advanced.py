@@ -661,3 +661,39 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+#: shared dialect-intersection text: `/*+ MERGE(n) */` is a join-
+#: strategy DIRECTIVE to Spark and a plain block comment to DuckDB —
+#: one text, two engines, same relation
+_JOIN_HINT_SQL = """
+    SELECT /*+ MERGE(n) */ n.n_name,
+           count(*) AS n_cust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_bal_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query("sql_join_hint_merge", oracle=_JOIN_HINT_SQL)
+def sql_join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hints — the escape hatch when the optimizer's
+    choice is wrong for reasons it can't see (a dimension that
+    EXPLODES after a later join, a broadcast that OOMs on real
+    cluster memory limits).  ``/*+ MERGE(n) */`` forces a sort-merge
+    join on a 25-row dimension Spark would otherwise auto-broadcast —
+    pinned in the plan test — while the SAME text runs on DuckDB,
+    which sees the hint as a block comment: results identical by this
+    differential, so the hint changed the HOW and provably not the
+    WHAT.
+
+    Scale: the hint surface (BROADCAST / MERGE / SHUFFLE_HASH /
+    SHUFFLE_REPLICATE_NL + REPARTITION/COALESCE) is how a 100 TB job
+    encodes operational knowledge — e.g. forcing SHUFFLE_HASH when the
+    build side fits executor memory but exceeds the driver's broadcast
+    limit."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_JOIN_HINT_SQL)

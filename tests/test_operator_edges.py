@@ -789,3 +789,14 @@ def test_bp_ratio_no_overflow_at_scale(spark):
     ).select(bp_ratio_halfup("tgt", "total").alias("bp"), "tgt", "total")
     for r in df.collect():
         assert r.bp == (20000 * r.tgt + r.total) // (2 * r.total), r
+
+
+def test_join_hint_merge_overrides_broadcast(spark):
+    """/*+ MERGE(n) */ must force a sort-merge join on a 25-row dim
+    Spark would otherwise auto-broadcast — the hint changes the HOW
+    (plan pinned here) and not the WHAT (the DuckDB differential runs
+    the same text, where the hint is a comment)."""
+    qs = registry.queries()
+    p = _final_plan(qs["sql_join_hint_merge"](spark, SF_DIR_ORACLE))
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
