@@ -525,3 +525,59 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((20000 * sum(converted) + count(*)) div (2 * count(*)) AS BIGINT)"
         ).alias("conv_bp"),
     )
+
+
+@query(
+    "events_cumulative_reach",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day, count(*) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT strftime(first_day, '%Y-%m-%d') AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_reach
+    FROM per_day
+    """,
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative audience reach — distinct users ever seen, by day.
+    The naive formulation (``count(DISTINCT user_id) OVER (ORDER BY
+    day)``) needs unbounded distinct state per frame and Spark rejects
+    it outright; the scalable identity is ``cumulative distinct =
+    running sum of FIRST APPEARANCES``: one min-date rollup per user
+    (map-side combined), a #days-sized per-day count, and a cumulative
+    sum over that tiny table.  ``window_distinct_rolling`` pins the
+    bounded-frame variant of the same problem; this is the unbounded
+    one.
+
+    Scale: the user rollup is the only real shuffle (users, not
+    events, cross the wire after partial aggregation); the cumsum
+    window runs over ~#days rows — the documented benign
+    single-partition window over a driver-scale table (same as
+    ``sort_global``'s offsets).  CAST-to-DATE is tz-sensitive: both
+    engines evaluate it in UTC (``ensure_utc`` + naive DuckDB
+    timestamps), the equivalence the hostile-tz sweep guards."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_reach"),
+    )
