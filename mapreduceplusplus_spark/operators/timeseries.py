@@ -581,3 +581,76 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_reach"),
     )
+
+
+@query(
+    "events_power_users_pareto",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, n_events,
+             row_number() OVER (ORDER BY n_events DESC, user_id) AS rk,
+             sum(n_events) OVER (ORDER BY n_events DESC, user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             (SELECT sum(n_events) FROM per_user) AS total,
+             (SELECT count(*) FROM per_user) AS n_users
+      FROM per_user
+    )
+    SELECT CAST(rk * 10000 // n_users AS BIGINT) AS user_pct_bp,
+           CAST(max(cum * 10000 // total) AS BIGINT) AS event_share_bp
+    FROM ranked
+    WHERE rk * 10000 % n_users = 0 OR rk = n_users
+    GROUP BY CAST(rk * 10000 // n_users AS BIGINT)
+    """,
+)
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Lorenz/Pareto) curve: users ranked by
+    event volume descending, sampled at exact basis-point positions —
+    the "do 20% of users generate 80% of traffic?" readout that sizes
+    rate limits, capacity plans, and abuse thresholds.  Both axes are
+    floor-divided basis-point BIGINTs (cumulative share and rank
+    percentile), so every curve point is engine-exact — the usual
+    float-percent formulation drifts in the last ulp and can flip a
+    sampled position across engines.
+
+    Scale: the per-user rollup is the only event-volume shuffle
+    (map-side combined); ranking and the cumulative sum run over the
+    #users-sized rollup.  The rank window here is the documented
+    single-partition-over-rollup pattern — at true 100 TB user counts
+    the same curve computes via the ``sort_global`` two-pass quantile
+    machinery (bucket by activity range, per-bucket offsets), which
+    ``sort_global`` already pins."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    totals = per_user.agg(
+        F.sum("n_events").alias("total"), F.count("*").alias("n_users")
+    )
+    w_rank = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    ranked = (
+        per_user.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "cum",
+            F.sum("n_events").over(
+                w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .join(F.broadcast(totals))
+    )
+    return (
+        ranked.where(
+            ((F.col("rk") * 10000) % F.col("n_users") == 0)
+            | (F.col("rk") == F.col("n_users"))
+        )
+        .groupBy(
+            F.expr("rk * 10000 div n_users").cast("bigint").alias("user_pct_bp")
+        )
+        .agg(
+            F.max(F.expr("cum * 10000 div total"))
+            .cast("bigint")
+            .alias("event_share_bp")
+        )
+    )
