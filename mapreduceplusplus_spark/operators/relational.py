@@ -517,3 +517,114 @@ def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM not_in CROSS JOIN not_exists CROSS JOIN in_cnt
         """
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+               AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer' AS fk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+               AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation' AS fk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+               AS n_orphans
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the FK chain — orphan-row
+    counts for lineitem→orders, orders→customer, customer→nation in
+    one report (engines without enforced constraints audit them as
+    queries; this is the nightly check every warehouse runs).  LEFT
+    join + FILTER-counted null probe rather than anti-join so BOTH
+    totals come from one pass per edge: the row count and its orphan
+    subset can never be from different snapshots.
+
+    Scale: each edge is one join at the fact table's natural key —
+    orders/customer/nation legs broadcast (or DPP-prune); the three
+    audits are independent and run concurrently as sibling stages; the
+    report is 3 rows."""
+    ensure_utc(spark)
+
+    def edge(fact, fk, dim, pk, label):
+        j = fact.join(dim, fact[fk] == dim[pk], "left")
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count(F.when(dim[pk].isNull(), 1)).cast("bigint").alias(
+                "n_orphans"
+            ),
+        ).select("fk", "n_rows", "n_orphans")
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    return (
+        edge(li, "l_orderkey", orders.select("o_orderkey"), "o_orderkey",
+             "lineitem.l_orderkey -> orders")
+        .unionAll(
+            edge(orders, "o_custkey", cust.select("c_custkey"), "c_custkey",
+                 "orders.o_custkey -> customer")
+        )
+        .unionAll(
+            edge(cust, "c_nationkey", nation, "n_nationkey",
+                 "customer.c_nationkey -> nation")
+        )
+    )
+
+
+@query(
+    "maintenance_partition_skew_report",
+    oracle="""
+    WITH per_part AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(sum(n_rows) // count(*) AS BIGINT) AS mean_rows
+      FROM per_part
+    )
+    SELECT p.ship_year,
+           CAST(p.n_rows AS BIGINT) AS n_rows,
+           CAST(p.n_rows * 10000 // s.mean_rows AS BIGINT) AS vs_mean_bp
+    FROM per_part p, stats s
+    """,
+)
+def maintenance_partition_skew_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-skew report for a prospective partitioning key: rows
+    per ship-year and each partition's size vs the mean in floor-
+    divided basis points — the sizing audit run BEFORE choosing a
+    table's partition column (a 40000 bp outlier year means that
+    partition gets 4× the files, tasks, and stragglers).  The same
+    report over ``spark_partition_id()`` audits physical layout;
+    keying on the DATA column keeps it engine-checkable and is what
+    partition-evolution decisions actually read.
+
+    Scale: one map-side-combined rollup to #years rows; the mean is a
+    1-row re-aggregate of that rollup broadcast back — the fact table
+    is scanned once."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(
+        F.year("l_shipdate").cast("bigint").alias("ship_year")
+    ).agg(F.count("*").alias("n_rows"))
+    stats = per_part.agg(F.expr("sum(n_rows) div count(*)").alias("mean_rows"))
+    return per_part.join(F.broadcast(stats)).select(
+        "ship_year",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.expr("n_rows * 10000 div mean_rows").cast("bigint").alias("vs_mean_bp"),
+    )
