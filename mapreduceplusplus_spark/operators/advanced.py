@@ -103,10 +103,13 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m1"),
     ).collect()[0]
     if b.m0 is None:
-        # empty input degrades to an empty calendar (every other query
-        # returns empty-on-empty; a None splice would be a parse error)
+        # empty input: mirror the oracle's SQL semantics exactly — the
+        # anchor row still exists with a NULL month (min over empty is
+        # NULL), the recursion stops immediately (NULL < NULL is not
+        # true), and the LEFT JOIN coalesces the aggregates to zero —
+        # so DuckDB yields ONE (NULL, 0, 0.0) row, and so do we
         return spark.createDataFrame(
-            [], "month string, n_orders bigint, revenue double"
+            [(None, 0, 0.0)], "month string, n_orders bigint, revenue double"
         )
     # months between the bounds, +headroom; the default
     # spark.sql.cteRecursionLevelLimit is 100 and the data spans ~80

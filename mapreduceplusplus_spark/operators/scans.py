@@ -258,8 +258,11 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="sink_partitioned_")
     try:
         docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+        # explicit schema: an EMPTY partitioned layout has no files to
+        # infer from (partition values live in dir names), and inference
+        # would throw UNABLE_TO_INFER_SCHEMA on a zero-row table
         result = (
-            spark.read.parquet(out)
+            spark.read.schema(docs.schema).parquet(out)
             .where(F.col("lang").isin("en", "de"))
             .groupBy("lang")
             .agg(
@@ -312,13 +315,20 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders.write.format("noop").mode("overwrite").save()
     m = obs.get
+
+    # sum/max over ZERO rows observe as None (SQL NULL) — keep the
+    # NULL rather than int()-crashing on an empty table (the oracle's
+    # sum/max are NULL there too; counts are always integers)
+    def _i(v):
+        return None if v is None else int(v)
+
     return spark.createDataFrame(
         [
             (
                 int(m["n_rows"]),
                 int(m["n_nonpositive_price"]),
-                int(m["sum_cents"]),
-                int(m["max_cents"]),
+                _i(m["sum_cents"]),
+                _i(m["max_cents"]),
             )
         ],
         "n_rows bigint, n_nonpositive_price bigint, sum_cents bigint, max_cents bigint",
@@ -376,7 +386,8 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="dpp_fact_")
     try:
         orders.write.mode("overwrite").partitionBy("o_month").parquet(out)
-        fact = spark.read.parquet(out)
+        # explicit schema — zero-row layouts have nothing to infer from
+        fact = spark.read.schema(orders.schema).parquet(out)
         result = (
             fact.join(F.broadcast(dim), fact["o_month"] == dim["d_month"])
             .groupBy("o_month")

@@ -302,24 +302,29 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     staged = per_user.select(stage.alias("stage"))
-    steps = F.array(
+    # one GLOBAL aggregate (1 row even over an empty corpus — keyed
+    # grouping would emit 0 rows and drop the funnel scaffold, which
+    # the oracle's UNION form always produces) crossed with the
+    # 3-row literal step table
+    counts = staged.agg(
         *[
-            F.struct(
-                F.lit(i).alias("step"),
-                F.lit(name).alias("event_type"),
-            )
-            for i, name in [(1, "view"), (2, "click"), (3, "purchase")]
+            F.count(F.when(F.col("stage") >= i, 1))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i in (1, 2, 3)
         ]
     )
-    return (
-        staged.select(F.explode(steps).alias("s"), "stage")
-        .groupBy("s.step", "s.event_type")
-        .agg(
-            F.count(F.when(F.col("stage") >= F.col("s.step"), 1))
-            .cast("bigint")
-            .alias("n_users")
-        )
-        .select(F.col("step").cast("int").alias("step"), "event_type", "n_users")
+    scaffold = per_user.sparkSession.createDataFrame(
+        [(1, "view"), (2, "click"), (3, "purchase")],
+        "step int, event_type string",
+    )
+    return scaffold.join(F.broadcast(counts)).select(
+        "step",
+        "event_type",
+        F.when(F.col("step") == 1, F.col("c1"))
+        .when(F.col("step") == 2, F.col("c2"))
+        .otherwise(F.col("c3"))
+        .alias("n_users"),
     )
 
 

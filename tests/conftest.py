@@ -21,18 +21,26 @@ def pytest_configure(config):
         "`-m hostile`, run once per round before BENCH; the every-run "
         "guard is the cheap 8-query subset in test_oracle_differential",
     )
+    config.addinivalue_line(
+        "markers",
+        "empty: full oracle sweep over ZERO-ROW copies of every table "
+        "— opt-in via `-m empty`, run once per round; the every-run "
+        "guard is the fixed-regression subset in test_empty_inputs",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
-    # the sweep is opt-in: it runs only when the -m expression actually
-    # mentions the hostile marker (a mere `-m "not slow"` must not
-    # accidentally un-skip 123 Spark-session-spawning cases)
-    if "hostile" in (config.getoption("-m") or ""):
-        return
-    skip = pytest.mark.skip(reason="opt-in: run with -m hostile")
-    for item in items:
-        if "hostile" in item.keywords:
-            item.add_marker(skip)
+    # the sweeps are opt-in: each runs only when the -m expression
+    # actually mentions its marker (a mere `-m "not slow"` must not
+    # accidentally un-skip hundreds of Spark-session-spawning cases)
+    expr = config.getoption("-m") or ""
+    for marker in ("hostile", "empty"):
+        if marker in expr:
+            continue
+        skip = pytest.mark.skip(reason=f"opt-in: run with -m {marker}")
+        for item in items:
+            if marker in item.keywords:
+                item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

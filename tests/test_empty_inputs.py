@@ -1,0 +1,74 @@
+"""Empty-input differential sweep: every oracle query runs against
+ZERO-ROW copies of all tables, Spark vs DuckDB — the edge case the
+sf0.01 differential can never exercise (first empty daily partition,
+a filter that matches nothing upstream, a brand-new tenant).
+
+The full sweep is the opt-in ``-m empty`` marker (run once per round,
+like ``-m hostile``); the every-run portion re-checks the queries the
+first sweep actually caught bugs in.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from mapreduceplusplus_spark import registry
+from mapreduceplusplus_spark.sources.tables import TABLES
+from tests.oracle_harness import run_compare
+
+registry.load_all()
+
+#: documented engine divergence, NOT a bug: over an EMPTY relation,
+#: Spark returns 0 rows for CUBE / ROLLUP / GROUPING SETS (the Expand
+#: operator emits nothing and the aggregate is keyed on the synthetic
+#: grouping-id column), while DuckDB follows the ANSI global-aggregate
+#: reading and emits the ``()`` grouping-set row.  Both behaviors are
+#: self-consistent; the divergence only exists at exactly zero rows.
+EMPTY_DIVERGENT = {"agg_cube", "agg_rollup", "agg_grouping_sets"}
+
+#: queries the first empty-input sweep caught real bugs in (fixed) —
+#: re-checked on every pytest run
+FIXED_REGRESSIONS = [
+    "window_funnel",            # scaffold rows derived from data rows
+    "dq_observe_metrics",       # int(None) on NULL sum/max metrics
+    "sink_partitioned_pruned",  # schema inference over zero-file layout
+    "join_dpp_partition_pruned",  # same
+    "sql_recursive_cte",        # guard returned 0 rows vs oracle's 1
+]
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(spark):
+    out = tempfile.mkdtemp(prefix="sf_empty_")
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(0)
+        tmp = os.path.join(out, f"_tmp_{t}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(out, f"{t}.parquet"))
+        shutil.rmtree(tmp)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", FIXED_REGRESSIONS)
+def test_empty_input_fixed_regressions(spark, empty_sf_dir, name):
+    ok, msg = run_compare(
+        spark, empty_sf_dir, registry.queries()[name], registry.oracles()[name]
+    )
+    assert ok, f"{name} on empty input: {msg}"
+
+
+@pytest.mark.empty
+@pytest.mark.parametrize(
+    "name", sorted(set(registry.oracles()) - EMPTY_DIVERGENT)
+)
+def test_empty_input_sweep(spark, empty_sf_dir, name):
+    ok, msg = run_compare(
+        spark, empty_sf_dir, registry.queries()[name], registry.oracles()[name]
+    )
+    assert ok, f"{name} on empty input: {msg}"
