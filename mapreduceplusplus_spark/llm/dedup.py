@@ -912,9 +912,10 @@ def editdist_pairs(names: DataFrame, max_dist: int = 2) -> DataFrame:
     lossless df-ordered q-gram prefix filter (q=2) described in
     ``join_fuzzy_editdist``.  ``names`` needs a single ``name``
     column; losslessness requires every name at least
-    ``q·(max_dist + 1/q) = 2·max_dist + 1 + 1`` chars — for
-    max_dist=2: length >= 6, since a zero-shared-gram pair of length-L
-    strings has distance >= (L-1)/2 > max_dist only then."""
+    ``q·max_dist + 2`` chars (q=2: length >= 2·max_dist + 2, i.e. 6
+    for max_dist=2) — a zero-shared-gram pair of length-L strings has
+    distance >= (L-1)/2, which exceeds max_dist exactly when
+    L >= q·max_dist + 2."""
     from pyspark.sql import Window as _W
 
     names = names.select("name", F.length("name").alias("ln"))

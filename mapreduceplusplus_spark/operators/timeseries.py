@@ -640,6 +640,10 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(totals))
     )
+    # row_number() is 32-bit: rk*10000 overflows past ~214k users, so
+    # promote to BIGINT before the multiply (ANSI would throw; non-ANSI
+    # would silently sample wrong positions)
+    ranked = ranked.withColumn("rk", F.col("rk").cast("bigint"))
     return (
         ranked.where(
             ((F.col("rk") * 10000) % F.col("n_users") == 0)

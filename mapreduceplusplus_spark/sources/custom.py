@@ -113,10 +113,17 @@ def _ensure_binsrc_fixture() -> None:
         )
         payload = f"BLOB {i}\n{body}".encode("ascii")
         path = os.path.join(_BINSRC_DIR, f"doc_{i}.bin")
-        # idempotent: same bytes every run; rewrite only on drift
-        if not os.path.exists(path) or open(path, "rb").read() != payload:
-            with open(path, "wb") as f:
+        current = None
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                current = f.read()
+        if current != payload:
+            # atomic temp+rename so a concurrent reader (parallel test
+            # workers) never observes a half-written payload
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
                 f.write(payload)
+            os.replace(tmp, path)
 
 
 @query(

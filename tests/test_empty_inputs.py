@@ -17,7 +17,8 @@ import tempfile
 import pytest
 
 from mapreduceplusplus_spark import registry
-from mapreduceplusplus_spark.sources.tables import TABLES
+from mapreduceplusplus_spark.sources.tables import TABLES, load_table
+from tests.conftest import SF_DIR
 from tests.oracle_harness import run_compare
 
 registry.load_all()
@@ -44,8 +45,10 @@ FIXED_REGRESSIONS = [
 @pytest.fixture(scope="session")
 def empty_sf_dir(spark):
     out = tempfile.mkdtemp(prefix="sf_empty_")
+    # load_table (not raw spark.read): it owns the TIMESTAMP(NANOS)
+    # normalization for events.ts, and SF_DIR honors the env override
     for t in TABLES:
-        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(0)
+        df = load_table(spark, SF_DIR, t).limit(0)
         tmp = os.path.join(out, f"_tmp_{t}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
