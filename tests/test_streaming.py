@@ -514,3 +514,46 @@ def test_foreach_batch_idempotent_replay(spark, stream_dirs):
     assert got.count() == 3
     assert sorted(r.user_id for r in got.collect()) == [1, 2, 3]
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_watermark_drop_is_observable_in_progress(spark, stream_dirs):
+    """The drop in test_watermark_drops_late_events is not just
+    inferable from the sink — Spark REPORTS it: the stateful
+    operator's progress metrics carry numRowsDroppedByWatermark, the
+    counter a production pipeline alerts on (silent late-data loss is
+    the #1 streaming correctness incident).  One batch establishes a
+    high watermark; the next delivers one event older than it; the
+    recent-progress metrics must record exactly that one dropped row."""
+    src, chk = stream_dirs
+    T = datetime
+
+    _write_batch(
+        spark,
+        src,
+        [(T(2024, 1, 1, 10, 0, 30), 1), (T(2024, 1, 1, 11, 0, 0), 2)],
+        1,
+    )
+    agg = streaming_pipeline(
+        spark, f"{src}/batch*", "ts timestamp, user_id bigint",
+        window="10 minutes", watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_metrics_sink")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one event far below the 10:50 watermark -> dropped AND counted
+        _write_batch(spark, src, [(T(2024, 1, 1, 9, 0, 0), 9)], 2)
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in (p["stateOperators"] if isinstance(p, dict) else p.stateOperators)
+        )
+    finally:
+        q.stop()
+    assert dropped == 1, f"expected exactly 1 watermark-dropped row, got {dropped}"
