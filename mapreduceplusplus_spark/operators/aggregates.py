@@ -813,3 +813,40 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.count("*").cast("bigint").alias("n_orders"),
     )
+
+
+#: shared dialect-intersection text — Spark 4 and DuckDB implement the
+#: ANSI ordered-set aggregate syntax identically
+_ORDERED_SET_SQL = """
+    SELECT l_returnflag,
+           CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY l_quantity)
+                AS BIGINT) AS p30_disc_qty,
+           round(percentile_cont(0.3) WITHIN GROUP (ORDER BY l_quantity), 6)
+               AS p30_cont_qty,
+           CAST(percentile_disc(0.95)
+                WITHIN GROUP (ORDER BY round(l_extendedprice * 100))
+                AS BIGINT) AS p95_disc_price_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@query("agg_ordered_set_percentile", oracle=_ORDERED_SET_SQL)
+def agg_ordered_set_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered-set aggregates — ``PERCENTILE_DISC`` /
+    ``PERCENTILE_CONT ... WITHIN GROUP (ORDER BY ...)`` — the standard
+    syntax surface over the percentile machinery ``agg_median`` pins
+    through Spark's native ``percentile()``.  DISC returns an actual
+    data value (the p95 price is a price somebody paid — what SLO and
+    pricing analyses need), CONT interpolates between neighbors; at
+    fraction 0.3 over integer quantities the two visibly differ, which
+    is exactly why both exist.  One shared text runs verbatim on both
+    engines.
+
+    Scale: exact percentiles sort within each group — fine at
+    #groups ≪ #rows with bounded group width; the mergeable 100 TB
+    path is ``percentile_approx`` (KLL-style sketch), same as
+    ``agg_median`` documents."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_ORDERED_SET_SQL)
