@@ -46,15 +46,25 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     right_cols: dict[str, str],
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: each left row gains ``right_cols`` (mapping
-    output-name → right column) from the latest right row with matching
-    ``on`` keys and ``right_ts <= left_ts``; NULLs when no such row.
+    output-name → right column) from the matching right row per the
+    ``direction`` — ``"backward"`` (default): the LATEST right row with
+    ``right_ts <= left_ts``; ``"forward"``: the EARLIEST right row with
+    ``right_ts >= left_ts``.  NULLs when no such row.  Both ties are
+    inclusive (a right row at exactly ``left_ts`` matches either way).
+
+    The forward mode is the same union + running-carry machinery with
+    the time axis reversed (ORDER BY ts DESC): "last non-null among
+    preceding rows" then means "nearest right row at-or-after me".
 
     Determinism contract: ``right`` must be unique per (on, right_ts) —
     pre-dedupe if needed (see ``join_asof`` below), otherwise which
     duplicate wins depends on partition-internal order.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     payload = [c for c in left.columns if c not in on and c != left_ts]
 
     # internal column names must not collide with user columns —
@@ -94,9 +104,10 @@ def as_of_join(
         ]
     )
     u = left.select(*lsel).unionByName(right.select(*rsel))
+    ts_order = F.col(ts_c) if direction == "backward" else F.col(ts_c).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_c), F.col(side_c))
+        .orderBy(ts_order, F.col(side_c))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn(pack_c, F.last(pack_c, ignorenulls=True).over(w))
@@ -218,4 +229,82 @@ def scd2_build_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
         "o_orderkey",
+    )
+
+
+@query(
+    "join_asof_forward",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT l.event_id, l.user_id, l.ts,
+             (SELECT min(p.ts) FROM p
+              WHERE p.user_id = l.user_id AND p.ts >= l.ts) AS nts
+      FROM l
+    )
+    SELECT m.event_id,
+           m.user_id,
+           strftime(m.ts, '{_TS_US_DUCK}')  AS view_ts,
+           p.event_id                        AS purchase_event_id,
+           strftime(m.nts, '{_TS_US_DUCK}') AS next_purchase_ts,
+           (epoch_us(m.nts) - epoch_us(m.ts)) // 1000000 AS secs_to_purchase
+    FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.ts = m.nts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every view event matched to the user's
+    NEXT purchase at or after it — time-to-conversion, the
+    mirror image of ``join_asof``'s latest-signup-before lookup and
+    the other half of the as-of surface (pandas ``merge_asof``
+    direction='forward', attribution "did this impression convert").
+    Same union + running-carry machinery with the time axis reversed;
+    the right side dedupes to one row per (user, ts) so the pick is
+    deterministic.
+
+    The oracle decorrelates as a scalar-min subquery + equality join
+    back (DuckDB's native ASOF JOIN is backward-shaped, so the forward
+    spec is stated portably).
+
+    Scale: identical to the backward form — ONE shuffle on the key,
+    no range explosion; per-row state is the single packed struct."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    joined = as_of_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"purchase_event_id": "event_id", "next_purchase_ts": "ts"},
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_US_SPARK).alias("view_ts"),
+        "purchase_event_id",
+        F.date_format("next_purchase_ts", _TS_US_SPARK).alias(
+            "next_purchase_ts"
+        ),
+        F.expr(
+            "(unix_micros(next_purchase_ts) - unix_micros(ts)) div 1000000"
+        ).alias("secs_to_purchase"),
     )

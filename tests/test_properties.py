@@ -214,3 +214,33 @@ def test_editdist_pairs_lossless_vs_bruteforce(spark, names):
         if _lev(a, b) <= 2
     }
     assert got == want
+
+
+@given(_asof_inputs())
+@settings(**_SETTINGS)
+def test_asof_join_forward_matches_python_model(spark, data):
+    """direction='forward' == per-left-row argmin of right rows with
+    rts >= ts (inclusive), NULL when none — the mirror of the backward
+    model on the same arbitrary key/ts distributions."""
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [Row(k=k, ts=t, lid=i) for i, (k, t) in enumerate(left_rows)],
+        "k string, ts int, lid int",
+    )
+    right = spark.createDataFrame([], "k string, rts int, v int") if not right_rows else (
+        spark.createDataFrame(
+            [Row(k=k, rts=t, v=v) for k, t, v in right_rows],
+            "k string, rts int, v int",
+        )
+    )
+    got = {
+        r.lid: r.v_out
+        for r in as_of_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols={"v_out": "v"}, direction="forward",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt >= t]
+        expect = min(cands)[1] if cands else None
+        assert got[i] == expect, f"left row {i} ({k},{t}): {got[i]} != {expect}"
