@@ -105,9 +105,9 @@ def test_hostile_config_subset(spark):
     plan-shape-sensitive subset with AQE disabled, 5 shuffle
     partitions, and a non-UTC session timezone.  The FULL sweep is the
     ``-m hostile`` marker above, run once per round before BENCH
-    (round 5: 98/98 green one-off; round 6: all 178 oracles green via
-    the marker at session-3 end — the full TPC-H suite, packing,
-    embedding, and fuzzy-join additions included); this
+    (round 5: 98/98 green one-off; round 6 session-3 close: all 190
+    oracles green via the marker, with the 187-oracle empty-input
+    sweep (-m empty) green in the same run); this
     subset keeps the every-run guard cheap."""
     s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
