@@ -658,3 +658,66 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("event_share_bp")
         )
     )
+
+
+@query(
+    "events_inter_arrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           CAST(min(gap_us) // 1000000 AS BIGINT) AS min_gap_s,
+           CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_s,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                // 1000000 AS BIGINT) AS p50_gap_s
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per user: the gap between consecutive
+    events (lag over the per-user timeline, tiebroken on event_id so
+    same-timestamp events order identically on both engines), rolled
+    up to count/min/max/median gap — the signal behind bot detection
+    (impossibly uniform gaps), session-timeout calibration (the p50
+    gap bounds the sessionization threshold from below), and capacity
+    models.  Gaps ride as integer MICROSECONDS and divide to whole
+    seconds only at the end — a float-seconds lag would tie-break
+    differently across engines at sub-second gaps; the discrete median
+    (``percentile_disc``) returns an actual observed gap, exact on
+    both engines over integers.
+
+    Scale: one hash shuffle on user_id serves BOTH the lag window and
+    the rollup (same partitioning, no second exchange); per-user state
+    is one timestamp."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    gaps.createOrReplaceTempView("_gaps")
+    return gaps.sparkSession.sql(
+        """
+        SELECT user_id,
+               count(gap_us) AS n_gaps,
+               CAST(min(gap_us) div 1000000 AS BIGINT) AS min_gap_s,
+               CAST(max(gap_us) div 1000000 AS BIGINT) AS max_gap_s,
+               -- Spark's percentile_disc returns DOUBLE even over
+               -- BIGINTs; DISC picks an actual observed (integer) gap,
+               -- so the cast back is exact
+               CAST(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                         AS BIGINT) div 1000000 AS BIGINT) AS p50_gap_s
+        FROM _gaps
+        GROUP BY user_id
+        """
+    )
