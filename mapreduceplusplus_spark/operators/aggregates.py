@@ -850,3 +850,39 @@ def agg_ordered_set_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_ORDERED_SET_SQL)
+
+
+#: shared dialect-intersection text — GROUPING() disambiguation over a
+#: ROLLUP whose grouping column genuinely contains... no NULLs in this
+#: schema, so one is INJECTED (priority '5-LOW' mapped to NULL) to make
+#: the ambiguity real
+_GROUPING_ID_SQL = """
+    SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                ELSE o_orderpriority END     AS prio,
+           grouping(CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                         ELSE o_orderpriority END)     AS is_subtotal,
+           count(*)                          AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                          ELSE o_orderpriority END)
+"""
+
+
+@query("agg_grouping_id", oracle=_GROUPING_ID_SQL)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUPING()`` — the only correct way to tell a subtotal row
+    from a genuine NULL group in ROLLUP/CUBE output.  The grouping
+    column here is engineered to CONTAIN a real NULL group ('5-LOW'
+    mapped to NULL), so the rollup emits two rows with ``prio = NULL``
+    that differ ONLY in ``grouping()`` (0 = the real NULL group's
+    count, 1 = the grand total) — the ambiguity every BI layer that
+    filters ``WHERE prio IS NULL`` gets silently wrong without this
+    function.  One shared text runs verbatim on both engines (both
+    return 0/1 integers).
+
+    Scale: same Expand + map-side-combined hash aggregate as
+    ``agg_rollup`` — grouping() is a zero-cost bit of the synthetic
+    grouping-id column the Expand already carries."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_ID_SQL)
