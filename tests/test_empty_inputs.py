@@ -29,7 +29,12 @@ registry.load_all()
 #: grouping-id column), while DuckDB follows the ANSI global-aggregate
 #: reading and emits the ``()`` grouping-set row.  Both behaviors are
 #: self-consistent; the divergence only exists at exactly zero rows.
-EMPTY_DIVERGENT = {"agg_cube", "agg_rollup", "agg_grouping_sets"}
+EMPTY_DIVERGENT = {
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_grouping_id",  # ROLLUP — same divergence class
+}
 
 #: queries the first empty-input sweep caught real bugs in (fixed) —
 #: re-checked on every pytest run
