@@ -721,3 +721,50 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
         """
     )
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, max(ts) AS last_ts, count(*) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(last_ts) AS global_last FROM per)
+    SELECT p.event_type,
+           strftime(p.last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CAST((epoch_us(g.global_last) - epoch_us(p.last_ts)) // 1000000
+                AS BIGINT) AS staleness_s,
+           CAST(p.n_events AS BIGINT) AS n_events
+    FROM per p, g
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness monitor: per stream (event type), the last-seen
+    timestamp and its staleness against the freshest stream — the
+    pipeline-health readout that catches a silently-stalled upstream
+    (one event type stops flowing while the rest continue; total row
+    counts look fine, THIS metric doesn't).  Staleness measured
+    against the data's own high-water mark rather than wall-clock so
+    the check is deterministic and engine-comparable; production
+    deployments add a wall-clock threshold on top.
+
+    Scale: one map-side-combined max/count rollup to #types rows; the
+    global high-water mark is a 1-row re-aggregate of that rollup
+    broadcast back.  The fact table is scanned once."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("n_events")
+    )
+    g = per.agg(F.max("last_ts").alias("global_last"))
+    return per.join(F.broadcast(g)).select(
+        "event_type",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.expr(
+            "(unix_micros(global_last) - unix_micros(last_ts)) div 1000000"
+        )
+        .cast("bigint")
+        .alias("staleness_s"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
