@@ -881,3 +881,62 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
         F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
     )
+
+
+@query(
+    "text_length_outliers_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)
+                  AS BIGINT) AS q1,
+             CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
+                  AS BIGINT) AS q3
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           CASE WHEN 2 * d.n_chars < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                THEN 'short'
+                WHEN 2 * d.n_chars > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                THEN 'long'
+                ELSE 'ok' END AS side,
+           (2 * d.n_chars < 2 * q.q1 - 3 * (q.q3 - q.q1)
+            OR 2 * d.n_chars > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS is_outlier
+    FROM documents d, q
+    """,
+)
+def text_length_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence length outliers: documents outside
+    ``[Q1 - 1.5·IQR, Q3 + 1.5·IQR]`` — the standard first-pass length
+    filter (truncated fragments below, concatenation accidents above)
+    stated distribution-relative instead of as magic length constants,
+    so it adapts per corpus (every doc is emitted with its verdict —
+    the synthetic corpus's length distribution is fence-clean, which
+    is itself the assertion).  The 1.5× fence is evaluated as the
+    doubled integer inequality ``2·n < 2·Q1 − 3·IQR`` — quartiles are
+    DISC (actual observed lengths, exact integers on both engines) and
+    no float ever enters, so the boundary document set is engine-exact.
+
+    Scale: the quartile pass is one aggregate (percentile_approx at
+    100 TB); the fence broadcast back is 1 row; the filter is a
+    narrow scan predicate."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_docs_iqr")
+    q = docs.sparkSession.sql(
+        """
+        SELECT CAST(CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS BIGINT) AS q1,
+               CAST(CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS BIGINT) AS q3
+        FROM _docs_iqr
+        """
+    )
+    low = 2 * F.col("n_chars") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
+    high = 2 * F.col("n_chars") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+    return docs.join(F.broadcast(q)).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.when(low, "short").when(high, "long").otherwise("ok").alias("side"),
+        (low | high).alias("is_outlier"),
+    )

@@ -768,3 +768,36 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("staleness_s"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "events_hourweek_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY dayofweek(ts), hour(ts), event_type
+    """,
+)
+def events_hourweek_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity heatmap: the (day-of-week × hour × type)
+    count grid behind every traffic-pattern dashboard and
+    capacity/anomaly baseline ("is Tuesday 3am traffic normal for a
+    Tuesday 3am?").  Both engines number Sunday=0..?  NO — DuckDB
+    ``dayofweek`` is 0=Sunday..6 and Spark ``dayofweek`` is
+    1=Sunday..7; this query uses Spark's ``dayofweek(ts) - 1`` to
+    land on DuckDB's numbering, pinning the off-by-one every
+    cross-engine port hits.  Extraction is tz-sensitive — UTC on both
+    sides (the hostile-tz sweep guards it).
+
+    Scale: pure map-side-combined rollup to ≤ 7·24·|types| rows —
+    the shuffle carries the grid, not events."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
