@@ -801,3 +801,78 @@ def events_hourweek_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("bigint").alias("hod"),
         "event_type",
     ).agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "events_seasonal_deviation",
+    oracle="""
+    WITH slot AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(ts AS DATE) AS d,
+             count(*) AS n
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2, 3
+    ),
+    baseline AS (
+      SELECT dow, hod,
+             CAST(sum(n) AS BIGINT) AS tot,
+             count(*) AS n_days
+      FROM slot GROUP BY dow, hod
+    )
+    SELECT s.dow, s.hod,
+           strftime(s.d, '%Y-%m-%d') AS day,
+           CAST(s.n AS BIGINT) AS n,
+           CAST(b.tot // b.n_days AS BIGINT) AS baseline_floor,
+           CAST(CASE WHEN b.tot = 0 THEN 0
+                ELSE s.n * b.n_days * 10000 // b.tot END AS BIGINT)
+               AS vs_baseline_bp
+    FROM slot s JOIN baseline b ON s.dow = b.dow AND s.hod = b.hod
+    WHERE s.n * b.n_days * 3 > b.tot * 4 OR s.n * b.n_days * 3 < b.tot
+    """,
+)
+def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly screen: each (day, hour-of-week slot)'s
+    click count compared against that SLOT's own historical mean —
+    "is Tuesday 3am traffic normal for a Tuesday 3am" made operational
+    (the hour-of-week heatmap turned from dashboard into detector).
+    Flags slots off by more than ±33% of their seasonal baseline; both
+    the deviation ratio (floor-divided basis points) and the flag
+    inequality are pure integer cross-multiplication
+    (``n·n_days·3 > tot·4``), so the flagged set is engine-exact —
+    a float mean would wobble the boundary slots.
+
+    Scale: two stacked map-side-combined rollups (per-slot-day, then
+    per-slot) and a co-keyed join back — events shuffle once; the
+    baseline table is ≤ 7·24 rows and broadcasts."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    )
+    slot = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.to_date("ts").alias("d"),
+    ).agg(F.count("*").alias("n"))
+    baseline = slot.groupBy(
+        F.col("dow").alias("b_dow"), F.col("hod").alias("b_hod")
+    ).agg(F.sum("n").cast("bigint").alias("tot"), F.count("*").alias("n_days"))
+    j = slot.join(
+        F.broadcast(baseline),
+        (F.col("dow") == F.col("b_dow")) & (F.col("hod") == F.col("b_hod")),
+    )
+    dev = F.col("n") * F.col("n_days") * 3
+    return (
+        j.where((dev > F.col("tot") * 4) | (dev < F.col("tot")))
+        .select(
+            "dow",
+            "hod",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("tot div n_days").cast("bigint").alias("baseline_floor"),
+            F.when(F.col("tot") == 0, 0)
+            .otherwise(F.expr("n * n_days * 10000 div tot"))
+            .cast("bigint")
+            .alias("vs_baseline_bp"),
+        )
+    )
