@@ -326,3 +326,76 @@ def mixture_lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weight_ppm"),
     )
+
+
+@query(
+    "pack_chunk_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_NTOK_SQL} AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS tok_start
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(tok_start // {PACK_CTX} AS BIGINT) AS first_chunk,
+             CAST((tok_start + greatest(n_tokens, 1) - 1) // {PACK_CTX}
+                 AS BIGINT) AS last_chunk,
+             tok_start, n_tokens
+      FROM c
+    ),
+    exploded AS (
+      SELECT unnest(range(first_chunk, last_chunk + 1)) AS chunk_id,
+             doc_id, tok_start, first_chunk
+      FROM spans
+    )
+    SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(count(CASE WHEN first_chunk < chunk_id THEN 1 END) > 0
+                AS BOOLEAN) AS starts_mid_doc
+    FROM exploded
+    GROUP BY chunk_id
+    """,
+)
+def pack_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk-side manifest of ``pack_concat_chunks`` — for every
+    context window: how many documents contribute, the doc-id range,
+    and whether the window OPENS mid-document (a doc that began in an
+    earlier chunk spills into this one) — exactly the per-sequence
+    metadata a dataloader manifest stores so training can mask
+    cross-document attention or skip boundary-contaminated windows.
+    Derived by exploding each doc's chunk span (same exact offsets as
+    the doc-side view) and grouping by chunk.
+
+    Scale: the span explode emits n_chunks rows per doc (≈ 1 + tokens/
+    ctx — bounded fan-out) and the per-chunk rollup is map-side
+    combined on the chunk id; offsets reuse the distributed two-pass
+    prefix sum.  DuckDB ``range`` is upper-exclusive (hence the +1)
+    vs Spark's inclusive ``sequence`` — the same trap
+    ``text_eval_overlap_rate`` documents."""
+    ensure_utc(spark)
+    spans = pack_concat_chunks(spark, sf_dir).select(
+        "doc_id", "tok_start", "first_chunk", "last_chunk"
+    )
+    exploded = spans.select(
+        "doc_id",
+        "first_chunk",
+        F.explode(
+            F.sequence(F.col("first_chunk"), F.col("last_chunk"))
+        ).alias("chunk_id"),
+    )
+    return exploded.groupBy("chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+        (
+            F.count(F.when(F.col("first_chunk") < F.col("chunk_id"), 1)) > 0
+        ).alias("starts_mid_doc"),
+    )
