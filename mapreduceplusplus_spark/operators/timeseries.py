@@ -876,3 +876,73 @@ def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vs_baseline_bp"),
         )
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             date_trunc('month', min(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT f.cohort_month,
+             (CAST(year(o.o_orderdate) AS BIGINT) * 12
+              + CAST(month(o.o_orderdate) AS BIGINT))
+             - (CAST(year(f.cohort_month) AS BIGINT) * 12
+                + CAST(month(f.cohort_month) AS BIGINT)) AS months_since,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             o.o_custkey
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    )
+    SELECT strftime(cohort_month, '%Y-%m') AS cohort,
+           CAST(months_since AS BIGINT) AS months_since,
+           count(DISTINCT o_custkey) AS n_active,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM j
+    WHERE months_since <= 11
+    GROUP BY strftime(cohort_month, '%Y-%m'), months_since
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort-LTV revenue triangle: customers grouped by
+    first-order month, revenue and active count tracked by months
+    since acquisition (first year) — the table every growth model and
+    payback-period calculation reads.  Month arithmetic is integer
+    (``year*12 + month`` difference), revenue is integer cents, so the
+    triangle is engine-exact; ``n_active`` is a per-cell distinct
+    count, not a row count (a customer with three orders in month 2
+    is one active customer).
+
+    Scale: the first-order rollup shuffles orders once on custkey and
+    joins back on the same key (co-partitioned, no second exchange
+    under AQE); the triangle rollup is (#cohorts × 12)-sized with
+    map-side-combined partial distinct."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    mnum = lambda c: F.year(c).cast("bigint") * 12 + F.month(c).cast("bigint")
+    j = orders.join(first, "o_custkey").select(
+        "o_custkey",
+        "cohort_month",
+        (mnum(F.col("o_orderdate")) - mnum(F.col("cohort_month"))).alias(
+            "months_since"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        j.where(F.col("months_since") <= 11)
+        .groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+            F.col("months_since").cast("bigint").alias("months_since"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
