@@ -886,3 +886,49 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUPING_ID_SQL)
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice", "qty_price"),
+    ("l_quantity", "l_discount", "qty_disc"),
+    ("l_quantity", "l_tax", "qty_tax"),
+    ("l_extendedprice", "l_discount", "price_disc"),
+    ("l_extendedprice", "l_tax", "price_tax"),
+    ("l_discount", "l_tax", "disc_tax"),
+]
+
+
+@query(
+    "agg_corr_matrix",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 4) + 0 AS qty_price,
+           round(corr(l_quantity, l_discount), 4) + 0      AS qty_disc,
+           round(corr(l_quantity, l_tax), 4) + 0           AS qty_tax,
+           round(corr(l_extendedprice, l_discount), 4) + 0 AS price_disc,
+           round(corr(l_extendedprice, l_tax), 4) + 0      AS price_tax,
+           round(corr(l_discount, l_tax), 4) + 0           AS disc_tax,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pairwise Pearson correlation matrix over lineitem's
+    numeric measures in ONE aggregation pass — feature-selection /
+    collinearity screening without six separate jobs (each corr is an
+    independent single-pass moment accumulator; Spark fuses all six
+    into one map-side-combined aggregate, so the scan happens once).
+    Rounded to 4 places with the repo's ``+ 0`` signed-zero guard on
+    every cell: near-zero correlations (qty↔discount is designed
+    noise) can round to -0.0 on one engine and +0.0 on the other.
+
+    Scale: one scan, one 1-row reduction — the matrix state is
+    6 × (5 doubles) regardless of data size."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            (F.round(F.corr(a, b), 4) + F.lit(0.0)).alias(name)
+            for a, b, name in _CORR_PAIRS
+        ],
+        F.count("*").alias("n_rows"),
+    )
