@@ -105,8 +105,8 @@ def test_hostile_config_subset(spark):
     plan-shape-sensitive subset with AQE disabled, 5 shuffle
     partitions, and a non-UTC session timezone.  The FULL sweep is the
     ``-m hostile`` marker above, run once per round before BENCH
-    (round 5: 98/98 green one-off; round 6 session-3 close: all 198
-    oracles green via the marker, with the 194-oracle empty-input
+    (round 5: 98/98 green one-off; round 6 session-3 close: all 200
+    oracles green via the marker, with the 196-oracle empty-input
     sweep (-m empty) green in the same run); this
     subset keeps the every-run guard cheap."""
     s2 = spark.newSession()
