@@ -345,13 +345,12 @@ def mixture_lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(tok_start // {PACK_CTX} AS BIGINT) AS first_chunk,
              CAST((tok_start + greatest(n_tokens, 1) - 1) // {PACK_CTX}
-                 AS BIGINT) AS last_chunk,
-             tok_start, n_tokens
+                 AS BIGINT) AS last_chunk
       FROM c
     ),
     exploded AS (
       SELECT unnest(range(first_chunk, last_chunk + 1)) AS chunk_id,
-             doc_id, tok_start, first_chunk
+             doc_id, first_chunk
       FROM spans
     )
     SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
@@ -382,7 +381,7 @@ def pack_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_eval_overlap_rate`` documents."""
     ensure_utc(spark)
     spans = pack_concat_chunks(spark, sf_dir).select(
-        "doc_id", "tok_start", "first_chunk", "last_chunk"
+        "doc_id", "first_chunk", "last_chunk"
     )
     exploded = spans.select(
         "doc_id",

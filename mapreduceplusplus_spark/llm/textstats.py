@@ -925,10 +925,10 @@ def text_length_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("_docs_iqr")
     q = docs.sparkSession.sql(
         """
-        SELECT CAST(CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)
-                    AS BIGINT) AS BIGINT) AS q1,
-               CAST(CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
-                    AS BIGINT) AS BIGINT) AS q3
+        SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS q1,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS q3
         FROM _docs_iqr
         """
     )

@@ -122,6 +122,25 @@ def as_of_join(
     )
 
 
+
+
+def _dedup_right(ev: DataFrame, event_type: str) -> DataFrame:
+    """One row per (user_id, ts) for the given event type, keeping the
+    max event_id — the shared determinism contract of both as-of
+    queries (which duplicate wins must not depend on partition order,
+    and the backward/forward surfaces must agree on the rule)."""
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    return (
+        ev.where(F.col("event_type") == event_type)
+        .select("user_id", "ts", "event_id")
+        .withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 @query(
     "join_asof",
     oracle=f"""
@@ -157,14 +176,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    right = (
-        ev.where(F.col("event_type") == "signup")
-        .select("user_id", "ts", "event_id")
-        .withColumn("_rn", F.row_number().over(w_dedup))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    right = _dedup_right(ev, "signup")
     joined = as_of_join(
         left,
         right,
@@ -279,14 +291,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = ev.where(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts"
     )
-    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    right = (
-        ev.where(F.col("event_type") == "purchase")
-        .select("user_id", "ts", "event_id")
-        .withColumn("_rn", F.row_number().over(w_dedup))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    right = _dedup_right(ev, "purchase")
     joined = as_of_join(
         left,
         right,

@@ -828,7 +828,7 @@ def events_hourweek_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE s.n * b.n_days * 10000 // b.tot END AS BIGINT)
                AS vs_baseline_bp
     FROM slot s JOIN baseline b ON s.dow = b.dow AND s.hod = b.hod
-    WHERE s.n * b.n_days * 3 > b.tot * 4 OR s.n * b.n_days * 3 < b.tot
+    WHERE s.n * b.n_days * 3 > b.tot * 4 OR s.n * b.n_days * 3 < b.tot * 2
     """,
 )
 def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,7 +863,7 @@ def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = F.col("n") * F.col("n_days") * 3
     return (
-        j.where((dev > F.col("tot") * 4) | (dev < F.col("tot")))
+        j.where((dev > F.col("tot") * 4) | (dev < F.col("tot") * 2))
         .select(
             "dow",
             "hod",
