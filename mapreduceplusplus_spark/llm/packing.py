@@ -118,6 +118,8 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     span_end = start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
     return (
+        # broadcast-safe: offsets has one row per pack bucket
+        # (constant, config-bounded)
         docs.join(F.broadcast(offsets), F.col("bucket") == F.col("ob"))
         .select(
             "doc_id",
@@ -318,6 +320,7 @@ def mixture_lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("bigint").alias("total"),
         F.count("*").alias("n_langs"),
     )
+    # broadcast-safe: tot is a 1-row global aggregate
     return counts.join(F.broadcast(tot)).select(
         "lang",
         "n_docs",

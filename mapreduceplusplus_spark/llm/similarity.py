@@ -90,6 +90,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         emb.where(F.col("vec_id") != PROBE_ID)
+        # broadcast-safe: probe is a single query vector (1 row)
         .crossJoin(F.broadcast(probe))
         .withColumn("c", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv"))))
     )
@@ -151,6 +152,7 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         emb.where(F.col("vec_id") != PROBE_ID)
+        # broadcast-safe: probe is a single query vector (1 row)
         .crossJoin(F.broadcast(probe))
         .where(F.col("bucket") == F.col("pbucket"))
         .withColumn("c", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv"))))
@@ -326,6 +328,9 @@ def sim_search_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
+    # broadcast-safe: probes is the documented bounded probe set (<=
+    # ~10k vectors per the operator contract; LSH-bucket fallback
+    # documented beyond)
     scored = corpus.join(F.broadcast(probes)).withColumn(
         "s", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
     )
@@ -376,6 +381,7 @@ def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = emb.where(F.col("vec_id") == PROBE_ID).select(F.col("v").alias("pv"))
     scored = (
         emb.where(F.col("vec_id") != PROBE_ID)
+        # broadcast-safe: probe is a single query vector (1 row)
         .crossJoin(F.broadcast(probe))
         .withColumn(
             "c", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))

@@ -589,6 +589,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
         tok.join(freq, "w")
+        # broadcast-safe: total is a 1-row global aggregate
         .crossJoin(F.broadcast(total))
         .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
     )
@@ -710,6 +711,7 @@ def text_idf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df_t, "term")
+        # broadcast-safe: n is a 1-row global count
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score_milli",
@@ -789,6 +791,7 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= _TOP_BIGRAMS
     ).select("bg", F.lit(1).alias("hit"))
     return (
+        # broadcast-safe: top is row_number-capped to a constant top-N
         bigrams.join(F.broadcast(top), "bg", "left")
         .groupBy("doc_id")
         .agg(
@@ -934,6 +937,7 @@ def text_length_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     low = 2 * F.col("n_chars") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
     high = 2 * F.col("n_chars") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+    # broadcast-safe: q is a 1-row global quartile aggregate
     return docs.join(F.broadcast(q)).select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),

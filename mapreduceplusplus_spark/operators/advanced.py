@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduceplusplus_spark.operators.tpch import bp_ratio_halfup
+from mapreduceplusplus_spark.operators._money import bp_ratio_halfup
 from mapreduceplusplus_spark.registry import query
 from mapreduceplusplus_spark.session import ensure_utc
 from mapreduceplusplus_spark.sources.tables import load_table
@@ -197,6 +197,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        # broadcast-safe: nation is a constant-cardinality dim (<=25
+        # rows)
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(rev_e4.alias("rev_e4"))
@@ -428,6 +430,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m_cents"),
         F.max("o_orderdate").alias("last_o"),
     )
+    # broadcast-safe: g is a 1-row global max
     c2 = cust.join(F.broadcast(g)).select(
         "custkey",
         "frequency",
@@ -608,9 +611,11 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     2nd decimal by accumulation order).
 
     Scale: one month of lineitem after scan pruning joins the part
-    dim (broadcastable); single partial-aggregated reduction to one
-    row.  The raw integer numerator/denominator ride along for
-    auditability."""
+    dim UNHINTED — part grows linearly with SF, so a forced broadcast
+    would OOM the driver at the 100 TB charter; AQE converts it to a
+    broadcast at test SF where it genuinely fits.  Single
+    partial-aggregated reduction to one row.  The raw integer
+    numerator/denominator ride along for auditability."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -620,7 +625,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
         100 - F.round(F.col("l_discount") * 100).cast("bigint")
     )
-    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).select(
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
         rev_e4.alias("rev_e4"), (F.col("p_type") == "PROMO").alias("is_promo")
     )
     agg = j.agg(

@@ -689,6 +689,7 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
+        # broadcast-safe: region is a constant-cardinality dim (5 rows)
         nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"))
         .agg(

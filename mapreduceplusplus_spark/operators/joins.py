@@ -9,10 +9,17 @@ contract on the star schema.
 Scale design (100 TB lens, per query):
 - fact ⋈ fact (orders⋈customer, events self-join): shuffle-on-key joins;
   AQE picks sort-merge vs shuffled-hash and splits skewed partitions.
-- fact ⋈ dim (nation, region, supplier, customer at small SF): explicit
-  ``F.broadcast`` — the dim ships to every executor once; the fact table
-  never shuffles.  At 100 TB this is the difference between a map-side
-  join and a full-fact shuffle.
+- fact ⋈ dim: explicit ``F.broadcast`` ONLY on constant-cardinality
+  dims (nation, region, literal band tables, scalar aggregates) — the
+  dim ships to every executor once; the fact table never shuffles.
+  Linear-growth tables (customer, supplier, part — even filtered to a
+  constant FRACTION) are never hint-broadcast: Spark honors the hint
+  regardless of size, so at 100 TB it would OOM the driver; they join
+  unhinted and AQE's runtime broadcast conversion recovers the
+  map-side join exactly while the side actually fits.  Every
+  remaining ``F.broadcast`` site in this package carries a
+  ``# broadcast-safe:`` tag stating its boundedness reason
+  (audited repo-wide in round 7; see SURVEY.md §4).
 - the theta/range join anchors on an equi key (user_id) so Catalyst
   plans a hash/sort-merge join with the range predicate as a post-join
   filter — never a broadcast-nested-loop over the raw cross product.
@@ -86,6 +93,8 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
+        # broadcast-safe: nation (<=25 rows) / region (5 rows) are
+        # constant-cardinality dims at any SF
         customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -138,6 +147,8 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
+        # broadcast-safe: nation (<=25 rows) / region (5 rows) are
+        # constant-cardinality dims at any SF
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .where(
@@ -795,6 +806,7 @@ def join_broadcast_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(
+            # broadcast-safe: tiers is a 3-row literal band table
             F.broadcast(tiers),
             (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
         )
@@ -884,8 +896,11 @@ def join_prefilter_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = 2^26 is an 8 MB broadcast as a bitmap), the fact scan drops
     non-matching rows map-side BEFORE any shuffle or join build —
     for a 1%-selective dim that is a ~99% reduction in shuffled
-    bytes.  Both joins broadcast; the fact never shuffles until the
-    final (already-reduced) aggregation.
+    bytes.  Only the BITMAP is hint-broadcast (bounded ≤ m rows by
+    construction); the exact semi join against the linearly-growing
+    dim key set joins UNHINTED — AQE converts it to a broadcast while
+    it fits and degrades to a shuffle join of the already-reduced
+    candidates beyond, instead of OOMing the driver at 100 TB.
 
     The oracle is the plain exact semi join — the bitmap is pure
     optimization, provably result-invariant (superset then exact)."""
@@ -901,11 +916,15 @@ def join_prefilter_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.xxhash64("c_custkey"), F.lit(m)).alias("bkt")
     ).distinct()
     candidates = orders.join(
+        # broadcast-safe: DISTINCT bucket ids are ≤ m = 4096 rows at
+        # any SF — bounded by the modulus, not the data
         F.broadcast(buckets),
         F.pmod(F.xxhash64("o_custkey"), F.lit(m)) == F.col("bkt"),
     ).drop("bkt")
+    # no broadcast hint: dim_keys is a constant fraction of the
+    # linearly-growing customer table — AQE converts while it fits
     exact = candidates.join(
-        F.broadcast(dim_keys),
+        dim_keys,
         F.col("o_custkey") == F.col("c_custkey"),
         "left_semi",
     )

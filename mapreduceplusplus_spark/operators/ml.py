@@ -127,6 +127,8 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign(centroids: DataFrame, with_dist: bool) -> DataFrame:
         d = (
+            # broadcast-safe: centroids is k*d rows (constant,
+            # config-bounded)
             e.join(F.broadcast(centroids), "dim")
             .groupBy("vec_id", "cid")
             .agg(

@@ -623,6 +623,7 @@ def maintenance_partition_skew_report(
         F.year("l_shipdate").cast("bigint").alias("ship_year")
     ).agg(F.count("*").alias("n_rows"))
     stats = per_part.agg(F.expr("sum(n_rows) div count(*)").alias("mean_rows"))
+    # broadcast-safe: stats is a 1-row scalar re-aggregate
     return per_part.join(F.broadcast(stats)).select(
         "ship_year",
         F.col("n_rows").cast("bigint").alias("n_rows"),

@@ -389,6 +389,7 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         # explicit schema — zero-row layouts have nothing to infer from
         fact = spark.read.schema(orders.schema).parquet(out)
         result = (
+            # broadcast-safe: dim is a 4-row literal quarter map
             fact.join(F.broadcast(dim), fact["o_month"] == dim["d_month"])
             .groupBy("o_month")
             .agg(

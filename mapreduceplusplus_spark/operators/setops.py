@@ -91,6 +91,8 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = counts.select(
         "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
     )
+    # broadcast-safe: offsets has one row per range bucket (constant,
+    # config-bounded)
     return local.join(F.broadcast(offsets), "_bkt").select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("totalprice"),

@@ -638,6 +638,7 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
+        # broadcast-safe: totals is a 1-row global aggregate
         .join(F.broadcast(totals))
     )
     # row_number() is 32-bit: rk*10000 overflows past ~214k users, so
@@ -758,6 +759,7 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"), F.count("*").alias("n_events")
     )
     g = per.agg(F.max("last_ts").alias("global_last"))
+    # broadcast-safe: g is a 1-row global high-water mark
     return per.join(F.broadcast(g)).select(
         "event_type",
         F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
@@ -858,6 +860,7 @@ def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dow").alias("b_dow"), F.col("hod").alias("b_hod")
     ).agg(F.sum("n").cast("bigint").alias("tot"), F.count("*").alias("n_days"))
     j = slot.join(
+        # broadcast-safe: baseline is <= 7*24 = 168 rows at any SF
         F.broadcast(baseline),
         (F.col("dow") == F.col("b_dow")) & (F.col("hod") == F.col("b_hod")),
     )

@@ -27,9 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduceplusplus_spark.operators._money import bp_ratio_halfup
 from mapreduceplusplus_spark.registry import query
 from mapreduceplusplus_spark.session import ensure_utc
 from mapreduceplusplus_spark.sources.tables import load_table
+
+__all__ = ["bp_ratio_halfup"]
 
 
 def _cents(col: str):
@@ -49,22 +52,16 @@ _REV_E4_SQL = (
 )
 
 
-def bp_ratio_halfup(num: str, den: str):
-    """Half-up basis points of ``num/den`` as an exact integer —
-    ``(20000·num + den) div (2·den)`` — computed in DECIMAL(38,0) so
-    the 20000× blow-up cannot overflow BIGINT.  The 5× split-
-    replication harness caught exactly this: 1e-4-unit revenue sums
-    reach ~2.3e16 at 5× sf0.1 (1e9 per line × tens of millions of
-    lines), and 20000× that is past 2^63 — ANSI Spark threw
-    ARITHMETIC_OVERFLOW while DuckDB's HUGEINT sum sailed through.
-    DECIMAL(38,0) holds ~1e38: safe past 1e33 in the denominator,
-    i.e. any conceivable money sum.  ``div`` on decimals returns
-    BIGINT, which the ≤10000 result always fits."""
-    d38 = "DECIMAL(38,0)"
-    return F.expr(
-        f"(20000 * CAST({num} AS {d38}) + {den})"
-        f" div (2 * CAST({den} AS {d38}))"
-    ).cast("bigint")
+#: exact integer quantity: fixtures carry integer-valued DOUBLE
+#: quantities, and a bare double→BIGINT cast ROUNDS in DuckDB but
+#: TRUNCATES in Spark — round() first on BOTH engine sides so any
+#: future non-integral quantity keeps the engines in agreement
+#: (ADVICE r6) instead of diverging silently at .5 boundaries.
+def _qty():
+    return F.round(F.col("l_quantity")).cast("bigint")
+
+
+_QTY_SQL = "CAST(round(l_quantity) AS BIGINT)"
 
 
 @query(
@@ -141,11 +138,16 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined twice under different roles) with a symmetric pair
     disjunction that must be evaluated AFTER both role joins.
 
-    Scale: both nation legs and supplier/customer broadcast; the only
-    shuffles are lineitem⋈orders on orderkey and the 2×2×years-row
-    final rollup.  The nation-pair predicate prunes ~(2/25)² of the
-    traffic but can only apply post-join — Catalyst still pushes the
-    two-year ship-date window into the scan."""
+    Scale: only the constant-size nation legs carry broadcast hints.
+    ``customer`` and ``supplier`` grow linearly with SF (customer is
+    ~1/4 of orders), so forcing them into a broadcast would be a
+    driver OOM at the 100 TB charter — they join UNHINTED: at test SF
+    AQE's runtime broadcast conversion recovers the same plan, at
+    cluster SF they shuffle on their keys like ``tpch_q10`` does.
+    The remaining shuffles are lineitem⋈orders on orderkey and the
+    2×2×years-row final rollup.  The nation-pair predicate prunes
+    ~(2/25)² of the traffic but can only apply post-join — Catalyst
+    still pushes the two-year ship-date window into the scan."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -163,8 +165,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        # broadcast-safe: nation is a constant-cardinality dim (≤25
+        # rows at any SF) — hinting it is free forever
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .where(
@@ -220,9 +224,14 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-share-of-group pattern (Q14's CASE-ratio, but grouped)
     over the deepest join tree in the suite (7 tables, nation twice).
 
-    Scale: region/nation/supplier/customer/part all broadcast; the
-    fact shuffles once on orderkey.  The share is the repo's half-up
-    basis-point integer division — engine-exact, no float ratio."""
+    Scale: only region/nation (constant ≤25 rows) carry broadcast
+    hints.  ``part``/``customer``/``supplier`` grow linearly with SF
+    — even PROMO-filtered part is a constant FRACTION, not a constant
+    SIZE — so they join unhinted: AQE converts them to broadcasts at
+    test SF and lets them shuffle at cluster SF instead of OOMing the
+    driver.  The fact shuffles once on orderkey.  The share is the
+    repo's half-up basis-point integer division — engine-exact, no
+    float ratio."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -238,6 +247,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # broadcast-safe: region is a constant-cardinality dim (5 rows)
     cn = nation.join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
     ).select(F.col("n_nationkey").alias("cn_key"))
@@ -246,11 +256,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_name") == "NATION_3").alias("from_target"),
     )
     j = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        # broadcast-safe: cn/sn derive from nation (≤25 rows at any SF)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .select(
             F.year("l_shipdate").cast("bigint").alias("o_year"),
@@ -278,7 +289,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
            CAST(sum({_REV_E4_SQL}
                     - CAST(round(p.p_retailprice * 100) AS BIGINT)
-                      * CAST(l.l_quantity AS BIGINT) * 20) AS BIGINT)
+                      * CAST(round(l.l_quantity) AS BIGINT) * 20) AS BIGINT)
                AS profit_e4
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
@@ -298,9 +309,12 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 5-table join, and a (nation × year) rollup where profit can go
     negative (discount exceeding the margin proxy).
 
-    Scale: the LIKE prunes the part dim BEFORE broadcast (the filter
-    sits under the build side, so only matching partkeys ship);
-    lineitem shuffles once on orderkey for the orders leg."""
+    Scale: the LIKE prunes the part dim before its join, but a LIKE
+    keeps a constant FRACTION of a linearly-growing table — so
+    neither part nor supplier carries a broadcast hint (AQE converts
+    at test SF; at 100 TB they shuffle instead of OOMing the driver).
+    Only constant-size nation is hinted; lineitem shuffles once on
+    orderkey for the orders leg."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     part = (
@@ -313,12 +327,11 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", F.col("n_name").alias("nation")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    profit_e4 = _rev_e4() - _cents("p_retailprice") * F.col("l_quantity").cast(
-        "bigint"
-    ) * 20
+    profit_e4 = _rev_e4() - _cents("p_retailprice") * _qty() * 20
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        # broadcast-safe: nation is constant-cardinality (≤25 rows)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
@@ -448,7 +461,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the revenue CTE shuffles one quarter of lineitem on
     suppkey (~#suppliers rows out); the scalar max is a 1-row
     broadcast back over that same tiny rollup — the fact table is
-    scanned ONCE (Spark reuses the shuffled rollup for both legs)."""
+    scanned ONCE (Spark reuses the shuffled rollup for both legs).
+    The name lookup broadcasts the ``= max`` WINNERS (ties-kept, ~1
+    row at any SF) into the supplier dim — NOT the full supplier
+    table, which grows linearly and must never be hint-broadcast."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -466,9 +482,16 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = revenue.agg(F.max("total_revenue_e4").alias("mx"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # broadcast-safe: mx is a 1-row scalar aggregate at any SF
+    winners = revenue.join(
+        F.broadcast(mx), F.col("total_revenue_e4") == F.col("mx")
+    )
+    # broadcast-safe: winners is the ``= max`` tie set (~1 row at any
+    # SF) — the tiny side here is the filtered LEFT leg, not the
+    # linearly-growing supplier dim
     return (
-        revenue.join(F.broadcast(mx), F.col("total_revenue_e4") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        F.broadcast(winners)
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_e4")
     )
 
@@ -503,9 +526,12 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti keeps them), and a COUNT DISTINCT over a many-to-many
     bridge.
 
-    Scale: the blacklist broadcasts (~#suppliers rows) as an anti
-    join; part prunes before broadcast; the distinct-count shuffles
-    (brand,type,size,suppkey) once then folds — no row explosion."""
+    Scale: the blacklist is a constant FRACTION of the linearly-
+    growing supplier table and filtered part likewise grows with SF,
+    so neither side carries a broadcast hint — AQE converts both to
+    broadcasts at test SF and lets them shuffle at cluster SF.  The
+    distinct-count shuffles (brand,type,size,suppkey) once then folds
+    — no row explosion."""
     ensure_utc(spark)
     # NOT IN also drops NULL probe keys (NULL NOT IN (...) is NULL);
     # left_anti would KEEP them — the explicit isNotNull makes the
@@ -526,10 +552,8 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(
-            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
-        )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -540,7 +564,7 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
       SELECT l_partkey,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
              count(*) AS cnt
       FROM lineitem
       GROUP BY l_partkey
@@ -553,7 +577,7 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN stats t ON l.l_partkey = t.l_partkey
     WHERE p.p_brand = 'Brand#1'
       AND p.p_type = 'SMALL'
-      AND 5 * CAST(l.l_quantity AS BIGINT) * t.cnt < t.sum_qty
+      AND 5 * CAST(round(l.l_quantity) AS BIGINT) * t.cnt < t.sum_qty
     """,
 )
 def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,21 +598,20 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     stats = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        F.sum(_qty()).cast("bigint").alias("sum_qty"),
         F.count("*").alias("cnt"),
     )
+    # no broadcast hint: brand+type-filtered part is a constant
+    # FRACTION of a linearly-growing table — AQE converts at test SF
     part = (
         load_table(spark, sf_dir, "part")
         .where((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL"))
         .select("p_partkey")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(stats, F.col("l_partkey") == F.col("t_partkey"))
-        .where(
-            5 * F.col("l_quantity").cast("bigint") * F.col("cnt")
-            < F.col("sum_qty")
-        )
+        .where(5 * _qty() * F.col("cnt") < F.col("sum_qty"))
         .agg(
             F.sum(_cents("l_extendedprice")).cast("bigint").alias("lost_rev_cents"),
             F.count("*").alias("n_lines"),
@@ -600,14 +623,14 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q18_large_volume_customers",
     oracle="""
     SELECT c.c_name, o.o_orderkey,
-           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderkey IN
           (SELECT l_orderkey FROM lineitem
            GROUP BY l_orderkey
-           HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+           HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
     GROUP BY c.c_name, o.o_orderkey
     """,
 )
@@ -621,31 +644,27 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     Scale: the qualifying-orders rollup shuffles lineitem once on
     orderkey and emits only the rare heavy orders (HAVING > 300 is a
     ~1e-3 selectivity at any SF — quantity sums concentrate near
-    #lines×25); that tiny key set broadcasts as a semi join so the
-    second lineitem pass never shuffles the full table again.
+    #lines×25); that key set still GROWS with SF though, so it joins
+    back unhinted — AQE broadcasts it while it fits and degrades to a
+    co-partitioned shuffle join (same orderkey both sides) beyond.
+    ``customer`` likewise grows linearly and joins unhinted.
     Quantities sum as BIGINT — exact."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     heavy = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+        .agg(F.sum(_qty()).alias("sq"))
         .where(F.col("sq") > 300)
         .select(F.col("l_orderkey").alias("h_orderkey"))
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li.join(
-            F.broadcast(heavy), F.col("l_orderkey") == F.col("h_orderkey"), "inner"
-        )
+        li.join(heavy, F.col("l_orderkey") == F.col("h_orderkey"), "inner")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "o_orderkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias(
-                "total_qty"
-            )
-        )
+        .agg(F.sum(_qty()).cast("bigint").alias("total_qty"))
     )
 
 
@@ -675,9 +694,11 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-join.  A naive engine evaluates the whole OR after a full
     join — the pushdown is the entire query at scale.
 
-    Scale: part prunes to ~3/25 of brands before broadcast; the OR
-    residual runs in codegen over the joined stream; single-row
-    integer-exact aggregate out."""
+    Scale: the factored part-side predicate prunes to ~3/25 of brands
+    before the join — still a constant fraction of a linearly-growing
+    table, so part joins UNHINTED (AQE broadcast-converts at test SF,
+    shuffles at 100 TB); the OR residual runs in codegen over the
+    joined stream; single-row integer-exact aggregate out."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select(
@@ -701,7 +722,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
         .agg(
             F.sum(_rev_e4()).cast("bigint").alias("revenue_e4"),
@@ -750,7 +771,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the per-order supplier census shuffles lineitem once on
     orderkey (already the join key for orders — co-partitioned); its
     output is #orders-sized and joins back on the same key with no
-    new exchange under AQE; supplier dim broadcasts."""
+    new exchange under AQE; the supplier dim grows linearly with SF
+    so it joins unhinted (AQE broadcast-converts while it fits)."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -773,7 +795,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.where(F.col("is_late"))
         .join(census, F.col("l_orderkey") == F.col("c_orderkey"))
         .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -840,6 +862,7 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     return (
+        # broadcast-safe: avg_floor is a 1-row scalar aggregate
         pool.join(F.broadcast(avg_floor))
         .where(F.col("bal_cents") > F.col("avg_floor"))
         .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
@@ -892,8 +915,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties like the benchmark does.
 
     Scale: the DISTINCT pair census is the one lineitem shuffle
-    (partkey,suppkey — map-side combined); europe/part broadcast;
-    the per-part min is #parts-sized and broadcasts back."""
+    (partkey,suppkey — map-side combined).  europe (a supplier
+    fraction), filtered part, and the per-part mins rollup all GROW
+    with SF, so none carries a broadcast hint — AQE converts them at
+    test SF; at 100 TB the min-join-back becomes a co-partitioned
+    shuffle join.  Only constant-size nation/region are hinted."""
     ensure_utc(spark)
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_regionkey"
@@ -901,6 +927,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     europe = (
         load_table(spark, sf_dir, "supplier")
+        # broadcast-safe: nation (≤25 rows) / region (5 rows)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", _cents("s_acctbal").alias("bal_cents"))
@@ -919,19 +946,19 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplies = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "l_suppkey")
         .distinct()
     )
     cand = supplies.join(
-        F.broadcast(europe), F.col("l_suppkey") == F.col("s_suppkey")
+        europe, F.col("l_suppkey") == F.col("s_suppkey")
     ).select("p_partkey", "s_name", "bal_cents")
     mins = cand.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
         F.min("bal_cents").alias("min_cents")
     )
     return (
         cand.join(
-            F.broadcast(mins),
+            mins,
             (F.col("p_partkey") == F.col("m_partkey"))
             & (F.col("bal_cents") == F.col("min_cents")),
         )
@@ -944,7 +971,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT l.l_partkey,
-             CAST(sum(CAST(l.l_quantity AS BIGINT)
+             CAST(sum(CAST(round(l.l_quantity) AS BIGINT)
                       * CAST(round(p.p_retailprice * 100) AS BIGINT))
                   AS BIGINT) AS value_cents
       FROM lineitem l
@@ -971,11 +998,12 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total``) instead of dividing the total: exact integers, no
     fraction-epsilon ambiguity across engines.
 
-    Scale: supplier/part broadcast under the nation cut; one shuffle
-    to the per-part rollup; the scalar total re-aggregates the
-    #parts-row rollup and broadcasts back 1 row — with AQE exchange
-    reuse the rollup computes once (same structure the Q15 pin
-    enforces)."""
+    Scale: the nation-cut supplier and full part are both linear-
+    growth tables, so they join UNHINTED (AQE broadcast-converts at
+    test SF, shuffles at 100 TB); one shuffle to the per-part rollup;
+    the scalar total re-aggregates the #parts-row rollup and
+    broadcasts back 1 row — with AQE exchange reuse the rollup
+    computes once (same structure the Q15 pin enforces)."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_partkey").isNotNull()
@@ -987,19 +1015,18 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     v = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(
-                F.col("l_quantity").cast("bigint") * _cents("p_retailprice")
-            )
+            F.sum(_qty() * _cents("p_retailprice"))
             .cast("bigint")
             .alias("value_cents")
         )
     )
     total = v.agg(F.sum("value_cents").cast("bigint").alias("tot"))
     return (
+        # broadcast-safe: total is a 1-row scalar aggregate
         v.join(F.broadcast(total))
         .where(F.col("value_cents") * 1000 > F.col("tot"))
         .select("l_partkey", "value_cents")
@@ -1011,7 +1038,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH red96 AS (
       SELECT l.l_suppkey, l.l_partkey,
-             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+             CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
       FROM lineitem l
       JOIN part p ON l.l_partkey = p.p_partkey
       WHERE p.p_name LIKE 'red%'
@@ -1045,8 +1072,10 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the (supplier, part) rollup is the one fact shuffle; the
     per-part total re-aggregates that rollup (micro-shuffle on
     partkey, #pairs rows); the dominance filter joins the two on
-    partkey — co-partitioned, no new exchange under AQE; supplier
-    broadcasts for the name."""
+    partkey — co-partitioned, no new exchange under AQE.  The 'red'
+    part cut and the supplier name lookup are constant FRACTIONS of
+    linear-growth tables, so neither is hint-broadcast — AQE converts
+    while they fit."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1058,9 +1087,9 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     red96 = (
-        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(red, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+        .agg(F.sum(_qty()).cast("bigint").alias("q"))
     )
     tot = red96.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("q").cast("bigint").alias("tq")
@@ -1069,7 +1098,7 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         red96.join(tot, F.col("l_partkey") == F.col("pk"))
         .where(4 * F.col("q") > F.col("tq"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("n_dominant_parts"))
     )

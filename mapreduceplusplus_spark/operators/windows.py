@@ -318,6 +318,7 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(1, "view"), (2, "click"), (3, "purchase")],
         "step int, event_type string",
     )
+    # broadcast-safe: counts is a 1-row global aggregate
     return scaffold.join(F.broadcast(counts)).select(
         "step",
         "event_type",
@@ -840,6 +841,7 @@ def window_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(1, "view"), (2, "click"), (3, "purchase")],
         "step int, event_type string",
     )
+    # broadcast-safe: counts is a 1-row global aggregate
     return scaffold.join(F.broadcast(counts)).select(
         "step",
         "event_type",

@@ -1,0 +1,175 @@
+"""Round-7 scale gate: no HINT-forced broadcast of linear-growth tables.
+
+The round-6 verdict's one systemic scale flaw: ~9 TPC-H queries wrapped
+full ``customer``/``supplier``/``part`` (or constant-FRACTION filters of
+them) in ``F.broadcast()``.  Spark honors the hint regardless of size,
+so what is a few KB at sf0.1 becomes a driver OOM / broadcast timeout at
+the 100 TB charter — and AQE cannot override a hint.  Round 7 removed
+every such hint (AQE's runtime broadcast conversion recovers the sf0.1
+plan since those sides sit under the threshold).
+
+This test pins the property mechanically: with AQE DISABLED and
+``autoBroadcastJoinThreshold = -1``, the ONLY ``BroadcastExchange``
+nodes left in a physical plan are the hint-forced ones.  For every
+join-bearing query in the audited modules we then require each
+broadcast subtree to be BOUNDED at any SF:
+
+- it contains a GLOBAL aggregate (``keys=[]`` — a scalar reduction is
+  1 row no matter the input), or
+- its scans touch only constant-cardinality tables (nation ≤ 25 rows,
+  region = 5 rows) / literal ``LocalTableScan``s, or
+- a per-query exception documented below (the bitmap prefilter's
+  DISTINCT-of-``pmod`` side, bounded by the modulus ``m``, not the
+  data).
+
+A hint on a growing table (its subtree scans customer/supplier/part/
+orders/lineitem/events/documents/embeddings parquet with no bounding
+reduction) fails loudly here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mapreduceplusplus_spark import registry
+from tests.conftest import SF_DIR_ORACLE
+
+registry.load_all()
+
+#: tables whose row count grows linearly with SF — never hint-broadcast
+#: a scan of these unless a bounding reduction sits above it
+GROWING = (
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: the join-bearing, side-effect-free queries of the audited modules
+#: (tpch.py in full, plus the join/advanced-family queries that carry
+#: broadcast hints or historically did)
+CASES = [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_line_priority",
+    "tpch_q13_customer_orders_hist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
+    "tpch_q3_shipping",
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "join_broadcast",
+    "join_multiway",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_range_lookup",
+    "join_prefilter_bitmap",
+    "maintenance_partition_skew_report",
+]
+
+#: per-query allowance: subtree is bounded despite scanning a growing
+#: table, recognized by this regex (documented reason)
+EXTRA_BOUNDED = {
+    # DISTINCT of bkt = pmod(xxhash64(key), m): ≤ m = 4096 rows by
+    # the modulus (the alias lands in the aggregate keys; the pmod
+    # itself shows in the scan's DataFilters)
+    "join_prefilter_bitmap": r"HashAggregate\(keys=\[bkt#",
+}
+
+_NODE_PREFIX = re.compile(r"^[:+\- ]*")
+
+
+def _subtrees(plan: str, marker: str) -> list[str]:
+    """Extract each ``marker`` node's subtree from a plan-tree string
+    (children are the following lines with strictly deeper prefix)."""
+    lines = plan.split("\n")
+    out = []
+    for i, ln in enumerate(lines):
+        if marker not in ln:
+            continue
+        depth = _NODE_PREFIX.match(ln).end()
+        sub = [ln]
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip():
+                break
+            if _NODE_PREFIX.match(nxt).end() <= depth:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def _bounded(sub: str, name: str) -> bool:
+    # a global (keys=[]) aggregate anywhere in the subtree bounds it
+    # to 1 row — the scalar-max / scalar-total / tie-set shapes
+    if re.search(r"Aggregate\(keys=\[\]", sub):
+        return True
+    extra = EXTRA_BOUNDED.get(name)
+    if extra and re.search(extra, sub):
+        return True
+    # otherwise: no growing-table scan may appear under the hint
+    return not any(f"{t}.parquet" in sub for t in GROWING)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_no_forced_broadcast_of_growing_tables(spark, name):
+    qs = registry.queries()
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = qs[name](spark, SF_DIR_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    for sub in _subtrees(plan, "BroadcastExchange"):
+        assert _bounded(sub, name), (
+            f"{name}: hint-forced broadcast of a linear-growth table "
+            f"(driver OOM at 100 TB):\n{sub}"
+        )
+
+
+def test_every_broadcast_site_is_tagged():
+    """Source-level audit gate: every ``F.broadcast(`` call site in the
+    package carries a ``# broadcast-safe:`` tag within the 6 preceding
+    lines stating WHY the side is bounded at any SF (round-7 repo-wide
+    audit; the table lives in SURVEY.md §4)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "mapreduceplusplus_spark"
+    untagged = []
+    for p in sorted(pkg.rglob("*.py")):
+        lines = p.read_text().split("\n")
+        for i, ln in enumerate(lines):
+            if "F.broadcast(" in ln and not ln.strip().startswith("#"):
+                ctx = "\n".join(lines[max(0, i - 6) : i + 1])
+                if "broadcast-safe" not in ctx:
+                    untagged.append(f"{p.name}:{i + 1}: {ln.strip()}")
+    assert not untagged, (
+        "F.broadcast sites missing a '# broadcast-safe:' rationale "
+        f"tag:\n" + "\n".join(untagged)
+    )
