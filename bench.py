@@ -59,7 +59,7 @@ HEADLINE = [
     "graph_triangle_count",   # oriented triangle counting (5 joins, 2 aggs)
     "ml_kmeans_lloyd",        # 2 quantized Lloyd iterations (iterative ML)
     "graph_pagerank",         # 3 quantized power iterations (iterative graph)
-    "tpch_q8_market_share",   # deepest TPC-H join tree (7 tables, all broadcast)
+    "tpch_q8_market_share",   # deepest TPC-H join tree (7 tables, AQE-converted joins)
     "pack_bins_nextfit",      # per-shard Arrow stateful fold (sequence packing)
 ]
 
@@ -130,8 +130,16 @@ def main() -> None:
             "reps_raw": raw,
         }
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
+    # the printed line is captured by the driver's bounded tail buffer —
+    # round 6's record came back "parsed": null because the full
+    # per-rep detail outgrew it.  Print ONLY the compact headline
+    # (no spaces) and park the per-rep detail in BENCH_DETAIL.json
+    # next to this script.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_total_wall",
                 "value": total,
@@ -141,7 +149,22 @@ def main() -> None:
                 "calibration_scan_parquet_sec": calib,
                 "sf": sf,
                 "reps": reps,
-            }
+            },
+            f,
+            indent=1,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "calibration": calib,
+                "sf": sf,
+                "reps": reps,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -883,9 +883,13 @@ def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is the classic q-gram filter (Gravano et al.,
     VLDB'01): one edit destroys at most q positional q-grams, so
     ``dist(a,b) <= k`` forces ``shared q-grams >= max(|a|,|b|) - q + 1
-    - k*q``.  With q=2, k=2 and names >= 7 chars, a qualifying pair
-    must share at least one 2-gram ((7-1)/2 = 3 > k) — so 2-gram
-    candidate generation is provably LOSSLESS here.  Skew is bounded
+    - k*q``.  With q=2, k=2 and the longer name >= 2·k + 2 = 6 chars
+    (the same minimum ``editdist_pairs`` derives), a qualifying pair
+    must share at least one 2-gram ((6-1)/2 = 2.5 > k) — so 2-gram
+    candidate generation is provably LOSSLESS here; pairs where BOTH
+    names are shorter go through ``editdist_pairs``'s bounded
+    brute-force leg instead (part names in the fixture are all
+    longer, so that leg is empty for this query).  Skew is bounded
     by the SAME df-ordered prefix filter ``dedup_ngram_jaccard``
     uses: a qualifying pair shares >= T = max(|a|,|b|) - 5 positional
     grams (multiset bound, items = (gram, occurrence#)), and by the
@@ -914,14 +918,26 @@ def editdist_pairs(names: DataFrame, max_dist: int = 2) -> DataFrame:
     """Distinct-name pairs within Levenshtein ``max_dist``, via the
     lossless df-ordered q-gram prefix filter (q=2) described in
     ``join_fuzzy_editdist``.  ``names`` needs a single ``name``
-    column; losslessness requires every name at least
-    ``q·max_dist + 2`` chars (q=2: length >= 2·max_dist + 2, i.e. 6
-    for max_dist=2) — a zero-shared-gram pair of length-L strings has
-    distance >= (L-1)/2, which exceeds max_dist exactly when
-    L >= q·max_dist + 2."""
+    column.
+
+    The gram filter is pigeonhole-lossless only when the LONGER name
+    of a pair is at least ``q·max_dist + 2`` chars (q=2: length >=
+    2·max_dist + 2 = 6 for max_dist=2) — a zero-shared-gram pair of
+    length-L strings has distance >= (L-1)/2, which exceeds max_dist
+    exactly when L >= q·max_dist + 2.  Mixed short/long pairs are
+    still caught (the bound uses max(|a|,|b|), and a short name posts
+    ALL its grams because its per-record prefix threshold clamps to
+    1), so the only lossy regime is SHORT×SHORT pairs.  Those are
+    routed through an explicit brute-force leg (ADVICE r6: previously
+    this precondition was documented-but-unenforced, silently
+    dropping pairs) — the short set lives in a ≤ 95^(2·max_dist+1)
+    key space and in practice is tiny, so the cross join is bounded;
+    the union is distinct-ed before the exact verify."""
     from pyspark.sql import Window as _W
 
     names = names.select("name", F.length("name").alias("ln"))
+    min_len = 2 * max_dist + 2
+    shorts = names.where(F.col("ln") < min_len)
     # positional 2-gram items: (gram, occurrence#) — turns the
     # multiset bound into a plain set bound
     items = (
@@ -964,6 +980,15 @@ def editdist_pairs(names: DataFrame, max_dist: int = 2) -> DataFrame:
         .select("name_a", "name_b")
         .distinct()
     )
+    # brute-force leg for the short×short regime the gram filter
+    # cannot cover (see docstring); a short pair sharing a gram also
+    # appears in `cand`, hence the distinct after the union
+    short_pairs = (
+        shorts.select(F.col("name").alias("name_a"))
+        .crossJoin(shorts.select(F.col("name").alias("name_b")))
+        .where(F.col("name_a") < F.col("name_b"))
+    )
+    cand = cand.union(short_pairs).distinct()
     return (
         cand.select(
             "name_a",

@@ -142,13 +142,17 @@ _PRIORITY_ORDER = [
     # rows-only row — wasted window).  Driver-green history: r4 =
     # dedup_ngram_jaccard, dedup_embedding_cosine, text_extras; r5 =
     # pipeline_corpus_end2end, sim_search_knn_join, dedup_decontaminate,
-    # text_pii_redact.  r6 rotates in four never-driver-checked rows
-    # from the round-5 additions (all stay locally differentialed every
-    # pytest run regardless of slot position).
-    "ts_resample_gapfill",
-    "merge_upsert",
-    "window_funnel",
-    "agg_argmax",
+    # text_pii_redact; r6 = ts_resample_gapfill, merge_upsert,
+    # window_funnel, agg_argmax.  r7 rotates in four never-driver-
+    # checked rows (checked against every CORRECTNESS_r* record):
+    # the pure-pushdown TPC-H probe, the exact-money contract, the
+    # salted skew-join machinery, and the composed LLM cleaning
+    # pipeline (all stay locally differentialed every pytest run
+    # regardless of slot position).
+    "tpch_q6_forecast_revenue",
+    "agg_decimal_exact",
+    "join_skew_salted",
+    "pipeline_clean_corpus",
 ]
 
 _loaded = False

@@ -98,8 +98,17 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: deterministic on-disk binary fixture for the ``binaryFile`` source —
 #: content restricted to printable ASCII so DuckDB's ``decode(content)``
 #: (valid-UTF-8 requirement) hashes the SAME raw bytes Spark's
-#: ``md5(binary)`` does
-_BINSRC_DIR = "/tmp/spark_graft_binsrc"
+#: ``md5(binary)`` does.  Lives UNDER THIS CHECKOUT (not a world-shared
+#: /tmp path — ADVICE r6: on shared /tmp another user could squat the
+#: directory or plant stale .bin files that BOTH engines would read,
+#: keeping the differential green while results go environment-
+#: dependent); per-checkout also means per-user on any sane layout.
+import os as _os
+
+_BINSRC_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".binsrc",
+)
 _BINSRC_N = 8
 
 
@@ -107,6 +116,17 @@ def _ensure_binsrc_fixture() -> None:
     import os
 
     os.makedirs(_BINSRC_DIR, exist_ok=True)
+    expected = {f"doc_{i}.bin" for i in range(_BINSRC_N)}
+    for name in os.listdir(_BINSRC_DIR):
+        # drop anything not in the expected doc_0..doc_7 set (stale
+        # files from an older _BINSRC_N, abandoned .tmp writes) BEFORE
+        # reading — both engines glob *.bin, so a stray file would
+        # feed both sides identically and hide real drift
+        if name not in expected:
+            try:
+                os.remove(os.path.join(_BINSRC_DIR, name))
+            except OSError:
+                pass
     for i in range(_BINSRC_N):
         body = "".join(
             chr(32 + (i * 7 + j) % 95) for j in range(100 * (i + 1))

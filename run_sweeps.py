@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Round-close sweep runner — emits SWEEPS_r{N}.json (VERDICT r6 item 4).
+
+The hostile-config sweep (AQE off, 5 shuffle partitions, Asia/Kolkata
+session timezone; ``pytest -m hostile``) and the empty-input sweep
+(zero-row copies of every table; ``pytest -m empty``) previously lived
+only in commit messages.  This wrapper runs both and writes the counts
+as a per-round artifact so the external record matches a fresh run.
+
+Usage:  python run_sweeps.py [round_number]     (default: $SPARK_GRAFT_ROUND or 7)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+
+def run_sweep(marker: str) -> dict:
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-m", marker, "-q", "--no-header"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    dur = round(time.perf_counter() - t0, 1)
+    tail = (proc.stdout.strip().split("\n") or [""])[-1]
+    # e.g. "200 passed, 292 deselected in 131.9s" / "3 failed, 197 passed, ..."
+    n_pass = sum(int(m) for m in re.findall(r"(\d+) passed", tail))
+    n_fail = sum(int(m) for m in re.findall(r"(\d+) failed", tail))
+    n_err = sum(int(m) for m in re.findall(r"(\d+) error", tail))
+    return {
+        "config": marker,
+        "n_pass": n_pass,
+        "n_total": n_pass + n_fail + n_err,
+        "duration_sec": dur,
+        "summary": tail,
+        "ok": proc.returncode == 0 and n_fail == 0 and n_err == 0,
+    }
+
+
+def main() -> None:
+    rnd = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_ROUND", "7")
+    )
+    results = [run_sweep("hostile"), run_sweep("empty")]
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"SWEEPS_r{int(rnd):02d}.json"
+    )
+    with open(out, "w") as f:
+        json.dump({"round": int(rnd), "sweeps": results}, f, indent=1)
+    print(json.dumps({"round": int(rnd), "sweeps": results}))
+    if not all(r["ok"] for r in results):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

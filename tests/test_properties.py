@@ -189,17 +189,21 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
-_words = st.text(alphabet="abcde", min_size=6, max_size=12)
+_words = st.text(alphabet="abcde", min_size=1, max_size=12)
 
 
 @given(st.lists(_words, min_size=2, max_size=14, unique=True))
 @settings(**_SETTINGS)
 def test_editdist_pairs_lossless_vs_bruteforce(spark, names):
     """The df-ordered q-gram prefix filter in ``editdist_pairs`` is
-    LOSSLESS: over random >=6-char words from a tiny alphabet (chosen
-    to maximize shared-gram collisions AND near-miss pairs), the
+    LOSSLESS: over random words from a tiny alphabet (chosen to
+    maximize shared-gram collisions AND near-miss pairs), the
     filtered join returns exactly the all-pairs Levenshtein<=2 set —
-    no survivor pruned, no phantom pair."""
+    no survivor pruned, no phantom pair.  min_size=1 deliberately
+    includes names BELOW the 2·max_dist+2 gram-filter minimum, so the
+    round-7 short×short brute-force leg (previously a documented-but-
+    unenforced precondition) is exercised: a ('ab','cd') pair has
+    distance 2 with zero shared grams and must still surface."""
     from mapreduceplusplus_spark.llm.dedup import editdist_pairs
 
     df = spark.createDataFrame([(n,) for n in names], "name string")
