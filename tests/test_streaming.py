@@ -557,3 +557,186 @@ def test_watermark_drop_is_observable_in_progress(spark, stream_dirs):
     finally:
         q.stop()
     assert dropped == 1, f"expected exactly 1 watermark-dropped row, got {dropped}"
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas's Python state-server protocol "
+    "requires the protobuf package, absent from this container "
+    "(no pip installs permitted); the operator itself is implemented "
+    "and this test runs wherever protobuf exists",
+)
+def test_tws_twin_matches_applyinpandaswithstate(spark, stream_dirs):
+    """Round-7 stretch (VERDICT r6 item 8): the
+    ``transformWithStateInPandas`` twin (Spark 4's successor API,
+    RocksDB-backed ValueState) replayed over the SAME three
+    micro-batches must land on exactly the same final per-user state
+    as (a) the ``applyInPandasWithState`` form's contract — the batch
+    ``_advance`` fold over the union — and (b) emit a revision per
+    touched user per batch (update semantics), proving the two
+    operator forms are drop-in equivalent."""
+    import pandas as pd
+
+    from mapreduceplusplus_spark.streaming.stateful import (
+        _advance,
+        stateful_running_total_tws,
+    )
+
+    src, chk = stream_dirs
+    T = datetime
+    batches = [
+        [(T(2024, 1, 1, 10, 0, 30), 1, 5.0), (T(2024, 1, 1, 10, 3, 0), 2, 1.5)],
+        [(T(2024, 1, 1, 11, 0, 0), 1, 2.5), (T(2024, 1, 1, 11, 5, 0), 1, 1.0)],
+        [(T(2024, 1, 1, 12, 0, 0), 2, 4.0), (T(2024, 1, 1, 12, 1, 0), 3, 9.0)],
+    ]
+    schema = "ts timestamp, user_id bigint, value double"
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/batch1")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(f"{src}/batch*")
+        q = (
+            stateful_running_total_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_sink")
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for i, rows in enumerate(batches[1:], start=2):
+                spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{src}/batch{i}")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+
+    sink = spark.sql("SELECT * FROM tws_sink").collect()
+    final = {}
+    for r in sink:
+        final[r.user_id] = (r.n_events, round(r.sum_value, 2), r.last_ts)
+
+    all_rows = [r for b in batches for r in b]
+    batch_pdf = pd.DataFrame(all_rows, columns=["ts", "user_id", "value"])
+    expected = {}
+    for uid, grp in batch_pdf.groupby("user_id"):
+        n, total, last_us = _advance(None, grp)
+        expected[uid] = (n, round(total, 2), pd.Timestamp(last_us, unit="us"))
+    assert final == expected
+    # update semantics: user 1 saw revisions in batches 1 AND 2
+    assert sum(1 for r in sink if r.user_id == 1) >= 2
+
+
+def test_tws_processor_state_machine_matches_batch_fold():
+    """Environment-independent half of the TWS stretch: drive
+    ``RunningTotalProcessor`` directly with a stub handle/ValueState
+    (the state machine is pure Python over pandas batches — only the
+    streaming RUNNER needs protobuf) and assert that per-key
+    micro-batched emissions converge to exactly the batch ``_advance``
+    fold, including the numpy-typed state round-trip the Arrow store
+    produces."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreduceplusplus_spark.streaming.stateful import (
+        RunningTotalProcessor,
+        _advance,
+    )
+
+    class StubValueState:
+        """Like the real ValueState, implicitly scoped to the CURRENT
+        grouping key (the runtime swaps the key under the same state
+        object between handleInputRows calls)."""
+
+        def __init__(self, handle):
+            self._h = handle
+            self._slots = {}
+
+        def exists(self):
+            return self._h.current_key in self._slots
+
+        def get(self):
+            return self._slots.get(self._h.current_key)
+
+        def update(self, v):
+            # emulate the Arrow round-trip: scalars come back numpy-typed
+            self._slots[self._h.current_key] = (
+                np.int64(v[0]),
+                np.float64(v[1]),
+                np.int64(v[2]),
+            )
+
+        def clear(self):
+            self._slots.pop(self._h.current_key, None)
+
+    class StubHandle:
+        def __init__(self):
+            self.states = {}
+            self.current_key = None
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, StubValueState(self))
+
+    T = datetime
+    batches = [
+        [(T(2024, 1, 1, 10, 0, 30), 1, 5.0), (T(2024, 1, 1, 10, 3, 0), 2, 1.5)],
+        [(T(2024, 1, 1, 11, 0, 0), 1, 2.5), (T(2024, 1, 1, 11, 5, 0), 1, 1.0)],
+        [(T(2024, 1, 1, 12, 0, 0), 2, 4.0), (T(2024, 1, 1, 12, 1, 0), 3, 9.0)],
+    ]
+    proc = RunningTotalProcessor()
+    handle = StubHandle()
+    proc.init(handle)
+    emissions = []
+    for rows in batches:
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        for uid, grp in pdf.groupby("user_id"):
+            handle.current_key = int(uid)
+            emissions.extend(
+                out
+                for out in proc.handleInputRows((uid,), iter([grp]))
+            )
+    proc.close()
+    final = {}
+    for out in emissions:
+        r = out.iloc[0]
+        final[int(r.user_id)] = (
+            int(r.n_events),
+            round(float(r.sum_value), 2),
+            r.last_ts,
+        )
+    all_pdf = pd.DataFrame(
+        [r for b in batches for r in b], columns=["ts", "user_id", "value"]
+    )
+    all_pdf["ts"] = pd.to_datetime(all_pdf["ts"])
+    expected = {}
+    for uid, grp in all_pdf.groupby("user_id"):
+        n, total, last_us = _advance(None, grp)
+        expected[int(uid)] = (n, round(total, 2), pd.Timestamp(last_us, unit="us"))
+    assert final == expected
+    # update semantics: user 1 got a revision in batch 1 AND batch 2
+    assert sum(1 for o in emissions if int(o.iloc[0].user_id) == 1) == 2
