@@ -1165,3 +1165,104 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+_CONTAIN_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                for i in range(1, len(ws) - 1)])) AS s
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY da, db
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           round(i * 1.0 / ca.n, 3) AS containment
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = da
+    WHERE i * {JACCARD_T_DEN} >= {JACCARD_T_NUM} * ca.n
+    """
+
+
+@query("dedup_containment_quotes", oracle=_CONTAIN_ORACLE)
+def dedup_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-containment detection (quote / subset dedup): ordered
+    pairs (a, b) whose shingle CONTAINMENT ``|S_a ∩ S_b| / |S_a|`` is
+    ≥ 0.8 — the doc-in-doc relation symmetric Jaccard cannot see (a
+    200-word post quoted inside a 10,000-word page has Jaccard ≈ 0.02
+    but containment ≈ 1.0).  Training-data pipelines run this ALONGSIDE
+    ``dedup_ngram_jaccard``: Jaccard kills near-identical copies,
+    containment kills wholesale inclusions (mirrors with boilerplate,
+    quote aggregators) that would otherwise repeat verbatim passages.
+
+    Candidate generation adapts the Bayardo/PPJoin prefix filter to the
+    asymmetric threshold: only the QUERY side (a) is prefix-pruned —
+    containment ≥ t needs overlap ≥ ceil(t·n_a), so if none of a's
+    ``n_a − ceil(t·n_a) + 1`` rarest shingles (global df-ASC order, the
+    same order ``dedup_ngram_jaccard`` builds) appears in b, the pair
+    cannot qualify: lossless.  The host side (b) posts ALL its shingles
+    (an asymmetric threshold gives no b-side prefix bound), but the
+    join only ever probes a-PREFIX keys — by construction the rarest
+    ~20% of each document — so hot Zipfian shingles never generate
+    candidates and the skew defense is again structural.  Exact verify
+    on the full string shingle sets; the threshold compare is the
+    integer cross-multiplication ``i·5 ≥ 4·n_a`` on BOTH engines, so
+    boundary pairs cannot flip.
+
+    100 TB shuffle profile: same stages as ``dedup_ngram_jaccard``
+    (explode → df hash-agg → per-doc rank → prefix⋈full postings →
+    per-pair count → verify join) — every stage an equi-join or
+    hash-agg; candidate volume ≈ Σ_rare-key df_prefix·df_full stays
+    near the true-pair count.  Reference heritage: none (the reference
+    engine has no dedup at all, SURVEY §2 charter extension)."""
+    ensure_utc(spark)
+    docs = _doc_shingles(spark, sf_dir)
+    p = docs.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    ).select("doc_id", "n", F.xxhash64("s").alias("s"))
+    dfreq = p.groupBy("s").agg(F.count("*").alias("df"))
+    ordered = (
+        p.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ranked"),
+            F.max("n").alias("n"),
+        )
+    )
+    # a-side prefix length n - ceil(t*n) + 1, integer-exact
+    plen = (
+        F.col("n")
+        - F.expr(f"({JACCARD_T_NUM}*n + {JACCARD_T_DEN - 1}) div {JACCARD_T_DEN}")
+        + F.lit(1)
+    )
+    a = ordered.select(
+        F.col("doc_id").alias("da"),
+        F.explode(F.slice(F.col("ranked.s"), F.lit(1), plen)).alias("s"),
+    )
+    bfull = p.select(F.col("doc_id").alias("db"), "s")
+    cand = (
+        a.join(bfull, "s")
+        .where(F.col("da") != F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    pairs = cand.join(
+        docs.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a")), "da"
+    ).join(docs.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b")), "db")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na = F.size("sh_a")
+    return (
+        pairs.select("da", "db", inter.alias("i"), na.alias("na"))
+        .where(F.col("i") * JACCARD_T_DEN >= JACCARD_T_NUM * F.col("na"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(F.col("i") / F.col("na"), 3).alias("containment"),
+        )
+    )

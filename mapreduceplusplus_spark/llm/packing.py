@@ -401,3 +401,106 @@ def pack_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("first_chunk") < F.col("chunk_id"), 1)) > 0
         ).alias("starts_mid_doc"),
     )
+
+
+#: second Knuth-style odd multiplier for the mixture-sampling hash —
+#: DIFFERENT from sample_split's 2654435761 so a document's mixture
+#: draw is independent of its train/val/test bucket (same doc_id must
+#: not correlate across the two decisions)
+_MIX_MULT = 2246822519
+_MIX_MOD = 4294967296  # 2^32
+_PPM = 1_000_000
+
+
+@query(
+    "mixture_sample_apply",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_langs
+      FROM counts
+    ),
+    w AS (
+      SELECT c.lang,
+             CAST(t.total * {_PPM} // (t.n_langs * c.n_docs) AS BIGINT)
+                 AS weight_ppm
+      FROM counts c, tot t
+    )
+    SELECT doc_id, lang, weight_ppm, n_copies
+    FROM (
+      SELECT d.doc_id, d.lang, w.weight_ppm,
+             CAST(w.weight_ppm // {_PPM}
+                  + CASE WHEN CAST(CAST(d.doc_id AS HUGEINT) * {_MIX_MULT}
+                                   % {_MIX_MOD} AS BIGINT) % {_PPM}
+                              < w.weight_ppm % {_PPM}
+                         THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      FROM documents d JOIN w USING (lang)
+    )
+    WHERE n_copies >= 1
+    """,
+)
+def mixture_sample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the mixture weights ``mixture_lang_weights`` computes: per
+    document, a deterministic integer multiplicity that realizes its
+    language's parts-per-million sampling weight — ``n_copies =
+    weight_ppm div 1e6`` guaranteed copies plus one more iff the doc's
+    hash bucket falls under the fractional remainder.  Documents with
+    ``n_copies = 0`` are dropped (downsampled languages), ``> 1`` are
+    flagged for replication by the packing stage (upsampled languages);
+    the EXPECTED multiplicity per language is exactly weight_ppm/1e6.
+    This is the decision step every mixture pipeline (temperature
+    sampling, DoReMi-style reweighting) runs between computing weights
+    and materializing the training corpus.
+
+    Determinism contract: the draw is a second Knuth multiplicative
+    hash of doc_id (a DIFFERENT multiplier than ``sample_split``'s, so
+    mixture membership is independent of split membership) reduced to a
+    ppm bucket — pure integer arithmetic, identical in both engines,
+    reproducible across runs/partitionings, and growth-stable (a doc's
+    multiplicity never changes when OTHER docs of its language keep the
+    same weight).  The multiply rides in DECIMAL(38,0)/HUGEINT — the
+    bare BIGINT product overflows at doc_id ~3.5e9, inside 100 TB
+    corpus range (same guard as ``sample_split``).
+
+    Scale: one map-side-combined rollup to ~#languages rows, a 1-row
+    totals cross join, then a ZERO-SHUFFLE broadcast join of the
+    weights back onto the corpus scan — the decision itself never
+    shuffles a document."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count("*").alias("n_langs"),
+    )
+    # broadcast-safe: tot is a 1-row global aggregate
+    weights = counts.join(F.broadcast(tot)).select(
+        "lang",
+        F.expr(f"total * {_PPM} div (n_langs * n_docs)")
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )
+    bucket_ppm = (
+        F.expr(
+            f"CAST(CAST(doc_id AS DECIMAL(38,0)) * {_MIX_MULT}"
+            f" % {_MIX_MOD} AS BIGINT)"
+        )
+        % _PPM
+    )
+    n_copies = F.expr(f"weight_ppm div {_PPM}").cast("bigint") + F.when(
+        bucket_ppm < F.col("weight_ppm") % _PPM, 1
+    ).otherwise(0)
+    return (
+        # broadcast-safe: weights has one row per language — bounded
+        # by the language-code domain, not the corpus
+        docs.join(F.broadcast(weights), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "weight_ppm",
+            n_copies.cast("bigint").alias("n_copies"),
+        )
+        .where(F.col("n_copies") >= 1)
+    )

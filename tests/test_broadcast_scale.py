@@ -95,6 +95,8 @@ CASES = [
     "mixture_lang_weights",
     "embedding_label_centroids",
     "pipeline_clean_corpus",
+    "mixture_sample_apply",
+    "dedup_containment_quotes",
 ]
 
 #: per-query allowance: subtree is bounded despite scanning a growing
@@ -114,6 +116,9 @@ EXTRA_BOUNDED = {
     "sim_search_topk": r"vec_id#\d+L?\)? = \d+",
     # top-N bigram set: row_number cap against a constant literal
     "text_bigram_coverage": r"\brn#\d+L? <= \d+",
+    # per-language weights: keyed on lang — bounded by the language-
+    # code domain, not the corpus
+    "mixture_sample_apply": r"HashAggregate\(keys=\[lang#",
 }
 
 _NODE_PREFIX = re.compile(r"^[:+\- ]*")
