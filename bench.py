@@ -37,7 +37,8 @@ HEADLINE = [
     "agg_distinct",           # multi-distinct EXPAND
     "scalar_json",            # JSON extraction over events
     "dedup_minhash_near",     # MinHash-LSH sketch + band join + verify
-    "dedup_ngram_jaccard",    # df-capped inverted-index exact Jaccard
+    "dedup_ngram_jaccard",    # lossless prefix-filtered exact Jaccard
+    "dedup_containment_quotes",  # asymmetric containment (quote/subset dedup)
     "stream_session_window",  # session-window stateful agg (batch form)
     "sim_search_topk",        # brute-force cosine top-k over embeddings
     "text_analysis_stats",    # narrow per-doc token statistics
