@@ -928,11 +928,18 @@ def editdist_pairs(names: DataFrame, max_dist: int = 2) -> DataFrame:
     still caught (the bound uses max(|a|,|b|), and a short name posts
     ALL its grams because its per-record prefix threshold clamps to
     1), so the only lossy regime is SHORT×SHORT pairs.  Those are
-    routed through an explicit brute-force leg (ADVICE r6: previously
-    this precondition was documented-but-unenforced, silently
-    dropping pairs) — the short set lives in a ≤ 95^(2·max_dist+1)
-    key space and in practice is tiny, so the cross join is bounded;
-    the union is distinct-ed before the exact verify."""
+    routed through a SymSpell-style DELETE-NEIGHBORHOOD join (ADVICE
+    r6: previously this precondition was documented-but-unenforced,
+    silently dropping pairs): each short name expands to every string
+    reachable by ≤ max_dist character deletions (≤ 16 variants at
+    length ≤ 5, k = 2), and candidates are pairs sharing a variant —
+    lossless, because an optimal alignment lets both sides delete
+    their ≤ k non-matched characters to reach the common aligned
+    subsequence.  Candidate volume tracks TRUE pair volume (e.g. all
+    length-≤k names share the empty variant — but any two such names
+    genuinely are within distance k), so the leg scales with output
+    size rather than quadratically with the short-name count; the
+    union is distinct-ed before the exact verify."""
     from pyspark.sql import Window as _W
 
     names = names.select("name", F.length("name").alias("ln"))
@@ -980,13 +987,38 @@ def editdist_pairs(names: DataFrame, max_dist: int = 2) -> DataFrame:
         .select("name_a", "name_b")
         .distinct()
     )
-    # brute-force leg for the short×short regime the gram filter
-    # cannot cover (see docstring); a short pair sharing a gram also
-    # appears in `cand`, hence the distinct after the union
+    # delete-neighborhood leg for the short×short regime the gram
+    # filter cannot cover (see docstring): k rounds of single-char
+    # deletion expansion build every ≤k-deletion variant, candidates
+    # are short pairs sharing one.  A short pair sharing a gram also
+    # appears in `cand`, hence the distinct after the union.
+    variants = F.array(F.col("name"))
+    for _ in range(max_dist):
+        variants = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    variants,
+                    lambda s: F.concat(
+                        F.array(s),
+                        F.transform(
+                            F.sequence(F.lit(1), F.length(s)),
+                            lambda i: F.concat(
+                                F.substring(s, F.lit(1), i - 1),
+                                F.substring(s, i + 1, F.length(s)),
+                            ),
+                        ),
+                    ),
+                )
+            )
+        )
+    short_var = shorts.select(
+        "name", F.explode(variants).alias("v")
+    )
     short_pairs = (
-        shorts.select(F.col("name").alias("name_a"))
-        .crossJoin(shorts.select(F.col("name").alias("name_b")))
+        short_var.select(F.col("name").alias("name_a"), "v")
+        .join(short_var.select(F.col("name").alias("name_b"), "v"), "v")
         .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
     )
     cand = cand.union(short_pairs).distinct()
     return (

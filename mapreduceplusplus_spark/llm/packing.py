@@ -277,22 +277,57 @@ def pack_bins_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mixture_lang_weights",
-    oracle="""
-    WITH counts AS (
+#: shared weight-formula fragment: per-language census + totals + the
+#: uniform-mix weight in floor-divided ppm — the ONE definition both
+#: ``mixture_lang_weights`` (reports it) and ``mixture_sample_apply``
+#: (applies it) interpolate, Spark side AND oracle side, so the scheme
+#: can never drift between computing and applying
+_LANG_WEIGHTS_SQL = """
+    counts AS (
       SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
     ),
     tot AS (
       SELECT CAST(sum(n_docs) AS BIGINT) AS total,
              count(*) AS n_langs
       FROM counts
+    ),
+    w AS (
+      SELECT c.lang, c.n_docs, t.total, t.n_langs,
+             CAST(t.total * 1000000 // (t.n_langs * c.n_docs) AS BIGINT)
+                 AS weight_ppm
+      FROM counts c, tot t
     )
-    SELECT c.lang, c.n_docs,
-           CAST(c.n_docs * 1000000 // t.total AS BIGINT) AS obs_ppm,
-           CAST(t.total * 1000000 // (t.n_langs * c.n_docs) AS BIGINT)
-               AS weight_ppm
-    FROM counts c, tot t
+"""
+
+
+def _lang_weights(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, total, n_langs, weight_ppm) — the Spark twin of
+    ``_LANG_WEIGHTS_SQL``."""
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count("*").alias("n_langs"),
+    )
+    # broadcast-safe: tot is a 1-row global aggregate
+    return counts.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "total",
+        "n_langs",
+        F.expr("total * 1000000 div (n_langs * n_docs)")
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )
+
+
+@query(
+    "mixture_lang_weights",
+    oracle=f"""
+    WITH {_LANG_WEIGHTS_SQL}
+    SELECT lang, n_docs,
+           CAST(n_docs * 1000000 // total AS BIGINT) AS obs_ppm,
+           weight_ppm
+    FROM w
     """,
 )
 def mixture_lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,23 +346,11 @@ def mixture_lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.  Under-represented languages get weight_ppm > 1e6
     (upsample), over-represented < 1e6 (downsample)."""
     ensure_utc(spark)
-    counts = (
-        load_table(spark, sf_dir, "documents")
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_docs"))
-    )
-    tot = counts.agg(
-        F.sum("n_docs").cast("bigint").alias("total"),
-        F.count("*").alias("n_langs"),
-    )
-    # broadcast-safe: tot is a 1-row global aggregate
-    return counts.join(F.broadcast(tot)).select(
+    return _lang_weights(load_table(spark, sf_dir, "documents")).select(
         "lang",
         "n_docs",
         F.expr("n_docs * 1000000 div total").cast("bigint").alias("obs_ppm"),
-        F.expr("total * 1000000 div (n_langs * n_docs)")
-        .cast("bigint")
-        .alias("weight_ppm"),
+        "weight_ppm",
     )
 
 
@@ -415,19 +438,7 @@ _PPM = 1_000_000
 @query(
     "mixture_sample_apply",
     oracle=f"""
-    WITH counts AS (
-      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
-    ),
-    tot AS (
-      SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_langs
-      FROM counts
-    ),
-    w AS (
-      SELECT c.lang,
-             CAST(t.total * {_PPM} // (t.n_langs * c.n_docs) AS BIGINT)
-                 AS weight_ppm
-      FROM counts c, tot t
-    )
+    WITH {_LANG_WEIGHTS_SQL}
     SELECT doc_id, lang, weight_ppm, n_copies
     FROM (
       SELECT d.doc_id, d.lang, w.weight_ppm,
@@ -470,18 +481,7 @@ def mixture_sample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles a document."""
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    tot = counts.agg(
-        F.sum("n_docs").cast("bigint").alias("total"),
-        F.count("*").alias("n_langs"),
-    )
-    # broadcast-safe: tot is a 1-row global aggregate
-    weights = counts.join(F.broadcast(tot)).select(
-        "lang",
-        F.expr(f"total * {_PPM} div (n_langs * n_docs)")
-        .cast("bigint")
-        .alias("weight_ppm"),
-    )
+    weights = _lang_weights(docs).select("lang", "weight_ppm")
     bucket_ppm = (
         F.expr(
             f"CAST(CAST(doc_id AS DECIMAL(38,0)) * {_MIX_MULT}"

@@ -61,7 +61,11 @@ def _qty():
     return F.round(F.col("l_quantity")).cast("bigint")
 
 
-_QTY_SQL = "CAST(round(l_quantity) AS BIGINT)"
+def _qty_sql(p: str = "") -> str:
+    """The oracle-side twin of ``_qty`` (``p`` = table alias prefix) —
+    interpolated into every oracle so the coercion can never drift
+    per-site again."""
+    return f"CAST(round({p}l_quantity) AS BIGINT)"
 
 
 @query(
@@ -289,7 +293,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
            CAST(sum({_REV_E4_SQL}
                     - CAST(round(p.p_retailprice * 100) AS BIGINT)
-                      * CAST(round(l.l_quantity) AS BIGINT) * 20) AS BIGINT)
+                      * {_qty_sql("l.")} * 20) AS BIGINT)
                AS profit_e4
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
@@ -561,10 +565,10 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q17_small_qty_revenue",
-    oracle="""
+    oracle=f"""
     WITH stats AS (
       SELECT l_partkey,
-             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum({_qty_sql()}) AS BIGINT) AS sum_qty,
              count(*) AS cnt
       FROM lineitem
       GROUP BY l_partkey
@@ -577,7 +581,7 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN stats t ON l.l_partkey = t.l_partkey
     WHERE p.p_brand = 'Brand#1'
       AND p.p_type = 'SMALL'
-      AND 5 * CAST(round(l.l_quantity) AS BIGINT) * t.cnt < t.sum_qty
+      AND 5 * {_qty_sql("l.")} * t.cnt < t.sum_qty
     """,
 )
 def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,16 +625,16 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q18_large_volume_customers",
-    oracle="""
+    oracle=f"""
     SELECT c.c_name, o.o_orderkey,
-           CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+           CAST(sum({_qty_sql("l.")}) AS BIGINT) AS total_qty
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderkey IN
           (SELECT l_orderkey FROM lineitem
            GROUP BY l_orderkey
-           HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+           HAVING sum({_qty_sql()}) > 300)
     GROUP BY c.c_name, o.o_orderkey
     """,
 )
@@ -968,10 +972,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q11_important_stock",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT l.l_partkey,
-             CAST(sum(CAST(round(l.l_quantity) AS BIGINT)
+             CAST(sum({_qty_sql("l.")}
                       * CAST(round(p.p_retailprice * 100) AS BIGINT))
                   AS BIGINT) AS value_cents
       FROM lineitem l
@@ -1035,10 +1039,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q20_dominant_suppliers",
-    oracle="""
+    oracle=f"""
     WITH red96 AS (
       SELECT l.l_suppkey, l.l_partkey,
-             CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+             CAST(sum({_qty_sql("l.")}) AS BIGINT) AS q
       FROM lineitem l
       JOIN part p ON l.l_partkey = p.p_partkey
       WHERE p.p_name LIKE 'red%'

@@ -115,18 +115,28 @@ _BINSRC_N = 8
 def _ensure_binsrc_fixture() -> None:
     import os
 
+    import time
+
     os.makedirs(_BINSRC_DIR, exist_ok=True)
     expected = {f"doc_{i}.bin" for i in range(_BINSRC_N)}
     for name in os.listdir(_BINSRC_DIR):
         # drop anything not in the expected doc_0..doc_7 set (stale
         # files from an older _BINSRC_N, abandoned .tmp writes) BEFORE
         # reading — both engines glob *.bin, so a stray file would
-        # feed both sides identically and hide real drift
-        if name not in expected:
-            try:
-                os.remove(os.path.join(_BINSRC_DIR, name))
-            except OSError:
-                pass
+        # feed both sides identically and hide real drift.  A LIVE
+        # concurrent writer's temp file must survive though (deleting
+        # it between its write and os.replace would break the atomic
+        # temp+rename protocol below), so ".tmp." files are only
+        # reaped once clearly abandoned (>60 s old).
+        if name in expected:
+            continue
+        path = os.path.join(_BINSRC_DIR, name)
+        try:
+            if ".tmp." in name and time.time() - os.path.getmtime(path) < 60:
+                continue
+            os.remove(path)
+        except OSError:
+            pass
     for i in range(_BINSRC_N):
         body = "".join(
             chr(32 + (i * 7 + j) % 95) for j in range(100 * (i + 1))

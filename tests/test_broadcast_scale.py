@@ -119,6 +119,12 @@ EXTRA_BOUNDED = {
     # per-language weights: keyed on lang — bounded by the language-
     # code domain, not the corpus
     "mixture_sample_apply": r"HashAggregate\(keys=\[lang#",
+    # q15 winners: the broadcast side is the rollup EQUALITY-JOINED
+    # against its own 1-row scalar max (ties-kept, ~1 row at any SF) —
+    # the bounding `= mx` condition is in the join node itself
+    "tpch_q15_top_supplier": (
+        r"BroadcastHashJoin \[total_revenue_e4#\d+L?\], \[mx#\d+L?\]"
+    ),
 }
 
 _NODE_PREFIX = re.compile(r"^[:+\- ]*")
@@ -144,10 +150,53 @@ def _subtrees(plan: str, marker: str) -> list[str]:
     return out
 
 
+#: single-input passthrough nodes that preserve-or-shrink row count —
+#: a keys=[] aggregate reached through ONLY these from the exchange
+#: top genuinely bounds the broadcast to 1 row
+_PASSTHROUGH = {
+    "Project",
+    "Filter",
+    "Exchange",
+    "ColumnarToRow",
+    "Sort",
+    "AQEShuffleRead",
+    "InputAdapter",
+    "SubqueryBroadcast",
+    "Coalesce",
+    "BroadcastExchange",
+}
+
+_CODEGEN = re.compile(r"^\*\(\d+\) ")
+
+
+def _node_name(line: str) -> str:
+    body = _CODEGEN.sub("", line[_NODE_PREFIX.match(line).end() :])
+    return body.split("(")[0].split(" ")[0]
+
+
+def _scalar_reduced(sub: str) -> bool:
+    """True iff walking DOWN from the exchange through only
+    passthrough nodes reaches a global (keys=[]) aggregate — i.e. the
+    broadcast side is a 1-row scalar reduction REGARDLESS of what its
+    (possibly growing) input below is.  A keys=[] aggregate buried
+    under a join does NOT count (review r7: the old 'anywhere in the
+    subtree' rule would have passed a hinted broadcast of a growing
+    rollup that merely JOINS a scalar — exactly the driver-OOM class
+    this gate exists to block)."""
+    for line in sub.split("\n"):
+        name = _node_name(line)
+        if name in _PASSTHROUGH:
+            continue
+        if name.endswith("Aggregate"):
+            return bool(
+                re.match(r".*Aggregate\(keys=\[\]", _CODEGEN.sub("", line))
+            )
+        return False  # join / generate / scan / window / union: stop
+    return False
+
+
 def _bounded(sub: str, name: str) -> bool:
-    # a global (keys=[]) aggregate anywhere in the subtree bounds it
-    # to 1 row — the scalar-max / scalar-total / tie-set shapes
-    if re.search(r"Aggregate\(keys=\[\]", sub):
+    if _scalar_reduced(sub):
         return True
     extra = EXTRA_BOUNDED.get(name)
     if extra and re.search(extra, sub):
