@@ -1223,7 +1223,9 @@ _CONTAIN_ORACLE = f"""
 
 
 @query("dedup_containment_quotes", oracle=_CONTAIN_ORACLE)
-def dedup_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_containment_quotes(
+    spark: SparkSession, sf_dir: str, prefix: bool = True
+) -> DataFrame:
     """Asymmetric-containment detection (quote / subset dedup): ordered
     pairs (a, b) whose shingle CONTAINMENT ``|S_a ∩ S_b| / |S_a|`` is
     ≥ 0.8 — the doc-in-doc relation symmetric Jaccard cannot see (a
@@ -1274,11 +1276,15 @@ def dedup_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n"),
         )
     )
-    # a-side prefix length n - ceil(t*n) + 1, integer-exact
+    # a-side prefix length n - ceil(t*n) + 1, integer-exact;
+    # prefix=False posts EVERYTHING (brute-force inverted index) —
+    # the losslessness pin compares the two
     plen = (
         F.col("n")
         - F.expr(f"({JACCARD_T_NUM}*n + {JACCARD_T_DEN - 1}) div {JACCARD_T_DEN}")
         + F.lit(1)
+        if prefix
+        else F.col("n")
     )
     a = ordered.select(
         F.col("doc_id").alias("da"),

@@ -178,6 +178,26 @@ def test_dedup_prefix_invariance(spark):
     assert filtered == brute
 
 
+def test_containment_prefix_invariance(spark):
+    """Round-7 twin of the jaccard pin for the ASYMMETRIC threshold:
+    the a-side-only prefix filter in ``dedup_containment_quotes`` is
+    provably lossless (containment ≥ t needs overlap ≥ ceil(t·n_a),
+    which must touch a's rarest ``n_a − ceil(t·n_a) + 1`` shingles
+    when the host posts everything) — the ordered pair set must be
+    IDENTICAL with the prefix active vs the brute-force index."""
+    from mapreduceplusplus_spark.llm.dedup import dedup_containment_quotes
+
+    def pairs(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.containment) for r in df.collect()
+        )
+
+    filtered = pairs(dedup_containment_quotes(spark, SF_DIR_ORACLE, prefix=True))
+    brute = pairs(dedup_containment_quotes(spark, SF_DIR_ORACLE, prefix=False))
+    assert len(filtered) > 0
+    assert filtered == brute
+
+
 def test_sort_global_rank_is_true_global_rank(spark):
     """The two-pass distributed rank must equal the naive single-window
     global row_number (checked on the small fixture, where the naive
