@@ -121,3 +121,75 @@ def streaming_join_pipeline(
         "purchase_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_sec"),
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the STREAM-STATIC enrichment join — the third
+    streaming join shape alongside stream-stream (``sjoin``) and the
+    windowed aggregations: an event stream joined against a slowly-
+    changing dimension snapshot (user → segment), then rolled up per
+    (segment, event type) with integer-cent sums.  This is the
+    enrich-then-aggregate topology nearly every production stream runs
+    (attach account/catalog attributes before counting).
+
+    ``static_enrich_stream`` wires the IDENTICAL join + rollup as a
+    real micro-batch pipeline; ``tests/test_streaming.py`` replays
+    batches through it and asserts equality with this batch form —
+    stream-static joins are stateless per micro-batch (the static side
+    is re-resolvable every batch), which is why no watermark is needed,
+    unlike the stream-stream case.
+
+    Scale: the dim side grows linearly with SF, so it joins UNHINTED
+    (AQE broadcast-converts while it fits; at 100 TB Spark shuffles
+    the events micro-batch against a bucketed dim instead of OOMing
+    the driver); the rollup output is |segments|×|event types| — tiny.
+    Value sums ride as integer cents: accumulation-order-exact."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        ev.join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+
+
+def static_enrich_stream(stream: DataFrame, static_dim: DataFrame) -> DataFrame:
+    """Streaming form: the same enrich join + rollup over a streaming
+    events DataFrame and a STATIC (batch) dimension.  Complete-mode
+    aggregation downstream of a stream-static inner join; the static
+    side is re-read per micro-batch, so dimension updates between
+    batches are picked up automatically — the semantics warehouses
+    call a "current-state lookup" join."""
+    return (
+        stream.join(
+            static_dim, stream["user_id"] == static_dim["c_custkey"]
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )

@@ -740,3 +740,76 @@ def test_tws_processor_state_machine_matches_batch_fold():
     assert final == expected
     # update semantics: user 1 got a revision in batch 1 AND batch 2
     assert sum(1 for o in emissions if int(o.iloc[0].user_id) == 1) == 2
+
+
+def test_stream_static_enrich_matches_batch(spark, stream_dirs):
+    """The stream-static enrichment join replayed over TWO
+    micro-batches (complete output mode) must equal the same join +
+    rollup run in batch over the union — stream-static joins are
+    stateless per micro-batch, so the only state is the downstream
+    aggregation's."""
+    from pyspark.sql import functions as F
+
+    from mapreduceplusplus_spark.streaming.sjoin import static_enrich_stream
+
+    src, chk = stream_dirs
+    T = datetime
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY"), (3, "BUILDING")],
+        "c_custkey bigint, c_mktsegment string",
+    )
+    schema = "ts timestamp, user_id bigint, event_type string, value double"
+    b1 = [
+        (T(2024, 1, 1, 10, 0, 0), 1, "click", 1.25),
+        (T(2024, 1, 1, 10, 1, 0), 2, "view", 2.0),
+        (T(2024, 1, 1, 10, 2, 0), 9, "click", 5.0),  # no dim row: dropped
+    ]
+    b2 = [
+        (T(2024, 1, 1, 11, 0, 0), 3, "click", 0.75),
+        (T(2024, 1, 1, 11, 1, 0), 1, "click", 0.5),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/batch1")
+
+    stream = spark.readStream.schema(schema).parquet(f"{src}/batch*")
+    q = (
+        static_enrich_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/batch2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.value_cents)
+        for r in spark.sql("SELECT * FROM enrich_sink").collect()
+    }
+    batch = (
+        spark.createDataFrame(b1 + b2, schema)
+        .join(dim, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+    batched = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.value_cents)
+        for r in batch.collect()
+    }
+    assert streamed == batched
+    # the un-joined user (9) was dropped by the inner join
+    assert ("BUILDING", "click") in streamed
+    assert streamed[("BUILDING", "click")] == (3, 250)
