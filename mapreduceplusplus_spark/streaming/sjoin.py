@@ -162,25 +162,21 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    return (
-        ev.join(cust, F.col("user_id") == F.col("c_custkey"))
-        .groupBy("c_mktsegment", "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("value_cents"),
-        )
-    )
+    # the ONE definition of the join+rollup (review r7: batch form,
+    # streaming form, and the equivalence test previously carried
+    # three hand-maintained copies that could silently drift)
+    return static_enrich_stream(ev, cust)
 
 
 def static_enrich_stream(stream: DataFrame, static_dim: DataFrame) -> DataFrame:
-    """Streaming form: the same enrich join + rollup over a streaming
-    events DataFrame and a STATIC (batch) dimension.  Complete-mode
-    aggregation downstream of a stream-static inner join; the static
-    side is re-read per micro-batch, so dimension updates between
-    batches are picked up automatically — the semantics warehouses
-    call a "current-state lookup" join."""
+    """The enrich join + rollup, usable over a STREAMING events frame
+    (complete-mode aggregation downstream of a stream-static inner
+    join; the static side is re-read per micro-batch, so dimension
+    updates between batches are picked up automatically — the
+    semantics warehouses call a "current-state lookup" join) or over
+    batch frames — ``stream_static_enrich`` and the equivalence test
+    both call THIS definition, so the batch/stream twins cannot
+    drift."""
     return (
         stream.join(
             static_dim, stream["user_id"] == static_dim["c_custkey"]

@@ -578,12 +578,10 @@ def test_image_phash_independent_and_banding_lossless(spark):
 def test_winnowing_detection_guarantee(spark):
     """The winnowing selection guarantee (Schleimer et al.): any shared
     token run of length >= w + k - 1 = 6 words MUST yield a shared
-    fingerprint.  Two otherwise-disjoint documents sharing exactly a
-    6-word run are planted (plus a >= 2-fingerprint overlap via a
-    second run, since the registered query floors at 2); a pair
-    sharing only 5 words must NOT be forced to match by the guarantee
-    — verified over many random plantings by direct fingerprint-set
-    computation."""
+    fingerprint — asserted over 50 random plantings by direct
+    fingerprint-set computation; the Spark HOF pipeline is then
+    cross-checked fingerprint-for-fingerprint against the Python
+    reference on one document."""
     import hashlib
     import random
 
@@ -641,3 +639,56 @@ def test_winnowing_detection_guarantee(spark):
     )
     got = set(hs.select(F.explode(fps).alias("f")).toPandas()["f"])
     assert got == fps_of(a_txt.split())
+
+
+def test_winnowing_registered_query_end_to_end(spark, tmp_path):
+    """Drive the REGISTERED text_winnowing_matches query on a planted
+    corpus written as a documents.parquet fixture: a pair sharing TWO
+    disjoint 6-word runs must surface (each run guarantees >= 1 shared
+    fingerprint, so the query's >= 2 floor passes), and a vocabulary-
+    disjoint pair must NOT appear — exercising the pair join, the
+    doc_a < doc_b ordering, and the HAVING floor the unit test above
+    cannot see."""
+    import random
+
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.llm.textstats import _WIN_K, _WIN_W
+
+    rng = random.Random(11)
+    voc_ab = ["a" + chr(97 + i % 26) + chr(97 + (i // 26) % 26) for i in range(300)]
+    voc_c = ["z" + chr(97 + i % 26) + chr(97 + (i // 26) % 26) for i in range(300)]
+    run_len = _WIN_W + _WIN_K - 1  # 6
+    run1 = [rng.choice(voc_ab) for _ in range(run_len)]
+    run2 = [rng.choice(voc_ab) for _ in range(run_len)]
+    doc_a = (
+        [rng.choice(voc_ab) for _ in range(20)]
+        + run1
+        + [rng.choice(voc_ab) for _ in range(20)]
+        + run2
+        + [rng.choice(voc_ab) for _ in range(20)]
+    )
+    doc_b = (
+        [rng.choice(voc_ab) for _ in range(15)]
+        + run2
+        + [rng.choice(voc_ab) for _ in range(25)]
+        + run1
+        + [rng.choice(voc_ab) for _ in range(15)]
+    )
+    # disjoint vocabulary: cannot share any fingerprint with a/b
+    doc_c = [rng.choice(voc_c) for _ in range(80)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "en", " ".join(doc_a)),
+            (1, "en", " ".join(doc_b)),
+            (2, "en", " ".join(doc_c)),
+        ],
+        "doc_id long, lang string, text string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    rows = (
+        registry.queries()["text_winnowing_matches"](spark, sf_dir).collect()
+    )
+    got = {(r.doc_a, r.doc_b): r.n_shared_fp for r in rows}
+    assert (0, 1) in got and got[(0, 1)] >= 2, got
+    assert all(2 not in pair for pair in got), got

@@ -748,8 +748,6 @@ def test_stream_static_enrich_matches_batch(spark, stream_dirs):
     rollup run in batch over the union — stream-static joins are
     stateless per micro-batch, so the only state is the downstream
     aggregation's."""
-    from pyspark.sql import functions as F
-
     from mapreduceplusplus_spark.streaming.sjoin import static_enrich_stream
 
     src, chk = stream_dirs
@@ -794,17 +792,10 @@ def test_stream_static_enrich_matches_batch(spark, stream_dirs):
         (r.c_mktsegment, r.event_type): (r.n_events, r.value_cents)
         for r in spark.sql("SELECT * FROM enrich_sink").collect()
     }
-    batch = (
-        spark.createDataFrame(b1 + b2, schema)
-        .join(dim, F.col("user_id") == F.col("c_custkey"))
-        .groupBy("c_mktsegment", "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("value_cents"),
-        )
-    )
+    # the SAME builder on a batch frame — the test now checks that
+    # micro-batch replay through complete-mode streaming state equals
+    # single-batch execution of one shared definition
+    batch = static_enrich_stream(spark.createDataFrame(b1 + b2, schema), dim)
     batched = {
         (r.c_mktsegment, r.event_type): (r.n_events, r.value_cents)
         for r in batch.collect()
