@@ -149,6 +149,9 @@ _PRIORITY_ORDER = [
     # salted skew-join machinery, and the composed LLM cleaning
     # pipeline (all stay locally differentialed every pytest run
     # regardless of slot position).
+    # r8 rotation candidates (never driver-checked, oracle-bearing,
+    # added in r7): dedup_containment_quotes, text_winnowing_matches,
+    # mixture_sample_apply, stream_static_enrich.
     "tpch_q6_forecast_revenue",
     "agg_decimal_exact",
     "join_skew_salted",
