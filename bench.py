@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_near",     # MinHash-LSH sketch + band join + verify
     "dedup_ngram_jaccard",    # lossless prefix-filtered exact Jaccard
     "dedup_containment_quotes",  # asymmetric containment (quote/subset dedup)
+    "text_winnowing_matches",  # MOSS winnowing fingerprint matching
     "stream_session_window",  # session-window stateful agg (batch form)
     "sim_search_topk",        # brute-force cosine top-k over embeddings
     "text_analysis_stats",    # narrow per-doc token statistics
