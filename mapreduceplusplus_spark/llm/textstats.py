@@ -1006,27 +1006,43 @@ def text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection per document; the only shuffle is the fingerprint
     equi-join (hot boilerplate fingerprints are the skew risk — AQE
     skew-split backstops, and raising w thins the index).  The ≥ 2
-    shared-fingerprint floor suppresses single-collision noise."""
+    shared-fingerprint floor suppresses single-collision noise.  The
+    fingerprint table feeds BOTH self-join sides, so it is persisted
+    via the shared dedup memo (same pattern/cache as the containment
+    postings — ``release_shingles`` drops it); the md5+winnow stage
+    runs once, not twice.  The scan is ``_spread`` first: a no-op on
+    many-file inputs, one tiny shuffle on single-split fixtures so
+    hashing parallelizes across the cluster."""
+    # lazy import: keeps llm.dedup's registration position in the
+    # module list unchanged (registry order invariant — see ADVICE r6
+    # on advanced.py/tpch.py)
+    from mapreduceplusplus_spark.llm.dedup import _persisted_aux, _spread
+
     ensure_utc(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _toks(F.col("text")).alias("ws")).where(
-        F.size("ws") >= _WIN_K
-    )
-    k = F.greatest(F.size("ws") - (_WIN_K - 1), F.lit(0))
-    z = F.arrays_zip(*[F.slice("ws", j + 1, k) for j in range(_WIN_K)])
-    grams = F.transform(
-        z, lambda x: F.md5(F.concat_ws(" ", *[x[str(j)] for j in range(_WIN_K)]))
-    )
-    hs = toks.select("doc_id", grams.alias("hs")).where(
-        F.size("hs") >= _WIN_W
-    )
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs") - (_WIN_W - 1)),
-            lambda i: F.array_min(F.slice("hs", i, _WIN_W)),
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+
+    def _build_fp() -> DataFrame:
+        toks = docs.select("doc_id", _toks(F.col("text")).alias("ws")).where(
+            F.size("ws") >= _WIN_K
         )
-    )
-    fp = hs.select("doc_id", F.explode(fps).alias("fp"))
+        k = F.greatest(F.size("ws") - (_WIN_K - 1), F.lit(0))
+        z = F.arrays_zip(*[F.slice("ws", j + 1, k) for j in range(_WIN_K)])
+        grams = F.transform(
+            z,
+            lambda x: F.md5(F.concat_ws(" ", *[x[str(j)] for j in range(_WIN_K)])),
+        )
+        hs = toks.select("doc_id", grams.alias("hs")).where(
+            F.size("hs") >= _WIN_W
+        )
+        fps = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - (_WIN_W - 1)),
+                lambda i: F.array_min(F.slice("hs", i, _WIN_W)),
+            )
+        )
+        return hs.select("doc_id", F.explode(fps).alias("fp"))
+
+    fp = _persisted_aux((spark, sf_dir, "winnow_fp"), _build_fp)
     return (
         fp.alias("a")
         .join(
