@@ -1056,3 +1056,129 @@ def text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_fp"))
         .where(F.col("n_shared_fp") >= 2)
     )
+
+
+#: BM25 ranked-retrieval parameters (Robertson/Spärck Jones; the
+#: Lucene-default shape): k1 saturates term frequency, b normalizes
+#: document length, idf is ln(1 + (N − df + ½)/(df + ½)) ≥ 0.
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("spark", "hash", "customer")
+_BM25_TOPK = 20
+
+
+def _bm25_sql() -> str:
+    """DuckDB oracle assembled from the same per-term pieces the Spark
+    side uses, in the same left-to-right order, so the double-precision
+    score agrees bit-for-bit (same avg, same ln, same + chain)."""
+    tf = ", ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln(1 + (n - df{i} + 0.5)/(df{i} + 0.5))"
+        f" * tf{i}*({_BM25_K1} + 1)"
+        f"/(tf{i} + {_BM25_K1}*(1 - {_BM25_B} + {_BM25_B}*dl/avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, len(ws) AS dl, {tf}
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents)
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl, {dfs}
+      FROM tf
+    ),
+    scored AS (SELECT doc_id, {score} AS score FROM tf, stats)
+    SELECT doc_id, round(score, 3) + 0 AS bm25,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+    FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+    """
+
+
+@query("text_bm25_search", oracle=_bm25_sql())
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a fixed
+    conjunctive-free term query and return the top-k — the classic
+    relevance layer of a corpus search / retrieval-augmented pipeline
+    (the ranking counterpart of ``text_idf_topterms``, which surfaces
+    terms, not documents).  Okapi BM25 with the Lucene-shape
+    nonnegative idf ``ln(1 + (N − df + ½)/(df + ½))``, k1=1.2, b=0.75.
+
+    Scale shape (the reason BM25 fits 100 TB where a generic score-
+    then-sort does not): per-term tf and doclen are ``size(filter(…))``
+    expressions on the token array — ZERO explode, zero shuffle; the
+    corpus statistics (N, avgdl, per-term df) reduce to ONE row which
+    is broadcast back, so the scoring pass is map-side; the only
+    "sort" is ``orderBy.limit(k)`` → TakeOrderedAndProject (per-
+    partition heap + driver merge of k·P rows, never a global sort).
+    Two scans of the corpus total (stats pass, scoring pass) — at
+    100 TB you'd snapshot the 1-row stats instead of rescanning, which
+    is exactly what the broadcast join models.  Zero-score documents
+    (no query term present) are dropped before the heap.
+
+    Engine-exactness: score is a 3-term ``+`` chain of doubles built
+    in the same order as the oracle SQL; ties (identical tf vector and
+    doclen → identical double) are broken by doc_id on both engines.
+    Reference heritage: none (the reference engine has no retrieval;
+    SURVEY §2 charter extension)."""
+    from pyspark.sql import Window
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _toks(F.col("text"))
+    def _is(t: str):
+        # factory keeps the lambda exactly ONE-argument — pyspark
+        # dispatches on arity, a default-arg closure would become the
+        # (element, index) form (see _stop_hits / dedup._minhash)
+        return lambda w: w == F.lit(t)
+
+    tf_cols = [
+        F.size(F.filter(ws, _is(t))).alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    tf = docs.select("doc_id", F.size(ws).alias("dl"), *tf_cols)
+    stats = tf.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    # broadcast-safe: stats is a 1-row global aggregate
+    scored = tf.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        part = (
+            idf
+            * F.col(f"tf{i}")
+            * (_BM25_K1 + 1)
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    scored = scored.select("doc_id", score.alias("score")).where(
+        F.col("score") > 0
+    )
+    topk = scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return topk.select(
+        "doc_id",
+        (F.round("score", 3) + F.lit(0.0)).alias("bm25"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )

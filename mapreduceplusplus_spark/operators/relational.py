@@ -629,3 +629,77 @@ def maintenance_partition_skew_report(
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.expr("n_rows * 10000 div mean_rows").cast("bigint").alias("vs_mean_bp"),
     )
+
+
+@query(
+    "dq_benford_deviation",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    per_digit AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n
+      FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total FROM per_digit)
+    SELECT p.digit,
+           CAST(p.n AS BIGINT) AS n,
+           CAST(p.n * 10000 // t.total AS BIGINT) AS share_bp,
+           CAST(floor(log10(1 + 1.0/p.digit) * 10000) AS BIGINT) AS benford_bp,
+           CAST(p.n * 10000 // t.total
+                - CAST(floor(log10(1 + 1.0/p.digit) * 10000) AS BIGINT)
+                AS BIGINT) AS dev_bp
+    FROM per_digit p, tot t
+    ORDER BY digit
+    """,
+)
+def dq_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of a monetary column: the observed
+    share of each leading significant digit of ``o_totalprice`` vs the
+    Benford expectation ``log10(1 + 1/d)`` — the classic anomaly /
+    fabrication screen for financial columns (synthetic or truncated
+    data shows up as a flat digit histogram; Benford-conforming data
+    decays 30.1% → 4.6%).  A data-quality monitor alongside
+    ``dq_profile_all_columns``: run per ingest batch and alert on
+    ``dev_bp`` drift.
+
+    Engine-exactness: the leading digit is taken from the DECIMAL
+    STRING of the integer cents value (the repo's cents convention —
+    no float log10 on the data path), shares are floor-divided basis
+    points, and the Benford expectation is ``floor(log10 · 10⁴)`` of
+    an irrational constant — integer everywhere a boundary could flip.
+
+    Scale: one map-side-combined rollup to ≤ 9 rows, a 1-row total
+    re-aggregate broadcast back — the fact table is scanned once; no
+    shuffle wider than 9 rows.  Reference heritage: none (SURVEY §2
+    charter extension, dq family)."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.where(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    per_digit = cents.groupBy(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("digit")
+    ).agg(F.count("*").alias("n"))
+    tot = per_digit.agg(F.sum("n").alias("total"))
+    benford_bp = F.floor(
+        F.log10(F.lit(1) + F.lit(1.0) / F.col("digit")) * 10000
+    ).cast("bigint")
+    # broadcast-safe: tot is a 1-row scalar re-aggregate
+    return (
+        per_digit.join(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("n * 10000 div total").cast("bigint").alias("share_bp"),
+            benford_bp.alias("benford_bp"),
+            (F.expr("n * 10000 div total").cast("bigint") - benford_bp)
+            .cast("bigint")
+            .alias("dev_bp"),
+        )
+        .orderBy("digit")
+    )

@@ -151,7 +151,8 @@ _PRIORITY_ORDER = [
     # regardless of slot position).
     # r8 rotation candidates (never driver-checked, oracle-bearing,
     # added in r7): dedup_containment_quotes, text_winnowing_matches,
-    # mixture_sample_apply, stream_static_enrich.
+    # mixture_sample_apply, stream_static_enrich, text_bm25_search,
+    # dq_benford_deviation.
     "tpch_q6_forecast_revenue",
     "agg_decimal_exact",
     "join_skew_salted",

@@ -692,3 +692,37 @@ def test_winnowing_registered_query_end_to_end(spark, tmp_path):
     got = {(r.doc_a, r.doc_b): r.n_shared_fp for r in rows}
     assert (0, 1) in got and got[(0, 1)] >= 2, got
     assert all(2 not in pair for pair in got), got
+
+
+def test_bm25_ranking_semantics(spark, tmp_path):
+    """Pin the three BM25 behaviors on a planted corpus: (1) higher tf
+    of a query term ranks higher, (2) at equal tf a LONGER document
+    ranks lower (b-length normalization), (3) documents containing no
+    query term are absent, and the materialized rnk is the achieved
+    dense 1..k order."""
+    from mapreduceplusplus_spark import registry
+
+    filler = ["qq" + chr(97 + i) for i in range(20)]  # never a query term
+    mk = lambda words: " ".join(words)
+    docs = [
+        # tf(spark)=4, short
+        (0, "en", mk(["spark"] * 4 + filler[:8])),
+        # tf(spark)=1, same length as doc 2's prefix (short)
+        (1, "en", mk(["spark"] + filler[:11])),
+        # tf(spark)=1, 5x longer -> length-normalized below doc 1
+        (2, "en", mk(["spark"] + filler * 3)),
+        # no query terms at all
+        (3, "en", mk(filler[:12])),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, text string"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    rows = registry.queries()["text_bm25_search"](spark, sf_dir).collect()
+    order = [r.doc_id for r in rows]
+    assert order == [0, 1, 2], order          # tf then length-norm
+    assert [r.rnk for r in rows] == [1, 2, 3]
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert 3 not in order                      # zero-score doc dropped

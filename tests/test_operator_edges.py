@@ -843,3 +843,32 @@ def test_conf_for_scale_arithmetic():
     # 10 TiB / 200 MiB = 52428 partitions > 2*1600 floor
     assert small != mid
     assert int(mid["spark.sql.shuffle.partitions"]) == (10 << 40) // (200 << 20)
+
+
+def test_benford_deviation_planted_digits(spark, tmp_path):
+    """Pin dq_benford_deviation's digit extraction and integer basis-
+    point math on a planted orders fixture: leading digit comes from
+    the CENTS integer (12.34 -> 1234 -> digit 1), non-positive amounts
+    are excluded, and share_bp is the floor-divided share of the
+    INCLUDED rows."""
+    from mapreduceplusplus_spark import registry
+
+    prices = [12.34, 1.00, 199.99,   # digit 1 (cents 1234, 100, 19999)
+              25.50, 0.29,           # digit 2 (2550, 29)
+              9.99,                  # digit 9 (999)
+              0.0]                   # excluded by o_totalprice > 0
+    rows = [(i, float(p)) for i, p in enumerate(prices)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/orders.parquet")
+
+    got = {
+        r.digit: r
+        for r in registry.queries()["dq_benford_deviation"](spark, sf_dir).collect()
+    }
+    assert set(got) == {1, 2, 9}
+    assert got[1].n == 3 and got[2].n == 2 and got[9].n == 1
+    assert got[1].share_bp == 3 * 10000 // 6      # 6 included rows
+    assert got[9].benford_bp == 457               # floor(log10(10/9)*1e4)
+    assert got[9].dev_bp == got[9].share_bp - 457
