@@ -949,3 +949,77 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, 'none') AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every ``purchase`` conversion
+    credits its value to the user's most recent PRECEDING non-purchase
+    event type (the channel proxy: click/view/signup/error), then
+    revenue rolls up per attributed channel — the marketing-analytics
+    counterpart of ``window_funnel`` (which asks *did* the sequence
+    complete; attribution asks *who gets credit* for it).  A
+    conversion with no prior touch in the stream attributes to
+    ``'none'`` rather than being dropped, so the rollup always
+    accounts for every conversion.
+
+    The carry is ``last(channel_or_null, ignorenulls=True)`` over
+    ``ROWS … AND 1 PRECEDING`` — strictly-before semantics, so a
+    purchase can never attribute to itself even if a touch shares its
+    timestamp (ties are totally ordered by (ts, event_id)).  First-
+    touch attribution is the same plan with an UNBOUNDED-FOLLOWING
+    ``first``; time-decayed multi-touch needs the per-touch weights of
+    ``window_decay_ema``.
+
+    Scale: ONE hash exchange on user_id serves the whole carry (the
+    window sort is per-user, no global sort); the purchase filter
+    cannot push below the window (the carry must see non-purchase
+    rows — that is the operator) but the rollup output is |channels|+1
+    rows, map-side combined.  Integer cents.  Reference heritage:
+    none (SURVEY §2 charter extension, events family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("channel"),
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

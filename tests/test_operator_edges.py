@@ -872,3 +872,46 @@ def test_benford_deviation_planted_digits(spark, tmp_path):
     assert got[1].share_bp == 3 * 10000 // 6      # 6 included rows
     assert got[9].benford_bp == 457               # floor(log10(10/9)*1e4)
     assert got[9].dev_bp == got[9].share_bp - 457
+
+
+def test_attribution_strictly_before_and_none_bucket(spark, tmp_path):
+    """Pin events_attribution_last_touch's two edges on a planted
+    events fixture: (1) a touch sharing the purchase's TIMESTAMP but
+    with a lower event_id attributes (ties totally ordered by
+    (ts, event_id)) while the purchase itself never self-attributes,
+    and (2) a user's first-ever event being a purchase lands in the
+    'none' bucket instead of vanishing."""
+    import datetime as dt
+
+    from mapreduceplusplus_spark import registry
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click at t0, purchase at the SAME ts (higher id)
+        (1, t0, 1, "click", 0.0, None),
+        (2, t0, 1, "purchase", 10.0, None),
+        # user 1: later purchase -> still last-touch 'click'
+        (3, t0 + dt.timedelta(minutes=5), 1, "purchase", 5.0, None),
+        # user 2: purchase with no prior touch -> 'none'
+        (4, t0, 2, "purchase", 7.0, None),
+        # user 2: touch AFTER the purchase must not attribute backwards
+        (5, t0 + dt.timedelta(minutes=1), 2, "view", 0.0, None),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        r.channel: r
+        for r in registry.queries()["events_attribution_last_touch"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == {"click", "none"}
+    assert got["click"].n_conversions == 2          # same-ts + later purchase
+    assert got["click"].revenue_cents == 1500
+    assert got["none"].n_conversions == 1           # no prior touch
+    assert got["none"].revenue_cents == 700
