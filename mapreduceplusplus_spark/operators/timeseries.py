@@ -1023,3 +1023,105 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("revenue_cents"),
         )
     )
+
+
+#: CUSUM alarm threshold in integer cents (one-sided, upper): flag when
+#: the cumulative positive drift of a series vs its own mean exceeds
+#: this many cents.
+_CUSUM_H_CENTS = 50_000
+
+
+@query(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    mu AS (
+      SELECT event_type, sum(c) // count(*) AS mu_c
+      FROM cents GROUP BY event_type
+    ),
+    pre AS (
+      SELECT c.event_type, c.ts, c.event_id, c.c - m.mu_c AS y
+      FROM cents c JOIN mu m USING (event_type)
+    ),
+    prefix AS (
+      SELECT event_type, ts, event_id,
+             sum(y) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s
+      FROM pre
+    ),
+    walk AS (
+      SELECT event_type, s,
+             min(s) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lo
+      FROM prefix
+    )
+    SELECT event_type,
+           CAST(max(s - lo) AS BIGINT)                    AS max_cusum_cents,
+           CAST(sum(CASE WHEN s - lo > {_CUSUM_H_CENTS}
+                         THEN 1 ELSE 0 END) AS BIGINT)    AS n_alarm_rows
+    FROM walk GROUP BY event_type
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per event-type series (Page
+    1954): the classic sequential changepoint statistic ``s_i =
+    max(0, s_{{i-1}} + (x_i − μ))``, alarming when the accumulated
+    upward drift exceeds a threshold — the monitoring layer that
+    catches a slow mean shift ``events_seasonal_deviation``'s
+    per-bucket z-scores can't see (each bucket looks individually
+    normal; the drift only shows cumulatively).
+
+    The implementation point: the ``max(0, ·)`` RECURSION is not a
+    window aggregate, but it has an exact closed form — ``s_i = S_i −
+    min_{{j≤i}} S_j`` where ``S`` is the plain prefix sum of the
+    deviations (resetting at zero is exactly "subtract the running
+    minimum of the walk").  That turns a seemingly
+    inherently-sequential fold into TWO stock window aggregates over
+    one (ts, event_id)-ordered frame — no applyInPandas, no recursion,
+    and DuckDB verifies the identity with its own window engine.
+
+    Integer cents throughout (per-series mean as floor-divided cents),
+    so the walk is accumulation-order-exact on both engines.
+
+    Scale: one hash exchange on event_type; the two windows share the
+    single per-series sort.  Series count is the parallelism floor —
+    at 100 TB you'd sub-split each series by epoch and stitch the
+    per-epoch walks with the same prefix-sum trick
+    (``pack_concat_chunks`` does exactly that two-pass composition).
+    Reference heritage: none (SURVEY §2 charter extension)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    mu = ev.groupBy("event_type").agg(
+        F.expr("sum(c) div count(*)").alias("mu_c")
+    )
+    # broadcast-safe: mu is one row per event type (|types| rows)
+    pre = ev.join(F.broadcast(mu), "event_type").select(
+        "event_type", "ts", "event_id", (F.col("c") - F.col("mu_c")).alias("y")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = pre.select(
+        "event_type", "ts", "event_id", F.sum("y").over(w).alias("s")
+    )
+    walk = prefix.select(
+        "event_type", "s", F.min("s").over(w).alias("lo")
+    )
+    cusum = F.col("s") - F.col("lo")
+    return walk.groupBy("event_type").agg(
+        F.max(cusum).cast("bigint").alias("max_cusum_cents"),
+        F.sum((cusum > _CUSUM_H_CENTS).cast("int"))
+        .cast("bigint")
+        .alias("n_alarm_rows"),
+    )

@@ -152,7 +152,8 @@ _PRIORITY_ORDER = [
     # r8 rotation candidates (never driver-checked, oracle-bearing,
     # added in r7): dedup_containment_quotes, text_winnowing_matches,
     # mixture_sample_apply, stream_static_enrich, text_bm25_search,
-    # dq_benford_deviation, events_attribution_last_touch.
+    # dq_benford_deviation, events_attribution_last_touch,
+    # events_cusum_drift.
     "tpch_q6_forecast_revenue",
     "agg_decimal_exact",
     "join_skew_salted",

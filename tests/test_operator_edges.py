@@ -915,3 +915,42 @@ def test_attribution_strictly_before_and_none_bucket(spark, tmp_path):
     assert got["click"].revenue_cents == 1500
     assert got["none"].n_conversions == 1           # no prior touch
     assert got["none"].revenue_cents == 700
+
+
+def test_cusum_closed_form_matches_recursive_fold(spark, tmp_path):
+    """The load-bearing claim of events_cusum_drift: the window
+    closed form S_i - min_{j<=i} S_j equals the textbook recursion
+    s_i = max(0, s_{i-1} + y_i). Verify on a planted single-series
+    fixture against a literal Python fold, including the alarm count
+    at a small threshold."""
+    import datetime as dt
+    import random
+
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.operators.timeseries import _CUSUM_H_CENTS
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [round(rng.uniform(0, 120), 2) for _ in range(400)]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "click", v, None)
+        for i, v in enumerate(vals)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    [got] = registry.queries()["events_cusum_drift"](spark, sf_dir).collect()
+
+    cents = [round(v * 100) for v in vals]
+    mu = sum(cents) // len(cents)           # floor-divided, like the query
+    s, mx, alarms = 0, 0, 0
+    for c in cents:
+        s = max(0, s + (c - mu))            # the textbook recursion
+        mx = max(mx, s)
+        alarms += s > _CUSUM_H_CENTS
+    assert got.max_cusum_cents == mx
+    assert got.n_alarm_rows == alarms
