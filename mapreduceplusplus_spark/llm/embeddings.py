@@ -171,3 +171,122 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_mean_e6"),
         )
     )
+
+
+#: PCA micro-unit quantization scale: embeddings are O(1)-magnitude
+#: floats; 1e6 keeps every Gram product within BIGINT at petascale row
+#: counts per cell.
+_PCA_MICRO = 1_000_000
+
+
+@query("embedding_pca_project")  # no SQL oracle: eigenvector extraction
+# isn't SQL-expressible; pinned by tests/test_embeddings.py against an
+# independent numpy eigendecomposition of the same covariance plus
+# variance-maximality and exact-determinism properties
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component projection of the embedding corpus —
+    the dimensionality-reduction / drift-monitoring primitive (PCA
+    whitening before clustering, "is today's embedding distribution
+    rotated vs yesterday's"), and the missing linear-algebra member of
+    the embeddings family (quantize = storage, centroids = labels,
+    PCA = geometry).
+
+    Two-pass structure, both passes scale-shaped:
+
+    1. **Exact distributed Gram accumulation.**  Embeddings are
+       quantized to integer micro-units; each Arrow batch contributes
+       ``Xᵀ X`` (d², int64), ``Σx`` (d) and a row count via one
+       ``mapInPandas`` — numpy does the d²-per-batch work C-side, the
+       per-partition partials are (#batches)×(d²+d+1) rows, and the
+       final combine is a posexplode + SUM over integer cells: exact
+       under ANY accumulation order (the float alternative differs per
+       run when partitioning changes — same contract as
+       ``embedding_label_centroids``).  No driver collect of
+       partition partials: the combine is a shuffle of d²+d+1 ≈ 4k
+       keyed longs regardless of corpus size or task count.
+    2. **Driver eigenvector, map-side projection.**  The d×d
+       covariance (derived from the ONE combined row set) is constant-
+       size; ``numpy.linalg.eigh`` plus a largest-|component|-positive
+       sign convention yields a deterministic unit PC1 (power
+       iteration was rejected: near-isotropic spectra — exactly what
+       a healthy embedding corpus looks like — give it an arbitrarily
+       small eigengap and therefore unbounded iteration counts; the
+       d×d dense solve is constant work).  The projection pass broadcasts (μ, v)
+       as literals and emits ``pc1 = Σ (x_microᵢ − μ_microᵢ)·vᵢ /
+       MICRO`` — a zero-shuffle codegen'd ``aggregate()`` over the
+       original scan, deterministic because every operand is derived
+       from integers in a fixed expression order.
+
+    At 100 TB: pass 1 is one scan + a 4k-cell shuffle; pass 2 is one
+    scan; the driver holds d² doubles.  Top-k components = the same
+    plan with deflation or a (d×k) subspace iteration — k driver-side
+    matmuls, no new distributed machinery.  Reference heritage: none
+    (SURVEY §2 charter extension, embeddings family)."""
+    import numpy as np
+    import pandas as pd
+
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = 0  # resolved below from the first schema probe-free batch
+    micro = _PCA_MICRO
+
+    def _partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xi = np.rint(x * micro).astype(np.int64)
+            gram = xi.T @ xi                       # (d, d) int64, exact
+            sumx = xi.sum(axis=0, dtype=np.int64)  # (d,)
+            cells = np.concatenate(
+                [gram.ravel(), sumx, np.array([len(xi)], dtype=np.int64)]
+            )
+            yield pd.DataFrame(
+                {"idx": np.arange(len(cells), dtype=np.int64), "val": cells}
+            )
+
+    cells = (
+        emb.select("embedding")
+        .mapInPandas(_partials, "idx long, val long")
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    if not cells:
+        return emb.select(
+            "vec_id", "label", F.lit(0.0).alias("pc1")
+        ).limit(0)
+    vals = {r.idx: r.val for r in cells}
+    total = len(vals)
+    d = int(round((-1 + (1 + 4 * (total - 1)) ** 0.5) / 2))  # d² + d + 1 cells
+    gram = np.array(
+        [[vals[i * d + j] for j in range(d)] for i in range(d)], dtype=np.float64
+    )
+    sumx = np.array([vals[d * d + i] for i in range(d)], dtype=np.float64)
+    n = float(vals[d * d + d])
+    mu = sumx / n
+    cov = gram / n - np.outer(mu, mu)              # micro²-scaled covariance
+    _, vecs = np.linalg.eigh(cov)                  # ascending eigenvalues
+    v = vecs[:, -1]
+    if v[int(np.argmax(np.abs(v)))] < 0:           # deterministic sign
+        v = -v
+    mu_lit = F.array(*[F.lit(int(round(m))) for m in mu])
+    v_lit = F.array(*[F.lit(float(c)) for c in v])
+    xm = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * micro).cast("bigint"),
+    )
+    centered = F.zip_with(
+        xm, mu_lit, lambda a, b: (a - b).cast("double")
+    )
+    pc1 = (
+        F.aggregate(
+            F.zip_with(centered, v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        / micro
+    )
+    return emb.select(
+        "vec_id", "label", F.round(pc1, 6).alias("pc1")
+    )

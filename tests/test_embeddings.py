@@ -54,3 +54,33 @@ def test_centroids_match_numpy_integer_recompute(spark):
         # floor-division mean, including negative sums
         want_mean = [s // len(vecs) for s in a.sum(axis=0)]
         assert want_mean == list(got.centroid_mean_e6)
+
+
+def test_pca_projection_matches_independent_recompute(spark):
+    """Pin embedding_pca_project three ways: (1) the projections match
+    an independent single-machine recompute (numpy covariance from the
+    raw table — exercises the distributed integer-Gram plumbing end to
+    end), (2) PC1 variance dominates every coordinate axis (the
+    variance-maximality that DEFINES PCA), and (3) two invocations are
+    row-identical (the integer-Gram determinism contract)."""
+    from mapreduceplusplus_spark.llm.embeddings import (
+        _PCA_MICRO,
+        embedding_pca_project,
+    )
+
+    rows = embedding_pca_project(spark, SF_DIR_ORACLE).collect()
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").collect()
+    X = np.asarray([[float(v) for v in r.embedding] for r in emb])
+    ids = [r.vec_id for r in emb]
+    Xi = np.rint(X * _PCA_MICRO)
+    mu = Xi.mean(axis=0)
+    cov = (Xi.T @ Xi) / len(Xi) - np.outer(mu, mu)
+    _, vecs = np.linalg.eigh(cov)
+    pc = vecs[:, -1]
+    ref = ((Xi - np.rint(mu)) @ pc) / _PCA_MICRO
+    got = np.array([{r.vec_id: r.pc1 for r in rows}[i] for i in ids])
+    cos = abs(got @ ref) / (np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.999999, cos
+    assert got.var() >= X.var(axis=0).max()
+    assert abs(got.mean()) < 1e-3          # centered projection
+    assert rows == embedding_pca_project(spark, SF_DIR_ORACLE).collect()
