@@ -1182,3 +1182,139 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("score", 3) + F.lit(0.0)).alias("bm25"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
+
+
+#: heavy-hitter parameters: report terms whose corpus frequency
+#: strictly exceeds 1/_HH_DEN of all tokens; _HH_K Misra-Gries
+#: counters per Arrow batch (k+1 > 2·_HH_DEN, so the summed
+#: decrement ledger E ≤ n/(k+1) < n/_HH_DEN keeps the filter lossless
+#: AND unseen terms provably light).
+_HH_DEN = 64
+_HH_K = 256
+#: special ledger keys — tokens are [a-z]+ only, so NUL-prefixed keys
+#: cannot collide with a real term
+_HH_NKEY, _HH_DKEY = "\x00n", "\x00d"
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM w),
+    c AS (SELECT term, count(*) AS cnt FROM w GROUP BY term)
+    SELECT term,
+           CAST(cnt AS BIGINT) AS n_occurrences,
+           CAST(cnt * 10000 // n AS BIGINT) AS share_bp
+    FROM c, tot WHERE cnt * {_HH_DEN} > n
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-terms (heavy hitters) with an EXACT answer at sketch
+    cost: every term whose corpus frequency strictly exceeds n/64,
+    found by the classic two-pass scheme — a bounded-memory
+    **Misra-Gries** summary per Arrow batch generates candidates, an
+    exact count of ONLY the candidates verifies them.  This is the
+    third member of the lossless-filter-then-verify signature family
+    (``dedup_ngram_jaccard``'s prefix filter, ``join_fuzzy_editdist``'s
+    q-grams), applied to frequency instead of similarity — and unlike
+    a plain ``GROUP BY term`` it never materializes the full vocabulary
+    shuffle (at 100 TB with web-scale vocab that shuffle IS the cost;
+    MG carries ≤ k rows per batch regardless of vocabulary size).
+
+    Losslessness is an arithmetic invariant, not a hope: each batch
+    emits its token count n_b and its decrement count d_b alongside the
+    ≤ k surviving counters; a term's merged counter undercounts its
+    true frequency by at most E = Σ d_b (each decrement-all removes one
+    occurrence per tracked term), and any term ABSENT from every
+    summary has true count ≤ E.  With k+1 = 257 > 2·64, E ≤ n/257 <
+    n/64 — so the candidate filter ``(lower + E)·64 > n`` provably
+    keeps every true heavy hitter and unseen terms provably cannot
+    qualify.  The ledger rides the same rows as the counters (NUL-
+    prefixed keys no [a-z]+ token can collide with), so the whole
+    decision stays distributed: totals are a 1-row re-aggregate,
+    candidates a broadcast-joined filter — no driver collect.
+
+    Scale: pass 1 is scan + mapInPandas (O(k) memory per batch) + a
+    shuffle of ≤ k·#batches summary rows; pass 2 re-scans with the
+    tiny candidate set broadcast and counts only matching tokens —
+    map-side combined on ≤ |candidates| keys.  Integer basis points.
+    Reference heritage: the reference's wordcount (``mr/word_count.h``)
+    is the exact-count special case; MG is what it becomes when the
+    vocabulary no longer fits the reducers."""
+    import pandas as pd
+
+    # lazy import — keeps llm.dedup's registration position unchanged
+    from mapreduceplusplus_spark.llm.dedup import _persisted_aux, _spread
+
+    ensure_utc(spark)
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(_toks(F.col("text")).alias("ws"))
+
+    def _mg_partials(batches):
+        for pdf in batches:
+            cnt: dict[str, int] = {}
+            n_b = 0
+            d_b = 0
+            for ws in pdf["ws"]:
+                for t in ws:
+                    n_b += 1
+                    if t in cnt:
+                        cnt[t] += 1
+                    elif len(cnt) < _HH_K:
+                        cnt[t] = 1
+                    else:
+                        d_b += 1
+                        for key in list(cnt):
+                            if cnt[key] == 1:
+                                del cnt[key]
+                            else:
+                                cnt[key] -= 1
+            if n_b == 0:
+                continue
+            terms = list(cnt) + [_HH_NKEY, _HH_DKEY]
+            vals = list(cnt.values()) + [n_b, d_b]
+            yield pd.DataFrame({"term": terms, "cnt": vals})
+
+    def _build_partials() -> DataFrame:
+        return (
+            toks.mapInPandas(_mg_partials, "term string, cnt long")
+            .groupBy("term")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    partials = _persisted_aux((spark, sf_dir, "mg_partials"), _build_partials)
+    totals = (
+        partials.where(F.col("term").isin(_HH_NKEY, _HH_DKEY))
+        .groupBy()
+        .pivot("term", [_HH_NKEY, _HH_DKEY])
+        .sum("cnt")
+        .select(F.col(f"`{_HH_NKEY}`").alias("n"), F.col(f"`{_HH_DKEY}`").alias("e"))
+    )
+    cand = (
+        partials.where(~F.col("term").startswith("\x00"))
+        # broadcast-safe: totals is a 1-row (n, E) scalar pair
+        .crossJoin(F.broadcast(totals))
+        .where((F.col("cnt") + F.col("e")) * _HH_DEN > F.col("n"))
+        .select("term")
+    )
+    exploded = toks.select(F.explode("ws").alias("term"))
+    # broadcast-safe: cand is bounded by the merged MG summary size
+    # (≤ k terms above threshold can exist; the +E slack admits few more)
+    exact = (
+        exploded.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        # broadcast-safe: totals is a 1-row scalar pair
+        exact.crossJoin(F.broadcast(totals))
+        .where(F.col("cnt") * _HH_DEN > F.col("n"))
+        .select(
+            "term",
+            F.col("cnt").cast("bigint").alias("n_occurrences"),
+            F.expr("cnt * 10000 div n").cast("bigint").alias("share_bp"),
+        )
+    )

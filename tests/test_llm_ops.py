@@ -726,3 +726,50 @@ def test_bm25_ranking_semantics(spark, tmp_path):
     scores = [r.bm25 for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert 3 not in order                      # zero-score doc dropped
+
+
+def test_heavy_hitters_lossless_under_eviction(spark, tmp_path):
+    """Adversarial pin for text_heavy_hitters: a vocabulary far larger
+    than the per-batch counter budget (so Misra-Gries actually evicts)
+    with one term planted JUST above the n/64 threshold and one just
+    below. The lossless claim: the above-threshold term survives the
+    candidate filter and verifies exactly; the below-threshold term
+    (and every filler) is absent."""
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.llm.dedup import release_shingles
+    from mapreduceplusplus_spark.llm.textstats import _HH_DEN, _HH_K
+
+    # ~6400 distinct filler terms >> _HH_K=256 counters
+    fillers = [
+        "f" + chr(97 + i % 26) + chr(97 + (i // 26) % 26) + chr(97 + (i // 676) % 26)
+        for i in range(6400)
+    ]
+    body = []
+    for rep in range(3):                      # each filler 3x
+        body.extend(fillers)
+    n_filler = len(body)
+    # choose counts so total n makes 'heavyterm' strictly above n/64
+    # and 'lightterm' strictly below: solve around n ~ n_filler + h + l
+    h = (n_filler // (_HH_DEN - 1)) + 40      # comfortably above
+    l_cnt = 10                                # far below
+    body += ["heavyterm"] * h + ["lightterm"] * l_cnt
+    n = len(body)
+    assert h * _HH_DEN > n and l_cnt * _HH_DEN < n
+    import random
+
+    rng = random.Random(3)
+    rng.shuffle(body)
+    # split across several docs so batches see mixed streams
+    docs, per = [], 2000
+    for i in range(0, len(body), per):
+        docs.append((i // per, "en", " ".join(body[i : i + per])))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, text string"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    release_shingles()                        # no stale mg_partials
+    rows = registry.queries()["text_heavy_hitters"](spark, sf_dir).collect()
+    release_shingles()
+    got = {r.term: r.n_occurrences for r in rows}
+    assert got == {"heavyterm": h}, got
