@@ -850,3 +850,115 @@ def window_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c3"))
         .alias("n_users"),
     )
+
+
+#: continuous-time decay parameters: 6-hour half-life in microseconds;
+#: exponents clamp at 40 half-lives (the clamp is part of the operator
+#: contract — it is what keeps every 2^(40-k) term an exact integer
+#: < 2^53 so the BIGINT sum is accumulation-order-exact; a 240-day-old
+#: event's true weight 2^-960 is 0 in any double anyway)
+_TDECAY_HL_US = 6 * 3600 * 1_000_000
+_TDECAY_CLAMP = 40
+
+
+@query(
+    "window_decay_time_halflife",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS tus,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             event_id, ts
+      FROM events WHERE user_id < 200
+    )
+    SELECT i.user_id, i.event_id,
+           strftime(i.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           CAST(sum(CAST(power(2, {_TDECAY_CLAMP}
+                     - least((i.tus - j.tus) // {_TDECAY_HL_US},
+                             {_TDECAY_CLAMP})) AS BIGINT) * j.cents)
+                AS BIGINT)
+             / (100.0 * power(2, {_TDECAY_CLAMP})) AS decayed_sum
+    FROM seq i JOIN seq j
+      ON j.user_id = i.user_id AND j.rn BETWEEN i.rn - 19 AND i.rn
+    GROUP BY i.user_id, i.event_id, i.ts
+    """,
+)
+def window_decay_time_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-TIME exponential decay over the last 20 events per
+    user: each event contributes ``value · 2^(−Δt/halflife)`` with Δt
+    measured on the CLOCK, not in row counts — the irregular-sampling
+    twin of ``window_decay_ema`` (whose per-event half-life silently
+    treats a 10-second burst and a 10-day gap as the same amount of
+    forgetting; activity features want wall-clock recency).
+
+    Exactness plays the same integer game as the EMA: Δt quantizes to
+    WHOLE half-lives (``least(Δt_µs div HL_µs, 40)``, integer µs from
+    the instant — no float time math), so every weight ``2^(40−k)`` is
+    an exact integer < 2^53 even through ``power()``'s double, each
+    term ``weight · cents`` stays a BIGINT, and the frame sum is
+    accumulation-order-exact; ONE final division produces the
+    identical double on both engines.  The 40-half-life clamp is the
+    contract that makes this finite (beyond it the true weight
+    underflows any double to 0).
+
+    Spark-first shape: ``collect_list`` frames over one (user_id)
+    window for (cents, epoch-µs) + a ``zip_with``/``aggregate`` fold —
+    pure JVM higher-order functions, no UDF, per-row work capped at
+    the 20-element frame.  The oracle is the banded self-join an
+    HOF-less engine would run (20× the shuffled rows — the reason the
+    window form is the scale path).  One user_id exchange total."""
+    ensure_utc(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 200)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("tus"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    cents_fr = F.collect_list("cents").over(w)
+    tus_fr = F.collect_list("tus").over(w)
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "tus",
+        cents_fr.alias("cf"),
+        tus_fr.alias("tf"),
+    )
+    def k(t):
+        # exact integer floor-div without an `expr` escape (lambdas
+        # can't reference `div`): subtract the modulus first so the
+        # double division is of an EXACT multiple of HL — IEEE
+        # correctly-rounded division of HL·m by HL is exactly m, so
+        # no boundary Δt can round differently from DuckDB's `//`
+        d = F.col("tus") - t
+        whole = d - d % F.lit(_TDECAY_HL_US)
+        return F.least(
+            (whole / F.lit(_TDECAY_HL_US)).cast("bigint"),
+            F.lit(_TDECAY_CLAMP),
+        )
+    terms = F.zip_with(
+        F.col("cf"),
+        F.col("tf"),
+        lambda c, t: F.pow(F.lit(2.0), (F.lit(_TDECAY_CLAMP) - k(t)).cast("double"))
+        .cast("bigint")
+        * c,
+    )
+    big = F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return framed.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        (big / F.lit(100.0 * float(2 ** _TDECAY_CLAMP))).alias("decayed_sum"),
+    )

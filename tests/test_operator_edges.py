@@ -954,3 +954,45 @@ def test_cusum_closed_form_matches_recursive_fold(spark, tmp_path):
         alarms += s > _CUSUM_H_CENTS
     assert got.max_cusum_cents == mx
     assert got.n_alarm_rows == alarms
+
+
+def test_time_decay_halflife_planted_weights(spark, tmp_path):
+    """Pin window_decay_time_halflife's clock semantics on a planted
+    series: events exactly 0, 1, and 2 half-lives before the probe row
+    weigh 1, 1/2, 1/4; an event 100 half-lives back clamps to weight
+    2^-40 (not 2^-100) and its contribution survives EXACTLY in the
+    BIGINT sum; and a sub-half-life gap (Δt just under HL) does not
+    decay at all (whole-half-life quantization)."""
+    import datetime as dt
+
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.operators.windows import (
+        _TDECAY_CLAMP,
+        _TDECAY_HL_US,
+    )
+
+    hl = dt.timedelta(microseconds=_TDECAY_HL_US)
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        (1, t0 - 100 * hl, 7, "click", 64.0, None),   # clamps to 2^-40
+        (2, t0 - 2 * hl, 7, "click", 4.0, None),      # weight 1/4
+        (3, t0 - hl, 7, "click", 2.0, None),          # weight 1/2
+        (4, t0 - hl + dt.timedelta(seconds=1), 7, "click", 8.0, None),  # k=0
+        (5, t0, 7, "click", 1.0, None),               # probe row, weight 1
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        r.event_id: r.decayed_sum
+        for r in registry.queries()["window_decay_time_halflife"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = 1.0 + 8.0 + 2.0 / 2 + 4.0 / 4 + 64.0 * 2.0 ** -_TDECAY_CLAMP
+    assert got[5] == want, (got[5], want)   # exact, not approx
+    assert got[1] == 64.0                   # oldest row sees only itself
