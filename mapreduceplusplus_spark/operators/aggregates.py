@@ -933,3 +933,123 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "agg_linear_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority AS priority,
+             CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS x,
+             CAST(round(o_totalprice) AS BIGINT) AS y
+      FROM orders
+    ),
+    sums AS (
+      SELECT priority,
+             count(*)    AS n,
+             sum(x)      AS sx,
+             sum(y)      AS sy,
+             sum(x * y)  AS sxy,
+             sum(x * x)  AS sxx,
+             sum(y * y)  AS syy
+      FROM pts GROUP BY priority
+    )
+    SELECT priority,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_dollars_per_day,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+           END AS intercept_dollars,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS r2
+    FROM sums
+    """,
+)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend line (the ANSI
+    ``REGR_SLOPE``/``REGR_INTERCEPT``/``REGR_R2`` surface) — revenue
+    drift in dollars/day per order priority — computed the
+    ENGINE-EXACT way: the five moment sums accumulate as BIGINTs of
+    integer (day-offset, whole-dollar) points, and slope / intercept / r²
+    each come out of the closed form with the SAME fixed expression
+    tree on both engines, so the doubles match bit-for-bit.  The
+    built-in ``regr_*`` aggregates were deliberately rejected: they
+    accumulate doubles, so their last-ulp output depends on partition
+    count and merge order — fine for dashboards, unverifiable for a
+    differential harness (same reason ``embedding_label_centroids``
+    sums micro-units, not floats).
+
+    Degenerate groups (n=1 or constant x → zero variance) yield NULL
+    slope/r² via an explicit guard — under ANSI mode an unguarded
+    zero denominator is a runtime error, not a NULL.
+
+    Scale: one map-side-combined rollup to |priorities| rows; no second
+    pass, no join.  The BIGINT moments overflow quadratically — (Σy)²
+    with cents blows int64 at sf0.01 and even whole dollars blow it at
+    sf0.1 (both caught live by ANSI mode; DuckDB's HUGEINT sums would
+    have masked each oracle-side) — so the d-term algebra runs in
+    DECIMAL(38,0) exactly as ``bp_ratio_halfup`` does
+    (``operators/tpch.py``), good to ~1e38 ≈ sf 10⁹.  Each d-term is
+    then cast to double ONCE (correctly-rounded on both engines)
+    before the single division.  Reference heritage: none (SURVEY §2
+    charter extension, agg family)."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("y"),
+    )
+    sums = pts.groupBy("priority").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # DECIMAL(38,0) moment algebra (the bp_ratio_halfup precedent):
+    # (Σy)² already exceeds int64 at sf0.1 group sizes and DuckDB's
+    # HUGEINT sums would mask it oracle-side — the same failure class
+    # the 5× harness caught in the basis-point ratios (SURVEY §6 r6s3)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    dxx = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    dyy = dec("n") * dec("syy") - dec("sy") * dec("sy")
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    slope = F.when(dxx != 0, num.cast("double") / dxx.cast("double"))
+    intercept = F.when(
+        dxx != 0,
+        (
+            F.col("sy").cast("double")
+            - (num.cast("double") / dxx.cast("double"))
+            * F.col("sx").cast("double")
+        )
+        / F.col("n").cast("double"),
+    )
+    r2 = F.when(
+        (dxx != 0) & (dyy != 0),
+        (num.cast("double") * num.cast("double"))
+        / (dxx.cast("double") * dyy.cast("double")),
+    )
+    return sums.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope_dollars_per_day"),
+        intercept.alias("intercept_dollars"),
+        r2.alias("r2"),
+    )

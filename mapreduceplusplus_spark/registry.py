@@ -153,7 +153,8 @@ _PRIORITY_ORDER = [
     # added in r7): dedup_containment_quotes, text_winnowing_matches,
     # mixture_sample_apply, stream_static_enrich, text_bm25_search,
     # dq_benford_deviation, events_attribution_last_touch,
-    # events_cusum_drift, text_heavy_hitters, window_decay_time_halflife.
+    # events_cusum_drift, text_heavy_hitters, window_decay_time_halflife,
+    # agg_linear_trend.
     "tpch_q6_forecast_revenue",
     "agg_decimal_exact",
     "join_skew_salted",

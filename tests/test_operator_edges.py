@@ -996,3 +996,39 @@ def test_time_decay_halflife_planted_weights(spark, tmp_path):
     want = 1.0 + 8.0 + 2.0 / 2 + 4.0 / 4 + 64.0 * 2.0 ** -_TDECAY_CLAMP
     assert got[5] == want, (got[5], want)   # exact, not approx
     assert got[1] == 64.0                   # oldest row sees only itself
+
+
+def test_linear_trend_known_line_and_degenerate_group(spark, tmp_path):
+    """Pin agg_linear_trend on planted points: a perfect line y=3x+7
+    recovers slope=3, intercept=7, r2=1 EXACTLY (integer moments, one
+    division); a single-point group and a constant-x group yield NULL
+    slope/r2 instead of an ANSI division error."""
+    import datetime as dt
+
+    from mapreduceplusplus_spark import registry
+
+    base = dt.datetime(1995, 1, 1)
+    rows = []
+    for x in range(10):                       # y = 3x + 7, exact line
+        rows.append((len(rows), 0, "LINE", float(3 * x + 7),
+                     base + dt.timedelta(days=x)))
+    rows.append((len(rows), 0, "ONEPT", 42.0, base))
+    for _ in range(3):                        # constant x, varying y
+        rows.append((len(rows), 0, "FLATX", float(len(rows)), base))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/orders.parquet")
+
+    got = {
+        r.priority: r
+        for r in registry.queries()["agg_linear_trend"](spark, sf_dir).collect()
+    }
+    assert got["LINE"].slope_dollars_per_day == 3.0
+    assert got["LINE"].intercept_dollars == 7.0
+    assert got["LINE"].r2 == 1.0
+    for g in ("ONEPT", "FLATX"):
+        assert got[g].slope_dollars_per_day is None
+        assert got[g].r2 is None
