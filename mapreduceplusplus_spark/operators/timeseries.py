@@ -1125,3 +1125,70 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alarm_rows"),
     )
+
+
+@query(
+    "ts_interval_sweepline",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE) + CAST((l_orderkey % 20) + 3 AS INTEGER)
+               AS e
+      FROM lineitem
+    ),
+    ev AS (
+      SELECT s AS d, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT e + 1, CAST(-1 AS BIGINT) FROM iv
+    ),
+    agg AS (SELECT d, sum(delta) AS delta FROM ev GROUP BY d)
+    SELECT d,
+           CAST(sum(delta) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS open_shipments
+    FROM agg
+    """,
+)
+def ts_interval_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency via the classic SWEEP LINE: how many
+    shipments are simultaneously in transit on each day — +1 at ship,
+    −1 the day after arrival, one rollup per date, one running sum.
+    This is the "max concurrent sessions / open orders / active
+    connections" question, answered without the quadratic
+    interval-overlap self-join ``join_interval_overlap`` runs (that
+    operator reports WHICH pairs overlap; sweep-line reports HOW MANY
+    are open — O(n) events vs O(n²) candidate pairs).  Transit time is
+    a deterministic synthetic duration ((l_orderkey mod 20)+3 days) —
+    the fixture has no receipt date; the duration rule is fixture
+    plumbing, the sweep is the operator.
+
+    Intervals are CLOSED on both ends: the −1 lands on ``end + 1`` so
+    an arrival day still counts as in-transit — the classic sweep-line
+    off-by-one, pinned by the planted-fixture test.
+
+    Scale shape — the reason this is safe despite an unpartitioned
+    window: the ±1 deltas hash-aggregate BY DATE first (map-side
+    combined), so the running sum sees |distinct days| rows (~2.5k
+    here, ~10⁴ even for decades of data), not |lineitem| rows.  The
+    cumulative window over a bounded date axis is constant work at ANY
+    corpus size; only the delta rollup scales with data, and it is one
+    exchange.  (For an UNBOUNDED axis — e.g. second-resolution sweeps
+    — the two-pass bucket-census prefix sum of ``pack_concat_chunks``
+    replaces the single window.)  Reference heritage: none (SURVEY §2
+    charter extension, timeseries family)."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            ((F.col("l_orderkey") % 20) + 3).cast("int"),
+        ).alias("e"),
+    )
+    ev = li.select(F.col("s").alias("d"), F.lit(1).cast("bigint").alias("delta")).unionAll(
+        li.select(F.date_add("e", 1).alias("d"), F.lit(-1).cast("bigint").alias("delta"))
+    )
+    agg = ev.groupBy("d").agg(F.sum("delta").alias("delta"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return agg.select(
+        "d", F.sum("delta").over(w).cast("bigint").alias("open_shipments")
+    )

@@ -1032,3 +1032,38 @@ def test_linear_trend_known_line_and_degenerate_group(spark, tmp_path):
     for g in ("ONEPT", "FLATX"):
         assert got[g].slope_dollars_per_day is None
         assert got[g].r2 is None
+
+
+def test_sweepline_closed_interval_off_by_one(spark, tmp_path):
+    """Pin ts_interval_sweepline's boundary semantics on two planted
+    shipments: orderkey 20 ships day 0 with duration (20%20)+3 = 3
+    days (in transit days 0..3), orderkey 21 ships day 2 with duration
+    4 (days 2..6). Expected concurrency: day0 1, day2 2, day4 1 (first
+    interval closed through day 3), day7 0."""
+    import datetime as dt
+
+    from mapreduceplusplus_spark import registry
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (20, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t0),
+        (21, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t0 + dt.timedelta(days=2)),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/lineitem.parquet")
+
+    got = {
+        r.d: r.open_shipments
+        for r in registry.queries()["ts_interval_sweepline"](spark, sf_dir).collect()
+    }
+    d = lambda off: (t0 + dt.timedelta(days=off)).date()
+    assert got[d(0)] == 1          # first ships
+    assert got[d(2)] == 2          # overlap begins
+    assert got[d(4)] == 1          # first arrived day 3 (closed), gone day 4
+    assert got[d(7)] == 0          # second arrived day 6, gone day 7
