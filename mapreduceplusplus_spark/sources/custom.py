@@ -193,3 +193,121 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("digest"),
     )
+
+
+#: deterministic dirty-CSV fixture for the PERMISSIVE-quarantine
+#: source — same per-checkout placement rationale as _BINSRC_DIR
+_CSVSRC_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".csvsrc",
+)
+_CSVSRC_PATH = _os.path.join(_CSVSRC_DIR, "dirty.csv")
+#: header + 5 well-formed rows + 3 malformed shapes (token-count
+#: mismatch low/high, non-numeric field) + 1 legal empty-field row
+_CSVSRC_BODY = "\n".join(
+    [
+        "id,kind,amount",
+        "1,click,10.50",
+        "2,view,3.25",
+        "badline-without-commas",
+        "4,purchase,notanumber",
+        "5,click,7.00,extrafield",
+        "6,error,",
+        "7,signup,0.75",
+        "8,view,12.00",
+        "9,click,1.25",
+    ]
+)
+
+
+def _ensure_csvsrc_fixture() -> None:
+    import os
+
+    os.makedirs(_CSVSRC_DIR, exist_ok=True)
+    payload = _CSVSRC_BODY.encode("ascii")
+    current = None
+    if os.path.exists(_CSVSRC_PATH):
+        with open(_CSVSRC_PATH, "rb") as f:
+            current = f.read()
+    if current != payload:
+        tmp = f"{_CSVSRC_PATH}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, _CSVSRC_PATH)
+
+
+@query(
+    "source_csv_quarantine",
+    oracle=f"""
+    WITH lines AS (
+      SELECT unnest(string_split(content, chr(10))) AS line
+      FROM read_text('{_CSVSRC_PATH}')
+    ),
+    body AS (
+      SELECT line, string_split(line, ',') AS p
+      FROM lines WHERE line <> 'id,kind,amount' AND line <> ''
+    ),
+    cls AS (
+      SELECT line, p,
+             NOT (len(p) = 3
+                  AND regexp_matches(p[1], '^-?[0-9]+$')
+                  AND (p[3] = ''
+                       OR regexp_matches(p[3], '^-?[0-9]+(\\.[0-9]+)?$')))
+               AS quarantined
+      FROM body
+    )
+    SELECT CASE WHEN quarantined THEN NULL
+                ELSE CAST(p[1] AS BIGINT) END          AS id,
+           CASE WHEN quarantined THEN NULL ELSE p[2] END AS kind,
+           CASE WHEN quarantined OR p[3] = '' THEN NULL
+                ELSE CAST(round(CAST(p[3] AS DOUBLE) * 100) AS BIGINT)
+           END                                          AS amount_cents,
+           quarantined,
+           CASE WHEN quarantined THEN line END          AS raw
+    FROM cls
+    """,
+)
+def source_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with a malformed-row QUARANTINE — the
+    ingest-side error contract every production loader needs: good
+    rows parse, bad rows survive VERBATIM in a corrupt-record column
+    instead of killing the job (FAILFAST) or silently vanishing
+    (DROPMALFORMED).  The query reads a deterministic dirty fixture
+    (token-count mismatches both directions, a non-numeric field, and
+    one LEGAL empty field that must NOT quarantine) through
+    ``columnNameOfCorruptRecord`` and emits the split: parsed fields
+    for clean rows, (NULLs + raw line) for quarantined ones.
+
+    The oracle is a genuinely independent reimplementation of the
+    quarantine contract: DuckDB reads the same file as raw TEXT
+    (``read_text`` + newline split — not its CSV reader, whose
+    malformed-row policy differs) and classifies each line with
+    regexes.  Two parsers, one declared contract, hash-compared.
+
+    Scale: Spark's CSV source splits large files at newline
+    boundaries and parses per task; the quarantine column rides the
+    row, so triage (count, alert, replay) is ordinary DataFrame work
+    downstream — ``WHERE quarantined`` is a predicate-pushdown-
+    friendly filter, no side channel, no driver involvement.
+    Reference heritage: the reference slurps whole text files and has
+    no malformed-record concept (``src/worker.cc:127-133``); this is
+    the SURVEY §2 charter's ingestion-robustness extension."""
+    ensure_utc(spark)
+    _ensure_csvsrc_fixture()
+    df = (
+        spark.read.schema("id bigint, kind string, amount double, _bad string")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(_CSVSRC_PATH)
+    )
+    q = F.col("_bad").isNotNull()
+    return df.select(
+        F.when(~q, F.col("id")).alias("id"),
+        F.when(~q, F.col("kind")).alias("kind"),
+        F.when(~q, F.round(F.col("amount") * 100).cast("bigint")).alias(
+            "amount_cents"
+        ),
+        q.alias("quarantined"),
+        F.col("_bad").alias("raw"),
+    )
