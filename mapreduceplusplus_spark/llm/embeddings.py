@@ -227,7 +227,6 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    d = 0  # resolved below from the first schema probe-free batch
     micro = _PCA_MICRO
 
     def _partials(batches):
@@ -274,7 +273,11 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_lit = F.array(*[F.lit(float(c)) for c in v])
     xm = F.transform(
         F.col("embedding"),
-        lambda x: F.round(x.cast("double") * micro).cast("bigint"),
+        # rint (half-to-even), NOT round (half-away-from-zero): pass 1
+        # quantized with np.rint, and a coordinate landing exactly on a
+        # .5 micro boundary must project on the SAME integer grid the
+        # eigenvector was derived from
+        lambda x: F.rint(x.cast("double") * micro).cast("bigint"),
     )
     centered = F.zip_with(
         xm, mu_lit, lambda a, b: (a - b).cast("double")

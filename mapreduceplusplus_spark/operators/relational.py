@@ -635,8 +635,9 @@ def maintenance_partition_skew_report(
     "dq_benford_deviation",
     oracle="""
     WITH cents AS (
-      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
-      FROM orders WHERE o_totalprice > 0
+      SELECT c FROM (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      ) WHERE c > 0
     ),
     per_digit AS (
       SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
@@ -677,11 +678,10 @@ def dq_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     charter extension, dq family)."""
     ensure_utc(spark)
     orders = load_table(spark, sf_dir, "orders")
-    cents = orders.where(F.col("o_totalprice") > 0).select(
-        F.round(F.col("o_totalprice") * 100)
-        .cast("bigint")
-        .alias("c")
-    )
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    ).where(F.col("c") > 0)  # on CENTS, not the raw price: 0.001
+    # rounds to 0 cents and a digit of 0 would put 1/0 inside log10
     per_digit = cents.groupBy(
         F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("digit")
     ).agg(F.count("*").alias("n"))

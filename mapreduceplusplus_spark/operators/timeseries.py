@@ -1056,8 +1056,9 @@ _CUSUM_H_CENTS = 50_000
     ),
     walk AS (
       SELECT event_type, s,
-             min(s) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             least(0, min(s) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
                AS lo
       FROM prefix
     )
@@ -1079,9 +1080,12 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The implementation point: the ``max(0, ·)`` RECURSION is not a
     window aggregate, but it has an exact closed form — ``s_i = S_i −
-    min_{{j≤i}} S_j`` where ``S`` is the plain prefix sum of the
-    deviations (resetting at zero is exactly "subtract the running
-    minimum of the walk").  That turns a seemingly
+    min(0, min_{{j≤i}} S_j)`` where ``S`` is the plain prefix sum of
+    the deviations (resetting at zero is exactly "subtract the running
+    minimum of the walk INCLUDING its empty-prefix baseline S₀ = 0" —
+    dropping the 0 understates drift on any series whose walk starts
+    positive; review r7s4 finding, pinned by the planted
+    positive-start test).  That turns a seemingly
     inherently-sequential fold into TWO stock window aggregates over
     one (ts, event_id)-ordered frame — no applyInPandas, no recursion,
     and DuckDB verifies the identity with its own window engine.
@@ -1101,7 +1105,13 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("c"),
     )
     mu = ev.groupBy("event_type").agg(
-        F.expr("sum(c) div count(*)").alias("mu_c")
+        # FLOOR division to match DuckDB's `//` for negative sums too:
+        # Spark `div` truncates toward zero (same negative-sum trap
+        # embedding_label_centroids documents)
+        F.expr(
+            "CASE WHEN sum(c) >= 0 THEN sum(c) div count(*)"
+            " ELSE -((-sum(c) + count(*) - 1) div count(*)) END"
+        ).alias("mu_c")
     )
     # broadcast-safe: mu is one row per event type (|types| rows)
     pre = ev.join(F.broadcast(mu), "event_type").select(
@@ -1116,7 +1126,9 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "ts", "event_id", F.sum("y").over(w).alias("s")
     )
     walk = prefix.select(
-        "event_type", "s", F.min("s").over(w).alias("lo")
+        "event_type",
+        "s",
+        F.least(F.lit(0).cast("bigint"), F.min("s").over(w)).alias("lo"),
     )
     cusum = F.col("s") - F.col("lo")
     return walk.groupBy("event_type").agg(

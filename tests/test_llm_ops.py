@@ -686,9 +686,15 @@ def test_winnowing_registered_query_end_to_end(spark, tmp_path):
         "doc_id long, lang string, text string",
     ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
 
-    rows = (
-        registry.queries()["text_winnowing_matches"](spark, sf_dir).collect()
-    )
+    from mapreduceplusplus_spark.llm.dedup import release_shingles
+
+    release_shingles()  # the query now memoizes its fingerprint table
+    try:
+        rows = (
+            registry.queries()["text_winnowing_matches"](spark, sf_dir).collect()
+        )
+    finally:
+        release_shingles()  # don't leak a tmp_path-keyed persist
     got = {(r.doc_a, r.doc_b): r.n_shared_fp for r in rows}
     assert (0, 1) in got and got[(0, 1)] >= 2, got
     assert all(2 not in pair for pair in got), got

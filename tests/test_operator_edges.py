@@ -856,7 +856,9 @@ def test_benford_deviation_planted_digits(spark, tmp_path):
     prices = [12.34, 1.00, 199.99,   # digit 1 (cents 1234, 100, 19999)
               25.50, 0.29,           # digit 2 (2550, 29)
               9.99,                  # digit 9 (999)
-              0.0]                   # excluded by o_totalprice > 0
+              0.0,                   # excluded: zero
+              0.001]                 # excluded: rounds to 0 CENTS (a
+                                     # digit of 0 would put 1/0 in log10)
     rows = [(i, float(p)) for i, p in enumerate(prices)]
     sf_dir = str(tmp_path)
     spark.createDataFrame(
@@ -870,6 +872,7 @@ def test_benford_deviation_planted_digits(spark, tmp_path):
     assert set(got) == {1, 2, 9}
     assert got[1].n == 3 and got[2].n == 2 and got[9].n == 1
     assert got[1].share_bp == 3 * 10000 // 6      # 6 included rows
+    # (the 0.001 row must NOT be counted in the denominator either)
     assert got[9].benford_bp == 457               # floor(log10(10/9)*1e4)
     assert got[9].dev_bp == got[9].share_bp - 457
 
@@ -1067,3 +1070,30 @@ def test_sweepline_closed_interval_off_by_one(spark, tmp_path):
     assert got[d(2)] == 2          # overlap begins
     assert got[d(4)] == 1          # first arrived day 3 (closed), gone day 4
     assert got[d(7)] == 0          # second arrived day 6, gone day 7
+
+
+def test_cusum_positive_start_keeps_zero_baseline(spark, tmp_path):
+    """Review r7s4 regression: a walk that NEVER dips below zero (big
+    values first, small after) must measure drift against the S0 = 0
+    baseline, not against the running min of actual rows - the
+    row-only min understates max CUSUM by the first deviation."""
+    import datetime as dt
+
+    from mapreduceplusplus_spark import registry
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1000.0, 1000.0, 0.0, 0.0]       # mu=500, walk 500,1000,500,0
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "view", v, None)
+        for i, v in enumerate(vals)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    [got] = registry.queries()["events_cusum_drift"](spark, sf_dir).collect()
+    assert got.max_cusum_cents == 100000    # NOT 50000 (row-only min)
+    assert got.n_alarm_rows == 1            # threshold 50000: one row above
