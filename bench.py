@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",    # lossless prefix-filtered exact Jaccard
     "dedup_containment_quotes",  # asymmetric containment (quote/subset dedup)
     "text_winnowing_matches",  # MOSS winnowing fingerprint matching
+    "text_heavy_hitters",     # Misra-Gries candidates + exact verify
+    "text_bm25_search",       # BM25 ranked retrieval, two map-side passes
     "stream_session_window",  # session-window stateful agg (batch form)
     "sim_search_topk",        # brute-force cosine top-k over embeddings
     "text_analysis_stats",    # narrow per-doc token statistics
