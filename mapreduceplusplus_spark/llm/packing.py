@@ -504,3 +504,76 @@ def mixture_sample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_copies") >= 1)
     )
+
+
+@query(
+    "corpus_mixture_entropy",
+    oracle="""
+    WITH per_src AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+    ),
+    per_lang AS (
+      SELECT lang,
+             sum(n)                                   AS n_docs,
+             sum(n * n)                               AS sum_sq,
+             sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000)
+                          AS BIGINT))                 AS sum_nlnq
+      FROM per_src GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_docs) AS total FROM per_lang)
+    SELECT lang,
+           CAST(n_docs AS BIGINT)                          AS n_docs,
+           CAST(n_docs * 10000 // total AS BIGINT)         AS share_bp,
+           CAST(sum_sq * 10000 // (n_docs * n_docs) AS BIGINT)
+                                                           AS herfindahl_bp,
+           CAST(CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                - sum_nlnq // n_docs AS BIGINT)            AS entropy_micro_nats
+    FROM per_lang, tot
+    """,
+)
+def corpus_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture health diagnostics per language — the "is my
+    training mix collapsing onto one source" monitor that pairs with
+    ``mixture_lang_weights`` (which RESHAPES the mix; this MEASURES
+    it): document share in basis points, source-concentration
+    Herfindahl index (Σp² in bp: 10000 = single-source monoculture,
+    10000/k = k uniform sources), and source-mix Shannon entropy.
+
+    Entropy rides the exact identity ``H = ln N − (Σ n·ln n)/N`` and a
+    QUANTIZED log: each ``ln(n)`` is floored to integer micro-nats
+    once per distinct count, so the Σ is a BIGINT — the naive
+    ``sum(n·ln n)`` of raw doubles is accumulation-order-dependent
+    (different partition merge orders flip last ulps), which is
+    exactly what the differential harness exists to catch.  The
+    operator CONTRACT is the quantized formula; the quantization error
+    is < 1 micro-nat per term.
+
+    Scale: two map-side-combined hash rollups ((lang,source) →
+    lang, both tiny keyspaces) + a 1-row total broadcast back —
+    single scan, no wide shuffle.  Reference heritage: none (SURVEY
+    §2 charter extension, corpus-diagnostics family)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    lnq = F.floor(F.log(F.col("n").cast("double")) * 1000000).cast("bigint")
+    per_lang = per_src.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.sum(F.col("n") * lnq).alias("sum_nlnq"),
+    )
+    tot = per_lang.agg(F.sum("n_docs").alias("total"))
+    ln_n_docs = F.floor(
+        F.log(F.col("n_docs").cast("double")) * 1000000
+    ).cast("bigint")
+    # broadcast-safe: tot is a 1-row scalar re-aggregate
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("n_docs * 10000 div total").cast("bigint").alias("share_bp"),
+        F.expr("sum_sq * 10000 div (n_docs * n_docs)")
+        .cast("bigint")
+        .alias("herfindahl_bp"),
+        (ln_n_docs - F.expr("sum_nlnq div n_docs"))
+        .cast("bigint")
+        .alias("entropy_micro_nats"),
+    )

@@ -779,3 +779,34 @@ def test_heavy_hitters_lossless_under_eviction(spark, tmp_path):
     release_shingles()
     got = {r.term: r.n_occurrences for r in rows}
     assert got == {"heavyterm": h}, got
+
+
+def test_mixture_entropy_monoculture_and_uniform(spark, tmp_path):
+    """Pin corpus_mixture_entropy's endpoints on a planted corpus: a
+    single-source language has Herfindahl 10000 bp and entropy exactly
+    0; a two-uniform-source language has Herfindahl 5000 bp and
+    entropy ln(2) = 693147 micro-nats (+-2 for the per-term floor
+    quantization)."""
+    from mapreduceplusplus_spark import registry
+
+    rows = []
+    for i in range(10):                       # 'aa': all from one source
+        rows.append((len(rows), "aa", "only", "text"))
+    for i in range(8):                        # 'bb': 2 uniform sources
+        rows.append((len(rows), "bb", "s" + str(i % 2), "text"))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r.lang: r
+        for r in registry.queries()["corpus_mixture_entropy"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got["aa"].herfindahl_bp == 10000
+    assert got["aa"].entropy_micro_nats == 0
+    assert got["aa"].share_bp == 10 * 10000 // 18
+    assert got["bb"].herfindahl_bp == 5000
+    assert abs(got["bb"].entropy_micro_nats - 693147) <= 2

@@ -1097,3 +1097,14 @@ def test_cusum_positive_start_keeps_zero_baseline(spark, tmp_path):
     [got] = registry.queries()["events_cusum_drift"](spark, sf_dir).collect()
     assert got.max_cusum_cents == 100000    # NOT 50000 (row-only min)
     assert got.n_alarm_rows == 1            # threshold 50000: one row above
+
+
+def test_bm25_plans_topk_heap_not_global_sort(spark):
+    """text_bm25_search's scale claim is plan-checkable: the top-k must
+    be a TakeOrderedAndProject (per-partition heap + driver merge of
+    k*P rows), never a global Sort, and the corpus side must join the
+    1-row stats via broadcast, not an exchange of the scan."""
+    df = registry.queries()["text_bm25_search"](spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row stats cross join
