@@ -1053,3 +1053,85 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         intercept.alias("intercept_dollars"),
         r2.alias("r2"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_quantity) AS BIGINT)            AS qty,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, cents, qty,
+             sum(qty) OVER (PARTITION BY flag
+                            ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(qty) OVER (PARTITION BY flag) AS total
+      FROM w
+    )
+    SELECT flag,
+           CAST(min(cents) AS BIGINT) AS wmedian_cents,
+           CAST(min(total) AS BIGINT) AS total_weight
+    FROM c
+    WHERE 2 * cum >= total AND 2 * (cum - qty) < total
+    GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median — the 50%-of-total-WEIGHT order statistic
+    (median unit price by quantity sold, not by line count), the
+    quantity-aware reading ``agg_median``'s unweighted percentile
+    cannot give.  Lower-median convention: the first element (in
+    (cents, orderkey, linenumber) total order, so ties are
+    deterministic) whose cumulative weight reaches half the total —
+    selected by the crossing predicate ``2·cum ≥ W AND
+    2·(cum − w) < W``, which identifies EXACTLY ONE row per group by
+    construction (the min() re-aggregate is belt-and-braces for the
+    harness, not a chooser).  All-integer: cents values, BIGINT
+    weights, cross-multiplied halves — no interpolation, no floats.
+
+    Scale: one exchange on the group key + one in-partition sort
+    serving both window frames; the crossing filter reduces each
+    group to a single row before the final rollup.  Heavily-skewed
+    weights don't change the shape — the sort is by value, not
+    weight.  Reference heritage: none (SURVEY §2 charter extension,
+    agg family)."""
+    from pyspark.sql import Window
+
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_run = (
+        Window.partitionBy("flag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    c = li.select(
+        "flag",
+        "cents",
+        "qty",
+        F.sum("qty").over(w_run).alias("cum"),
+        F.sum("qty").over(w_all).alias("total"),
+    )
+    return (
+        c.where(
+            (2 * F.col("cum") >= F.col("total"))
+            & (2 * (F.col("cum") - F.col("qty")) < F.col("total"))
+        )
+        .groupBy("flag")
+        .agg(
+            F.min("cents").cast("bigint").alias("wmedian_cents"),
+            F.min("total").cast("bigint").alias("total_weight"),
+        )
+    )

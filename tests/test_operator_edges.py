@@ -1108,3 +1108,32 @@ def test_bm25_plans_topk_heap_not_global_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row stats cross join
+
+
+def test_weighted_median_crossing_semantics(spark, tmp_path):
+    """Pin agg_weighted_median on planted rows: weights [1, 1, 10]
+    over prices [10, 20, 30] put half the 12-unit total inside the
+    heavy item (median 30.00, not the unweighted 20.00), and an
+    exact half-crossing [1, 1, 2] over [1, 2, 3] picks the LOWER
+    median (price 2: 2*cum=4 >= 4 crosses there)."""
+    from mapreduceplusplus_spark import registry
+
+    rows = [
+        # flag A: heavy tail item dominates
+        (1, 1, "A", 10.0, 1.0), (2, 1, "A", 20.0, 1.0), (3, 1, "A", 30.0, 10.0),
+        # flag B: exact half at the middle element -> lower median
+        (4, 1, "B", 1.0, 1.0), (5, 1, "B", 2.0, 1.0), (6, 1, "B", 3.0, 2.0),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_returnflag string, "
+        "l_extendedprice double, l_quantity double",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/lineitem.parquet")
+
+    got = {
+        r.flag: r
+        for r in registry.queries()["agg_weighted_median"](spark, sf_dir).collect()
+    }
+    assert got["A"].wmedian_cents == 3000 and got["A"].total_weight == 12
+    assert got["B"].wmedian_cents == 200 and got["B"].total_weight == 4
