@@ -118,8 +118,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            CAST(max(n) AS BIGINT) AS n_vecs,
            list(s ORDER BY pos) AS centroid_sum_e6,
-           list(CASE WHEN s >= 0 THEN s // n
-                     ELSE -((-s + n - 1) // n) END
+           list(CASE WHEN (s) >= 0 THEN (s) // (n) ELSE -((-(s) + (n) - 1) // (n)) END
                 ORDER BY pos) AS centroid_mean_e6
     FROM dim GROUP BY label
     """,
@@ -133,9 +132,11 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     result depends on partitioning and reduce order, so two runs of
     the same engine disagree, let alone two engines.  The mean is the
     FLOOR integer division, spelled out as an explicit CASE on both
-    engines (``-((-s + n - 1) div n)`` for negative sums) because
-    Spark's ``div`` truncates toward zero while DuckDB's ``//``
-    floors — left bare, they differ on every negative sum.
+    engines via the shared ``floor_div_sql`` helper: BOTH dialects'
+    integer division truncates toward zero (a bare quotient would
+    agree across engines but violate the floor contract on negative
+    sums), and emitting the two fragments from one definition keeps a
+    one-sided edit from ever diverging them (review r7s4).
 
     Scale: posexplode fans 64 rows per vector into a map-side-combined
     (label, dim) rollup — the shuffle carries |labels|·|dims| partial
@@ -155,7 +156,9 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = ex.groupBy("label", "pos").agg(
         F.sum("v_e6").cast("bigint").alias("s"), F.count("*").alias("n")
     )
-    mean = F.expr("CASE WHEN s >= 0 THEN s div n ELSE -((-s + n - 1) div n) END")
+    from mapreduceplusplus_spark.session import floor_div_sql
+
+    mean = F.expr(floor_div_sql("s", "n", "spark"))
     return (
         dim.select("label", "pos", "s", "n", mean.cast("bigint").alias("m"))
         .groupBy("label")

@@ -570,10 +570,22 @@ def corpus_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.expr("n_docs * 10000 div total").cast("bigint").alias("share_bp"),
-        F.expr("sum_sq * 10000 div (n_docs * n_docs)")
+        # DECIMAL(38,0): sum_sq*10000 blows int64 once a (lang,source)
+        # group passes ~3e7 docs — DuckDB's HUGEINT sums survive
+        # oracle-side, so ANSI Spark would diverge exactly at scale
+        # (the agg_linear_trend quadratic-moment trap)
+        F.expr(
+            "CAST(sum_sq AS DECIMAL(38,0)) * 10000"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * n_docs)"
+        )
         .cast("bigint")
         .alias("herfindahl_bp"),
-        (ln_n_docs - F.expr("sum_nlnq div n_docs"))
+        (
+            ln_n_docs
+            - F.expr("CAST(sum_nlnq AS DECIMAL(38,0)) div n_docs").cast(
+                "bigint"
+            )
+        )
         .cast("bigint")
         .alias("entropy_micro_nats"),
     )

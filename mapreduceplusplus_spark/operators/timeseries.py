@@ -1040,7 +1040,8 @@ _CUSUM_H_CENTS = 50_000
       FROM events
     ),
     mu AS (
-      SELECT event_type, sum(c) // count(*) AS mu_c
+      SELECT event_type,
+             CASE WHEN (sum(c)) >= 0 THEN (sum(c)) // (count(*)) ELSE -((-(sum(c)) + (count(*)) - 1) // (count(*))) END AS mu_c
       FROM cents GROUP BY event_type
     ),
     pre AS (
@@ -1104,14 +1105,13 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "ts", "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("c"),
     )
+    from mapreduceplusplus_spark.session import floor_div_sql
+
     mu = ev.groupBy("event_type").agg(
-        # FLOOR division to match DuckDB's `//` for negative sums too:
-        # Spark `div` truncates toward zero (same negative-sum trap
-        # embedding_label_centroids documents)
-        F.expr(
-            "CASE WHEN sum(c) >= 0 THEN sum(c) div count(*)"
-            " ELSE -((-sum(c) + count(*) - 1) div count(*)) END"
-        ).alias("mu_c")
+        # FLOOR-division mean, emitted for BOTH engines by the shared
+        # helper (both dialects' integer division truncates toward
+        # zero, so each side needs the explicit CASE)
+        F.expr(floor_div_sql("sum(c)", "count(*)", "spark")).alias("mu_c")
     )
     # broadcast-safe: mu is one row per event type (|types| rows)
     pre = ev.join(F.broadcast(mu), "event_type").select(

@@ -105,3 +105,25 @@ def conf_for_scale(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 << 20),
         "spark.sql.autoBroadcastJoinThreshold": str(broadcast_cap),
     }
+
+
+def floor_div_sql(num: str, den: str, dialect: str) -> str:
+    """SQL fragment computing FLOOR(num/den) for integer expressions
+    with a POSITIVE denominator, with identical results on both
+    engines.  Needed because neither dialect's integer division
+    floors: Spark's ``div`` and DuckDB's ``//`` BOTH truncate toward
+    zero (empirically: DuckDB 1.0 ``(-7001)//2 = -3500``), so a bare
+    quotient agrees across engines but violates the floor contract
+    every negative-sum mean/centroid in this repo documents.  The
+    CASE routes negative numerators through ``-((-n + d - 1) / d)``
+    whose operands are nonnegative — where truncation IS floor.
+
+    One definition, both dialects: a one-sided edit (fixing the Spark
+    expression but not the oracle SQL) is exactly the bug class a
+    review pass caught in ``events_cusum_drift`` — emitting both
+    fragments from here makes it unrepresentable."""
+    op = {"spark": "div", "duckdb": "//"}[dialect]
+    return (
+        f"CASE WHEN ({num}) >= 0 THEN ({num}) {op} ({den})"
+        f" ELSE -((-({num}) + ({den}) - 1) {op} ({den})) END"
+    )

@@ -1137,3 +1137,57 @@ def test_weighted_median_crossing_semantics(spark, tmp_path):
     }
     assert got["A"].wmedian_cents == 3000 and got["A"].total_weight == 12
     assert got["B"].wmedian_cents == 200 and got["B"].total_weight == 4
+
+
+def test_floor_div_sql_matches_python_floor(spark):
+    """The shared two-dialect floor-division helper must equal
+    Python's // (true floor) for negative and positive numerators on
+    BOTH engines - bare `div`//`//` truncate toward zero instead."""
+    import duckdb
+
+    from mapreduceplusplus_spark.session import floor_div_sql
+
+    cases = [(-7001, 2), (-7000, 2), (-1, 3), (0, 3), (7, 2), (-9, 4)]
+    for n, d in cases:
+        want = n // d
+        frag_s = floor_div_sql(str(n), str(d), "spark")
+        frag_d = floor_div_sql(str(n), str(d), "duckdb")
+        got_s = spark.sql(f"SELECT {frag_s} AS v").collect()[0].v
+        got_d = duckdb.sql(f"SELECT {frag_d} AS v").fetchone()[0]
+        assert got_s == got_d == want, (n, d, got_s, got_d, want)
+
+
+def test_cusum_negative_sum_floor_mean(spark, tmp_path):
+    """Review r7s4 second-pass regression: a series with NEGATIVE
+    summed cents must use the FLOOR mean on both engines. Values
+    -35.01 and -35.00: sum=-7001 over 2 rows, floor mean -3501 (a
+    truncating engine says -3500, shifting every deviation by 1).
+    Differentially compared, plus the exact walk pinned."""
+    import datetime as dt
+
+    from mapreduceplusplus_spark import registry
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", -35.01, None),
+        (2, t0 + dt.timedelta(minutes=1), 1, "view", -35.00, None),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    duck = con.execute(registry.oracles()["events_cusum_drift"]).fetchall()
+    con.close()
+    [got] = registry.queries()["events_cusum_drift"](spark, sf_dir).collect()
+    # floor mean -3501: y = [0, +1]; walk s = [0, 1] -> max 1
+    assert got.max_cusum_cents == 1, got
+    assert duck == [(got.event_type, got.max_cusum_cents, got.n_alarm_rows)]
