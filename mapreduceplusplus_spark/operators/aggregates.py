@@ -1135,3 +1135,75 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY CAST(round(l_extendedprice * 100)
+                                              AS BIGINT),
+                                         l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT flag,
+           CAST(count(*) AS BIGINT)  AS n_kept,
+           CAST(sum(cents) AS BIGINT) AS kept_cents,
+           CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
+    FROM w
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY flag
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per group — the robust-center statistic that
+    ignores the top and bottom decile BY RANK (outlier-resistant where
+    ``agg_stats``'s plain mean is not, cheaper and more intuitive than
+    ``agg_median`` when a magnitude matters): drop the ``n div 10``
+    smallest and largest cent values in (value, orderkey, linenumber)
+    total order, then the floor-divided integer mean of the kept band.
+    Exactly ``n − 2·(n div 10)`` rows survive per group by
+    construction — the rank bounds are integers, so there is no
+    interpolation and no float anywhere before the output (and the
+    floor quotient is of NONNEGATIVE sums, where ``div`` and ``//``
+    agree).
+
+    Scale: same profile as ``agg_weighted_median`` — one exchange on
+    the group key, one in-partition sort serving both the row_number
+    and the count frames, then a map-side-combined rollup of the kept
+    band.  Reference heritage: none (SURVEY §2 charter extension,
+    agg family — robust statistics)."""
+    from pyspark.sql import Window
+
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_rank = Window.partitionBy("flag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("flag")
+    ranked = li.select(
+        "flag",
+        "cents",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    kept = ranked.where(
+        (F.col("rn") > F.expr("n div 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    )
+    return kept.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("cents").cast("bigint").alias("kept_cents"),
+        F.expr("sum(cents) div count(*)").cast("bigint").alias(
+            "trimmed_mean_cents"
+        ),
+    )

@@ -1191,3 +1191,34 @@ def test_cusum_negative_sum_floor_mean(spark, tmp_path):
     # floor mean -3501: y = [0, +1]; walk s = [0, 1] -> max 1
     assert got.max_cusum_cents == 1, got
     assert duck == [(got.event_type, got.max_cusum_cents, got.n_alarm_rows)]
+
+
+def test_trimmed_mean_drops_exact_deciles(spark, tmp_path):
+    """Pin agg_trimmed_mean's band arithmetic on planted rows: 10
+    values [0, 1..8, 1000000] -> n div 10 = 1 trimmed from each end,
+    kept band is exactly 1..8 (the planted outliers vanish), mean
+    (1+..+8) div 8 = 4; a group of 9 rows trims nothing (9 div 10 =
+    0)."""
+    from mapreduceplusplus_spark import registry
+
+    rows = []
+    vals_a = [0.0] + [float(i) for i in range(1, 9)] + [10000.0]
+    for i, v in enumerate(vals_a):
+        rows.append((i, 1, "A", v))
+    for i in range(9):                         # n=9: no trimming
+        rows.append((100 + i, 1, "B", float(i + 1)))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_returnflag string, "
+        "l_extendedprice double",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/lineitem.parquet")
+
+    got = {
+        r.flag: r
+        for r in registry.queries()["agg_trimmed_mean"](spark, sf_dir).collect()
+    }
+    assert got["A"].n_kept == 8
+    assert got["A"].kept_cents == sum(i * 100 for i in range(1, 9))
+    assert got["A"].trimmed_mean_cents == 450        # floor(3600/8)
+    assert got["B"].n_kept == 9                      # 9 div 10 = 0 trimmed
