@@ -1055,6 +1055,36 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cents_range_buckets(spark: SparkSession, df: DataFrame, col: str):
+    """Range-bucket expression for a BIGINT cents column — the
+    ``sort_global`` two-pass pattern's step 1-2, shared by the
+    rank-statistic aggregates: boundaries from ONE approxQuantile
+    sampling job come back as literals, the per-row bucket id is a
+    pure data-derived expression (#boundaries below the value), so
+    equal values always share a bucket and no cross-job exchange
+    agreement is needed.  Parallelism for a downstream
+    (group, bucket)-partitioned window becomes |groups|·|buckets|
+    instead of |groups| — the fix for low-cardinality group keys
+    capping a per-group sort at |groups| tasks (measured 2.4-2.7×
+    WORSE at 5× rows before this; flat after)."""
+    n_b = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    probs = [i / n_b for i in range(1, n_b)]
+    # loose relativeError: boundary PLACEMENT only balances buckets,
+    # correctness never depends on it (equal values share a bucket
+    # wherever the cut lands) — so the sampling job can be cheap
+    bounds = sorted(
+        set(df.stat.approxQuantile(col, probs, 0.05)) if probs else []
+    )
+    if not bounds:  # empty input or constant column: one bucket
+        return F.lit(0)
+    return F.size(
+        F.filter(
+            F.array(*[F.lit(float(b)) for b in bounds]),
+            lambda b: b < F.col(col),
+        )
+    )
+
+
 @query(
     "agg_weighted_median",
     oracle="""
@@ -1095,34 +1125,62 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness, not a chooser).  All-integer: cents values, BIGINT
     weights, cross-multiplied halves — no interpolation, no floats.
 
-    Scale: one exchange on the group key + one in-partition sort
-    serving both window frames; the crossing filter reduces each
-    group to a single row before the final rollup.  Heavily-skewed
-    weights don't change the shape — the sort is by value, not
-    weight.  Reference heritage: none (SURVEY §2 charter extension,
-    agg family)."""
+    Scale: the group key has CARDINALITY 3, so a plain
+    ``Window.partitionBy(flag)`` caps the sort at 3 tasks — measured
+    2.4× WORSE at 5× rows.  Instead the cumulative weight is computed
+    with the ``sort_global`` two-pass bucketed rank
+    (``_cents_range_buckets``): per-(flag, bucket) local running
+    weights (|flags|·|buckets| parallel tasks), bucket weight census →
+    per-flag cumulative offsets (a window over the TINY census, not
+    the data), broadcast back and added.  Equal cents always share a
+    bucket and the in-bucket order is the same total order, so
+    offset + local cum reproduces the single-sort cumulative weight
+    EXACTLY — the oracle keeps the one-window spec form.  Reference
+    heritage: none (SURVEY §2 charter extension, agg family)."""
     from pyspark.sql import Window
 
+    from mapreduceplusplus_spark.llm.dedup import _spread
+
     ensure_utc(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = _spread(spark, load_table(spark, sf_dir, "lineitem")).select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
         "l_orderkey",
         "l_linenumber",
     )
+    loc = li.withColumn(
+        "_bkt", _cents_range_buckets(spark, li.select(F.col("cents").cast("double").alias("cents")), "cents")
+    )
+    census = loc.groupBy("flag", "_bkt").agg(F.sum("qty").alias("_w"))
+    w_off = (
+        Window.partitionBy("flag").orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    offsets = census.select(
+        "flag",
+        "_bkt",
+        F.coalesce(F.sum("_w").over(w_off), F.lit(0)).alias("_woff"),
+    )
+    totals = census.groupBy("flag").agg(F.sum("_w").alias("total"))
     w_run = (
-        Window.partitionBy("flag")
+        Window.partitionBy("flag", "_bkt")
         .orderBy("cents", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("flag")
-    c = li.select(
-        "flag",
-        "cents",
-        "qty",
-        F.sum("qty").over(w_run).alias("cum"),
-        F.sum("qty").over(w_all).alias("total"),
+    # broadcast-safe: offsets ≤ |flags|·|buckets| rows, totals |flags|
+    c = (
+        loc.withColumn("_lcum", F.sum("qty").over(w_run))
+        .join(F.broadcast(offsets), ["flag", "_bkt"])
+        .join(F.broadcast(totals), "flag")
+        .select(
+            "flag",
+            "cents",
+            "qty",
+            (F.col("_woff") + F.col("_lcum")).alias("cum"),
+            "total",
+        )
     )
     return (
         c.where(
@@ -1172,29 +1230,56 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor quotient is of NONNEGATIVE sums, where ``div`` and ``//``
     agree).
 
-    Scale: same profile as ``agg_weighted_median`` — one exchange on
-    the group key, one in-partition sort serving both the row_number
-    and the count frames, then a map-side-combined rollup of the kept
-    band.  Reference heritage: none (SURVEY §2 charter extension,
-    agg family — robust statistics)."""
+    Scale: like ``agg_weighted_median``, a plain per-flag window would
+    cap the sort at |flags| = 3 tasks (measured 2.7× worse at 5× rows),
+    so the global rank is the ``sort_global`` two-pass: per-(flag,
+    bucket) local row_number (|flags|·|buckets| tasks), bucket count
+    census → per-flag cumulative offsets over the tiny census,
+    broadcast back — offset + local rank IS the per-flag rank because
+    equal cents share a bucket and the in-bucket order is the same
+    total order.  Then the band filter + a map-side-combined rollup.
+    Reference heritage: none (SURVEY §2 charter extension, agg family
+    — robust statistics)."""
     from pyspark.sql import Window
 
+    from mapreduceplusplus_spark.llm.dedup import _spread
+
     ensure_utc(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = _spread(spark, load_table(spark, sf_dir, "lineitem")).select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         "l_orderkey",
         "l_linenumber",
     )
-    w_rank = Window.partitionBy("flag").orderBy(
+    loc = li.withColumn(
+        "_bkt",
+        _cents_range_buckets(
+            spark, li.select(F.col("cents").cast("double").alias("cents")), "cents"
+        ),
+    )
+    census = loc.groupBy("flag", "_bkt").agg(F.count("*").alias("_c"))
+    w_off = (
+        Window.partitionBy("flag").orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    offsets = census.select(
+        "flag",
+        "_bkt",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    totals = census.groupBy("flag").agg(F.sum("_c").alias("n"))
+    w_rank = Window.partitionBy("flag", "_bkt").orderBy(
         "cents", "l_orderkey", "l_linenumber"
     )
-    w_all = Window.partitionBy("flag")
-    ranked = li.select(
-        "flag",
-        "cents",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_all).alias("n"),
+    # broadcast-safe: offsets ≤ |flags|·|buckets| rows, totals |flags|
+    ranked = (
+        loc.withColumn("_lrn", F.row_number().over(w_rank))
+        .join(F.broadcast(offsets), ["flag", "_bkt"])
+        .join(F.broadcast(totals), "flag")
+        .select(
+            "flag", "cents", (F.col("_off") + F.col("_lrn")).alias("rn"), "n"
+        )
     )
     kept = ranked.where(
         (F.col("rn") > F.expr("n div 10"))
