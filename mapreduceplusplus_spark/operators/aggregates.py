@@ -1055,34 +1055,67 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cents_range_buckets(spark: SparkSession, df: DataFrame, col: str):
-    """Range-bucket expression for a BIGINT cents column — the
-    ``sort_global`` two-pass pattern's step 1-2, shared by the
-    rank-statistic aggregates: boundaries from ONE approxQuantile
-    sampling job come back as literals, the per-row bucket id is a
-    pure data-derived expression (#boundaries below the value), so
+def range_bucket_expr(
+    spark: SparkSession,
+    sample_df: DataFrame,
+    col: str,
+    descending: bool = False,
+    relative_error: float = 0.05,
+):
+    """Range-bucket expression — step 1-2 of the two-pass bucketed
+    rank, THE shared definition for every rank-sensitive operator
+    (``sort_global``, ``agg_weighted_median``, ``agg_trimmed_mean``):
+    boundaries from ONE approxQuantile sampling job come back as
+    literals, the per-row bucket id is a pure DATA-derived expression
+    (#boundaries strictly on the first-sorted side of the value), so
     equal values always share a bucket and no cross-job exchange
-    agreement is needed.  Parallelism for a downstream
-    (group, bucket)-partitioned window becomes |groups|·|buckets|
-    instead of |groups| — the fix for low-cardinality group keys
-    capping a per-group sort at |groups| tasks (measured 2.4-2.7×
-    WORSE at 5× rows before this; flat after)."""
+    agreement is needed (an exchange-id formulation breaks when AQE
+    declines to reuse a stage — see ``sort_global``'s history).
+    Parallelism for a downstream (group, bucket)-partitioned window
+    becomes |groups|·|buckets| instead of |groups| — the fix for
+    low-cardinality group keys capping a per-group sort at |groups|
+    tasks (measured 2.4-2.7× WORSE at 5× rows before this; flat
+    after).
+
+    ``relative_error`` is deliberately loose by default: boundary
+    PLACEMENT only balances buckets, never affects correctness.
+    Sample from the PRE-``_spread`` scan — boundaries don't depend on
+    partitioning, so paying a repartition shuffle inside the sampling
+    job is pure waste."""
     n_b = int(spark.conf.get("spark.sql.shuffle.partitions"))
     probs = [i / n_b for i in range(1, n_b)]
-    # loose relativeError: boundary PLACEMENT only balances buckets,
-    # correctness never depends on it (equal values share a bucket
-    # wherever the cut lands) — so the sampling job can be cheap
     bounds = sorted(
-        set(df.stat.approxQuantile(col, probs, 0.05)) if probs else []
+        set(sample_df.stat.approxQuantile(col, probs, relative_error))
+        if probs
+        else []
     )
     if not bounds:  # empty input or constant column: one bucket
         return F.lit(0)
-    return F.size(
-        F.filter(
-            F.array(*[F.lit(float(b)) for b in bounds]),
-            lambda b: b < F.col(col),
+    cmp = (lambda b: b > F.col(col)) if descending else (lambda b: b < F.col(col))
+    return F.size(F.filter(F.array(*[F.lit(float(b)) for b in bounds]), cmp))
+
+
+def _bucketed_group_offsets(loc: DataFrame, weight):
+    """Steps 3-4 of the two-pass rank, shared by the rank-statistic
+    aggregates: per-(flag, bucket) weight census, per-flag cumulative
+    offsets over the TINY census (a window over ≤ |flags|·|buckets|
+    rows, never the data), and per-flag totals.  Returns (offsets
+    [flag, _bkt, _off], totals [flag, _tot]) — both broadcast-sized."""
+    from pyspark.sql import Window
+
+    census = loc.groupBy("flag", "_bkt").agg(weight.alias("_w"))
+    w_off = (
+        Window.partitionBy("flag").orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
         )
     )
+    offsets = census.select(
+        "flag",
+        "_bkt",
+        F.coalesce(F.sum("_w").over(w_off), F.lit(0)).alias("_off"),
+    )
+    totals = census.groupBy("flag").agg(F.sum("_w").alias("_tot"))
+    return offsets, totals
 
 
 @query(
@@ -1142,28 +1175,20 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduceplusplus_spark.llm.dedup import _spread
 
     ensure_utc(spark)
-    li = _spread(spark, load_table(spark, sf_dir, "lineitem")).select(
+    raw = load_table(spark, sf_dir, "lineitem")
+    cents_sample = raw.select(
+        (F.round(F.col("l_extendedprice") * 100)).cast("double").alias("cents")
+    )
+    bkt = range_bucket_expr(spark, cents_sample, "cents")
+    li = _spread(spark, raw).select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
         "l_orderkey",
         "l_linenumber",
     )
-    loc = li.withColumn(
-        "_bkt", _cents_range_buckets(spark, li.select(F.col("cents").cast("double").alias("cents")), "cents")
-    )
-    census = loc.groupBy("flag", "_bkt").agg(F.sum("qty").alias("_w"))
-    w_off = (
-        Window.partitionBy("flag").orderBy("_bkt").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-    )
-    offsets = census.select(
-        "flag",
-        "_bkt",
-        F.coalesce(F.sum("_w").over(w_off), F.lit(0)).alias("_woff"),
-    )
-    totals = census.groupBy("flag").agg(F.sum("_w").alias("total"))
+    loc = li.withColumn("_bkt", bkt)
+    offsets, totals = _bucketed_group_offsets(loc, F.sum("qty"))
     w_run = (
         Window.partitionBy("flag", "_bkt")
         .orderBy("cents", "l_orderkey", "l_linenumber")
@@ -1178,8 +1203,8 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag",
             "cents",
             "qty",
-            (F.col("_woff") + F.col("_lcum")).alias("cum"),
-            "total",
+            (F.col("_off") + F.col("_lcum")).alias("cum"),
+            F.col("_tot").alias("total"),
         )
     )
     return (
@@ -1245,30 +1270,19 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduceplusplus_spark.llm.dedup import _spread
 
     ensure_utc(spark)
-    li = _spread(spark, load_table(spark, sf_dir, "lineitem")).select(
+    raw = load_table(spark, sf_dir, "lineitem")
+    cents_sample = raw.select(
+        (F.round(F.col("l_extendedprice") * 100)).cast("double").alias("cents")
+    )
+    bkt = range_bucket_expr(spark, cents_sample, "cents")
+    li = _spread(spark, raw).select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         "l_orderkey",
         "l_linenumber",
     )
-    loc = li.withColumn(
-        "_bkt",
-        _cents_range_buckets(
-            spark, li.select(F.col("cents").cast("double").alias("cents")), "cents"
-        ),
-    )
-    census = loc.groupBy("flag", "_bkt").agg(F.count("*").alias("_c"))
-    w_off = (
-        Window.partitionBy("flag").orderBy("_bkt").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-    )
-    offsets = census.select(
-        "flag",
-        "_bkt",
-        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
-    )
-    totals = census.groupBy("flag").agg(F.sum("_c").alias("n"))
+    loc = li.withColumn("_bkt", bkt)
+    offsets, totals = _bucketed_group_offsets(loc, F.count("*"))
     w_rank = Window.partitionBy("flag", "_bkt").orderBy(
         "cents", "l_orderkey", "l_linenumber"
     )
@@ -1278,7 +1292,10 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(offsets), ["flag", "_bkt"])
         .join(F.broadcast(totals), "flag")
         .select(
-            "flag", "cents", (F.col("_off") + F.col("_lrn")).alias("rn"), "n"
+            "flag",
+            "cents",
+            (F.col("_off") + F.col("_lrn")).alias("rn"),
+            F.col("_tot").alias("n"),
         )
     )
     kept = ranked.where(

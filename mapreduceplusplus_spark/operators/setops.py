@@ -63,26 +63,23 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices always land in the same bucket (the bucket is a function of
     the price alone), so bucket offsets + in-bucket rank reproduce the
     exact global row_number."""
+    # lazy import: keeps the query-module registration order intact
+    from mapreduceplusplus_spark.operators.aggregates import range_bucket_expr
+
     ensure_utc(spark)
     orders = load_table(spark, sf_dir, "orders")
     keys = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
     n_b = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    probs = [i / n_b for i in range(1, n_b)]
-    bounds = sorted(
-        set(orders.stat.approxQuantile("o_totalprice", probs, 1.0 / (4 * n_b)))
-        if probs
-        else []
+    # bucket 0 = highest prices (descending sort order ⇒ ascending id);
+    # shared two-pass bucketing helper (also used by the rank-statistic
+    # aggregates); original tight relativeError preserved
+    bkt = range_bucket_expr(
+        spark,
+        orders,
+        "o_totalprice",
+        descending=True,
+        relative_error=1.0 / (4 * n_b),
     )
-    # bucket 0 = highest prices (descending sort order ⇒ ascending id)
-    if bounds:
-        bkt = F.size(
-            F.filter(
-                F.array(*[F.lit(float(b)) for b in bounds]),
-                lambda b: b > F.col("o_totalprice"),
-            )
-        )
-    else:  # degenerate: single bucket (n_b == 1 or constant key column)
-        bkt = F.lit(0)
     local = orders.withColumn("_bkt", bkt).withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_bkt").orderBy(*keys))
     )

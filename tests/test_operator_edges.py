@@ -1222,3 +1222,44 @@ def test_trimmed_mean_drops_exact_deciles(spark, tmp_path):
     assert got["A"].kept_cents == sum(i * 100 for i in range(1, 9))
     assert got["A"].trimmed_mean_cents == 450        # floor(3600/8)
     assert got["B"].n_kept == 9                      # 9 div 10 = 0 trimmed
+
+
+def test_trimmed_mean_floor_division_and_boundary_ties(spark, tmp_path):
+    """Review r7s4 third-pass coverage: (1) a kept-band sum that does
+    NOT divide evenly must floor (7 cents over 2 rows -> 3, not 3.5
+    rounded); (2) equal cents straddling the trim boundary are split
+    deterministically by the (cents, orderkey, linenumber) tiebreak -
+    exactly n div 10 rows leave each end even when the boundary value
+    is tied."""
+    from mapreduceplusplus_spark import registry
+
+    rows = []
+    # group A: values (cents) [1, 3, 4, x] won't arise from dollars, so
+    # use dollars 0.01,0.03,0.04,0.99 -> n=4, n div 10 = 0 trimmed,
+    # kept sum 107 cents over 4 rows -> floor 26 (107/4 = 26.75)
+    for i, v in enumerate([0.01, 0.03, 0.04, 0.99]):
+        rows.append((i, 1, "A", v))
+    # group B: ten rows, FOUR tied at the low value 1.00 -> trim 1 from
+    # each end; exactly ONE of the tied 1.00 rows (lowest orderkey)
+    # must leave, keeping three 1.00s; the single top 9.00 leaves
+    vals_b = [1.00, 1.00, 1.00, 1.00, 2.00, 3.00, 4.00, 5.00, 6.00, 9.00]
+    for i, v in enumerate(vals_b):
+        rows.append((100 + i, 1, "B", v))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_returnflag string, "
+        "l_extendedprice double",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/lineitem.parquet")
+
+    got = {
+        r.flag: r
+        for r in registry.queries()["agg_trimmed_mean"](spark, sf_dir).collect()
+    }
+    assert got["A"].n_kept == 4
+    assert got["A"].kept_cents == 107
+    assert got["A"].trimmed_mean_cents == 26         # floor, not round
+    assert got["B"].n_kept == 8                      # exactly 1 off each end
+    # kept: three 1.00s + 2..6 = 300 + 2000 cents
+    assert got["B"].kept_cents == 300 + 200 + 300 + 400 + 500 + 600
+    assert got["B"].trimmed_mean_cents == (2300) // 8

@@ -68,6 +68,8 @@ def test_all_queries_return_rows(spark):
 
 HOSTILE_SUBSET = [
     "sort_global",              # bucket-count sensitive two-pass rank
+    "agg_weighted_median",      # same two-pass bucketed-rank pattern
+    "agg_trimmed_mean",         # same two-pass bucketed-rank pattern
     "agg_groupby",              # flagship
     "join_bucketed_colocated",  # bucketed-scan rule without AQE
     "dedup_cluster_canonical",  # iterative fixpoint
