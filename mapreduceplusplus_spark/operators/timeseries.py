@@ -1204,3 +1204,93 @@ def ts_interval_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "d", F.sum("delta").over(w).cast("bigint").alias("open_shipments")
     )
+
+
+#: PSI drift bins: integer value buckets of width 10 over events.value
+#: (domain ~0..120); periods split at mid-month.  Laplace +1 smoothing
+#: keeps empty bins finite — part of the operator contract.
+_PSI_BIN = 10
+
+
+@query(
+    "dq_distribution_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(floor(value / {_PSI_BIN}) AS BIGINT) AS bin,
+             (day(ts) <= 15) AS early,
+             count(*) AS n
+      FROM events WHERE value >= 0
+      GROUP BY 1, 2
+    ),
+    pivoted AS (
+      SELECT bin,
+             1 + coalesce(sum(CASE WHEN early THEN n END), 0)     AS a,
+             1 + coalesce(sum(CASE WHEN NOT early THEN n END), 0) AS b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM pivoted)
+    SELECT bin,
+           CAST(a AS BIGINT) AS n_early,
+           CAST(b AS BIGINT) AS n_late,
+           CAST(floor(
+             (CAST(a AS DOUBLE)/ta - CAST(b AS DOUBLE)/tb)
+             * ln((CAST(a AS DOUBLE)*tb) / (CAST(b AS DOUBLE)*ta))
+             * 1000000) AS BIGINT) AS psi_term_micro
+    FROM pivoted, tot
+    ORDER BY bin
+    """,
+)
+def dq_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms — THE production drift monitor
+    for a feature/score distribution (banking's model-monitoring
+    standard): bin the value domain, compare early-month vs late-month
+    bin shares, and emit each bin's PSI contribution
+    ``(p−q)·ln(p/q)`` (total PSI = Σ terms; > 0.2 conventionally
+    means 'distribution moved, retrain').  The cross-period
+    comparison ``events_seasonal_deviation`` can't express (it
+    compares a bucket to ITS OWN history; PSI compares two whole
+    distributions bin-by-bin).
+
+    Determinism plays the ``corpus_mixture_entropy`` game: counts are
+    Laplace-smoothed integers (+1 — empty bins stay finite, part of
+    the contract), each bin's term is ONE fixed double expression from
+    integers (the log's argument is the exact integer ratio
+    ``a·tb / (b·ta)``), floored to integer micro-units per bin — so
+    the output is order-independent and the consumer's Σ of BIGINTs
+    is exact.
+
+    Scale: one map-side-combined (bin, period) rollup — the keyspace
+    is |bins|·2 regardless of corpus size — then a ≤|bins|-row pivot
+    and a 1-row total broadcast back.  Single scan, no wide shuffle.
+    Reference heritage: none (SURVEY §2 charter extension, dq/drift
+    family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") >= 0)
+    binned = ev.groupBy(
+        F.floor(F.col("value") / _PSI_BIN).cast("bigint").alias("bin"),
+        (F.dayofmonth("ts") <= 15).alias("early"),
+    ).agg(F.count("*").alias("n"))
+    pivoted = binned.groupBy("bin").agg(
+        (1 + F.coalesce(F.sum(F.when(F.col("early"), F.col("n"))), F.lit(0))).alias("a"),
+        (
+            1 + F.coalesce(F.sum(F.when(~F.col("early"), F.col("n"))), F.lit(0))
+        ).alias("b"),
+    )
+    tot = pivoted.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    term = (
+        (ad / F.col("ta") - bd / F.col("tb"))
+        * F.log((ad * F.col("tb")) / (bd * F.col("ta")))
+        * 1000000
+    )
+    # broadcast-safe: tot is a 1-row scalar pair
+    return (
+        pivoted.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("a").cast("bigint").alias("n_early"),
+            F.col("b").cast("bigint").alias("n_late"),
+            F.floor(term).cast("bigint").alias("psi_term_micro"),
+        )
+        .orderBy("bin")
+    )

@@ -155,7 +155,8 @@ _PRIORITY_ORDER = [
     # dq_benford_deviation, events_attribution_last_touch,
     # events_cusum_drift, text_heavy_hitters, window_decay_time_halflife,
     # agg_linear_trend, ts_interval_sweepline, source_csv_quarantine,
-    # corpus_mixture_entropy, agg_weighted_median, agg_trimmed_mean.
+    # corpus_mixture_entropy, agg_weighted_median, agg_trimmed_mean,
+    # dq_distribution_psi.
     "tpch_q6_forecast_revenue",
     "agg_decimal_exact",
     "join_skew_salted",

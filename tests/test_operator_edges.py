@@ -1263,3 +1263,46 @@ def test_trimmed_mean_floor_division_and_boundary_ties(spark, tmp_path):
     # kept: three 1.00s + 2..6 = 300 + 2000 cents
     assert got["B"].kept_cents == 300 + 200 + 300 + 400 + 500 + 600
     assert got["B"].trimmed_mean_cents == (2300) // 8
+
+
+def test_psi_identical_and_shifted_distributions(spark, tmp_path):
+    """Pin dq_distribution_psi against hand-computed terms: a bin
+    present in ONLY one period gets the Laplace +1 on the other side
+    and a positive contribution; the equal-count bin's term reflects
+    the SHARE difference (same counts, different totals), matching
+    the exact (p-q)*ln(p/q) formula floored to micro-units."""
+    import datetime as dt
+    import math
+
+    from mapreduceplusplus_spark import registry
+
+    early = dt.datetime(2024, 1, 5)
+    late = dt.datetime(2024, 1, 25)
+    rows = []
+    eid = 0
+    # bin 0 (value 5): 4 early + 4 late -> identical -> term 0
+    for t in (early, late):
+        for _ in range(4):
+            rows.append((eid, t, 1, "view", 5.0, None)); eid += 1
+    # bin 2 (value 25): 6 early only -> drift
+    for _ in range(6):
+        rows.append((eid, early, 1, "view", 25.0, None)); eid += 1
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        r.bin: r
+        for r in registry.queries()["dq_distribution_psi"](spark, sf_dir).collect()
+    }
+    # smoothed: bin0 a=5,b=5; bin2 a=7,b=1; ta=12, tb=6
+    assert got[0].n_early == 5 and got[0].n_late == 5
+    assert got[2].n_early == 7 and got[2].n_late == 1
+    t0 = (5 / 12 - 5 / 6) * math.log((5 * 6) / (5 * 12))
+    t2 = (7 / 12 - 1 / 6) * math.log((7 * 6) / (1 * 12))
+    assert got[0].psi_term_micro == math.floor(t0 * 1e6)
+    assert got[2].psi_term_micro == math.floor(t2 * 1e6)
+    assert got[2].psi_term_micro > 0
