@@ -1207,8 +1207,9 @@ def ts_interval_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: PSI drift bins: integer value buckets of width 10 over events.value
-#: (domain ~0..120); periods split at mid-month.  Laplace +1 smoothing
-#: keeps empty bins finite — part of the operator contract.
+#: (fixture domain ~0..500 → ≤ ~50 occupied bins); periods split at
+#: mid-month.  Laplace +1 smoothing keeps empty bins finite — part of
+#: the operator contract.
 _PSI_BIN = 10
 
 
