@@ -236,3 +236,104 @@ def stateful_running_total_tws(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+#: session gap for the timer-closed session operator (event-time ms)
+SESSION_GAP_MS = 30 * 60 * 1000
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_cents bigint, closed_by string"
+)
+_SESSION_STATE_SCHEMA = "n bigint, cents bigint, last_ms bigint"
+
+
+class SessionTimeoutProcessor(StatefulProcessor):
+    """Timer-driven session close on the ``transformWithState`` API —
+    the one piece of the new stateful surface the running-total twin
+    does not exercise: an EVENT-TIME timer registered at
+    ``last_event + gap`` fires when the WATERMARK passes it, emitting
+    the closed session and clearing state — i.e. sessions close
+    because time provably advanced past the gap (watermark semantics),
+    not because another record for the key happened to arrive.  This
+    is the mechanism behind every "emit the session when the user goes
+    quiet" pipeline; the native ``session_window`` aggregation
+    (``stream_session_window``) gives the same windows declaratively —
+    the processor form is for sessions needing CUSTOM state (here the
+    integer-cent sum rides along) or custom close actions.
+
+    Timer discipline: ONE live timer per key — the previous timer is
+    deleted before registering the extended one (Spark fires every
+    registered timer; a per-event leftover timer would close sessions
+    early).  State is integer cents; emission happens ONLY in
+    ``handleExpiredTimer``, so a session's row appears exactly once.
+
+    Scale: state is 3 scalars + 1 timer per ACTIVE key (RocksDB-backed
+    — inactive keys' state was emitted and cleared); one shuffle on
+    the key per micro-batch, the same profile as the other stateful
+    forms."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("session", _SESSION_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues=None):
+        import pandas as pd
+
+        cur = self._state.get() if self._state.exists() else None
+        if cur is not None:
+            cur = (int(cur[0]), int(cur[1]), int(cur[2]))
+            self._handle.deleteTimer(cur[2] + SESSION_GAP_MS)
+        for pdf in rows:
+            n_b = len(pdf)
+            cents = int(round(float(pdf["value"].sum()) * 100))
+            last_ms = int(pdf["ts"].max().value // 1_000_000)
+            cur = (
+                (n_b, cents, last_ms)
+                if cur is None
+                else (cur[0] + n_b, cur[1] + cents, max(cur[2], last_ms))
+            )
+        if cur is not None:
+            self._state.update(cur)
+            self._handle.registerTimer(cur[2] + SESSION_GAP_MS)
+        return iter(())  # emission only on timer expiry
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        cur = self._state.get() if self._state.exists() else None
+        if cur is None:  # timer raced a cleared key: nothing to close
+            return iter(())
+        self._state.clear()
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": [int(key[0])],
+                        "n_events": [int(cur[0])],
+                        "sum_cents": [int(cur[1])],
+                        "closed_by": ["timer"],
+                    }
+                )
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def session_close_tws(stream: DataFrame) -> DataFrame:
+    """Wire ``SessionTimeoutProcessor`` over a watermarked stream —
+    ``timeMode='eventTime'`` makes ``registerTimer`` expiries compare
+    against the WATERMARK, so a session only closes when late data can
+    no longer reopen it.  Requires the RocksDB state store provider
+    like the running-total twin."""
+    return (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionTimeoutProcessor(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

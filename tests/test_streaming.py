@@ -804,3 +804,171 @@ def test_stream_static_enrich_matches_batch(spark, stream_dirs):
     # the un-joined user (9) was dropped by the inner join
     assert ("BUILDING", "click") in streamed
     assert streamed[("BUILDING", "click")] == (3, 250)
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state-server protocol "
+    "requires the protobuf package, absent from this container "
+    "(the stub-handle timer unit test below runs everywhere)",
+)
+def test_tws_event_time_timer_closes_session(spark, stream_dirs):
+    """The TWS TIMER surface (the piece the running-total twin doesn't
+    exercise): user 1's events stop after batch 1; batches 2-3 carry
+    only user 2, advancing the event-time watermark past user 1's
+    last_event + gap -> the registered timer fires, emitting user 1's
+    closed session EXACTLY ONCE with the integer-cent sum, while user
+    2 (still active, timer not yet expired) emits nothing."""
+    from datetime import datetime as T
+    from datetime import timedelta
+
+    from mapreduceplusplus_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+        session_close_tws,
+    )
+
+    src, chk = stream_dirs
+    gap = timedelta(milliseconds=SESSION_GAP_MS)
+    t0 = T(2024, 1, 1, 10, 0, 0)
+    batches = [
+        # user 1: two events 5 min apart (one session, 3.25+1.25)
+        [(t0, 1, 3.25), (t0 + timedelta(minutes=5), 1, 1.25)],
+        # user 2 advances the watermark just short of user 1's expiry
+        [(t0 + timedelta(minutes=5) + gap - timedelta(seconds=1), 2, 9.0)],
+        # ... and then past it
+        [(t0 + timedelta(minutes=5) + gap + timedelta(minutes=1), 2, 2.0)],
+    ]
+    schema = "ts timestamp, user_id bigint, value double"
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/batch1")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(f"{src}/batch*")
+        q = (
+            session_close_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_session_sink")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for i, rows in enumerate(batches[1:], start=2):
+                spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{src}/batch{i}")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+
+    rows = spark.sql("SELECT * FROM tws_session_sink").collect()
+    assert len(rows) == 1, rows                      # exactly once
+    [r] = rows
+    assert r.user_id == 1
+    assert r.n_events == 2
+    assert r.sum_cents == 450                        # 325 + 125
+    assert r.closed_by == "timer"
+
+
+def test_tws_timer_processor_state_machine():
+    """Environment-independent half of the timer surface: drive
+    ``SessionTimeoutProcessor`` with a stub handle that records timer
+    registration/deletion and fires expiries manually. Pins the timer
+    DISCIPLINE (exactly one live timer per key, old timer deleted on
+    extension), the integer-cent session accumulation across
+    micro-batches, emit-exactly-once-on-expiry with state cleared, and
+    the cleared-key expiry race returning nothing."""
+    import pandas as pd
+
+    from mapreduceplusplus_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+        SessionTimeoutProcessor,
+    )
+
+    class StubValueState:
+        def __init__(self, handle):
+            self._h = handle
+            self._slots = {}
+
+        def exists(self):
+            return self._h.current_key in self._slots
+
+        def get(self):
+            return self._slots.get(self._h.current_key)
+
+        def update(self, v):
+            self._slots[self._h.current_key] = tuple(v)
+
+        def clear(self):
+            self._slots.pop(self._h.current_key, None)
+
+    class StubHandle:
+        def __init__(self):
+            self.states = {}
+            self.current_key = None
+            self.timers = {}          # key -> set of expiry ms
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, StubValueState(self))
+
+        def registerTimer(self, ms):
+            self.timers.setdefault(self.current_key, set()).add(ms)
+
+        def deleteTimer(self, ms):
+            self.timers.get(self.current_key, set()).discard(ms)
+
+    def pdf(rows):
+        return pd.DataFrame(rows, columns=["ts", "user_id", "value"]).astype(
+            {"ts": "datetime64[ns]"}
+        )
+
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    t0_ms = t0.value // 1_000_000
+    proc = SessionTimeoutProcessor()
+    handle = StubHandle()
+    proc.init(handle)
+
+    # batch 1: two events for key (1,)
+    handle.current_key = (1,)
+    out = list(
+        proc.handleInputRows(
+            (1,), iter([pdf([(t0, 1, 3.25), (t0 + pd.Timedelta(minutes=5), 1, 1.25)])])
+        )
+    )
+    assert out == []                               # no emission on input
+    exp1 = t0_ms + 5 * 60 * 1000 + SESSION_GAP_MS
+    assert handle.timers[(1,)] == {exp1}           # one live timer
+
+    # batch 2: a later event EXTENDS the session: old timer deleted
+    later = t0 + pd.Timedelta(minutes=10)
+    list(proc.handleInputRows((1,), iter([pdf([(later, 1, 0.50)])])))
+    exp2 = later.value // 1_000_000 + SESSION_GAP_MS
+    assert handle.timers[(1,)] == {exp2}           # extended, not leaked
+
+    # expiry: exactly one row, state cleared, integer cents summed
+    class Info:
+        def getExpiryTimeInMs(self):
+            return exp2
+
+    [emitted] = list(proc.handleExpiredTimer((1,), None, Info()))
+    assert emitted["n_events"].iloc[0] == 3
+    assert emitted["sum_cents"].iloc[0] == 500     # 325 + 125 + 50
+    assert emitted["closed_by"].iloc[0] == "timer"
+    assert not handle.states["session"].exists()   # cleared
+
+    # cleared-key race: a second expiry for the same key emits nothing
+    assert list(proc.handleExpiredTimer((1,), None, Info())) == []
