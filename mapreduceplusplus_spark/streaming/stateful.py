@@ -264,8 +264,19 @@ class SessionTimeoutProcessor(StatefulProcessor):
     Timer discipline: ONE live timer per key — the previous timer is
     deleted before registering the extended one (Spark fires every
     registered timer; a per-event leftover timer would close sessions
-    early).  State is integer cents; emission happens ONLY in
-    ``handleExpiredTimer``, so a session's row appears exactly once.
+    early).  Input is processed BEFORE expired timers in the runtime
+    (pyspark 4.1 ``stateful_processor_util``), so an event arriving
+    after the gap would cancel an overdue timer and silently merge two
+    sessions — the input path therefore walks events in timestamp
+    order and SPLITS on any gap violation itself, emitting the stale
+    session with ``closed_by='gap'`` (review r7s4); the timer path
+    (``closed_by='timer'``) remains the only way a session closes when
+    the key simply goes quiet.  An event AT exactly last + gap still
+    extends (strict-inequality split, matching the timer's
+    watermark-passes-expiry semantics).  Cents are summed PER EVENT as
+    integers, so the state is invariant to micro-batch and Arrow-chunk
+    boundaries (a per-chunk rounded sum is not).  Each session's row
+    appears exactly once.
 
     Scale: state is 3 scalars + 1 timer per ACTIVE key (RocksDB-backed
     — inactive keys' state was emitted and cleared); one shuffle on
@@ -277,29 +288,45 @@ class SessionTimeoutProcessor(StatefulProcessor):
         self._state = handle.getValueState("session", _SESSION_STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues=None):
-        import pandas as pd
-
         cur = self._state.get() if self._state.exists() else None
         if cur is not None:
             cur = (int(cur[0]), int(cur[1]), int(cur[2]))
             self._handle.deleteTimer(cur[2] + SESSION_GAP_MS)
+        events = []
         for pdf in rows:
-            n_b = len(pdf)
-            cents = int(round(float(pdf["value"].sum()) * 100))
-            last_ms = int(pdf["ts"].max().value // 1_000_000)
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                events.append(
+                    (
+                        int(pd.Timestamp(ts).value // 1_000_000),
+                        int(round(float(v) * 100)),
+                    )
+                )
+        events.sort()
+        closed = []
+        for ts_ms, cents in events:
+            if cur is not None and ts_ms > cur[2] + SESSION_GAP_MS:
+                closed.append((int(key[0]), cur[0], cur[1], "gap"))
+                cur = None
             cur = (
-                (n_b, cents, last_ms)
+                (1, cents, ts_ms)
                 if cur is None
-                else (cur[0] + n_b, cur[1] + cents, max(cur[2], last_ms))
+                else (cur[0] + 1, cur[1] + cents, max(cur[2], ts_ms))
             )
         if cur is not None:
             self._state.update(cur)
             self._handle.registerTimer(cur[2] + SESSION_GAP_MS)
-        return iter(())  # emission only on timer expiry
+        if not closed:
+            return iter(())
+        return iter(
+            [
+                pd.DataFrame(
+                    closed,
+                    columns=["user_id", "n_events", "sum_cents", "closed_by"],
+                )
+            ]
+        )
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        import pandas as pd
-
         cur = self._state.get() if self._state.exists() else None
         if cur is None:  # timer raced a cleared key: nothing to close
             return iter(())

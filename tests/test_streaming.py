@@ -568,6 +568,50 @@ def _has_protobuf() -> bool:
         return False
 
 
+def _run_tws_batches(spark, src, chk, schema, batches, wire, sink_name, mode):
+    """Shared TWS integration runner (review r7s4: the RocksDB
+    provider save/set/restore + per-batch parquet replay was
+    copy-pasted between the twin and the timer tests): writes batch 1,
+    starts the wired streaming query on the RocksDB provider (the only
+    provider transformWithState supports), replays the remaining
+    batches with processAllAvailable barriers, and restores the
+    provider conf whatever happens."""
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/batch1")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(f"{src}/batch*")
+        q = (
+            wire(stream)
+            .writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode(mode)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for i, rows in enumerate(batches[1:], start=2):
+                spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{src}/batch{i}")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+
+
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas's Python state-server protocol "
@@ -599,41 +643,10 @@ def test_tws_twin_matches_applyinpandaswithstate(spark, stream_dirs):
         [(T(2024, 1, 1, 12, 0, 0), 2, 4.0), (T(2024, 1, 1, 12, 1, 0), 3, 9.0)],
     ]
     schema = "ts timestamp, user_id bigint, value double"
-    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{src}/batch1")
-
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    saved = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+    _run_tws_batches(
+        spark, src, chk, schema, batches,
+        stateful_running_total_tws, "tws_sink", "update",
     )
-    try:
-        stream = spark.readStream.schema(schema).parquet(f"{src}/batch*")
-        q = (
-            stateful_running_total_tws(stream)
-            .writeStream.format("memory")
-            .queryName("tws_sink")
-            .outputMode("update")
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            for i, rows in enumerate(batches[1:], start=2):
-                spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-                    "overwrite"
-                ).parquet(f"{src}/batch{i}")
-                q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        if saved is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, saved)
 
     sink = spark.sql("SELECT * FROM tws_sink").collect()
     final = {}
@@ -839,41 +852,10 @@ def test_tws_event_time_timer_closes_session(spark, stream_dirs):
         [(t0 + timedelta(minutes=5) + gap + timedelta(minutes=1), 2, 2.0)],
     ]
     schema = "ts timestamp, user_id bigint, value double"
-    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{src}/batch1")
-
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    saved = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+    _run_tws_batches(
+        spark, src, chk, schema, batches,
+        session_close_tws, "tws_session_sink", "append",
     )
-    try:
-        stream = spark.readStream.schema(schema).parquet(f"{src}/batch*")
-        q = (
-            session_close_tws(stream)
-            .writeStream.format("memory")
-            .queryName("tws_session_sink")
-            .outputMode("append")
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            for i, rows in enumerate(batches[1:], start=2):
-                spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-                    "overwrite"
-                ).parquet(f"{src}/batch{i}")
-                q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        if saved is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, saved)
 
     rows = spark.sql("SELECT * FROM tws_session_sink").collect()
     assert len(rows) == 1, rows                      # exactly once
@@ -955,20 +937,51 @@ def test_tws_timer_processor_state_machine():
 
     # batch 2: a later event EXTENDS the session: old timer deleted
     later = t0 + pd.Timedelta(minutes=10)
-    list(proc.handleInputRows((1,), iter([pdf([(later, 1, 0.50)])])))
+    out = list(proc.handleInputRows((1,), iter([pdf([(later, 1, 0.50)])])))
+    assert out == []                               # within gap: no split
     exp2 = later.value // 1_000_000 + SESSION_GAP_MS
     assert handle.timers[(1,)] == {exp2}           # extended, not leaked
+
+    # batch 3: an event BEYOND the gap arrives before the timer could
+    # fire (input runs before timers in the runtime) -> the input path
+    # must split: stale session emitted with closed_by='gap', new
+    # session started from the late event
+    far = later + pd.Timedelta(milliseconds=SESSION_GAP_MS + 1)
+    [gap_emit] = list(proc.handleInputRows((1,), iter([pdf([(far, 1, 2.00)])])))
+    assert gap_emit["n_events"].iloc[0] == 3
+    assert gap_emit["sum_cents"].iloc[0] == 500    # 325 + 125 + 50
+    assert gap_emit["closed_by"].iloc[0] == "gap"
+    exp3 = far.value // 1_000_000 + SESSION_GAP_MS
+    assert handle.timers[(1,)] == {exp3}           # fresh session's timer
 
     # expiry: exactly one row, state cleared, integer cents summed
     class Info:
         def getExpiryTimeInMs(self):
-            return exp2
+            return exp3
 
     [emitted] = list(proc.handleExpiredTimer((1,), None, Info()))
-    assert emitted["n_events"].iloc[0] == 3
-    assert emitted["sum_cents"].iloc[0] == 500     # 325 + 125 + 50
+    assert emitted["n_events"].iloc[0] == 1
+    assert emitted["sum_cents"].iloc[0] == 200
     assert emitted["closed_by"].iloc[0] == "timer"
     assert not handle.states["session"].exists()   # cleared
 
     # cleared-key race: a second expiry for the same key emits nothing
     assert list(proc.handleExpiredTimer((1,), None, Info())) == []
+
+    # chunk-boundary invariance (review r7s4): 0.105-valued events are
+    # the rounding worst case (0.105*100 = 10.4999... in binary) — the
+    # per-CHUNK rounded sum gave 21 cents together but 20 split, so
+    # the state depended on Arrow chunking.  Per-event rounding must
+    # give the SAME cents whether the two events share a chunk or not.
+    def run(chunks):
+        h = StubHandle()
+        p9 = SessionTimeoutProcessor()
+        p9.init(h)
+        h.current_key = (9,)
+        for c in chunks:
+            list(p9.handleInputRows((9,), iter([pdf(c)])))
+        return h.states["session"].get()[1]
+
+    e1 = (t0, 9, 0.105)
+    e2 = (t0 + pd.Timedelta(minutes=1), 9, 0.105)
+    assert run([[e1, e2]]) == run([[e1], [e2]])    # invariant to chunking
