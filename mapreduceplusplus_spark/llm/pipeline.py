@@ -354,3 +354,81 @@ def sample_per_group_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+#: weighted-sample parameters: uniform-grid size for the per-doc hash
+#: draw (u ∈ {1..M}/M) and the sample size
+_WS_M = 1_000_000
+_WS_K = 64
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(CAST(doc_id AS HUGEINT) * {_SPLIT_MULT}
+                  % {_SPLIT_MOD} AS BIGINT) % {_WS_M} + 1 AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang,
+           CAST(n_chars AS BIGINT) AS weight,
+           round(CAST(u AS DOUBLE) / n_chars, 9) + 0 AS priority,
+           CAST(row_number() OVER (ORDER BY CAST(u AS DOUBLE) / n_chars,
+                                   doc_id) AS BIGINT) AS rnk
+    FROM keyed
+    ORDER BY CAST(u AS DOUBLE) / n_chars, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sample without replacement by sequential Poisson /
+    priority sampling (Ohlsson 1998; Duffield-Lund-Thorup's priority
+    sampling is the same key idea): each document draws a
+    deterministic uniform ``u ∈ (0,1]`` from the portable Knuth hash
+    of its key and is ranked by ``u / w`` — the k SMALLEST keys are
+    the sample, giving inclusion probability ≈ proportional to weight
+    (here ``n_chars``; in a training pipeline, a quality score).  The
+    weighted counterpart of ``sample_per_group_topk_hash``'s uniform
+    draw, and the SELECTION form of ``mixture_sample_apply``'s
+    multiplicity reshaping: same reproducibility contract (pure
+    integer hash, no RNG, growth-stable — a doc's key never changes
+    when others arrive).
+
+    Engine-exactness is why this scheme over Efraimidis-Spirakis
+    (``u^(1/w)``): E-S needs a transcendental (pow/ln) whose last ulp
+    can differ between engines at a selection boundary; ``u / w`` is
+    ONE correctly-rounded IEEE division of exact integers — bit-equal
+    everywhere — with doc_id breaking exact key ties.
+
+    Scale: zero-shuffle keying inside the scan; the k-smallest is
+    ``orderBy.limit`` → TakeOrderedAndProject (per-partition heap,
+    k·P driver merge, never a global sort).  Zero-weight docs are
+    excluded (u/0 is the ANSI trap, and weight 0 means "never
+    sample").  Reference heritage: none (SURVEY §2 charter extension,
+    sampling family)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.expr(
+            f"CAST(CAST(doc_id AS DECIMAL(38,0)) * {_SPLIT_MULT}"
+            f" % {_SPLIT_MOD} AS BIGINT)"
+        )
+        % _WS_M
+        + 1
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (u.cast("double") / F.col("n_chars")).alias("key"),
+    )
+    topk = keyed.orderBy("key", "doc_id").limit(_WS_K)
+    w = Window.orderBy("key", "doc_id")
+    return topk.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (F.round("key", 9) + F.lit(0.0)).alias("priority"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )

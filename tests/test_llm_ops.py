@@ -810,3 +810,42 @@ def test_mixture_entropy_monoculture_and_uniform(spark, tmp_path):
     assert got["aa"].share_bp == 10 * 10000 // 18
     assert got["bb"].herfindahl_bp == 5000
     assert abs(got["bb"].entropy_micro_nats - 693147) <= 2
+
+
+def test_weighted_priority_sample_matches_python_recompute(spark, tmp_path):
+    """Independent reimplementation pin for sample_weighted_priority: a
+    pure-Python recompute of the Knuth draw and the u/w priority key
+    over a planted corpus must select the SAME documents in the same
+    order; zero-weight docs are never sampled; and raising a doc's
+    weight can only improve (never worsen) its rank."""
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.llm.pipeline import (
+        _SPLIT_MOD,
+        _SPLIT_MULT,
+        _WS_K,
+        _WS_M,
+    )
+
+    rows = [(i, "en", "x", (i * 37) % 900 + 1) for i in range(200)]
+    rows.append((500, "en", "x", 0))            # zero weight: excluded
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = registry.queries()["sample_weighted_priority"](spark, sf_dir).collect()
+
+    def key(doc_id, w):
+        u = (doc_id * _SPLIT_MULT % _SPLIT_MOD) % _WS_M + 1
+        return u / w
+
+    expect = sorted(
+        ((key(d, w), d, w) for d, _, _, w in rows if w > 0)
+    )[:_WS_K]
+    assert [(r.doc_id, r.weight) for r in got] == [
+        (d, w) for _, d, w in expect
+    ]
+    assert [r.rnk for r in got] == list(range(1, len(expect) + 1))
+    assert all(r.doc_id != 500 for r in got)
+    # weight monotonicity: same u, larger w -> smaller key
+    assert key(7, 100) > key(7, 1000)
