@@ -432,3 +432,105 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("key", 9) + F.lit(0.0)).alias("priority"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
+
+
+@query(
+    "pipeline_drop_reasons",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round(0.5 * (CASE WHEN n_chars > 0
+                       THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars
+                       ELSE 0 END)
+             + 0.3 * (CASE WHEN len(ws) > 0
+                       THEN len(list_filter(ws, t -> list_contains(
+                            ['the','and','of','to','a','in','is','it'], t))) * 1.0 / len(ws)
+                       ELSE 0 END)
+             + 0.2 * least(len(ws) / 100.0, 1.0), 3) AS quality,
+             md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_fp
+      FROM (SELECT doc_id, lang, n_chars, text,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents)
+    ),
+    flagged AS (
+      SELECT *,
+             quality >= {QUALITY_MIN}          AS q_ok,
+             lang IN ('en', 'de', 'fr')        AS l_ok
+      FROM scored
+    ),
+    keepers AS (
+      SELECT *,
+             first_value(CASE WHEN q_ok AND l_ok THEN doc_id END)
+               OVER (PARTITION BY bag_fp
+                     ORDER BY (q_ok AND l_ok) DESC, quality DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS keeper
+      FROM flagged
+    )
+    SELECT doc_id, lang, quality,
+           CASE WHEN NOT q_ok THEN 'low_quality'
+                WHEN NOT l_ok THEN 'lang'
+                WHEN doc_id <> keeper THEN 'duplicate'
+                ELSE 'kept' END AS verdict,
+           CASE WHEN q_ok AND l_ok AND doc_id <> keeper
+                THEN keeper END AS kept_doc_id
+    FROM keepers
+    """,
+)
+def pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance/lineage manifest for the cleaning pipeline: every
+    document gets a VERDICT — ``kept``, or WHY it was dropped
+    (``low_quality`` before ``lang`` before ``duplicate``, first-gate-
+    wins precedence), with duplicates pointing at the keeper that
+    displaced them (``kept_doc_id``).  This is the governance layer a
+    production corpus pipeline owes its auditors ("why is doc X not in
+    the training set?") that ``pipeline_clean_corpus`` — which only
+    emits SURVIVORS — cannot answer; the two share ``_scored_docs``
+    and the exact keeper policy, and the consistency invariant
+    (kept-set == clean-corpus output) is pinned by test.
+
+    The keeper resolves in ONE window over all docs: ordering gated
+    rows first ((q_ok AND l_ok) DESC, then the keeper policy), so the
+    partition's first ``CASE``-projected doc_id is the gated keeper —
+    no second pass, no join back, and partitions with no gated member
+    yield NULL (their rows already carry a gate verdict).
+
+    Scale: same single bag_fp exchange as the clean pipeline — the
+    manifest costs no more than the cleaning it explains.  Reference
+    heritage: none (SURVEY §2 charter extension, pipeline-governance
+    family)."""
+    ensure_utc(spark)
+    scored = _scored_docs(spark, sf_dir)
+    q_ok = F.col("quality") >= QUALITY_MIN
+    l_ok = F.col("lang").isin(*KEEP_LANGS)
+    flagged = scored.select(
+        "doc_id", "lang", "quality", "bag_fp",
+        q_ok.alias("q_ok"), l_ok.alias("l_ok"),
+    )
+    w = (
+        Window.partitionBy("bag_fp")
+        .orderBy(
+            (F.col("q_ok") & F.col("l_ok")).desc(),
+            F.col("quality").desc(),
+            "doc_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    keeper = F.first(
+        F.when(F.col("q_ok") & F.col("l_ok"), F.col("doc_id"))
+    ).over(w)
+    verdict = (
+        F.when(~F.col("q_ok"), "low_quality")
+        .when(~F.col("l_ok"), "lang")
+        .when(F.col("doc_id") != keeper, "duplicate")
+        .otherwise("kept")
+    )
+    return flagged.select(
+        "doc_id",
+        "lang",
+        "quality",
+        verdict.alias("verdict"),
+        F.when(
+            F.col("q_ok") & F.col("l_ok") & (F.col("doc_id") != keeper), keeper
+        ).alias("kept_doc_id"),
+    )

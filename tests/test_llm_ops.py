@@ -849,3 +849,33 @@ def test_weighted_priority_sample_matches_python_recompute(spark, tmp_path):
     assert all(r.doc_id != 500 for r in got)
     # weight monotonicity: same u, larger w -> smaller key
     assert key(7, 100) > key(7, 1000)
+
+
+def test_drop_reasons_consistent_with_clean_corpus(spark):
+    """The governance invariant: pipeline_drop_reasons' kept set must
+    equal pipeline_clean_corpus' survivor set exactly (same gates,
+    same keeper policy), every verdict must be one of the four
+    contract values with first-gate-wins precedence, every duplicate
+    must point at a KEPT keeper, and every doc must appear exactly
+    once."""
+    from mapreduceplusplus_spark import registry
+    from tests.conftest import SF_DIR_ORACLE
+
+    reasons = registry.queries()["pipeline_drop_reasons"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+    clean = registry.queries()["pipeline_clean_corpus"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+
+    kept = {r.doc_id for r in reasons if r.verdict == "kept"}
+    assert kept == {r.doc_id for r in clean}
+    assert len(reasons) == len({r.doc_id for r in reasons})  # one row per doc
+    assert {r.verdict for r in reasons} <= {
+        "kept", "low_quality", "lang", "duplicate"
+    }
+    for r in reasons:
+        if r.verdict == "duplicate":
+            assert r.kept_doc_id in kept and r.kept_doc_id != r.doc_id
+        else:
+            assert r.kept_doc_id is None
