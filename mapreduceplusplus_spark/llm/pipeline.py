@@ -26,11 +26,12 @@ QUALITY_MIN = 0.5
 #: languages admitted to the training set
 KEEP_LANGS = ("en", "de", "fr")
 
-
-@query(
-    "pipeline_clean_corpus",
-    oracle=f"""
-    WITH scored AS (
+#: the scoring+fingerprint CTE, ONE SQL definition shared by all three
+#: pipeline oracles (clean, end2end, drop_reasons) — the Spark side
+#: already shares ``_scored_docs``; review r7s4: three hand-copied SQL
+#: versions of the quality blend could silently drift apart, which is
+#: exactly the divergence the drop-reason manifest exists to rule out
+_SCORED_SQL = """scored AS (
       SELECT doc_id, lang,
              round(0.5 * (CASE WHEN n_chars > 0
                        THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars
@@ -45,7 +46,13 @@ KEEP_LANGS = ("en", "de", "fr")
       FROM (SELECT doc_id, lang, n_chars, text,
                    regexp_extract_all(lower(text), '[a-z]+') AS ws
             FROM documents)
-    ),
+    )"""
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH {_SCORED_SQL},
     gated AS (
       SELECT * FROM scored
       WHERE quality >= {QUALITY_MIN}
@@ -130,22 +137,7 @@ _E2E_MOD = 4294967296
 @query(
     "pipeline_corpus_end2end",
     oracle=f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
-             round(0.5 * (CASE WHEN n_chars > 0
-                       THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars
-                       ELSE 0 END)
-             + 0.3 * (CASE WHEN len(ws) > 0
-                       THEN len(list_filter(ws, t -> list_contains(
-                            ['the','and','of','to','a','in','is','it'], t))) * 1.0 / len(ws)
-                       ELSE 0 END)
-             + 0.2 * least(len(ws) / 100.0, 1.0), 3) AS quality,
-             CAST(len(ws) AS BIGINT) AS n_tokens,
-             md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_fp
-      FROM (SELECT doc_id, lang, n_chars, text,
-                   regexp_extract_all(lower(text), '[a-z]+') AS ws
-            FROM documents)
-    ),
+    WITH {_SCORED_SQL},
     eval_fp AS (
       SELECT DISTINCT bag_fp FROM scored WHERE doc_id % {_EVAL_MOD} = 0
     ),
@@ -373,11 +365,11 @@ _WS_K = 64
     )
     SELECT doc_id, lang,
            CAST(n_chars AS BIGINT) AS weight,
-           round(CAST(u AS DOUBLE) / n_chars, 9) + 0 AS priority,
-           CAST(row_number() OVER (ORDER BY CAST(u AS DOUBLE) / n_chars,
-                                   doc_id) AS BIGINT) AS rnk
+           round((CAST(u AS DOUBLE) / {_WS_M}) / n_chars, 9) + 0 AS priority,
+           CAST(row_number() OVER (ORDER BY (CAST(u AS DOUBLE) / {_WS_M})
+                                            / n_chars, doc_id) AS BIGINT) AS rnk
     FROM keyed
-    ORDER BY CAST(u AS DOUBLE) / n_chars, doc_id
+    ORDER BY (CAST(u AS DOUBLE) / {_WS_M}) / n_chars, doc_id
     LIMIT {_WS_K}
     """,
 )
@@ -417,11 +409,16 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _WS_M
         + 1
     )
+    # key = (u/M)/w — the documented u ∈ (0,1] sequential-Poisson
+    # form (review r7s4: publishing the unscaled u/w made the
+    # 'priority' column 1e6× its documented contract); two
+    # correctly-rounded divisions in fixed order, identical doubles
+    # on both engines
     keyed = docs.select(
         "doc_id",
         "lang",
         "n_chars",
-        (u.cast("double") / F.col("n_chars")).alias("key"),
+        ((u.cast("double") / _WS_M) / F.col("n_chars")).alias("key"),
     )
     topk = keyed.orderBy("key", "doc_id").limit(_WS_K)
     w = Window.orderBy("key", "doc_id")
@@ -437,25 +434,11 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipeline_drop_reasons",
     oracle=f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
-             round(0.5 * (CASE WHEN n_chars > 0
-                       THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n_chars
-                       ELSE 0 END)
-             + 0.3 * (CASE WHEN len(ws) > 0
-                       THEN len(list_filter(ws, t -> list_contains(
-                            ['the','and','of','to','a','in','is','it'], t))) * 1.0 / len(ws)
-                       ELSE 0 END)
-             + 0.2 * least(len(ws) / 100.0, 1.0), 3) AS quality,
-             md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_fp
-      FROM (SELECT doc_id, lang, n_chars, text,
-                   regexp_extract_all(lower(text), '[a-z]+') AS ws
-            FROM documents)
-    ),
+    WITH {_SCORED_SQL},
     flagged AS (
       SELECT *,
-             quality >= {QUALITY_MIN}          AS q_ok,
-             lang IN ('en', 'de', 'fr')        AS l_ok
+             coalesce(quality >= {QUALITY_MIN}, FALSE)   AS q_ok,
+             coalesce(lang IN ('en', 'de', 'fr'), FALSE) AS l_ok
       FROM scored
     ),
     keepers AS (
@@ -501,8 +484,12 @@ def pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     family)."""
     ensure_utc(spark)
     scored = _scored_docs(spark, sf_dir)
-    q_ok = F.col("quality") >= QUALITY_MIN
-    l_ok = F.col("lang").isin(*KEEP_LANGS)
+    # coalesce(…, False): NULL lang/quality must take a DROP verdict —
+    # bare 3VL lets a NULL gate fall through every WHEN into 'kept'/
+    # 'duplicate', silently breaking the kept-set ≡ clean-corpus
+    # invariant on BOTH engines at once (review r7s4)
+    q_ok = F.coalesce(F.col("quality") >= QUALITY_MIN, F.lit(False))
+    l_ok = F.coalesce(F.col("lang").isin(*KEEP_LANGS), F.lit(False))
     flagged = scored.select(
         "doc_id", "lang", "quality", "bag_fp",
         q_ok.alias("q_ok"), l_ok.alias("l_ok"),

@@ -837,7 +837,7 @@ def test_weighted_priority_sample_matches_python_recompute(spark, tmp_path):
 
     def key(doc_id, w):
         u = (doc_id * _SPLIT_MULT % _SPLIT_MOD) % _WS_M + 1
-        return u / w
+        return (u / _WS_M) / w          # same op order as both engines
 
     expect = sorted(
         ((key(d, w), d, w) for d, _, _, w in rows if w > 0)
@@ -879,3 +879,34 @@ def test_drop_reasons_consistent_with_clean_corpus(spark):
             assert r.kept_doc_id in kept and r.kept_doc_id != r.doc_id
         else:
             assert r.kept_doc_id is None
+
+
+def test_drop_reasons_null_gates_take_drop_verdicts(spark, tmp_path):
+    """Review r7s4 regression: NULL lang (or NULL-scored) documents
+    must take a DROP verdict — bare three-valued logic let a NULL gate
+    fall through every WHEN into 'kept' (or 'duplicate' with a NULL
+    keeper), on BOTH engines at once, so only a planted-NULL fixture
+    can see it. Also: a NULL-lang doc sharing a fingerprint with a
+    kept doc is dropped by the LANG gate, never as 'duplicate'."""
+    from mapreduceplusplus_spark import registry
+
+    good = "the and of to a in is it " * 20      # high-quality English
+    rows = [
+        (1, "en", good, len(good)),              # kept
+        (2, None, good, len(good)),              # NULL lang, same bag_fp
+        (3, None, good + " extra", len(good) + 6),  # NULL lang, unique fp
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r.doc_id: r
+        for r in registry.queries()["pipeline_drop_reasons"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got[1].verdict == "kept"
+    assert got[2].verdict == "lang" and got[2].kept_doc_id is None
+    assert got[3].verdict == "lang" and got[3].kept_doc_id is None
