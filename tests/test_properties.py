@@ -248,3 +248,77 @@ def test_asof_join_forward_matches_python_model(spark, data):
         cands = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt >= t]
         expect = min(cands)[1] if cands else None
         assert got[i] == expect, f"left row {i} ({k},{t}): {got[i]} != {expect}"
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_closed_form_property(ys):
+    """events_cusum_drift's load-bearing identity, property-tested:
+    for ANY integer deviation sequence, S_i − min(0, min_{j≤i} S_j)
+    equals the textbook recursion s_i = max(0, s_{i−1} + y_i) at every
+    step (pure math — no Spark; the planted-fixture tests pin the
+    wiring).  Random sequences cover the positive-start,
+    negative-start, and oscillating walks the single fixture cannot."""
+    s_rec, mx_rec = 0, 0
+    S, lo = 0, 0
+    for y in ys:
+        s_rec = max(0, s_rec + y)           # textbook recursion
+        S += y                               # closed form pieces
+        lo = min(lo, S)                      # min INCLUDING S0 = 0
+        assert s_rec == S - lo
+        mx_rec = max(mx_rec, s_rec)
+    assert mx_rec >= 0                       # CUSUM is never negative
+
+
+@given(
+    st.integers(min_value=-(10**15), max_value=10**15),
+    st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=300, deadline=None)
+def test_floor_div_sql_property(n, d):
+    """floor_div_sql's CASE must equal Python's true-floor // for any
+    numerator sign and positive denominator — evaluated on BOTH
+    engines via DuckDB (cheap per-case) and spot-checked on Spark by
+    the dedicated unit test; here the DuckDB leg sweeps the space."""
+    import duckdb
+
+    from mapreduceplusplus_spark.session import floor_div_sql
+
+    frag = floor_div_sql(str(n), str(d), "duckdb")
+    got = duckdb.sql(f"SELECT {frag} AS v").fetchone()[0]
+    assert got == n // d, (n, d, got)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),   # u draw
+            st.integers(min_value=1, max_value=10**5),   # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_priority_sampling_weight_monotone(pairs):
+    """Sequential-Poisson key property: for a FIXED u, increasing the
+    weight never worsens (increases) the key, and the k-smallest
+    selection is invariant to input order — the two facts that make
+    u/w a valid weighted-sampling priority."""
+    import random
+
+    keys = [((u + 1) / 10**6) / w for u, w in pairs]
+    for (u, w), k in zip(pairs, keys):
+        assert ((u + 1) / 10**6) / (w + 1) <= k   # heavier -> no worse
+    k_sel = min(8, len(pairs))
+    base = sorted(range(len(pairs)), key=lambda i: (keys[i], i))[:k_sel]
+    shuffled = list(range(len(pairs)))
+    random.Random(0).shuffle(shuffled)
+    re_sel = sorted(shuffled, key=lambda i: (keys[i], i))[:k_sel]
+    assert base == re_sel
