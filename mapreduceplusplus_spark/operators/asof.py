@@ -52,19 +52,27 @@ def as_of_join(
     output-name → right column) from the matching right row per the
     ``direction`` — ``"backward"`` (default): the LATEST right row with
     ``right_ts <= left_ts``; ``"forward"``: the EARLIEST right row with
-    ``right_ts >= left_ts``.  NULLs when no such row.  Both ties are
-    inclusive (a right row at exactly ``left_ts`` matches either way).
+    ``right_ts >= left_ts``; ``"nearest"``: whichever of those two
+    candidates has the smaller ``|Δts|``, ties to the BACKWARD (earlier)
+    row — pandas ``merge_asof``'s third direction.  NULLs when no such
+    row.  All ties at exactly ``left_ts`` are inclusive.
 
     The forward mode is the same union + running-carry machinery with
     the time axis reversed (ORDER BY ts DESC): "last non-null among
     preceding rows" then means "nearest right row at-or-after me".
+    Nearest computes BOTH carries over the SAME union — two window
+    sorts sharing one (on)-hash exchange — with the matched right ts
+    riding inside each packed struct so the |Δts| compare is a narrow
+    projection, not a join of two as-of results.
 
     Determinism contract: ``right`` must be unique per (on, right_ts) —
     pre-dedupe if needed (see ``join_asof`` below), otherwise which
     duplicate wins depends on partition-internal order.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
     payload = [c for c in left.columns if c not in on and c != left_ts]
 
     # internal column names must not collide with user columns —
@@ -82,8 +90,14 @@ def as_of_join(
     # per-column last() would do, mixing rows)
     from pyspark.sql.types import StructField, StructType
 
+    rts_f = f"{tag}_mts"  # matched right ts, rides inside the pack
+    pack_fields = dict(right_cols)
+    pack_fields[rts_f] = right_ts
     pack_type = StructType(
-        [StructField(out, right.schema[src].dataType) for out, src in right_cols.items()]
+        [
+            StructField(out, right.schema[src].dataType)
+            for out, src in pack_fields.items()
+        ]
     )
     lsel = (
         [F.col(c) for c in on]
@@ -99,18 +113,38 @@ def as_of_join(
         + [F.lit(0).alias(side_c)]
         + [
             F.struct(
-                *[F.col(src).alias(out) for out, src in right_cols.items()]
+                *[F.col(src).alias(out) for out, src in pack_fields.items()]
             ).alias(pack_c)
         ]
     )
     u = left.select(*lsel).unionByName(right.select(*rsel))
-    ts_order = F.col(ts_c) if direction == "backward" else F.col(ts_c).desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.col(side_c))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = u.withColumn(pack_c, F.last(pack_c, ignorenulls=True).over(w))
+
+    def _carry(back: bool):
+        ts_order = F.col(ts_c) if back else F.col(ts_c).desc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ts_order, F.col(side_c))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(pack_c, ignorenulls=True).over(w)
+
+    if direction != "nearest":
+        u = u.withColumn(pack_c, _carry(direction == "backward"))
+    else:
+        b_c, f_c = f"{tag}_b", f"{tag}_f"
+        u = u.withColumn(b_c, _carry(True)).withColumn(f_c, _carry(False))
+        # cast-to-double distance: works for TIMESTAMP (epoch seconds,
+        # sub-µs resolution at epoch magnitudes) and integer axes alike
+        t_d = F.col(ts_c).cast("double")
+        bdt = t_d - F.col(f"{b_c}.{rts_f}").cast("double")
+        fdt = F.col(f"{f_c}.{rts_f}").cast("double") - t_d
+        u = u.withColumn(
+            pack_c,
+            F.when(F.col(b_c).isNull(), F.col(f_c))
+            .when(F.col(f_c).isNull(), F.col(b_c))
+            .when(bdt <= fdt, F.col(b_c))       # tie -> backward/earlier
+            .otherwise(F.col(f_c)),
+        )
     return (
         u.where(F.col(side_c) == 1)
         .select(
@@ -312,4 +346,78 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(unix_micros(next_purchase_ts) - unix_micros(ts)) div 1000000"
         ).alias("secs_to_purchase"),
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    ),
+    l AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT l.event_id, r.event_id AS pe, r.ts AS pts,
+             row_number() OVER (
+               PARTITION BY l.event_id
+               ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)),
+                        (r.ts > l.ts), r.ts, r.event_id) AS rn
+      FROM l JOIN r USING (user_id)
+    )
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '{_TS_US_DUCK}')      AS click_ts,
+           c.pe                                  AS purchase_event_id,
+           strftime(c.pts, '{_TS_US_DUCK}')     AS purchase_ts,
+           abs(epoch_us(l.ts) - epoch_us(c.pts)) // 1000000
+                                                 AS abs_gap_secs
+    FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every click matched to the user's NEAREST purchase in either
+    time direction (ties to the earlier purchase) — pandas
+    ``merge_asof(direction='nearest')``, completing the as-of trio
+    (backward ``join_asof``, forward ``join_asof_forward``).  The
+    operator behind "which transaction does this interaction belong
+    to" when causality can run either way (a click can precede or
+    follow its purchase).
+
+    Scale: unlike the directional forms (one carry window each),
+    nearest runs TWO carry windows over the SAME union — still one
+    hash exchange on user_id, two in-partition sorts — then a narrow
+    per-row |Δt| compare; the matched right timestamp rides inside
+    each packed struct so no join-back is needed.  The oracle is the
+    quadratic candidate argmin DuckDB needs without a nearest ASOF
+    join — the reason the carry form is the scale path."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = _dedup_right(ev, "purchase")
+    joined = as_of_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"purchase_event_id": "event_id", "purchase_ts": "ts"},
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_US_SPARK).alias("click_ts"),
+        "purchase_event_id",
+        F.date_format("purchase_ts", _TS_US_SPARK).alias("purchase_ts"),
+        F.expr(
+            "abs(unix_micros(ts) - unix_micros(purchase_ts)) div 1000000"
+        ).alias("abs_gap_secs"),
     )

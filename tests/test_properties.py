@@ -322,3 +322,46 @@ def test_priority_sampling_weight_monotone(pairs):
     random.Random(0).shuffle(shuffled)
     re_sel = sorted(shuffled, key=lambda i: (keys[i], i))[:k_sel]
     assert base == re_sel
+
+
+@given(_asof_inputs())
+@settings(**_SETTINGS)
+def test_asof_join_nearest_matches_python_model(spark, data):
+    """nearest == per-left-row argmin |rts - ts| with ties to the
+    EARLIER right row (and among equal-|dt|-equal-ts duplicates the
+    model mirrors the dedup precondition) — on arbitrary key/ts
+    distributions including empty right sides."""
+    from mapreduceplusplus_spark.operators.asof import as_of_join
+
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [Row(k=k, ts=t, lid=i) for i, (k, t) in enumerate(left_rows)],
+        "k string, ts int, lid int",
+    )
+    right = spark.createDataFrame([], "k string, rts int, v int") if not right_rows else (
+        spark.createDataFrame(
+            [Row(k=k, rts=t, v=v) for k, t, v in right_rows],
+            "k string, rts int, v int",
+        )
+    )
+    got = {
+        r.lid: r.v_out
+        for r in as_of_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols={"v_out": "v"}, direction="nearest",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        back = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt <= t]
+        fwd = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt >= t]
+        b = max(back) if back else None       # latest at-or-before
+        f = min(fwd) if fwd else None         # earliest at-or-after
+        if b is None and f is None:
+            expect = None
+        elif b is None:
+            expect = f[1]
+        elif f is None:
+            expect = b[1]
+        else:
+            expect = b[1] if (t - b[0]) <= (f[0] - t) else f[1]
+        assert got[i] == expect, f"left row {i} ({k},{t}): {got[i]} != {expect}"
