@@ -92,7 +92,10 @@ def as_of_join(
 
     rts_f = f"{tag}_mts"  # matched right ts, rides inside the pack
     pack_fields = dict(right_cols)
-    pack_fields[rts_f] = right_ts
+    if direction == "nearest":
+        # only nearest reads the matched ts — don't widen the shuffled
+        # struct for the directional forms (review r7s4)
+        pack_fields[rts_f] = right_ts
     pack_type = StructType(
         [
             StructField(out, right.schema[src].dataType)
@@ -133,11 +136,22 @@ def as_of_join(
     else:
         b_c, f_c = f"{tag}_b", f"{tag}_f"
         u = u.withColumn(b_c, _carry(True)).withColumn(f_c, _carry(False))
-        # cast-to-double distance: works for TIMESTAMP (epoch seconds,
-        # sub-µs resolution at epoch magnitudes) and integer axes alike
-        t_d = F.col(ts_c).cast("double")
-        bdt = t_d - F.col(f"{b_c}.{rts_f}").cast("double")
-        fdt = F.col(f"{f_c}.{rts_f}").cast("double") - t_d
+        # EXACT integer distances (review r7s4: a cast-to-double
+        # distance carries ~1e-7 s of independent rounding per
+        # timestamp at epoch magnitudes, flipping ~25% of exact ties
+        # to the forward row and breaking int axes beyond 2^53):
+        # µs for timestamp axes, native integer otherwise
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if isinstance(
+            left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)
+        ):
+            to_i = F.unix_micros
+        else:  # integral axes; DATE axes need a prior cast by the caller
+            to_i = lambda c: c.cast("bigint")
+        t_i = to_i(F.col(ts_c))
+        bdt = t_i - to_i(F.col(f"{b_c}.{rts_f}"))
+        fdt = to_i(F.col(f"{f_c}.{rts_f}")) - t_i
         u = u.withColumn(
             pack_c,
             F.when(F.col(b_c).isNull(), F.col(f_c))

@@ -1306,3 +1306,46 @@ def test_psi_identical_and_shifted_distributions(spark, tmp_path):
     assert got[0].psi_term_micro == math.floor(t0 * 1e6)
     assert got[2].psi_term_micro == math.floor(t2 * 1e6)
     assert got[2].psi_term_micro > 0
+
+
+def test_asof_nearest_exact_tie_at_epoch_magnitude(spark, tmp_path):
+    """Review r7s4 regression: purchases EXACTLY equidistant around a
+    click at a realistic epoch timestamp must tie to the BACKWARD
+    (earlier) row on both engines — the cast-to-double distance this
+    replaces flipped ~25% of such ties forward because each timestamp
+    carries independent double rounding at epoch magnitudes."""
+    import datetime as dt
+
+    import duckdb
+
+    from mapreduceplusplus_spark import registry
+
+    t = dt.datetime(2025, 1, 13, 13, 37, 9, 449314)
+    d = dt.timedelta(seconds=6341, microseconds=935621)
+    rows = [
+        (1, t - d, 7, "purchase", 1.0, None),
+        (2, t, 7, "click", 0.0, None),
+        (3, t + d, 7, "purchase", 2.0, None),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    [got] = registry.queries()["join_asof_nearest"](spark, sf_dir).collect()
+    assert got.purchase_event_id == 1, got      # backward wins the tie
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    [(duck_pe,)] = con.execute(
+        "SELECT purchase_event_id FROM ("
+        + registry.oracles()["join_asof_nearest"]
+        + ")"
+    ).fetchall()
+    con.close()
+    assert duck_pe == 1                         # engines agree

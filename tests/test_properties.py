@@ -308,20 +308,14 @@ def test_floor_div_sql_property(n, d):
 @settings(max_examples=150, deadline=None)
 def test_priority_sampling_weight_monotone(pairs):
     """Sequential-Poisson key property: for a FIXED u, increasing the
-    weight never worsens (increases) the key, and the k-smallest
-    selection is invariant to input order — the two facts that make
-    u/w a valid weighted-sampling priority."""
-    import random
-
+    weight never worsens (increases) the key — the monotonicity that
+    makes u/w a valid weighted-sampling priority."""
     keys = [((u + 1) / 10**6) / w for u, w in pairs]
     for (u, w), k in zip(pairs, keys):
         assert ((u + 1) / 10**6) / (w + 1) <= k   # heavier -> no worse
-    k_sel = min(8, len(pairs))
-    base = sorted(range(len(pairs)), key=lambda i: (keys[i], i))[:k_sel]
-    shuffled = list(range(len(pairs)))
-    random.Random(0).shuffle(shuffled)
-    re_sel = sorted(shuffled, key=lambda i: (keys[i], i))[:k_sel]
-    assert base == re_sel
+    # (an earlier "order-invariance" half re-sorted the same keyed list
+    # and could never fail — dropped as vacuous, review r7s4; the Spark
+    # selection itself is pinned by the planted-corpus recompute test)
 
 
 @given(_asof_inputs())
