@@ -39,6 +39,21 @@ _TS_US_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_US_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
+def _ts_int(left: DataFrame, left_ts: str, c):
+    """EXACT integer time value for distance/tolerance arithmetic
+    (review r7s4: cast-to-double distances carry ~1e-7 s of
+    independent rounding per timestamp at epoch magnitudes, flipping
+    ~25% of exact ties): µs for timestamp axes, native integer
+    otherwise (DATE axes need a prior cast by the caller)."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(
+        left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)
+    ):
+        return F.unix_micros(c)
+    return c.cast("bigint")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
@@ -47,6 +62,7 @@ def as_of_join(
     right_ts: str,
     right_cols: dict[str, str],
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join: each left row gains ``right_cols`` (mapping
     output-name → right column) from the matching right row per the
@@ -64,6 +80,11 @@ def as_of_join(
     sorts sharing one (on)-hash exchange — with the matched right ts
     riding inside each packed struct so the |Δts| compare is a narrow
     projection, not a join of two as-of results.
+
+    ``tolerance_us`` (pandas ``merge_asof(tolerance=…)``): a match
+    farther than this many µs (timestamp axes; raw units on integral
+    axes) from the left row is nulled out AFTER the carry — a
+    post-pick projection, so the join's shape and cost are unchanged.
 
     Determinism contract: ``right`` must be unique per (on, right_ts) —
     pre-dedupe if needed (see ``join_asof`` below), otherwise which
@@ -92,9 +113,9 @@ def as_of_join(
 
     rts_f = f"{tag}_mts"  # matched right ts, rides inside the pack
     pack_fields = dict(right_cols)
-    if direction == "nearest":
-        # only nearest reads the matched ts — don't widen the shuffled
-        # struct for the directional forms (review r7s4)
+    if direction == "nearest" or tolerance_us is not None:
+        # only nearest / tolerance read the matched ts — don't widen
+        # the shuffled struct otherwise (review r7s4)
         pack_fields[rts_f] = right_ts
     pack_type = StructType(
         [
@@ -136,28 +157,23 @@ def as_of_join(
     else:
         b_c, f_c = f"{tag}_b", f"{tag}_f"
         u = u.withColumn(b_c, _carry(True)).withColumn(f_c, _carry(False))
-        # EXACT integer distances (review r7s4: a cast-to-double
-        # distance carries ~1e-7 s of independent rounding per
-        # timestamp at epoch magnitudes, flipping ~25% of exact ties
-        # to the forward row and breaking int axes beyond 2^53):
-        # µs for timestamp axes, native integer otherwise
-        from pyspark.sql.types import TimestampNTZType, TimestampType
-
-        if isinstance(
-            left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)
-        ):
-            to_i = F.unix_micros
-        else:  # integral axes; DATE axes need a prior cast by the caller
-            to_i = lambda c: c.cast("bigint")
-        t_i = to_i(F.col(ts_c))
-        bdt = t_i - to_i(F.col(f"{b_c}.{rts_f}"))
-        fdt = to_i(F.col(f"{f_c}.{rts_f}")) - t_i
+        t_i = _ts_int(left, left_ts, F.col(ts_c))
+        bdt = t_i - _ts_int(left, left_ts, F.col(f"{b_c}.{rts_f}"))
+        fdt = _ts_int(left, left_ts, F.col(f"{f_c}.{rts_f}")) - t_i
         u = u.withColumn(
             pack_c,
             F.when(F.col(b_c).isNull(), F.col(f_c))
             .when(F.col(f_c).isNull(), F.col(b_c))
             .when(bdt <= fdt, F.col(b_c))       # tie -> backward/earlier
             .otherwise(F.col(f_c)),
+        )
+    if tolerance_us is not None:
+        gap = F.abs(
+            _ts_int(left, left_ts, F.col(ts_c))
+            - _ts_int(left, left_ts, F.col(f"{pack_c}.{rts_f}"))
+        )
+        u = u.withColumn(
+            pack_c, F.when(gap <= tolerance_us, F.col(pack_c))
         )
     return (
         u.where(F.col(side_c) == 1)
@@ -434,4 +450,76 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "abs(unix_micros(ts) - unix_micros(purchase_ts)) div 1000000"
         ).alias("abs_gap_secs"),
+    )
+
+
+#: tolerance for the bounded as-of query: 7 days in microseconds
+_TOL_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'signup') WHERE rn = 1
+    ),
+    l AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT l.event_id, l.user_id, l.ts,
+             r.event_id AS se, r.ts AS sts
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '{_TS_US_DUCK}') AS purchase_ts,
+           CASE WHEN epoch_us(ts) - epoch_us(sts) <= {_TOL_US}
+                THEN se END AS signup_event_id,
+           CASE WHEN epoch_us(ts) - epoch_us(sts) <= {_TOL_US}
+                THEN (epoch_us(ts) - epoch_us(sts)) // 1000000
+           END AS secs_since_signup
+    FROM m
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded as-of: each purchase matched to the most recent signup
+    AT MOST 7 DAYS back — pandas ``merge_asof(tolerance=…)``, the last
+    piece of its parameter surface (directions backward/forward/
+    nearest are the other three registered forms).  An out-of-window
+    match is semantically "no attribution", not "stale attribution" —
+    the difference between crediting a purchase to a year-old signup
+    and correctly leaving it organic.
+
+    Scale: the tolerance is a POST-CARRY projection on the matched
+    timestamp already riding in the packed struct — same single
+    exchange and sort as the unbounded form; exact integer µs
+    arithmetic (the same `_ts_int` contract as the nearest tie)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = _dedup_right(ev, "signup")
+    joined = as_of_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"signup_event_id": "event_id", "signup_ts": "ts"},
+        tolerance_us=_TOL_US,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_US_SPARK).alias("purchase_ts"),
+        "signup_event_id",
+        F.expr("(unix_micros(ts) - unix_micros(signup_ts)) div 1000000").alias(
+            "secs_since_signup"
+        ),
     )

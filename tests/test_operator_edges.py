@@ -1349,3 +1349,38 @@ def test_asof_nearest_exact_tie_at_epoch_magnitude(spark, tmp_path):
     ).fetchall()
     con.close()
     assert duck_pe == 1                         # engines agree
+
+
+def test_asof_tolerance_boundary_inclusive(spark, tmp_path):
+    """Pin join_asof_tolerance's boundary: a signup EXACTLY 7 days
+    before the purchase still matches (<= tolerance, inclusive), one
+    microsecond farther is nulled out - and the null covers BOTH
+    output columns atomically (no orphaned secs_since_signup)."""
+    import datetime as dt
+
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.operators.asof import _TOL_US
+
+    tol = dt.timedelta(microseconds=_TOL_US)
+    t = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, t - tol, 1, "signup", 0.0, None),                # exactly at tol
+        (2, t, 1, "purchase", 5.0, None),
+        (3, t - tol - dt.timedelta(microseconds=1), 2, "signup", 0.0, None),
+        (4, t, 2, "purchase", 5.0, None),                    # 1 us too far
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        r.user_id: r
+        for r in registry.queries()["join_asof_tolerance"](spark, sf_dir).collect()
+    }
+    assert got[1].signup_event_id == 1
+    assert got[1].secs_since_signup == _TOL_US // 1_000_000
+    assert got[2].signup_event_id is None
+    assert got[2].secs_since_signup is None     # atomic null
