@@ -22,8 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceplusplus_spark.registry import query
-from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.session import ensure_utc, floor_div_sql
 from mapreduceplusplus_spark.sources.tables import load_table
+
+#: DuckDB floor-division fragment rendered by the SHARED helper, so an
+#: edit to floor_div_sql moves BOTH engines (review r7s4: the oracle
+#: copy was hand-written, re-opening the one-sided-edit class the
+#: helper exists to close)
+_FLOOR_SN_DUCK = floor_div_sql("s", "n", "duckdb")
 
 
 @query(
@@ -101,7 +107,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_label_centroids",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT label,
              generate_subscripts(embedding, 1) - 1 AS pos,
@@ -118,7 +124,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            CAST(max(n) AS BIGINT) AS n_vecs,
            list(s ORDER BY pos) AS centroid_sum_e6,
-           list(CASE WHEN (s) >= 0 THEN (s) // (n) ELSE -((-(s) + (n) - 1) // (n)) END
+           list({_FLOOR_SN_DUCK}
                 ORDER BY pos) AS centroid_mean_e6
     FROM dim GROUP BY label
     """,
@@ -177,8 +183,9 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: PCA micro-unit quantization scale: embeddings are O(1)-magnitude
-#: floats; 1e6 keeps every Gram product within BIGINT at petascale row
-#: counts per cell.
+#: floats; 1e6 keeps every per-ROW Gram product (~1e12) well inside
+#: int64 per Arrow batch — the cross-batch combine runs in
+#: DECIMAL(38,0) (see below), good to ~1e26 rows per cell.
 _PCA_MICRO = 1_000_000
 
 
@@ -251,14 +258,20 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("embedding")
         .mapInPandas(_partials, "idx long, val long")
         .groupBy("idx")
-        .agg(F.sum("val").alias("val"))
+        # DECIMAL(38,0) combine: each ROW adds ~micro² = 1e12 to a
+        # diagonal cell, so a BIGINT sum overflows at ~9e6 rows —
+        # far below the charter scale (ANSI would error; non-ANSI
+        # would silently wrap the eigenvector).  Per-batch partials
+        # stay int64 (bounded by Arrow batch size); only the global
+        # combine needs the headroom (good to ~1e26 rows).
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("val"))
         .collect()
     )
     if not cells:
         return emb.select(
             "vec_id", "label", F.lit(0.0).alias("pc1")
         ).limit(0)
-    vals = {r.idx: r.val for r in cells}
+    vals = {r.idx: int(r.val) for r in cells}  # Decimal -> exact int
     total = len(vals)
     d = int(round((-1 + (1 + 4 * (total - 1)) ** 0.5) / 2))  # d² + d + 1 cells
     gram = np.array(

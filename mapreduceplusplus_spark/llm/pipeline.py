@@ -25,6 +25,10 @@ from mapreduceplusplus_spark.sources.tables import load_table
 QUALITY_MIN = 0.5
 #: languages admitted to the training set
 KEEP_LANGS = ("en", "de", "fr")
+#: the language gate as SQL, DERIVED from KEEP_LANGS so editing the
+#: tuple moves the Spark plans AND every oracle together (review r7s4:
+#: three hand-copied IN-lists could silently diverge)
+_KEEP_LANGS_SQL = "lang IN (" + ", ".join(f"'{l}'" for l in KEEP_LANGS) + ")"
 
 #: the scoring+fingerprint CTE, ONE SQL definition shared by all three
 #: pipeline oracles (clean, end2end, drop_reasons) — the Spark side
@@ -56,7 +60,7 @@ _SCORED_SQL = """scored AS (
     gated AS (
       SELECT * FROM scored
       WHERE quality >= {QUALITY_MIN}
-        AND lang IN ('en', 'de', 'fr')
+        AND {_KEEP_LANGS_SQL}
     )
     SELECT doc_id, lang, quality, n_tokens
     FROM (SELECT *, row_number() OVER (PARTITION BY bag_fp
@@ -144,7 +148,7 @@ _E2E_MOD = 4294967296
     gated AS (
       SELECT * FROM scored
       WHERE quality >= {QUALITY_MIN}
-        AND lang IN ('en', 'de', 'fr')
+        AND {_KEEP_LANGS_SQL}
         AND doc_id % {_EVAL_MOD} <> 0
     ),
     kept AS (
@@ -438,7 +442,7 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
       SELECT *,
              coalesce(quality >= {QUALITY_MIN}, FALSE)   AS q_ok,
-             coalesce(lang IN ('en', 'de', 'fr'), FALSE) AS l_ok
+             coalesce({_KEEP_LANGS_SQL}, FALSE) AS l_ok
       FROM scored
     ),
     keepers AS (

@@ -1162,7 +1162,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Window.partitionBy(flag)`` caps the sort at 3 tasks — measured
     2.4× WORSE at 5× rows.  Instead the cumulative weight is computed
     with the ``sort_global`` two-pass bucketed rank
-    (``_cents_range_buckets``): per-(flag, bucket) local running
+    (``range_bucket_expr``): per-(flag, bucket) local running
     weights (|flags|·|buckets| parallel tasks), bucket weight census →
     per-flag cumulative offsets (a window over the TINY census, not
     the data), broadcast back and added.  Equal cents always share a

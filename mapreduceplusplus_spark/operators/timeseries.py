@@ -44,8 +44,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceplusplus_spark.registry import query
-from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.session import ensure_utc, floor_div_sql
 from mapreduceplusplus_spark.sources.tables import load_table
+
+#: DuckDB floor-division fragment rendered by the SHARED helper (see
+#: llm/embeddings.py _FLOOR_SN_DUCK for the rationale)
+_FLOOR_MU_DUCK = floor_div_sql("sum(c)", "count(*)", "duckdb")
 
 #: keys resampled by the registered query — a fixed slice so the
 #: output stays bounded and comparable across scale factors
@@ -1041,7 +1045,7 @@ _CUSUM_H_CENTS = 50_000
     ),
     mu AS (
       SELECT event_type,
-             CASE WHEN (sum(c)) >= 0 THEN (sum(c)) // (count(*)) ELSE -((-(sum(c)) + (count(*)) - 1) // (count(*))) END AS mu_c
+             {_FLOOR_MU_DUCK} AS mu_c
       FROM cents GROUP BY event_type
     ),
     pre AS (
