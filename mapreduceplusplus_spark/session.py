@@ -121,7 +121,12 @@ def floor_div_sql(num: str, den: str, dialect: str) -> str:
     One definition, both dialects: a one-sided edit (fixing the Spark
     expression but not the oracle SQL) is exactly the bug class a
     review pass caught in ``events_cusum_drift`` — emitting both
-    fragments from here makes it unrepresentable."""
+    fragments from here makes it unrepresentable.
+
+    Precondition: operands must be 64-bit-typed EXPRESSIONS (column
+    aggregates are; bare SQL integer literals type as INT32 in DuckDB,
+    where the internal ``−n + d − 1`` can overflow — cast literals to
+    BIGINT first)."""
     op = {"spark": "div", "duckdb": "//"}[dialect]
     return (
         f"CASE WHEN ({num}) >= 0 THEN ({num}) {op} ({den})"

@@ -285,12 +285,18 @@ def test_floor_div_sql_property(n, d):
     """floor_div_sql's CASE must equal Python's true-floor // for any
     numerator sign and positive denominator — evaluated on BOTH
     engines via DuckDB (cheap per-case) and spot-checked on Spark by
-    the dedicated unit test; here the DuckDB leg sweeps the space."""
+    the dedicated unit test; here the DuckDB leg sweeps the space.
+    Operands are CAST to BIGINT, mirroring the helper's documented
+    precondition: every real call site feeds BIGINT aggregates, while
+    bare SQL literals type as INT32 in DuckDB and the internal
+    (−n + d − 1) would overflow INT32 (hypothesis found this)."""
     import duckdb
 
     from mapreduceplusplus_spark.session import floor_div_sql
 
-    frag = floor_div_sql(str(n), str(d), "duckdb")
+    frag = floor_div_sql(
+        f"CAST({n} AS BIGINT)", f"CAST({d} AS BIGINT)", "duckdb"
+    )
     got = duckdb.sql(f"SELECT {frag} AS v").fetchone()[0]
     assert got == n // d, (n, d, got)
 
