@@ -1299,3 +1299,64 @@ def dq_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "events_ab_srm_check",
+    oracle="""
+    WITH units AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ),
+    counts AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS nb
+      FROM units
+    )
+    SELECT CAST(n AS BIGINT)  AS n_units,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST((na - nb) * (na - nb) * 1000000 // n AS BIGINT)
+                              AS chi2_micro,
+           ((na - nb) * (na - nb) * 1000 > 3841 * n) AS srm_flag
+    FROM counts
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the A/B readout — THE
+    standard validity check experimentation platforms run before
+    trusting ``events_ab_lift``: under a 50/50 hash assignment the
+    unit counts must be statistically even; a skewed split means the
+    assignment or logging is broken and every downstream metric is
+    biased.  For a two-cell 50/50 design the chi-square statistic
+    collapses to ``(n_A − n_B)² / n``, compared against the 95%
+    critical value 3.841 — evaluated with CROSS-MULTIPLIED integers
+    (``(Δ)²·1000 > 3841·n``), so the flag cannot flip on float
+    rounding; the statistic itself ships in integer micro-units.
+
+    Scale: one DISTINCT-user collapse (map-side combined on user_id —
+    the same unit-of-analysis reduction as ``events_ab_lift``) then a
+    1-row reduction.  Reference heritage: none (SURVEY §2 charter
+    extension, experimentation family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.select("user_id").distinct().select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant")
+    )
+    counts = units.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("nb"),
+    )
+    d2 = (F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb"))
+    return counts.select(
+        F.col("n").cast("bigint").alias("n_units"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr("((na - nb) * (na - nb)) * 1000000 div n")
+        .cast("bigint")
+        .alias("chi2_micro"),
+        (d2 * 1000 > 3841 * F.col("n")).alias("srm_flag"),
+    )

@@ -157,7 +157,7 @@ _PRIORITY_ORDER = [
     # agg_linear_trend, ts_interval_sweepline, source_csv_quarantine,
     # corpus_mixture_entropy, agg_weighted_median, agg_trimmed_mean,
     # dq_distribution_psi, sample_weighted_priority, pipeline_drop_reasons,
-    # join_asof_nearest, join_asof_tolerance.
+    # join_asof_nearest, join_asof_tolerance, events_ab_srm_check.
     "tpch_q6_forecast_revenue",
     "agg_decimal_exact",
     "join_skew_salted",

@@ -1384,3 +1384,36 @@ def test_asof_tolerance_boundary_inclusive(spark, tmp_path):
     assert got[1].secs_since_signup == _TOL_US // 1_000_000
     assert got[2].signup_event_id is None
     assert got[2].secs_since_signup is None     # atomic null
+
+
+def test_srm_flag_boundary(spark, tmp_path):
+    """Pin events_ab_srm_check's cross-multiplied threshold: with
+    n=1000 units, delta^2*1000 > 3841*n flips exactly above
+    delta = 62 (62^2=3844 > 3841) - plant 531/469 (flagged) and
+    531/470 (not flagged, delta=61, 61^2=3721)."""
+    import datetime as dt
+
+    from mapreduceplusplus_spark import registry
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def plant(n_even, n_odd, path):
+        rows = []
+        # even user_ids -> 'A', odd -> 'B'; one event per unit
+        for i in range(n_even):
+            rows.append((len(rows), t0, 2 * i, "view", 1.0, None))
+        for i in range(n_odd):
+            rows.append((len(rows), t0, 2 * i + 1, "view", 1.0, None))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    d1 = str(tmp_path / "flagged"); d2 = str(tmp_path / "ok")
+    plant(531, 469, d1)     # delta 62: 3844*1000 > 3841*1000 -> flag
+    plant(531, 470, d2)     # delta 61: 3721*1001 ... not flagged
+    [r1] = registry.queries()["events_ab_srm_check"](spark, d1).collect()
+    [r2] = registry.queries()["events_ab_srm_check"](spark, d2).collect()
+    assert r1.srm_flag is True and r1.n_a == 531 and r1.n_b == 469
+    assert r2.srm_flag is False
