@@ -65,6 +65,7 @@ HEADLINE = [
     "graph_pagerank",         # 3 quantized power iterations (iterative graph)
     "tpch_q8_market_share",   # deepest TPC-H join tree (7 tables, AQE-converted joins)
     "pack_bins_nextfit",      # per-shard Arrow stateful fold (sequence packing)
+    "events_power_users_pareto",  # two-pass bucketed Lorenz/Pareto rank
 ]
 
 

@@ -53,9 +53,10 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
        offsets.  Data-derived buckets need no cross-job agreement);
     3. per-bucket local ``row_number`` — a window hash-partitioned on
        the bucket id, each task ranks only its own slice;
-    4. per-bucket row counts → cumulative offsets.  This window IS
-       single-partition, but over ≤ #buckets rows (a few thousand at
-       cluster scale, not the table), broadcast back;
+    4. per-bucket row counts → cumulative offsets, via a triangular
+       self-join over the ≤ #buckets census (a few thousand rows at
+       cluster scale, not the table — O(B²) trivial work, and no
+       unpartitioned window anywhere in the plan), broadcast back;
     5. ``sort_rank = offset + local_rank``.
 
     The result is invariant to where the quantile boundaries fall: the
@@ -84,9 +85,18 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_lrn", F.row_number().over(Window.partitionBy("_bkt").orderBy(*keys))
     )
     counts = local.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    # cumulative offsets WITHOUT any unpartitioned window: triangular
+    # self-join over the ≤ #buckets census rows (O(B²) on a config-
+    # bounded table, fully parallel) — each bucket's offset is the sum
+    # of strictly-earlier buckets' counts
+    earlier = counts.select(
+        F.col("_bkt").alias("_eb"), F.col("_cnt").alias("_ecnt")
+    )
+    offsets = (
+        # broadcast-safe: census ≤ #buckets rows (config-bounded)
+        counts.join(F.broadcast(earlier), F.col("_eb") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_ecnt"), F.lit(0)).alias("_off"))
     )
     # broadcast-safe: offsets has one row per range bucket (constant,
     # config-bounded)

@@ -622,33 +622,74 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-user rollup is the only event-volume shuffle
     (map-side combined); ranking and the cumulative sum run over the
-    #users-sized rollup.  The rank window here is the documented
-    single-partition-over-rollup pattern — at true 100 TB user counts
-    the same curve computes via the ``sort_global`` two-pass quantile
-    machinery (bucket by activity range, per-bucket offsets), which
-    ``sort_global`` already pins."""
+    #users-sized rollup via the ``sort_global`` two-pass bucketed rank
+    (``range_bucket_expr``, descending on activity): per-bucket local
+    row_number + local running sum (|buckets| parallel tasks), one
+    TINY census (≤ |buckets| rows) yielding per-bucket rank and
+    weight offsets, broadcast back and added.  #users grows linearly
+    with corpus size, so the earlier single-partition
+    ``Window.orderBy`` over the rollup was the one remaining
+    serial-section signature (the same one the 5× harness caught on
+    ``agg_weighted_median``); this form keeps the identical total
+    order (n_events DESC, user_id — equal activities always share a
+    bucket) so offset + local value reproduces the single-sort rank
+    and cumsum EXACTLY, and the oracle keeps the one-window spec
+    form."""
+    from mapreduceplusplus_spark.operators.aggregates import range_bucket_expr
+
     ensure_utc(spark)
     events = load_table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
     totals = per_user.agg(
         F.sum("n_events").alias("total"), F.count("*").alias("n_users")
     )
-    w_rank = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    n_sample = per_user.select(F.col("n_events").cast("double").alias("n_events"))
+    bkt = range_bucket_expr(spark, n_sample, "n_events", descending=True)
+    loc = per_user.withColumn("_bkt", bkt)
+    census = loc.groupBy("_bkt").agg(
+        F.count("*").alias("_c"), F.sum("n_events").alias("_s")
+    )
+    # cumulative census offsets WITHOUT any unpartitioned window: a
+    # triangular self-join over the ≤ |buckets| census rows (O(B²) on a
+    # config-bounded table, fully parallel) — every bucket's offset is
+    # the sum of all strictly-earlier buckets' counts/weights
+    earlier = census.select(
+        F.col("_bkt").alias("_eb"), F.col("_c").alias("_ec"),
+        F.col("_s").alias("_es"),
+    )
+    offsets = (
+        # broadcast-safe: census ≤ |buckets| rows (config-bounded)
+        census.join(F.broadcast(earlier), F.col("_eb") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(
+            F.coalesce(F.sum("_ec"), F.lit(0)).alias("_rk_off"),
+            F.coalesce(F.sum("_es"), F.lit(0)).alias("_cum_off"),
+        )
+    )
+    w_loc = Window.partitionBy("_bkt").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
     ranked = (
-        per_user.withColumn("rk", F.row_number().over(w_rank))
+        loc.withColumn("_lrk", F.row_number().over(w_loc))
         .withColumn(
-            "cum",
+            "_lcum",
             F.sum("n_events").over(
-                w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
+        # broadcast-safe: offsets ≤ |buckets| rows (census, not data)
+        .join(F.broadcast(offsets), "_bkt")
         # broadcast-safe: totals is a 1-row global aggregate
         .join(F.broadcast(totals))
+        # local row_number() is 32-bit: promote to BIGINT before the
+        # offset add / *10000 multiply (overflows past ~214k users)
+        .select(
+            (F.col("_rk_off") + F.col("_lrk").cast("bigint")).alias("rk"),
+            (F.col("_cum_off") + F.col("_lcum")).alias("cum"),
+            "total",
+            "n_users",
+        )
     )
-    # row_number() is 32-bit: rk*10000 overflows past ~214k users, so
-    # promote to BIGINT before the multiply (ANSI would throw; non-ANSI
-    # would silently sample wrong positions)
-    ranked = ranked.withColumn("rk", F.col("rk").cast("bigint"))
     return (
         ranked.where(
             ((F.col("rk") * 10000) % F.col("n_users") == 0)
