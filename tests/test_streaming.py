@@ -985,3 +985,239 @@ def test_tws_timer_processor_state_machine():
     e1 = (t0, 9, 0.105)
     e2 = (t0 + pd.Timedelta(minutes=1), 9, 0.105)
     assert run([[e1, e2]]) == run([[e1], [e2]])    # invariant to chunking
+
+
+# ---------------------------------------------------------------------------
+# Mini-runner emulation of the TWS micro-batch loop (VERDICT r7 item 3).
+# The container cannot install protobuf (no network — `pip download
+# protobuf` fails with NewConnectionError, no wheel on disk), so the two
+# integration tests above can never execute here.  These tests replay the
+# SAME micro-batch sequences through a pure-Python emulation of pyspark
+# 4.1's TransformWithStateInPandas serializer loop
+# (sql/streaming/stateful_processor_util.py): per micro-batch, input rows
+# are handled for every key FIRST, then every registered timer whose
+# expiry the current watermark has passed fires via handleExpiredTimer
+# (TransformWithStateInPandasFuncMode ordering); the watermark entering
+# batch N is max(event time over batches < N) minus the configured delay
+# (0 s for session_close_tws), Spark's global watermark update rule; and
+# trailing no-data batches run until timer quiescence — which is exactly
+# what processAllAvailable's no-data micro-batch does.  Each test asserts
+# the IDENTICAL outcomes its gated integration twin asserts.
+# ---------------------------------------------------------------------------
+
+
+class _RunnerValueState:
+    """ValueState implicitly scoped to the handle's current grouping key
+    (the real runtime swaps the key under one shared state object)."""
+
+    def __init__(self, handle):
+        self._h = handle
+        self._slots = {}
+
+    def exists(self):
+        return self._h.current_key in self._slots
+
+    def get(self):
+        return self._slots.get(self._h.current_key)
+
+    def update(self, v):
+        self._slots[self._h.current_key] = tuple(v)
+
+    def clear(self):
+        self._slots.pop(self._h.current_key, None)
+
+
+class _RunnerHandle:
+    def __init__(self):
+        self.states = {}
+        self.current_key = None
+        self.timers = {}  # key -> set of expiry ms
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _RunnerValueState(self))
+
+    def registerTimer(self, ms):
+        self.timers.setdefault(self.current_key, set()).add(int(ms))
+
+    def deleteTimer(self, ms):
+        self.timers.get(self.current_key, set()).discard(int(ms))
+
+
+class _MiniTwsRunner:
+    """Drive a StatefulProcessor through micro-batches with Spark's
+    input-then-expired-timers ordering and watermark update rule."""
+
+    def __init__(self, processor, event_time=False, delay_ms=0):
+        self.proc = processor
+        self.handle = _RunnerHandle()
+        self.proc.init(self.handle)
+        self.event_time = event_time
+        self.delay_ms = delay_ms
+        self.watermark_ms = None  # None until first batch completes
+        self._max_seen_ms = None
+        self.emissions = []  # (batch_no, pdf) in emission order
+
+    def _fire_expired(self, batch_no):
+        import pandas as pd
+
+        if not self.event_time or self.watermark_ms is None:
+            return False
+        fired = False
+        # deterministic order: by (expiry, key) like the JVM's sorted
+        # timer iteration
+        pending = sorted(
+            (exp, key)
+            for key, exps in self.handle.timers.items()
+            for exp in exps
+            # "the watermark passes the expiry": strict comparison
+            if exp < self.watermark_ms
+        )
+        for exp, key in pending:
+            self.handle.current_key = key
+
+            class _Info:
+                def __init__(self, ms):
+                    self._ms = ms
+
+                def getExpiryTimeInMs(self):
+                    return self._ms
+
+            self.handle.timers[key].discard(exp)  # runtime removes fired timers
+            for out in self.proc.handleExpiredTimer(key, None, _Info(exp)):
+                self.emissions.append((batch_no, out))
+            fired = True
+        return fired
+
+    def run_batch(self, batch_no, rows_by_key):
+        """rows_by_key: dict key-tuple -> pandas DataFrame (may be empty
+        for a no-data batch)."""
+        import pandas as pd
+
+        for key, pdf in rows_by_key.items():
+            self.handle.current_key = key
+            for out in self.proc.handleInputRows(key, iter([pdf])):
+                self.emissions.append((batch_no, out))
+            if self.event_time and len(pdf):
+                m = int(pd.to_datetime(pdf["ts"]).astype("int64").max() // 1_000_000)
+                self._max_seen_ms = (
+                    m if self._max_seen_ms is None else max(self._max_seen_ms, m)
+                )
+        self._fire_expired(batch_no)
+        # watermark advances AFTER the batch, from this batch's max event
+        # time — visible to the NEXT batch's timer pass
+        if self.event_time and self._max_seen_ms is not None:
+            self.watermark_ms = self._max_seen_ms - self.delay_ms
+
+    def drain(self, batch_no):
+        """Trailing no-data batches until no timer fires (what
+        processAllAvailable's no-data micro-batch achieves)."""
+        while self._fire_expired(batch_no):
+            batch_no += 1
+
+
+def test_tws_runner_emulation_twin_matches_batch_fold():
+    """Runner-loop emulation of test_tws_twin_matches_applyinpandaswithstate:
+    the same three micro-batches through RunningTotalProcessor under the
+    input-loop ordering must land on the batch _advance fold per user and
+    emit a revision per touched user per batch (update semantics)."""
+    import pandas as pd
+
+    from mapreduceplusplus_spark.streaming.stateful import (
+        RunningTotalProcessor,
+        _advance,
+    )
+
+    T = datetime
+    batches = [
+        [(T(2024, 1, 1, 10, 0, 30), 1, 5.0), (T(2024, 1, 1, 10, 3, 0), 2, 1.5)],
+        [(T(2024, 1, 1, 11, 0, 0), 1, 2.5), (T(2024, 1, 1, 11, 5, 0), 1, 1.0)],
+        [(T(2024, 1, 1, 12, 0, 0), 2, 4.0), (T(2024, 1, 1, 12, 1, 0), 3, 9.0)],
+    ]
+    runner = _MiniTwsRunner(RunningTotalProcessor(), event_time=False)
+    for i, rows in enumerate(batches, start=1):
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        runner.run_batch(
+            i, {(int(u),): g for u, g in pdf.groupby("user_id")}
+        )
+
+    final = {}
+    for _, out in runner.emissions:
+        r = out.iloc[0]
+        final[int(r.user_id)] = (
+            int(r.n_events),
+            round(float(r.sum_value), 2),
+            r.last_ts,
+        )
+    all_pdf = pd.DataFrame(
+        [r for b in batches for r in b], columns=["ts", "user_id", "value"]
+    )
+    all_pdf["ts"] = pd.to_datetime(all_pdf["ts"])
+    expected = {}
+    for uid, grp in all_pdf.groupby("user_id"):
+        n, total, last_us = _advance(None, grp)
+        expected[int(uid)] = (n, round(total, 2), pd.Timestamp(last_us, unit="us"))
+    assert final == expected
+    # update semantics: user 1 revised in batches 1 AND 2 (same
+    # assertion as the integration twin's memory-sink row count)
+    u1_batches = [
+        b for b, out in runner.emissions if int(out.iloc[0].user_id) == 1
+    ]
+    assert u1_batches == [1, 2]
+
+
+def test_tws_runner_emulation_timer_closes_session():
+    """Runner-loop emulation of test_tws_event_time_timer_closes_session:
+    identical batch data, watermark schedule, and assertions — user 1's
+    session closes EXACTLY ONCE by timer (not by input), with the
+    integer-cent sum, after the watermark passes last_event + gap; user
+    2 (still active) emits nothing."""
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from mapreduceplusplus_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+        SessionTimeoutProcessor,
+    )
+
+    T = datetime
+    gap = timedelta(milliseconds=SESSION_GAP_MS)
+    t0 = T(2024, 1, 1, 10, 0, 0)
+    batches = [
+        [(t0, 1, 3.25), (t0 + timedelta(minutes=5), 1, 1.25)],
+        [(t0 + timedelta(minutes=5) + gap - timedelta(seconds=1), 2, 9.0)],
+        [(t0 + timedelta(minutes=5) + gap + timedelta(minutes=1), 2, 2.0)],
+    ]
+    runner = _MiniTwsRunner(
+        SessionTimeoutProcessor(), event_time=True, delay_ms=0
+    )
+    for i, rows in enumerate(batches, start=1):
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        runner.run_batch(
+            i, {(int(u),): g for u, g in pdf.groupby("user_id")}
+        )
+        # nothing may close while the watermark is short of the expiry:
+        # after batch 2 the watermark is expiry-1s -> still zero rows
+        if i <= 2:
+            assert runner.emissions == []
+    # batch 3's data advanced the watermark past user 1's expiry; the
+    # fire happens in the trailing no-data batch (processAllAvailable's
+    # extra micro-batch), not during batch 3's own timer pass
+    runner.drain(batch_no=4)
+
+    rows = [out for _, out in runner.emissions]
+    assert len(rows) == 1, rows                      # exactly once
+    r = rows[0].iloc[0]
+    assert int(r.user_id) == 1
+    assert int(r.n_events) == 2
+    assert int(r.sum_cents) == 450                   # 325 + 125
+    assert r.closed_by == "timer"
+    # user 2's state is still live (session open), its timer pending
+    runner.handle.current_key = (2,)
+    assert runner.handle.states["session"].exists()
+    assert len(runner.handle.timers[(2,)]) == 1
+    # and a further drain fires nothing new until the watermark moves
+    runner.drain(batch_no=5)
+    assert len(runner.emissions) == 1
