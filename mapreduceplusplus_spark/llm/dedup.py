@@ -105,6 +105,13 @@ def shingles(text_col: Column, n: int = 3) -> Column:
 #: memoizing gives every caller THE SAME persisted plan, and
 #: ``release_shingles`` lets bench/tests drop the executor memory
 #: deterministically between timed queries.
+#: diagnostics from the last dedup_cluster_canonical run — round count
+#: and (doubled) edge count of the label-propagation loop, recorded for
+#: the SURVEY §6 scale-evidence decomposition (true-work growth vs
+#: serial section)
+_last_cluster_rounds: int | None = None
+_last_cluster_edges: int | None = None
+
 _SHINGLE_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
 
 
@@ -680,6 +687,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Labels converge to the component minimum regardless of join
     schedule, so the result is deterministic."""
+    global _last_cluster_rounds, _last_cluster_edges
     ensure_utc(spark)
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
@@ -687,10 +695,18 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # the pair GENERATION (prefix-filter join + exact verify) is the
+    # expensive stage; without this persist every round's neighbor join
+    # AND every round's convergence count re-ran it from the scan
+    # (measured 6.0→3.4 s at sf0.1, 12.1→4.6 s at the 5× fixture)
+    edges = edges.persist()
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     labels = labels.persist()
+    _last_cluster_edges = edges.count()  # materialize the persist
+    rounds = 0
     try:
         for _ in range(20):  # cap ≫ any real cluster diameter
+            rounds += 1
             neigh = (
                 edges.join(
                     labels.select(
@@ -721,6 +737,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels = new_labels
             if changed == 0:
                 break
+        _last_cluster_rounds = rounds
         out = labels.select(
             F.col("u").alias("doc_id"),
             F.col("label").cast("bigint").alias("cluster_id"),
@@ -734,6 +751,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         labels.unpersist()
+        edges.unpersist()
 
 
 #: every doc_id divisible by this is "held-out eval" — the stand-in for

@@ -238,6 +238,62 @@ def stateful_running_total_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+#: idle-eviction TTL for the expiring running-total variant
+#: (processing-time ms): a key idle past this loses its state
+TTL_IDLE_MS = 60 * 60 * 1000
+
+#: the legacy state name the TTL processor migrates away from on init
+#: (the deleteIfExists idiom — see ExpiringRunningTotalProcessor)
+LEGACY_STATE_NAME = "running_total_legacy"
+
+
+class ExpiringRunningTotalProcessor(RunningTotalProcessor):
+    """TTL variant of the running-total state machine (VERDICT r7
+    stretch item 8) — the remaining new-API surface a real
+    sessionization pipeline uses:
+
+    - the ``ValueState`` is registered with
+      ``ttlDurationMs=TTL_IDLE_MS``: state a key has not UPDATED for
+      the TTL window is expired by the store (processing-time
+      semantics; every update resets the clock to now + ttl).  The
+      transition logic is inherited unchanged — ``handleInputRows``
+      already treats absent state as a fresh start, which is exactly
+      the idle-eviction contract: a user returning after the idle
+      window restarts from zero instead of resuming a stale total.
+      This is the state-size control for unbounded key spaces at
+      100 TB: without TTL, one-visit keys accumulate in RocksDB
+      forever; with it, state size tracks ACTIVE keys.
+    - ``init`` first calls ``handle.deleteIfExists(LEGACY_STATE_NAME)``
+      — the documented schema-migration idiom for the new API: a
+      renamed/retyped state variable's old column family is dropped
+      exactly once per restart, so a redeployed pipeline never carries
+      unreadable legacy state.
+
+    Equivalence contract (pinned by the stub/TTL mini-runner tests):
+    while every key stays inside its TTL window the emissions are
+    IDENTICAL to the non-TTL twin's; once the mock clock idles a key
+    past the TTL, its next batch starts from zero."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        handle.deleteIfExists(LEGACY_STATE_NAME)
+        self._state = handle.getValueState(
+            "running_total_ttl", STATE_SCHEMA, ttlDurationMs=TTL_IDLE_MS
+        )
+
+
+def stateful_running_total_ttl_tws(stream: DataFrame) -> DataFrame:
+    """Wire ``ExpiringRunningTotalProcessor`` — identical to
+    ``stateful_running_total_tws`` except the state expires after
+    ``TTL_IDLE_MS`` of key inactivity.  ``timeMode='processingTime'``
+    because state TTL is processing-time-based in the new API."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        ExpiringRunningTotalProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="processingTime",
+    )
+
+
 #: session gap for the timer-closed session operator (event-time ms)
 SESSION_GAP_MS = 30 * 60 * 1000
 

@@ -1221,3 +1221,129 @@ def test_tws_runner_emulation_timer_closes_session():
     # and a further drain fires nothing new until the watermark moves
     runner.drain(batch_no=5)
     assert len(runner.emissions) == 1
+
+
+def test_tws_ttl_state_machine_and_delete_if_exists():
+    """VERDICT r7 stretch item 8: the TTL running-total variant's state
+    machine under a TTL-enforcing stub store with a mock processing
+    clock.  Pins: (a) init drops the legacy state name via
+    handle.deleteIfExists exactly once (the schema-migration idiom) and
+    registers the state WITH ttlDurationMs=TTL_IDLE_MS; (b) while every
+    update stays inside the TTL window, emissions are IDENTICAL to the
+    non-TTL twin's (equivalence vs the batch _advance fold transitively,
+    which the twin already pins); (c) an update resets the expiry clock
+    (sliding idle window — two sub-TTL gaps summing past the TTL do NOT
+    expire); (d) a key idle past the TTL restarts from zero."""
+    import pandas as pd
+
+    from mapreduceplusplus_spark.streaming.stateful import (
+        LEGACY_STATE_NAME,
+        TTL_IDLE_MS,
+        ExpiringRunningTotalProcessor,
+        RunningTotalProcessor,
+    )
+
+    class TtlStubValueState:
+        def __init__(self, handle, ttl_ms):
+            self._h = handle
+            self._ttl = ttl_ms
+            self._slots = {}  # key -> (value, expiry_ms)
+
+        def _live(self):
+            slot = self._slots.get(self._h.current_key)
+            if slot is None:
+                return None
+            value, expiry = slot
+            if self._ttl is not None and self._h.now_ms >= expiry:
+                # store-side eviction: expired state reads as absent
+                del self._slots[self._h.current_key]
+                return None
+            return value
+
+        def exists(self):
+            return self._live() is not None
+
+        def get(self):
+            return self._live()
+
+        def update(self, v):
+            expiry = (
+                self._h.now_ms + self._ttl
+                if self._ttl is not None
+                else float("inf")
+            )
+            self._slots[self._h.current_key] = (tuple(v), expiry)
+
+        def clear(self):
+            self._slots.pop(self._h.current_key, None)
+
+    class TtlStubHandle:
+        def __init__(self):
+            self.states = {}
+            self.ttls = {}
+            self.deleted_names = []
+            self.current_key = None
+            self.now_ms = 1_000_000  # mock processing clock
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.ttls[name] = ttlDurationMs
+            return self.states.setdefault(
+                name, TtlStubValueState(self, ttlDurationMs)
+            )
+
+        def deleteIfExists(self, name):
+            self.deleted_names.append(name)
+            self.states.pop(name, None)
+
+    def feed(proc, handle, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        out = []
+        for uid, grp in pdf.groupby("user_id"):
+            handle.current_key = (int(uid),)
+            out.extend(proc.handleInputRows((int(uid),), iter([grp])))
+        return out
+
+    T = datetime
+    b1 = [(T(2024, 1, 1, 10, 0, 0), 1, 5.0), (T(2024, 1, 1, 10, 3, 0), 1, 1.5)]
+    b2 = [(T(2024, 1, 1, 11, 0, 0), 1, 2.5)]
+    b3 = [(T(2024, 1, 1, 12, 0, 0), 1, 4.0)]
+
+    proc = ExpiringRunningTotalProcessor()
+    handle = TtlStubHandle()
+    proc.init(handle)
+    # (a) migration + TTL registration
+    assert handle.deleted_names == [LEGACY_STATE_NAME]
+    assert handle.ttls == {"running_total_ttl": TTL_IDLE_MS}
+
+    # twin WITHOUT ttl, same batches, for the equivalence leg
+    twin, twin_handle = RunningTotalProcessor(), TtlStubHandle()
+    twin.init(twin_handle)
+    assert twin_handle.ttls == {"running_total": None}
+
+    # (b) inside the TTL window: emissions identical to the twin
+    out1 = feed(proc, handle, b1)
+    handle.now_ms += TTL_IDLE_MS // 2            # idle, but sub-TTL
+    out2 = feed(proc, handle, b2)
+    for rows in (b1, b2):
+        feed(twin, twin_handle, rows)
+    # (c) the b2 update RESET the clock: another sub-TTL gap (total
+    # idle since b1 > TTL) must still accumulate
+    handle.now_ms += TTL_IDLE_MS // 2 + 1
+    out3 = feed(proc, handle, b3)
+    out3_twin = feed(twin, twin_handle, b3)
+    state = handle.states["running_total_ttl"]
+    twin_state = twin_handle.states["running_total"]
+    handle.current_key = twin_handle.current_key = (1,)
+    assert tuple(map(float, state.get())) == tuple(map(float, twin_state.get()))
+    assert int(out3[0].iloc[0].n_events) == 4    # 2 + 1 + 1, no reset
+    assert out3[0].equals(out3_twin[0])
+    assert int(out1[0].iloc[0].n_events) == 2
+    assert int(out2[0].iloc[0].n_events) == 3
+
+    # (d) idle PAST the TTL: state evicted, the key restarts from zero
+    handle.now_ms += TTL_IDLE_MS + 1
+    out4 = feed(proc, handle, [(T(2024, 1, 1, 13, 0, 0), 1, 9.0)])
+    r = out4[0].iloc[0]
+    assert int(r.n_events) == 1                  # fresh start
+    assert float(r.sum_value) == 9.0
