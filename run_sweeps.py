@@ -6,6 +6,9 @@ session timezone; ``pytest -m hostile``) and the empty-input sweep
 (zero-row copies of every table; ``pytest -m empty``) previously lived
 only in commit messages.  This wrapper runs both and writes the counts
 as a per-round artifact so the external record matches a fresh run.
+Round 8 adds the ``slow`` lane (the full all-query rows smoke plus the
+brute-force losslessness cross-checks moved out of the default loop by
+VERDICT r7 item 7) so per-round coverage stays identical.
 
 Usage:  python run_sweeps.py [round_number]     (default: $SPARK_GRAFT_ROUND or 7)
 """
@@ -50,7 +53,7 @@ def main() -> None:
         if len(sys.argv) > 1
         else os.environ.get("SPARK_GRAFT_ROUND", "7")
     )
-    results = [run_sweep("hostile"), run_sweep("empty")]
+    results = [run_sweep("hostile"), run_sweep("empty"), run_sweep("slow")]
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"SWEEPS_r{int(rnd):02d}.json"
     )

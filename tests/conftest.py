@@ -27,6 +27,14 @@ def pytest_configure(config):
         "— opt-in via `-m empty`, run once per round; the every-run "
         "guard is the fixed-regression subset in test_empty_inputs",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight redundancy lane (full all-query rows smoke, "
+        "brute-force cross-checks whose LOSSLESSNESS is separately "
+        "pinned by cheaper tests) — opt-in via `-m slow`, run once per "
+        "round with the sweeps; keeps the default loop under ~5 min "
+        "(VERDICT r7 item 7)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
@@ -34,7 +42,7 @@ def pytest_collection_modifyitems(config, items):
     # actually mentions its marker (a mere `-m "not slow"` must not
     # accidentally un-skip hundreds of Spark-session-spawning cases)
     expr = config.getoption("-m") or ""
-    for marker in ("hostile", "empty"):
+    for marker in ("hostile", "empty", "slow"):
         if marker in expr:
             continue
         skip = pytest.mark.skip(reason=f"opt-in: run with -m {marker}")

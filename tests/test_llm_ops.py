@@ -5,6 +5,8 @@ baseline, ANN vs the exact scorer, and the deterministic decode stub.
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -389,6 +391,7 @@ def test_stratified_sample_rates_and_determinism(spark):
             assert abs(kept - total * frac) <= 4 * sigma, (lang, kept, total)
 
 
+@pytest.mark.slow
 def test_ngram_prefix_losslessness_adversarial(spark):
     """Directly exercise the prefix/position-filter arithmetic of
     ``_ngram_pairs`` on corpora built to sit ON its boundaries —

@@ -58,9 +58,28 @@ def test_readme_query_count_matches_registry():
     )
 
 
+def test_oracle_less_queries_return_rows(spark):
+    """Rows-only smoke for every query WITHOUT a SQL oracle — the only
+    ones ``test_oracle_match`` doesn't already execute each run (the
+    driver's contract is rows > 0, so empty results fail).  The full
+    all-239 sweep (which additionally catches an oracle-bearing query
+    whose Spark AND DuckDB sides both return zero rows) is the ``-m
+    slow`` twin below, run once per round with the sweeps."""
+    oracles = registry.oracles()
+    for name, fn in registry.queries().items():
+        if name in oracles:
+            continue
+        df = fn(spark, SF_DIR_ORACLE)
+        assert df.count() > 0, f"{name} returned no rows"
+
+
+@pytest.mark.slow
 def test_all_queries_return_rows(spark):
     """Rows-only smoke for every registered query (incl. oracle-less) —
-    the driver's entry() contract is rows > 0, so empty results fail."""
+    the driver's entry() contract is rows > 0, so empty results fail.
+    Slow lane: ~85 s for the full registry; the default loop covers the
+    oracle-less queries above and the oracle-bearing ones via
+    ``test_oracle_match``."""
     for name, fn in registry.queries().items():
         df = fn(spark, SF_DIR_ORACLE)
         assert df.count() > 0, f"{name} returned no rows"

@@ -5,6 +5,8 @@ Example counts are small — every example runs real Spark jobs.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
@@ -71,6 +73,7 @@ def test_asof_join_matches_python_model(spark, data):
         assert got[i] == expect, f"left row {i} ({k},{t}): {got[i]} != {expect}"
 
 
+@pytest.mark.slow
 @given(
     st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=20),
     st.lists(st.tuples(st.integers(0, 5), st.text("xy", max_size=2)), min_size=0, max_size=8),
@@ -192,6 +195,7 @@ def _lev(a: str, b: str) -> int:
 _words = st.text(alphabet="abcde", min_size=1, max_size=12)
 
 
+@pytest.mark.slow
 @given(st.lists(_words, min_size=2, max_size=14, unique=True))
 @settings(**_SETTINGS)
 def test_editdist_pairs_lossless_vs_bruteforce(spark, names):
