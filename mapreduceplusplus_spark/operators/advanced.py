@@ -705,3 +705,110 @@ def sql_join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_JOIN_HINT_SQL)
+
+
+#: shared dialect text for the lateral-column-alias query: BOTH engines
+#: (Spark ≥3.4, DuckDB) resolve a SELECT-item alias inside later items
+#: of the same SELECT, so one text runs verbatim on both
+_LATERAL_ALIAS_SQL = """
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           price_cents
+             - CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+             AS net_cents,
+           net_cents
+             + CAST(round(l_extendedprice * l_tax * 100) AS BIGINT)
+             AS gross_cents
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+"""
+
+
+@query("sql_lateral_column_alias", oracle=_LATERAL_ALIAS_SQL)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+) — a SELECT item referencing
+    an alias defined EARLIER in the same SELECT (`net_cents` built from
+    `price_cents`, `gross_cents` from `net_cents`), the ergonomics
+    feature that otherwise forces nested subqueries or repeated
+    expressions.  DuckDB resolves the same aliases, so one shared text
+    differentials the chain end-to-end; all money in integer cents so
+    the derivation is engine-exact.  Physically the aliases inline into
+    one projection — a single map-side stage, nothing new at 100 TB.
+    Reference heritage: none (SURVEY §2 charter extension, SQL-surface
+    family)."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_LATERAL_ALIAS_SQL)
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's `|>` operator chaining, from the
+    GoogleSQL "Pipe Syntax In SQL" design): the TPC-H Q1 shape written
+    as a linear FROM → WHERE → AGGREGATE pipeline instead of the
+    inside-out SELECT nesting.  The oracle is the classic formulation —
+    proving the pipe form PARSES TO THE SAME RELATION, which is the
+    whole point of the feature (syntax, not semantics).  Catalyst plans
+    both identically: scan with the shipdate filter pushed down, one
+    map-side-combined hash aggregate.  Reference heritage: none
+    (SURVEY §2 charter extension, SQL-surface family)."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents,
+             count(*) AS n_rows
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, sum_price_cents, n_rows
+        """
+    )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, count(*) AS est_count
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Spark 4.1) — the sketch-based frequent-items
+    aggregate, third sketch surface next to HLL and the quantile
+    sketch.  k=10 exceeds the column's true cardinality (5 event
+    types), so the sketch's counters never evict and every estimate is
+    EXACT — which is what makes a hard DuckDB oracle possible for a
+    sketch op: the oracle is the plain GROUP BY count.  (At real
+    cardinalities the estimates become approximate and the exact-count
+    twin is ``text_heavy_hitters``'s Misra-Gries + verify ledger.)
+    The struct-array result is exploded to (item, est_count) rows so
+    the differential compares scalars.  Scale: one map-side-combined
+    sketch per partition, merged at the driver-size of k counters —
+    shuffle volume independent of row count.  Reference heritage: none
+    (SURVEY §2 charter extension, sketch family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("bigint").alias("est_count"),
+    )

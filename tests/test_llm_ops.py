@@ -977,3 +977,66 @@ def test_drop_reasons_null_gates_take_drop_verdicts(spark, tmp_path):
     assert got[1].verdict == "kept"
     assert got[2].verdict == "lang" and got[2].kept_doc_id is None
     assert got[3].verdict == "lang" and got[3].kept_doc_id is None
+
+
+def test_ivf_kmeans_refined_scores_recall_and_movement(spark):
+    """The k-means-refined IVF variant: (a) deterministic across runs
+    (the integer micro-unit Lloyd update is partition-order-exact),
+    (b) every returned cosine equals the exact scorer's value, (c)
+    recall vs the exact top-k clears the same ANN floor as the
+    literal-centroid IVF, and (d) the refinement REALLY moves the
+    centroids (Lloyd iterations are not a no-op on the seeds)."""
+    from mapreduceplusplus_spark.llm.similarity import (
+        IVF_CENTROIDS,
+        IVF_KMEANS_ITERS,
+        PROBE_ID,
+        _as_double,
+        _dot,
+        _lloyd_refine,
+        _norm,
+    )
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    qs = registry.queries()
+    km = qs["sim_search_ivf_kmeans"](spark, SF_DIR_ORACLE).collect()
+    km2 = qs["sim_search_ivf_kmeans"](spark, SF_DIR_ORACLE).collect()
+    assert 0 < len(km) <= 10
+    assert sorted(map(tuple, km)) == sorted(map(tuple, km2))
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    probe = emb.where(F.col("vec_id") == PROBE_ID).select(F.col("v").alias("pv"))
+    all_cos = {
+        r.vec_id: r.cosine
+        for r in emb.where(F.col("vec_id") != PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("v"), F.col("pv"))
+                / (_norm(F.col("v")) * _norm(F.col("pv"))),
+                3,
+            ).alias("cosine"),
+        )
+        .collect()
+    }
+    for r in km:
+        assert all_cos[r.vec_id] == r.cosine
+
+    exact_ids = {r.vec_id for r in qs["sim_search_topk"](spark, SF_DIR_ORACLE).collect()}
+    recall = len({r.vec_id for r in km} & exact_ids) / len(exact_ids)
+    assert recall >= 0.5, f"ivf-kmeans recall {recall:.2f}"
+
+    # (d) refinement moves the seeds
+    seed_rows = (
+        emb.where(F.col("vec_id") < IVF_CENTROIDS).select("vec_id", "v").collect()
+    )
+    seeds = sorted((int(r.vec_id), [float(x) for x in r.v]) for r in seed_rows)
+    refined = _lloyd_refine(emb, seeds, IVF_KMEANS_ITERS)
+    moved = sum(
+        1
+        for (cid_s, sv), (cid_r, rv) in zip(seeds, refined)
+        if any(abs(a - b) > 1e-9 for a, b in zip(sv, rv))
+    )
+    assert moved > 0, "Lloyd refinement left every centroid at its seed"
