@@ -21,6 +21,8 @@ group; the single shuffle is the ``repartition(R, key)`` inside
 from __future__ import annotations
 
 import re
+
+import pandas as pd
 from collections.abc import Iterable
 from typing import Any
 
@@ -174,3 +176,101 @@ def sql_passthrough_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q1_SHARED_SQL)
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                AS BIGINT) AS n_letters,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR ``@pandas_udf`` — the Arrow-vectorized per-row UDF form
+    (Series → Series), completing the Python-UDF taxonomy next to the
+    native row UDTF (``udtf_python_native``), the Arrow ``flat_map``
+    generator, the ``applyInPandas`` fold, and the ``mapInPandas`` /
+    ``mapInArrow`` decoders: the letter-count here is computed by
+    pandas' vectorized ``str.count`` over whole Arrow batches (no
+    per-row Python dispatch — the 10-100× margin over row UDFs the
+    charter cites), and the DuckDB oracle recomputes it with a pure-SQL
+    regexp, so the UDF's Python semantics are differentialed exactly.
+    Scale: map-side only — the UDF adds one Arrow exchange to the scan
+    stage, no shuffle, and vectorization keeps the Python cost
+    per-batch.  Reference heritage: the map-UDF contract
+    (``mr/word_count.h:16-21``) — this is its scalar-column face."""
+    from pyspark.sql.functions import pandas_udf
+
+    ensure_utc(spark)
+
+    @pandas_udf("bigint")
+    def n_letters(s: pd.Series) -> pd.Series:
+        return s.str.count(r"[A-Za-z]").astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_letters(F.col("text")).alias("n_letters"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT))
+                // CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                AS BIGINT) AS wavg_price_cents,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG ``@pandas_udf`` — the vectorized custom-AGGREGATE
+    form (Series… → scalar), the last Python-UDF shape the taxonomy
+    was missing: usable directly inside ``groupBy().agg()`` (and over
+    unbounded windows), unlike the ``applyInPandas`` fold which owns
+    the whole group's frame.  The UDAF computes a quantity-weighted
+    mean price in integer cents — all arithmetic on int64 inside
+    pandas (cents·qty products, integer floor division), so the result
+    is partition-order-exact and the DuckDB oracle reproduces it with
+    pure-SQL integer math.  Scale: Spark evaluates GROUPED_AGG pandas
+    UDFs with partial aggregation DISABLED — each group's full column
+    set crosses the shuffle (unlike built-in sum/avg which combine
+    map-side).  That is the honest cost of a custom Python aggregate;
+    the docstring of ``mr.fold_by_key`` documents when the
+    sort-based fold wins instead.  Reference heritage: the reduce-UDF
+    contract (``mr/word_count.h:24-31``) — its vectorized face."""
+    from pyspark.sql.functions import pandas_udf
+
+    ensure_utc(spark)
+
+    @pandas_udf("bigint")
+    def wavg_cents(cents: pd.Series, qty: pd.Series) -> int:
+        num = int((cents.astype("int64") * qty.astype("int64")).sum())
+        den = int(qty.astype("int64").sum())
+        return num // den if den else 0
+
+    # Spark forbids mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a second pandas UDAF — the restriction itself is
+    # part of the surface this query documents
+    @pandas_udf("bigint")
+    def n_rows(cents: pd.Series) -> int:
+        return len(cents)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    return li.groupBy("flag").agg(
+        wavg_cents(F.col("cents"), F.col("qty")).alias("wavg_price_cents"),
+        n_rows(F.col("cents")).alias("n_rows"),
+    )
