@@ -568,3 +568,51 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
+
+
+@query("sim_search_lsh_batch")  # no SQL oracle: LSH bucketing isn't
+# SQL-expressible; pinned by tests/test_llm_ops.py (equi-join plan — no
+# cartesian/broadcast-NL node, bucket agreement, exact scores, per-probe
+# rank contiguity, determinism)
+def sim_search_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED LSH ANN as a pure EQUI-JOIN — the scale path
+    ``sim_search_lsh``'s docstring documents for many probes: both
+    sides carry the same hyperplane signature, candidates come from a
+    shuffle equi-join ON THE BUCKET ID, and the per-probe top-k is a
+    WindowGroupLimit-pruned rank.  Unlike ``sim_search_knn_join``
+    (broadcast probe set, exact, bounded to ~10k probes) this form has
+    NO broadcast anywhere: probe count can grow with the corpus —
+    each side shuffles once on the bucket key, candidate volume is
+    ~|corpus|·|probes|/2^bits pairs instead of the full cross product,
+    and the join parallelizes across buckets.  Recall is partial by
+    design (single-bucket probing; the multi-probe variant's bucket
+    array generalizes by exploding probe-side bucket ids).  Reference
+    heritage: none (SURVEY §2 charter extension, similarity family)."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).withColumn("bucket", lsh_signature(F.col("v")))
+    probes = emb.where(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("bucket").alias("pbucket"),
+    )
+    corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0)
+    cand = (
+        corpus.join(probes, F.col("bucket") == F.col("pbucket"))
+        .withColumn(
+            "c", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KNN_K)
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

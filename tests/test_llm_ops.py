@@ -1040,3 +1040,54 @@ def test_ivf_kmeans_refined_scores_recall_and_movement(spark):
         if any(abs(a - b) > 1e-9 for a, b in zip(sv, rv))
     )
     assert moved > 0, "Lloyd refinement left every centroid at its seed"
+
+
+def test_lsh_batch_equijoin_plan_scores_and_ranks(spark):
+    """The batched LSH form: (a) the physical plan joins on the bucket
+    id — NO CartesianProduct / BroadcastNestedLoopJoin node anywhere
+    (the whole point vs the broadcast k-NN join), (b) every returned
+    (probe, candidate) pair shares a bucket, (c) every cosine equals
+    the exact scorer's value for that pair, (d) per-probe ranks are
+    contiguous from 1, and (e) the result is deterministic."""
+    from mapreduceplusplus_spark.llm.similarity import (
+        KNN_PROBE_MOD,
+        _as_double,
+        _dot,
+        _norm,
+        lsh_signature,
+    )
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    qs = registry.queries()
+    df = qs["sim_search_lsh_batch"](spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    rows = df.collect()
+    rows2 = qs["sim_search_lsh_batch"](spark, SF_DIR_ORACLE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    assert len(rows) > 0
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("bucket", lsh_signature(F.col("v")))
+    buckets = {r.vec_id: r.bucket for r in emb.select("vec_id", "bucket").collect()}
+    vecs = {r.vec_id: [float(x) for x in r.v] for r in emb.select("vec_id", "v").collect()}
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    by_probe = {}
+    for r in rows:
+        assert r.probe_id % KNN_PROBE_MOD == 0
+        assert r.vec_id % KNN_PROBE_MOD != 0
+        assert buckets[r.probe_id] == buckets[r.vec_id]          # (b)
+        assert abs(cos(vecs[r.probe_id], vecs[r.vec_id]) - r.cosine) < 5e-4  # (c)
+        by_probe.setdefault(r.probe_id, []).append(r.rnk)
+    for pid, rks in by_probe.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), (pid, rks)  # (d)
