@@ -612,3 +612,56 @@ def dq_profile_all_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     side-channel) and ``dq_constraint_check`` (assertions)."""
     ensure_utc(spark)
     return profile_table(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "sink_xml_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           count(*) AS n,
+           CAST(sum(s_suppkey) AS BIGINT) AS sum_suppkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_regionkey
+    """,
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source roundtrip — Spark 4's NATIVE XML data source
+    (the spark-xml package folded into core, SPARK-44265): write the
+    supplier⋈nation projection as row-tagged XML, read it back with
+    explicit schema-on-read, aggregate; the aggregate equals the
+    oracle computed on the ORIGINAL tables, proving the roundtrip
+    lossless.  Integer-only measures so text serialization cannot
+    introduce float drift.  Same eager-materialization shape as the
+    other sink roundtrips (temp dir deleted before returning).  XML is
+    the interchange format the enterprise-ingest edge of a corpus
+    pipeline still meets (feeds, sitemaps, PubMed/patent dumps);
+    schema-on-read + splittable row tags make it a parallel scan like
+    CSV.  Reference heritage: text sink (``src/worker.cc:231-243``),
+    upgraded to a structured hierarchical format."""
+    ensure_utc(spark)
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    # broadcast-safe: nation is a bounded 25-row dimension
+    proj = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey", "n_regionkey"
+    )
+    out = tempfile.mkdtemp(prefix="sink_xml_roundtrip_")
+    try:
+        proj.write.format("xml").option("rootTag", "suppliers").option(
+            "rowTag", "supplier"
+        ).mode("overwrite").save(out)
+        result = (
+            spark.read.format("xml")
+            .schema("s_suppkey bigint, n_regionkey bigint")
+            .option("rowTag", "supplier")
+            .load(out)
+            .groupBy("n_regionkey")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("s_suppkey").cast("bigint").alias("sum_suppkey"),
+            )
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
