@@ -434,56 +434,97 @@ def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_KMEANS_ITERS = 2
 
 
-def _ivf_cos_lit(vcol: Column, cvec: list[float]) -> Column:
+def _explode_micro(emb: DataFrame) -> DataFrame:
+    """(vec_id, dim, xq) — the vectors exploded to integer MICRO-UNIT
+    cells, the shared relation every Lloyd job reuses (same shape as
+    ``ml_kmeans_lloyd``'s).  Integer cells make every downstream sum
+    partition-order-exact."""
+    return emb.select(
+        "vec_id", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x") * 1_000_000).cast("bigint").alias("xq"),
+    )
+
+
+def _ivf_assign_join(
+    spark: SparkSession, eq: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id → nearest cid) via the exploded-join plan — the
+    ``ml_kmeans_lloyd`` shape, NOT a k-cosine HOF expression per row:
+    zip_with/aggregate lambdas are interpreted (no codegen), and the
+    first cut's 16-cosine literal-argmax expression made every Lloyd
+    job driver-build + interpret bound (~0.6 ms/row — LINEAR in rows,
+    the harness caught it at 5×).  Here centroids become a broadcast
+    k·d-row TABLE, the dot products are BIGINT micro-unit sums in a
+    codegen'd hash aggregate (order-independent ⇒ deterministic), and
+    the argmax of cosine reduces to argmax of dot/|c| (the vector's own
+    norm is constant within its group), ties to the LOWEST cid via the
+    (s, -cid) struct max — the same tie discipline as
+    ``sim_search_ivf``.  Returns DataFrame[vec_id, cid]."""
     import math
 
-    cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
-    lit = F.array(*[F.lit(x) for x in cvec])
-    return _dot(vcol, lit) / (_norm(vcol) * F.lit(cn))
-
-
-def _ivf_assign_expr(cents: list[tuple[int, list[float]]]) -> Column:
-    """argmax over (score, -cid): struct max picks the highest cosine,
-    ties break to the LOWEST centroid id — the same deterministic
-    assignment expression as ``sim_search_ivf``."""
-    return F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    _ivf_cos_lit(F.col("v"), cv).alias("s"),
-                    F.lit(-cid).alias("negid"),
-                )
-                for cid, cv in cents
-            ]
+    rows = []
+    for cid, cv in cents:
+        cq = [int(round(x * 1_000_000)) for x in cv]
+        cnorm = math.sqrt(sum(q * q for q in cq)) or 1.0
+        rows.extend((cid, dim, q, cnorm) for dim, q in enumerate(cq))
+    cent_tbl = spark.createDataFrame(
+        rows, "cid int, dim int, cq bigint, cnorm double"
+    )
+    dots = (
+        # broadcast-safe: centroid table is k·d rows (constant, config-bounded)
+        eq.join(F.broadcast(cent_tbl), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(F.col("xq") * F.col("cq")).alias("dq"),
+            F.max("cnorm").alias("cnorm"),
         )
+    )
+    return (
+        dots.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    (F.col("dq").cast("double") / F.col("cnorm")).alias("s"),
+                    (-F.col("cid")).alias("negid"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", (-F.col("b.negid")).cast("int").alias("cid"))
     )
 
 
 def _lloyd_refine(
-    emb: DataFrame, cents: list[tuple[int, list[float]]], iters: int
+    spark: SparkSession,
+    eq: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    iters: int,
 ) -> list[tuple[int, list[float]]]:
-    """Distributed Lloyd refinement of the IVF coarse quantizer: per
-    iteration, every vector's nearest-centroid assignment is the pure
-    map-side literal-argmax expression (zero shuffle), then ONE hash
-    aggregation per (cluster, dim) computes the new means — summed in
-    integer MICRO-UNITS (BIGINT) like ``embedding_label_centroids``, so
-    the result is bit-deterministic under any partitioning (a double
-    sum would vary with partition order and break the determinism
-    pin).  Only k·d cells ever reach the driver per iteration — the
-    same bounded driver-side-literal pattern as ``sort_global``'s
-    quantile boundaries.  Empty clusters keep their previous centroid
-    (standard Lloyd convention)."""
-    d = len(cents[0][1]) if cents else 0
+    """Distributed Lloyd refinement of the IVF coarse quantizer over
+    the checkpointed micro-unit cell relation ``eq``: per iteration,
+    the nearest-centroid assignment is the exploded-join argmax
+    (``_ivf_assign_join`` — codegen'd hash aggregates, zero
+    interpreted HOFs), then ONE hash aggregation per (cluster, dim)
+    computes the new means — summed in integer MICRO-UNITS (BIGINT)
+    like ``embedding_label_centroids``, so the result is
+    bit-deterministic under any partitioning (a double sum would vary
+    with partition order and break the determinism pin).  Only k·d
+    cells ever reach the driver per iteration — the same bounded
+    driver-side-literal pattern as ``sort_global``'s quantile
+    boundaries.  Empty clusters keep their previous centroid (standard
+    Lloyd convention)."""
+    d = 1 + (
+        max(dim for _, cv in cents for dim in range(len(cv))) if cents else -1
+    )
     for _ in range(iters):
-        best = _ivf_assign_expr(cents)
+        best = _ivf_assign_join(spark, eq, cents)
         upd = (
-            emb.withColumn("cid", (-best["negid"]).cast("int"))
-            .select("cid", F.posexplode("v").alias("dim", "x"))
+            eq.join(best, "vec_id")
             .groupBy("cid", "dim")
             .agg(
-                F.sum(F.round(F.col("x") * 1_000_000).cast("bigint")).alias(
-                    "s_micro"
-                ),
+                F.sum("xq").alias("s_micro"),
                 F.count("*").alias("n"),
             )
             .collect()  # bounded: k·d cells (16×64), never the data
@@ -518,25 +559,34 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction — recall is the thing k-means buys, and the test pins it
     alongside exactness of the surviving scores.
 
-    INDEX/PROBE plan shape is IDENTICAL to ``sim_search_ivf`` (literal
-    centroids → map-side assignment, driver-side probe-list choice,
-    partition-prunable lists); the refinement adds only
-    ``IVF_KMEANS_ITERS`` bounded (k·d)-cell aggregations at index-build
-    time — at 100 TB that is the classic train-once/assign-everywhere
-    split, with the training aggregation shuffling k·d cells, not
-    vectors.  Reference heritage: none (SURVEY §2 charter extension,
-    similarity family)."""
+    Train and assign both run on the ``ml_kmeans_lloyd`` exploded-join
+    plan (one checkpointed (vec_id, dim, xq) micro-unit relation reused
+    by every job; centroid tables broadcast at k·d rows; BIGINT dot
+    products in codegen'd hash aggregates) — NOT a k-cosine HOF
+    expression per row: the first cut used the literal-argmax form and
+    the 5× harness measured it LINEAR in rows (interpreted
+    zip_with/aggregate lambdas at ~0.6 ms/row dominated three jobs).
+    At 100 TB this is the classic train-once/assign-everywhere split:
+    training shuffles k·d cells per iteration, assignment is one join
+    of the cell relation against a broadcast table, and only the
+    nprobe-pruned candidates pay the exact-cosine scoring.  Reference
+    heritage: none (SURVEY §2 charter extension, similarity family)."""
+    import math
+
     ensure_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
+    # truncate lineage once; every Lloyd job + the final assignment
+    # reuses this bounded-width cell relation (|rows|·d cells)
+    eq = _explode_micro(emb).localCheckpoint(eager=True)
     seed_rows = (
         emb.where(F.col("vec_id") < IVF_CENTROIDS)
         .select("vec_id", "v")
         .collect()
     )
     seeds = sorted((int(r.vec_id), [float(x) for x in r.v]) for r in seed_rows)
-    cents = _lloyd_refine(emb, seeds, IVF_KMEANS_ITERS)
+    cents = _lloyd_refine(spark, eq, seeds, IVF_KMEANS_ITERS)
     probe_v = [
         float(x)
         for x in emb.where(F.col("vec_id") == PROBE_ID).collect()[0].v
@@ -548,13 +598,11 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[:IVF_NPROBE]
     ]
 
-    import math
-
-    best = _ivf_assign_expr(cents)
-    pv_lit = F.array(*[F.lit(x) for x in probe_v])
+    assigned = _ivf_assign_join(spark, eq, cents)
+    pv_lit = F.lit([float(x) for x in probe_v])
     pn = math.sqrt(sum(x * x for x in probe_v))
     cand = (
-        emb.withColumn("cid", (-best["negid"]).cast("int"))
+        emb.join(assigned, "vec_id")
         .where(F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID))
         .withColumn(
             "c", _dot(F.col("v"), pv_lit) / (_norm(F.col("v")) * F.lit(pn))

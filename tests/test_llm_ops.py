@@ -992,6 +992,7 @@ def test_ivf_kmeans_refined_scores_recall_and_movement(spark):
         PROBE_ID,
         _as_double,
         _dot,
+        _explode_micro,
         _lloyd_refine,
         _norm,
     )
@@ -1033,7 +1034,7 @@ def test_ivf_kmeans_refined_scores_recall_and_movement(spark):
         emb.where(F.col("vec_id") < IVF_CENTROIDS).select("vec_id", "v").collect()
     )
     seeds = sorted((int(r.vec_id), [float(x) for x in r.v]) for r in seed_rows)
-    refined = _lloyd_refine(emb, seeds, IVF_KMEANS_ITERS)
+    refined = _lloyd_refine(spark, _explode_micro(emb), seeds, IVF_KMEANS_ITERS)
     moved = sum(
         1
         for (cid_s, sv), (cid_r, rv) in zip(seeds, refined)
