@@ -664,3 +664,63 @@ def sim_search_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@query("sim_search_lsh_batch_multiprobe")  # no SQL oracle: LSH
+# bucketing isn't SQL-expressible; pinned by tests/test_llm_ops.py
+# (per-probe result-set superset of the single-probe batch form,
+# exact scores, equi-join plan, determinism)
+def sim_search_lsh_batch_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batched multi-probe LSH — the last cell of the ANN matrix
+    ({single, multi-probe} × {1-row broadcast, batched equi-join}):
+    each probe EXPLODES its Hamming-1 bucket set (own bucket + one id
+    per flipped hyperplane bit) into ``bits + 1`` probe rows, and the
+    candidate join stays a pure EQUI-JOIN on the bucket id — so the
+    recall knob costs a constant (bits+1)× probe-side fan-out (probe
+    rows, not corpus rows) and no plan change.  Duplicate (probe,
+    candidate) pairs cannot arise: a candidate sits in exactly ONE
+    bucket, so it matches at most one of a probe's probe-rows.
+    Per-probe top-k via the same WindowGroupLimit rank.  Reference
+    heritage: none (SURVEY §2 charter extension, similarity family)."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).withColumn("bucket", lsh_signature(F.col("v")))
+    pbucket = F.col("bucket")
+    probes = (
+        emb.where(F.col("vec_id") % KNN_PROBE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.explode(
+                F.array(
+                    pbucket,
+                    *[
+                        pbucket.bitwiseXOR(F.lit(1 << i))
+                        for i in range(LSH_BITS)
+                    ],
+                )
+            ).alias("pbucket"),
+        )
+    )
+    corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0)
+    cand = (
+        corpus.join(probes, F.col("bucket") == F.col("pbucket"))
+        .withColumn(
+            "c", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KNN_K)
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -1092,3 +1092,49 @@ def test_lsh_batch_equijoin_plan_scores_and_ranks(spark):
         by_probe.setdefault(r.probe_id, []).append(r.rnk)
     for pid, rks in by_probe.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), (pid, rks)  # (d)
+
+
+def test_lsh_batch_multiprobe_superset_and_plan(spark):
+    """Batched multi-probe LSH: per-probe candidates come from a
+    SUPERSET of the single-probe batch form's buckets, so (a) each
+    probe's k-th best cosine dominates the single-probe batch form's
+    pointwise, (b) recall vs the exact k-NN join is >= the single-probe
+    batch form's, (c) the plan is still a pure equi-join (no
+    cartesian / broadcast-NL), and (d) no duplicate (probe, candidate)
+    pairs (a candidate lives in exactly one bucket)."""
+    qs = registry.queries()
+    single = qs["sim_search_lsh_batch"](spark, SF_DIR_ORACLE).collect()
+    multi_df = qs["sim_search_lsh_batch_multiprobe"](spark, SF_DIR_ORACLE)
+    plan = multi_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    multi = multi_df.collect()
+    assert len(multi) >= len(single) > 0
+
+    pairs = [(r.probe_id, r.vec_id) for r in multi]
+    assert len(pairs) == len(set(pairs))            # (d)
+
+    def by_probe(rows):
+        d = {}
+        for r in rows:
+            d.setdefault(r.probe_id, []).append(r.cosine)
+        return {k: sorted(v, reverse=True) for k, v in d.items()}
+
+    s_by, m_by = by_probe(single), by_probe(multi)
+    for pid, s_cos in s_by.items():                  # (a)
+        m_cos = m_by.get(pid, [])
+        assert all(m >= s for m, s in zip(m_cos, s_cos)), pid
+
+    exact = {}
+    for r in qs["sim_search_knn_join"](spark, SF_DIR_ORACLE).collect():
+        exact.setdefault(r.probe_id, set()).add(r.vec_id)
+
+    def recall(rows):
+        found = {}
+        for r in rows:
+            found.setdefault(r.probe_id, set()).add(r.vec_id)
+        hits = sum(len(found.get(p, set()) & ids) for p, ids in exact.items())
+        total = sum(len(ids) for ids in exact.values())
+        return hits / total
+
+    assert recall(multi) >= recall(single)           # (b)
