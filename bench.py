@@ -66,6 +66,7 @@ HEADLINE = [
     "tpch_q8_market_share",   # deepest TPC-H join tree (7 tables, AQE-converted joins)
     "pack_bins_nextfit",      # per-shard Arrow stateful fold (sequence packing)
     "events_power_users_pareto",  # two-pass bucketed Lorenz/Pareto rank
+    "pipeline_dedup_end2end",  # clusters -> canonical -> scrub, one governed job
 ]
 
 
