@@ -138,3 +138,27 @@ def test_hostile_config_subset(spark):
     for name in HOSTILE_SUBSET:
         ok, msg = run_compare(s2, SF_DIR_ORACLE, qs[name], os_[name])
         assert ok, f"{name} under hostile config: {msg}"
+
+
+@pytest.mark.slow
+def test_oracle_less_queries_hostile_config(spark):
+    """Coverage-gap closer (round 8): the hostile full sweep iterates
+    only oracle-BEARING queries, so the rows-only-by-design ops (ANN,
+    sketches, multimodal, stratified sampling…) never ran under the
+    hostile config.  Run each one with AQE off, 5 shuffle partitions,
+    and a non-UTC session timezone: it must still return rows with the
+    SAME schema and row count as the default-config run (value-level
+    pins live in their per-op tests)."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "5")
+    s2.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    oracles = registry.oracles()
+    for name, fn in registry.queries().items():
+        if name in oracles:
+            continue
+        base = fn(spark, SF_DIR_ORACLE)
+        hostile = fn(s2, SF_DIR_ORACLE)
+        assert hostile.schema == base.schema, name
+        n_b, n_h = base.count(), hostile.count()
+        assert n_h == n_b > 0, f"{name}: {n_b} rows default, {n_h} hostile"
