@@ -812,3 +812,110 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("item"),
         F.col("e.count").cast("bigint").alias("est_count"),
     )
+
+
+@query(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (Spark 3.4+ ``spark.sql(text,
+    args={...})``) — the injection-safe templating surface every
+    application layer needs: parameter markers (``:cutoff``,
+    ``:status``) are bound as TYPED literals at parse time, never
+    string-spliced.  The oracle is the same query with the values
+    inlined — binding must be semantically identical to inlining
+    (which is exactly the contract; the marker becomes a literal in
+    the parsed plan, so pushdown/pruning work unchanged).  Reference
+    heritage: none (SURVEY §2 charter extension, SQL-surface family)."""
+    import datetime
+
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM orders
+        WHERE o_orderdate >= :cutoff
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": datetime.date(1995, 1, 1), "status": "F"},
+    )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_quantity >= 40
+    GROUP BY l_returnflag
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 ``DECLARE VARIABLE`` / ``SET
+    VAR``) — server-side state for multi-statement SQL scripts, the
+    feature that lets a pure-SQL workflow thread a computed threshold
+    through later statements without a driver round-trip.  The
+    variable reference resolves to its value during analysis, so the
+    plan is identical to the inlined oracle (filter pushed to the
+    scan).  ``DECLARE OR REPLACE`` keeps the query re-runnable in one
+    session.  Reference heritage: none (SURVEY §2 charter extension,
+    SQL-surface family)."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_floor INT DEFAULT 0")
+    spark.sql("SET VAR qty_floor = 40")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_quantity >= qty_floor
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``IDENTIFIER()`` clause (Spark 3.4+) — parameterizing an
+    OBJECT NAME (table/column) from a string constant, the
+    injection-safe alternative to f-string SQL assembly for dynamic
+    table routing (per-tenant tables, date-suffixed snapshots).  The
+    name resolves during analysis, so the plan equals the direct
+    reference the oracle uses.  Reference heritage: none (SURVEY §2
+    charter extension, SQL-surface family)."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM IDENTIFIER(:tbl)
+        GROUP BY c_mktsegment
+        """,
+        args={"tbl": "customer"},
+    )
