@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from mapreduceplusplus_spark.registry import query
 from mapreduceplusplus_spark.session import ensure_utc
@@ -63,6 +68,12 @@ class SeqDataSource(DataSource):
 
     def reader(self, schema) -> SeqReader:
         return SeqReader()
+
+    def simpleStreamReader(self, schema) -> "SeqStreamReader":
+        # the SIMPLE streaming hook (driver-side reads, offsets as
+        # dicts); the partition-parallel ``streamReader`` hook is the
+        # full-API sibling a high-volume connector implements
+        return SeqStreamReader()
 
 
 def register_seq_source(spark: SparkSession) -> None:
@@ -311,3 +322,100 @@ def source_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("quarantined"),
         F.col("_bad").alias("raw"),
     )
+
+
+#: streaming generator extent — total rows and per-micro-batch chunk
+STREAM_ROWS = 5_000
+STREAM_CHUNK = 500
+
+
+class SeqStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch half of the custom source (Spark 4's
+    ``SimpleDataSourceStreamReader``): offsets are a plain dict, each
+    ``read(start)`` returns (rows, next_offset) for one micro-batch —
+    the protocol a real connector implements against a queue/changelog
+    cursor.  The generator is bounded: past ``STREAM_ROWS`` it returns
+    an empty batch with an UNCHANGED offset, which is how a source
+    reports "no new data" (``processAllAvailable`` then unblocks).
+    ``readBetweenOffsets`` (exact-replay on recovery) is inherited:
+    the default re-calls ``read`` deterministically, valid here
+    because the generator is a pure function of the offset."""
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        if pos >= STREAM_ROWS:
+            return iter([]), start
+        end = min(pos + STREAM_CHUNK, STREAM_ROWS)
+        return iter([(i, i * i, i % 7) for i in range(pos, end)]), {"pos": end}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+@query(
+    "source_python_stream",
+    oracle=f"""
+    SELECT CAST(i % 7 AS INT)            AS bucket,
+           count(*)                      AS n,
+           CAST(sum(i * i) AS BIGINT)    AS sum_sq
+    FROM range(0, {STREAM_ROWS}) t(i)
+    GROUP BY 1
+    """,
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read through the custom Python data source — the
+    other half of the Spark 4 DataSource API (``streamReader``), and
+    the protocol a Python connector to a queue/changelog implements:
+    ``spark.readStream.format("mrpp_seq")`` drives
+    ``SeqStreamReader`` through {STREAM_ROWS}/{STREAM_CHUNK} = 10
+    micro-batches (offset dict → rows → next offset), a complete-mode
+    aggregation accumulates across batches, and the query drains with
+    ``processAllAvailable`` once the bounded source reports no new
+    data.  The final per-bucket totals must equal the closed-form
+    DuckDB oracle — i.e. micro-batched delivery through streaming
+    state lands on exactly the batch answer (the same
+    mode-independence contract the ``stream_*`` window queries pin).
+    Scale: offsets/commit give exactly-once micro-batches; a real
+    connector swaps the generator for a cursor fetch, and the
+    downstream aggregation shuffles per micro-batch only the chunk,
+    never the history (state carries the totals).  Reference
+    heritage: pluggable input readers (``src/worker.cc:127-143``),
+    extended to the incremental-delivery case the reference never
+    had."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ensure_utc(spark)
+    register_seq_source(spark)
+    sink = f"pystream_sink_{uuid.uuid4().hex[:8]}"
+    chk = tempfile.mkdtemp(prefix="pystream_chk_")
+    try:
+        agg = (
+            spark.readStream.format("mrpp_seq")
+            .load()
+            .groupBy(F.col("bucket").cast("int").alias("bucket"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("sq").cast("bigint").alias("sum_sq"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        result = spark.sql(f"SELECT * FROM {sink}")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)

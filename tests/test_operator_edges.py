@@ -1417,3 +1417,68 @@ def test_srm_flag_boundary(spark, tmp_path):
     [r2] = registry.queries()["events_ab_srm_check"](spark, d2).collect()
     assert r1.srm_flag is True and r1.n_a == 531 and r1.n_b == 469
     assert r2.srm_flag is False
+
+
+def test_round8_sql_surface_plan_equality(spark):
+    """The r8 SQL-surface rows claim to change SYNTAX, not semantics —
+    pin that mechanically: each variant's OPTIMIZED logical plan must
+    equal the plan of its classic/inlined formulation run in the same
+    session (modulo expression ids, which canonicalization strips).
+    Covers: pipe syntax vs classic SELECT, named-parameter binding vs
+    inlined literals, session variables vs inlined literals, and
+    IDENTIFIER() vs a direct table reference."""
+    import datetime
+    import re
+
+    from mapreduceplusplus_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    def canon(df):
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        # strip expression ids (#123) and plan ids — the only
+        # run-to-run noise in an optimized-plan rendering
+        return re.sub(r"#\d+L?", "#", p)
+
+    qs = registry.queries()
+    for t in ("lineitem", "orders", "customer"):
+        load_table(spark, SF_DIR_ORACLE, t).createOrReplaceTempView(t)
+
+    pairs = {
+        "sql_pipe_syntax": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "sql_session_variables": """
+            SELECT l_returnflag,
+                   count(*) AS n_lines,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            WHERE l_quantity >= 40
+            GROUP BY l_returnflag
+        """,
+        "sql_parameterized_query": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderstatus = 'F'
+            GROUP BY o_orderpriority
+        """,
+        "sql_identifier_clause": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            GROUP BY c_mktsegment
+        """,
+    }
+    for name, classic_sql in pairs.items():
+        variant = canon(qs[name](spark, SF_DIR_ORACLE))
+        classic = canon(spark.sql(classic_sql))
+        assert variant == classic, f"{name}: optimized plan diverges\n{variant}\n--\n{classic}"
