@@ -1309,3 +1309,68 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean_cents"
         ),
     )
+
+
+@query(
+    "agg_transpose",
+    oracle="""
+    WITH raw AS (
+      SELECT l_returnflag AS flag,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT)                               AS n_rows
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    a AS (
+      SELECT s.flag,
+             coalesce(r.sum_qty, 0) AS sum_qty,
+             coalesce(r.n_rows, 0)  AS n_rows
+      FROM (VALUES ('A'), ('N'), ('R')) s(flag)
+      LEFT JOIN raw r ON r.flag = s.flag
+    )
+    SELECT 'n_rows' AS key,
+           CAST(max(CASE WHEN flag = 'A' THEN n_rows END) AS BIGINT) AS A,
+           CAST(max(CASE WHEN flag = 'N' THEN n_rows END) AS BIGINT) AS N,
+           CAST(max(CASE WHEN flag = 'R' THEN n_rows END) AS BIGINT) AS R
+    FROM a
+    UNION ALL
+    SELECT 'sum_qty',
+           CAST(max(CASE WHEN flag = 'A' THEN sum_qty END) AS BIGINT),
+           CAST(max(CASE WHEN flag = 'N' THEN sum_qty END) AS BIGINT),
+           CAST(max(CASE WHEN flag = 'R' THEN sum_qty END) AS BIGINT)
+    FROM a
+    """,
+)
+def agg_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0) — rows↔columns flip of a
+    small aggregate (metrics become rows keyed ``key``, the former
+    index column's values become columns, SORTED ascending — so the
+    output schema is (key, A, N, R) deterministically), the
+    report-shaping surface that previously took a manual
+    unpivot+pivot round trip.  Transpose is only defined for frames
+    whose width/height both fit a report (the index values become
+    COLUMN NAMES — a driver-side schema), so the input here is the
+    3-row flag rollup, never raw data; the oracle reproduces the flip
+    with conditional aggregation.  The index domain is SCAFFOLDED with
+    the declared returnflag values (A/N/R) on both sides — transpose's
+    output COLUMNS are data-dependent (an empty frame transposes to
+    just ``key``), and a schema that varies with data would break any
+    downstream consumer; the scaffold makes it a fixed contract.
+    Reference heritage: none (SURVEY §2 charter extension, agg
+    family)."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    scaffold = spark.createDataFrame([("A",), ("N",), ("R",)], "flag string")
+    agg = (
+        # broadcast-safe: scaffold is the 3-value declared flag domain
+        scaffold.join(raw, "flag", "left")
+        .select(
+            "flag",
+            F.coalesce("sum_qty", F.lit(0)).cast("bigint").alias("sum_qty"),
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+        )
+    )
+    return agg.transpose()

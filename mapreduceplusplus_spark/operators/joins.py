@@ -1033,3 +1033,44 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("id_a") < F.col("id_b")) & (d2 <= r * r))
         .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
     )
+
+
+@query(
+    "join_lateral_df_api",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey,
+           CAST(round(l.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM customer c
+    JOIN LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) l ON true
+    WHERE c.c_custkey < 200
+    """,
+)
+def join_lateral_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.lateralJoin`` (Spark 4.0) — the DataFrame-API form
+    of the correlated table subquery that previously existed only as
+    SQL LATERAL (``join_lateral_topn``, whose docstring records the
+    pre-4.0 state): the inner frame references the outer row via
+    ``F.col(...).outer()``, and Catalyst decorrelates it into the same
+    window-top-k + join shape — this row pins that the NEW API path
+    hits the same decorrelation rewrite the SQL path does (same oracle,
+    same results).  Reference heritage: none (SURVEY §2 charter
+    extension, join family)."""
+    ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust_top2 = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return cust.lateralJoin(per_cust_top2).select(
+        "c_custkey",
+        "c_mktsegment",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
