@@ -337,19 +337,29 @@ class SeqStreamReader(SimpleDataSourceStreamReader):
     cursor.  The generator is bounded: past ``STREAM_ROWS`` it returns
     an empty batch with an UNCHANGED offset, which is how a source
     reports "no new data" (``processAllAvailable`` then unblocks).
-    ``readBetweenOffsets`` (exact-replay on recovery) is inherited:
-    the default re-calls ``read`` deterministically, valid here
-    because the generator is a pure function of the offset."""
+    ``readBetweenOffsets`` is the RECOVERY contract — after a restart
+    Spark re-reads exactly the (start, end] offset range of any
+    planned-but-uncommitted batch; there is NO default (the base class
+    raises NotImplementedError — the checkpoint-recovery test caught
+    this), and it must return the identical rows ``read`` produced,
+    trivial here because the generator is a pure function of the
+    offset range."""
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
+
+    def _rows(self, start_pos: int, end_pos: int):
+        return iter([(i, i * i, i % 7) for i in range(start_pos, end_pos)])
 
     def read(self, start: dict):
         pos = int(start["pos"])
         if pos >= STREAM_ROWS:
             return iter([]), start
         end = min(pos + STREAM_CHUNK, STREAM_ROWS)
-        return iter([(i, i * i, i % 7) for i in range(pos, end)]), {"pos": end}
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["pos"]), int(end["pos"]))
 
     def commit(self, end: dict) -> None:
         pass
