@@ -1349,6 +1349,7 @@ def test_tws_ttl_state_machine_and_delete_if_exists():
     assert float(r.sum_value) == 9.0
 
 
+@pytest.mark.slow
 def test_python_stream_source_checkpoint_recovery(spark, stream_dirs):
     """Exactly-once across restart for the Python streaming data
     source (round 8): kill the query mid-stream, restart FROM THE SAME
