@@ -150,9 +150,7 @@ def _lsh_topk(
     ).withColumn("bucket", lsh_signature(F.col("v")))
     pbucket = F.col("bucket")
     probe_buckets = (
-        F.array(pbucket, *[
-            pbucket.bitwiseXOR(F.lit(1 << i)) for i in range(LSH_BITS)
-        ])
+        F.array(*_probe_bucket_set(pbucket))
         if multiprobe
         else F.array(pbucket)
     )
@@ -531,8 +529,9 @@ def _lloyd_refine(
         )
         acc: dict[int, dict[int, float]] = {}
         for r in upd:
-            # integer floor-division THEN one float division: exact and
-            # partition-order-independent
+            # exact integer inputs -> a deterministic float division
+            # chain (same operands in the same order on every run, so
+            # the refined centroids are partition-order-independent)
             acc.setdefault(int(r.cid), {})[int(r.dim)] = (
                 int(r.s_micro) / int(r.n)
             ) / 1_000_000.0
@@ -618,32 +617,35 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_search_lsh_batch")  # no SQL oracle: LSH bucketing isn't
-# SQL-expressible; pinned by tests/test_llm_ops.py (equi-join plan — no
-# cartesian/broadcast-NL node, bucket agreement, exact scores, per-probe
-# rank contiguity, determinism)
-def sim_search_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BATCHED LSH ANN as a pure EQUI-JOIN — the scale path
-    ``sim_search_lsh``'s docstring documents for many probes: both
-    sides carry the same hyperplane signature, candidates come from a
-    shuffle equi-join ON THE BUCKET ID, and the per-probe top-k is a
-    WindowGroupLimit-pruned rank.  Unlike ``sim_search_knn_join``
-    (broadcast probe set, exact, bounded to ~10k probes) this form has
-    NO broadcast anywhere: probe count can grow with the corpus —
-    each side shuffles once on the bucket key, candidate volume is
-    ~|corpus|·|probes|/2^bits pairs instead of the full cross product,
-    and the join parallelizes across buckets.  Recall is partial by
-    design (single-bucket probing; the multi-probe variant's bucket
-    array generalizes by exploding probe-side bucket ids).  Reference
-    heritage: none (SURVEY §2 charter extension, similarity family)."""
+def _probe_bucket_set(pbucket: Column) -> list[Column]:
+    """The Hamming-1 probe bucket set — own bucket + one id per flipped
+    hyperplane bit; shared by the 1-row-broadcast multiprobe
+    (``_lsh_topk``) and the batched explode form."""
+    return [pbucket, *[pbucket.bitwiseXOR(F.lit(1 << i)) for i in range(LSH_BITS)]]
+
+
+def _lsh_batch_topk(
+    spark: SparkSession, sf_dir: str, multiprobe: bool
+) -> DataFrame:
+    """Shared batched-LSH builder (review r8: the two batch variants
+    were verbatim copies differing only in the probe-side bucket
+    expression).  Candidates come from a pure EQUI-JOIN on the bucket
+    id; ``multiprobe`` explodes each probe into its Hamming-1 bucket
+    set (bits+1 probe rows — probe-side fan-out only, same join)."""
     ensure_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     ).withColumn("bucket", lsh_signature(F.col("v")))
+    pbucket = F.col("bucket")
+    probe_bucket = (
+        F.explode(F.array(*_probe_bucket_set(pbucket)))
+        if multiprobe
+        else pbucket
+    )
     probes = emb.where(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
-        F.col("bucket").alias("pbucket"),
+        probe_bucket.alias("pbucket"),
     )
     corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0)
     cand = (
@@ -664,6 +666,27 @@ def sim_search_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@query("sim_search_lsh_batch")  # no SQL oracle: LSH bucketing isn't
+# SQL-expressible; pinned by tests/test_llm_ops.py (equi-join plan — no
+# cartesian/broadcast-NL node, bucket agreement, exact scores, per-probe
+# rank contiguity, determinism)
+def sim_search_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED LSH ANN as a pure EQUI-JOIN — the scale path
+    ``sim_search_lsh``'s docstring documents for many probes: both
+    sides carry the same hyperplane signature, candidates come from a
+    shuffle equi-join ON THE BUCKET ID, and the per-probe top-k is a
+    WindowGroupLimit-pruned rank.  Unlike ``sim_search_knn_join``
+    (broadcast probe set, exact, bounded to ~10k probes) this form has
+    NO broadcast anywhere: probe count can grow with the corpus —
+    each side shuffles once on the bucket key, candidate volume is
+    ~|corpus|·|probes|/2^bits pairs instead of the full cross product,
+    and the join parallelizes across buckets.  Recall is partial by
+    design (single-bucket probing; the multi-probe variant's bucket
+    array generalizes by exploding probe-side bucket ids).  Reference
+    heritage: none (SURVEY §2 charter extension, similarity family)."""
+    return _lsh_batch_topk(spark, sf_dir, multiprobe=False)
 
 
 @query("sim_search_lsh_batch_multiprobe")  # no SQL oracle: LSH
@@ -684,43 +707,4 @@ def sim_search_lsh_batch_multiprobe(
     bucket, so it matches at most one of a probe's probe-rows.
     Per-probe top-k via the same WindowGroupLimit rank.  Reference
     heritage: none (SURVEY §2 charter extension, similarity family)."""
-    ensure_utc(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("v")
-    ).withColumn("bucket", lsh_signature(F.col("v")))
-    pbucket = F.col("bucket")
-    probes = (
-        emb.where(F.col("vec_id") % KNN_PROBE_MOD == 0)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("v").alias("pv"),
-            F.explode(
-                F.array(
-                    pbucket,
-                    *[
-                        pbucket.bitwiseXOR(F.lit(1 << i))
-                        for i in range(LSH_BITS)
-                    ],
-                )
-            ).alias("pbucket"),
-        )
-    )
-    corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0)
-    cand = (
-        corpus.join(probes, F.col("bucket") == F.col("pbucket"))
-        .withColumn(
-            "c", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("vec_id"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= KNN_K)
-        .select(
-            "probe_id",
-            "vec_id",
-            "label",
-            (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
-            F.col("rnk").cast("bigint").alias("rnk"),
-        )
-    )
+    return _lsh_batch_topk(spark, sf_dir, multiprobe=True)

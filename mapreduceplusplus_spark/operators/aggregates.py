@@ -1095,6 +1095,41 @@ def range_bucket_expr(
     return F.size(F.filter(F.array(*[F.lit(float(b)) for b in bounds]), cmp))
 
 
+def census_offsets_literal(
+    spark: SparkSession,
+    census: DataFrame,
+    key_col: str,
+    sum_cols: list[str],
+    off_names: list[str],
+) -> DataFrame:
+    """Cumulative offsets over a BOUNDED census, computed as DRIVER
+    LITERALS — THE shared step-4 of the two-pass bucketed rank for
+    ungrouped consumers (``sort_global``, ``events_power_users_pareto``;
+    the flag-grouped sibling is ``_bucketed_group_offsets`` below,
+    which keeps the census distributed because its window has a real
+    partition key).  The census is ≤ #buckets rows by construction
+    (config-bounded — the same driver-side-literal pattern as
+    ``range_bucket_expr``'s quantile boundaries), so collecting it is
+    bounded work, the cumulative sums are exact Python ints, and —
+    unlike a census self-join or unpartitioned window — the census
+    subtree is evaluated EXACTLY ONCE (review r8: the triangular
+    self-join form evaluated the full upstream scan twice, once per
+    join side).  Returns a literal DataFrame [key_col, *off_names]
+    ready to broadcast-join back."""
+    rows = sorted(
+        (r[key_col], *[int(r[c] or 0) for c in sum_cols])
+        for r in census.collect()
+    )
+    offsets, running = [], [0] * len(sum_cols)
+    for key, *vals in rows:
+        offsets.append((key, *running))
+        running = [a + b for a, b in zip(running, vals)]
+    schema = ", ".join(
+        [f"{key_col} int"] + [f"{n} bigint" for n in off_names]
+    )
+    return spark.createDataFrame(offsets, schema)
+
+
 def _bucketed_group_offsets(loc: DataFrame, weight):
     """Steps 3-4 of the two-pass rank, shared by the rank-statistic
     aggregates: per-(flag, bucket) weight census, per-flag cumulative

@@ -53,10 +53,11 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
        offsets.  Data-derived buckets need no cross-job agreement);
     3. per-bucket local ``row_number`` — a window hash-partitioned on
        the bucket id, each task ranks only its own slice;
-    4. per-bucket row counts → cumulative offsets, via a triangular
-       self-join over the ≤ #buckets census (a few thousand rows at
-       cluster scale, not the table — O(B²) trivial work, and no
-       unpartitioned window anywhere in the plan), broadcast back;
+    4. per-bucket row counts → cumulative offsets, collected as DRIVER
+       LITERALS over the ≤ #buckets census (a few thousand rows at
+       cluster scale, not the table — the same bounded pattern as the
+       quantile boundaries; no unpartitioned window anywhere, and the
+       census subtree is evaluated exactly once), broadcast back;
     5. ``sort_rank = offset + local_rank``.
 
     The result is invariant to where the quantile boundaries fall: the
@@ -85,19 +86,15 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_lrn", F.row_number().over(Window.partitionBy("_bkt").orderBy(*keys))
     )
     counts = local.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
-    # cumulative offsets WITHOUT any unpartitioned window: triangular
-    # self-join over the ≤ #buckets census rows (O(B²) on a config-
-    # bounded table, fully parallel) — each bucket's offset is the sum
-    # of strictly-earlier buckets' counts
-    earlier = counts.select(
-        F.col("_bkt").alias("_eb"), F.col("_cnt").alias("_ecnt")
+    # cumulative offsets as driver literals over the ≤ #buckets census
+    # (shared helper; exact ints, census subtree evaluated once —
+    # review r8 found the earlier triangular self-join paid the
+    # upstream scan twice, once per join side)
+    from mapreduceplusplus_spark.operators.aggregates import (
+        census_offsets_literal,
     )
-    offsets = (
-        # broadcast-safe: census ≤ #buckets rows (config-bounded)
-        counts.join(F.broadcast(earlier), F.col("_eb") < F.col("_bkt"), "left")
-        .groupBy("_bkt")
-        .agg(F.coalesce(F.sum("_ecnt"), F.lit(0)).alias("_off"))
-    )
+
+    offsets = census_offsets_literal(spark, counts, "_bkt", ["_cnt"], ["_off"])
     # broadcast-safe: offsets has one row per range bucket (constant,
     # config-bounded)
     return local.join(F.broadcast(offsets), "_bkt").select(

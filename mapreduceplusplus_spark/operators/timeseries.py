@@ -637,9 +637,21 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     form."""
     from mapreduceplusplus_spark.operators.aggregates import range_bucket_expr
 
+    from mapreduceplusplus_spark.operators.aggregates import (
+        census_offsets_literal,
+    )
+
     ensure_utc(spark)
     events = load_table(spark, sf_dir, "events")
-    per_user = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    # the event-volume rollup is materialized ONCE (review r8: unpersisted
+    # it was recomputed by the quantile sample, the census, the totals,
+    # AND the ranked output — 4 scans of events); localCheckpoint keeps
+    # the single-payment claim true without a driver collect of #users rows
+    per_user = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
     totals = per_user.agg(
         F.sum("n_events").alias("total"), F.count("*").alias("n_users")
     )
@@ -649,22 +661,10 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = loc.groupBy("_bkt").agg(
         F.count("*").alias("_c"), F.sum("n_events").alias("_s")
     )
-    # cumulative census offsets WITHOUT any unpartitioned window: a
-    # triangular self-join over the ≤ |buckets| census rows (O(B²) on a
-    # config-bounded table, fully parallel) — every bucket's offset is
-    # the sum of all strictly-earlier buckets' counts/weights
-    earlier = census.select(
-        F.col("_bkt").alias("_eb"), F.col("_c").alias("_ec"),
-        F.col("_s").alias("_es"),
-    )
-    offsets = (
-        # broadcast-safe: census ≤ |buckets| rows (config-bounded)
-        census.join(F.broadcast(earlier), F.col("_eb") < F.col("_bkt"), "left")
-        .groupBy("_bkt")
-        .agg(
-            F.coalesce(F.sum("_ec"), F.lit(0)).alias("_rk_off"),
-            F.coalesce(F.sum("_es"), F.lit(0)).alias("_cum_off"),
-        )
+    # cumulative census offsets as driver literals over the ≤ |buckets|
+    # census (shared helper — exact ints, census evaluated exactly once)
+    offsets = census_offsets_literal(
+        spark, census, "_bkt", ["_c", "_s"], ["_rk_off", "_cum_off"]
     )
     w_loc = Window.partitionBy("_bkt").orderBy(
         F.col("n_events").desc(), F.col("user_id")

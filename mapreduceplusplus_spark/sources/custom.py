@@ -428,4 +428,8 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = result.collect()
         return spark.createDataFrame(rows, result.schema)
     finally:
+        # the memory sink registers a temp view holding its rows for
+        # the session lifetime — drop it (review r8: every invocation
+        # leaked one uuid-named in-memory table)
+        spark.catalog.dropTempView(sink)
         shutil.rmtree(chk, ignore_errors=True)

@@ -1354,11 +1354,17 @@ def test_python_stream_source_checkpoint_recovery(spark, stream_dirs):
     """Exactly-once across restart for the Python streaming data
     source (round 8): kill the query mid-stream, restart FROM THE SAME
     CHECKPOINT, and the union of delivered rows must cover the bounded
-    sequence exactly once — no gap at the kill point (offset replay via
-    the inherited ``readBetweenOffsets``), no duplicates from
-    reprocessing committed batches.  The sink is a foreachBatch parquet
-    append (the recovery-capable sink shape), so every delivered row is
-    observable."""
+    sequence with NO GAP at the kill point (offset replay via
+    ``readBetweenOffsets`` — implementing it was forced by this test;
+    the base class raises NotImplementedError).  The sink is a
+    foreachBatch parquet append, which Spark guarantees only
+    AT-LEAST-ONCE: a batch whose write committed just before the kill
+    may replay after restart (review r8 — the first cut asserted
+    exactly-once on the raw appends and was flaky by design).  The
+    assertions therefore follow the documented idempotent-consumer
+    pattern: full coverage after dedup on the key, any replayed rows
+    byte-identical to the originals, and at most one batch's worth of
+    duplication."""
     import tempfile
     import time
 
@@ -1412,9 +1418,18 @@ def test_python_stream_source_checkpoint_recovery(spark, stream_dirs):
         q2.stop()
 
     out = spark.read.parquet(sink_dir)
-    # exactly-once: full coverage, zero duplicates, values intact
-    assert out.count() == STREAM_ROWS
+    # full coverage, no gap at the kill point: every sequence element
+    # delivered at least once
     assert out.select("i").distinct().count() == STREAM_ROWS
+    # at-least-once, bounded: at most ONE planned batch can replay
+    from mapreduceplusplus_spark.sources.custom import STREAM_CHUNK
+
+    assert STREAM_ROWS <= out.count() <= STREAM_ROWS + STREAM_CHUNK
+    # any replayed rows are byte-identical (deterministic source):
+    # per key there is exactly one (sq, bucket) combination
+    assert (
+        out.select("i", "sq", "bucket").distinct().count() == STREAM_ROWS
+    )
     bad = out.where(F.col("sq") != F.col("i") * F.col("i")).count()
     assert bad == 0
     # the restart actually continued from the checkpoint (fresh query
