@@ -369,3 +369,38 @@ def test_asof_join_nearest_matches_python_model(spark, data):
         else:
             expect = b[1] if (t - b[0]) <= (f[0] - t) else f[1]
         assert got[i] == expect, f"left row {i} ({k},{t}): {got[i]} != {expect}"
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 31), st.integers(0, 1000), st.integers(0, 1000)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_census_offsets_literal_matches_prefix_sums(spark, census_rows):
+    """census_offsets_literal (the shared step-4 of the two-pass
+    bucketed rank) must return, for every bucket, EXACTLY the sum of
+    all strictly-earlier buckets' values per column — checked against
+    a direct Python prefix sum over arbitrary (sparse, unordered)
+    censuses, including the empty census."""
+    from mapreduceplusplus_spark.operators.aggregates import (
+        census_offsets_literal,
+    )
+
+    census = spark.createDataFrame(
+        census_rows, "_bkt int, _c bigint, _s bigint"
+    )
+    out = {
+        r._bkt: (r.off_c, r.off_s)
+        for r in census_offsets_literal(
+            spark, census, "_bkt", ["_c", "_s"], ["off_c", "off_s"]
+        ).collect()
+    }
+    assert set(out) == {b for b, _, _ in census_rows}
+    for bkt, _, _ in census_rows:
+        exp_c = sum(c for b, c, _ in census_rows if b < bkt)
+        exp_s = sum(s for b, _, s in census_rows if b < bkt)
+        assert out[bkt] == (exp_c, exp_s), bkt
