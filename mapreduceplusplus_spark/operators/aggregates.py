@@ -675,11 +675,14 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered LISTAGG / string_agg — the report-friendly "concatenate
-    the group's values" aggregate.  Spark has no ORDER BY clause inside
-    an aggregate, so the deterministic form is ``array_join(sort_array(
-    collect_list(...)))`` — sorting AFTER collection makes the result
-    independent of partition arrival order (a bare collect_list concat
-    is nondeterministic, the same trap as ``agg_collect_list``).
+    the group's values" aggregate, in the pre-4.0 DataFrame idiom:
+    ``array_join(sort_array(collect_list(...)))`` — sorting AFTER
+    collection makes the result independent of partition arrival order
+    (a bare collect_list concat is nondeterministic, the same trap as
+    ``agg_collect_list``).  Spark 4.0 added the native ordered-set
+    form — ``agg_listagg_within_group`` is that modernization; this
+    row keeps the workaround pinned because every pre-4.0 pipeline
+    still runs it.
 
     At 100 TB: one broadcast join (region is a dim) + one hash
     aggregation; per-group state is the value list — fine for bounded
@@ -1409,3 +1412,46 @@ def agg_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.transpose()
+
+
+@query(
+    "agg_listagg_within_group",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name DESC) AS nations_desc,
+           count(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE ordered ``listagg`` (Spark 4.0's `LISTAGG ... WITHIN
+    GROUP (ORDER BY ...)`, the ISO/ANSI ordered-set string aggregate)
+    — the modernization of ``agg_string_agg``'s pre-4.0
+    `array_join(sort_array(collect_list(...)))` workaround: the ORDER
+    BY now lives INSIDE the aggregate, so the concatenation order is a
+    declared part of the aggregate's semantics rather than a
+    post-collection sort, and a DESCENDING order (which the sort_array
+    form needs an extra reverse for) is just syntax.  DuckDB's
+    ``string_agg(x, ',' ORDER BY ...)`` is the same ordered-set form —
+    the differential pins that both engines implement the ordering
+    contract identically.  Physically unchanged from the workaround:
+    one broadcast dim join + one hash aggregate with per-group list
+    state.  Reference heritage: the reference's sorted-group output
+    model (``mr/word_count.h:24-31``) — its declarative face."""
+    ensure_utc(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation.createOrReplaceTempView("listagg_nation")
+    region.createOrReplaceTempView("listagg_region")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region,
+               listagg(n.n_name, ',')
+                 WITHIN GROUP (ORDER BY n.n_name DESC) AS nations_desc,
+               count(*) AS n_nations
+        FROM listagg_nation n JOIN listagg_region r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
