@@ -537,3 +537,45 @@ def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part_coll
         """
     )
+
+
+@query(
+    "scalar_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS regionkey_rt,
+           upper(n_name)               AS name_rt_upper
+    FROM nation
+    """,
+)
+def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``to_xml`` / ``from_xml`` scalar codecs (Spark 4.0 — the XML
+    siblings of to_json/from_json, completing the per-row
+    structured-text codec family next to ``scalar_json`` and
+    ``scalar_binary_codecs``): pack each nation row into an XML
+    fragment, parse it back with an explicit schema, and project the
+    recovered fields.  The oracle recomputes the EXPECTED values from
+    the original columns — a value surviving the encode→decode loop
+    must equal its source, which pins both directions at once without
+    DuckDB needing any XML support.  Per-row expression work only
+    (JVM-side StaxXmlParser) — scan-bound at any scale.  Reference
+    heritage: none (SURVEY §2 charter extension, scalar family)."""
+    ensure_utc(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    packed = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.to_xml(F.struct("n_regionkey", "n_name")).alias("xml"),
+    )
+    unpacked = packed.select(
+        "n_nationkey",
+        "n_name",
+        F.from_xml("xml", "n_regionkey bigint, n_name string").alias("s"),
+    )
+    return unpacked.select(
+        "n_nationkey",
+        "n_name",
+        F.col("s.n_regionkey").cast("bigint").alias("regionkey_rt"),
+        F.upper("s.n_name").alias("name_rt_upper"),
+    )
