@@ -420,3 +420,98 @@ def session_close_tws(stream: DataFrame) -> DataFrame:
             timeMode="eventTime",
         )
     )
+
+
+#: top-k size for the ListState leaderboard processor
+LEADERBOARD_K = 3
+
+_LEADERBOARD_OUTPUT_SCHEMA = "user_id bigint, rank int, value_cents bigint"
+
+
+class TopKLeaderboardProcessor(StatefulProcessor):
+    """``ListState`` surface of the ``transformWithState`` API (the
+    typed state variable the running-total/TTL/timer processors don't
+    touch): a per-key top-``LEADERBOARD_K`` leaderboard of value
+    cents, maintained as a SORTED bounded list — the shape of
+    per-user best-scores / largest-orders / top-sources state.  The
+    micro-batch step merges the incoming batch's values into the
+    stored list and keeps the K largest (descending, deterministic),
+    so state size is O(K) per key regardless of history — the bounded
+    alternative to collecting a key's full event list.  Emits the
+    (rank, value) rows of the CURRENT leaderboard each batch the key
+    appears in (update semantics).  Integer cents per event, so the
+    merge is exact and chunk/micro-batch-boundary invariant.
+
+    Scale: K scalars per key in RocksDB; one shuffle on the key per
+    micro-batch — identical profile to the ValueState forms, with
+    ``ListState.put`` replacing the tuple update."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getListState("leaderboard", "cents bigint")
+
+    def handleInputRows(self, key, rows, timerValues=None):
+        current = (
+            [int(t[0]) for t in self._state.get()]
+            if self._state.exists()
+            else []
+        )
+        for pdf in rows:
+            current.extend(
+                int(round(float(v) * 100)) for v in pdf["value"]
+            )
+        top = sorted(current, reverse=True)[:LEADERBOARD_K]
+        self._state.put([(c,) for c in top])
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "value_cents": top,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+_TYPECOUNT_OUTPUT_SCHEMA = "user_id bigint, event_type string, n bigint"
+
+
+class EventTypeCountsProcessor(StatefulProcessor):
+    """``MapState`` surface of the ``transformWithState`` API — a
+    per-key map of event_type → count, the canonical per-entity
+    sub-keyed state (per-user per-action counters, per-device
+    per-error-code tallies) that a ValueState tuple cannot hold when
+    the sub-key domain is open-ended.  Each micro-batch increments
+    only the map entries the batch touches (point reads/writes —
+    RocksDB stores each map entry as its own key, so an update never
+    rewrites the whole map) and emits the touched entries' new counts
+    (update semantics).
+
+    Scale: state is |distinct sub-keys| entries per key, each updated
+    in place; the emitted delta is only the touched entries — both
+    independent of history length."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getMapState(
+            "type_counts", "event_type string", "n bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues=None):
+        touched: dict[str, int] = {}
+        for pdf in rows:
+            for et in pdf["event_type"]:
+                touched[str(et)] = touched.get(str(et), 0) + 1
+        out = []
+        for et, delta in sorted(touched.items()):
+            prev = (
+                int(self._state.getValue((et,))[0])
+                if self._state.containsKey((et,))
+                else 0
+            )
+            new = prev + delta
+            self._state.updateValue((et,), (new,))
+            out.append((int(key[0]), et, new))
+        yield pd.DataFrame(out, columns=["user_id", "event_type", "n"])
+
+    def close(self) -> None:
+        pass

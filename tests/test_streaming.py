@@ -1437,3 +1437,149 @@ def test_python_stream_source_checkpoint_recovery(spark, stream_dirs):
     # unless the first run already drained everything
     if delivered_before < STREAM_ROWS:
         assert out.count() > delivered_before
+
+
+class _StubListState:
+    def __init__(self, handle):
+        self._h = handle
+        self._slots = {}
+
+    def exists(self):
+        return self._h.current_key in self._slots
+
+    def get(self):
+        return iter(self._slots.get(self._h.current_key, []))
+
+    def put(self, rows):
+        self._slots[self._h.current_key] = [tuple(r) for r in rows]
+
+    def appendValue(self, row):
+        self._slots.setdefault(self._h.current_key, []).append(tuple(row))
+
+    def clear(self):
+        self._slots.pop(self._h.current_key, None)
+
+
+class _StubMapState:
+    def __init__(self, handle):
+        self._h = handle
+        self._slots = {}  # key -> {subkey: value}
+
+    def _m(self):
+        return self._slots.setdefault(self._h.current_key, {})
+
+    def exists(self):
+        return bool(self._slots.get(self._h.current_key))
+
+    def containsKey(self, k):
+        return tuple(k) in self._m()
+
+    def getValue(self, k):
+        return self._m().get(tuple(k))
+
+    def updateValue(self, k, v):
+        self._m()[tuple(k)] = tuple(v)
+
+    def iterator(self):
+        return iter(self._m().items())
+
+    def keys(self):
+        return iter(self._m().keys())
+
+    def removeKey(self, k):
+        self._m().pop(tuple(k), None)
+
+    def clear(self):
+        self._slots.pop(self._h.current_key, None)
+
+
+class _TypedStateHandle:
+    def __init__(self):
+        self.states = {}
+        self.current_key = None
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        raise AssertionError("these processors must not use ValueState")
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _StubListState(self))
+
+    def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
+        return self.states.setdefault(name, _StubMapState(self))
+
+
+def test_tws_liststate_leaderboard_matches_batch_topk():
+    """ListState surface (round 8): the per-key top-K leaderboard
+    replayed over micro-batches must land on exactly the batch top-K
+    of the union (bounded-state merge is order/boundary-invariant),
+    state never holds more than K entries, and each batch emits the
+    key's CURRENT ranked leaderboard."""
+    import pandas as pd
+
+    from mapreduceplusplus_spark.streaming.stateful import (
+        LEADERBOARD_K,
+        TopKLeaderboardProcessor,
+    )
+
+    batches = [
+        [(1, 5.00), (1, 1.25), (2, 9.99)],
+        [(1, 7.50), (1, 0.10)],
+        [(1, 6.00), (2, 2.00)],
+    ]
+    proc = TopKLeaderboardProcessor()
+    handle = _TypedStateHandle()
+    proc.init(handle)
+    last = {}
+    for rows in batches:
+        pdf = pd.DataFrame(rows, columns=["user_id", "value"])
+        for uid, grp in pdf.groupby("user_id"):
+            handle.current_key = (int(uid),)
+            [out] = list(proc.handleInputRows((int(uid),), iter([grp])))
+            last[int(uid)] = list(out["value_cents"])
+            assert list(out["rank"]) == list(range(1, len(out) + 1))
+            # state bounded at K
+            assert len(list(handle.states["leaderboard"].get())) <= LEADERBOARD_K
+
+    all_vals = {}
+    for rows in batches:
+        for uid, v in rows:
+            all_vals.setdefault(uid, []).append(int(round(v * 100)))
+    for uid, vals in all_vals.items():
+        assert last[uid] == sorted(vals, reverse=True)[:LEADERBOARD_K], uid
+
+
+def test_tws_mapstate_type_counts_matches_batch_counts():
+    """MapState surface (round 8): per-key per-event-type counters
+    replayed over micro-batches must converge to the batch GROUP BY
+    counts; each batch's emission carries only the TOUCHED sub-keys
+    with their new totals (point updates, not a whole-map rewrite)."""
+    import pandas as pd
+
+    from mapreduceplusplus_spark.streaming.stateful import (
+        EventTypeCountsProcessor,
+    )
+
+    batches = [
+        [(1, "click"), (1, "view"), (2, "click")],
+        [(1, "click"), (1, "click")],
+        [(2, "error"), (1, "view")],
+    ]
+    proc = EventTypeCountsProcessor()
+    handle = _TypedStateHandle()
+    proc.init(handle)
+    final = {}
+    for rows in batches:
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_type"])
+        for uid, grp in pdf.groupby("user_id"):
+            handle.current_key = (int(uid),)
+            [out] = list(proc.handleInputRows((int(uid),), iter([grp])))
+            # only touched sub-keys are emitted
+            assert set(out["event_type"]) == set(grp["event_type"])
+            for _, r in out.iterrows():
+                final[(int(r.user_id), r.event_type)] = int(r.n)
+
+    expect = {}
+    for rows in batches:
+        for uid, et in rows:
+            expect[(uid, et)] = expect.get((uid, et), 0) + 1
+    assert final == expect
