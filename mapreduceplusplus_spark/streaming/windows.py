@@ -243,3 +243,77 @@ def streaming_dedup_pipeline(
     distinct key seen within the watermark horizon."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return stream.withWatermark("ts", watermark).dropDuplicates(list(keys))
+
+
+@query(
+    "stream_session_window_dynamic_gap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'click' THEN 7200
+                             WHEN 'view'  THEN 3600
+                             ELSE 1800 END AS gap_s
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, gap_s,
+             max(ts + gap_s * INTERVAL 1 SECOND) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, ts, gap_s,
+             sum(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                      THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_US_DUCK}') AS sess_start,
+           strftime(max(ts + gap_s * INTERVAL 1 SECOND), '{_TS_US_DUCK}')
+               AS sess_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_window_dynamic_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC-GAP session windows — ``F.session_window`` with a
+    per-EVENT gap expression (click 2 h, view 1 h, else 30 min), the
+    form engagement pipelines need when different actions keep a
+    session alive for different spans (a purchase's session shouldn't
+    die as fast as a passive view's).  Session semantics generalize:
+    every event contributes [ts, ts + its_gap); overlapping intervals
+    merge, the session END is the MAX contributed end (not last event
+    + constant), and a new session starts when an event's ts reaches
+    past every earlier event's end — which the oracle reproduces as a
+    gaps-and-islands rewrite with a running MAX(ts + gap) (the plain
+    lag-based rewrite is WRONG under variable gaps: a long-gap event
+    can bridge across a later short-gap one).  Same single shuffle on
+    the session key as the fixed-gap form; the gap CASE is a map-side
+    expression.  In streaming mode the identical expression runs under
+    a watermark exactly like ``stream_session_window``.  Reference
+    heritage: none (SURVEY §2 charter extension, streaming family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("2 hours"))
+        .when(F.col("event_type") == "view", F.lit("1 hour"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_US_SPARK).alias("sess_start"),
+            F.date_format("w.end", _TS_US_SPARK).alias("sess_end"),
+            "n_events",
+        )
+    )
