@@ -589,3 +589,92 @@ def corpus_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("entropy_micro_nats"),
     )
+
+
+#: overlapping chunker geometry: window of 24 tokens, stride 12 (50%
+#: overlap) — the standard RAG retrieval-chunk shape
+OVERLAP_WIN = 24
+OVERLAP_STRIDE = 12
+
+
+@query(
+    "pack_chunks_overlap",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             CASE WHEN len(w) = 0 THEN 0
+                  WHEN len(w) <= {OVERLAP_WIN} THEN 1
+                  ELSE 1 + CAST(ceil((len(w) - {OVERLAP_WIN})
+                                     / {OVERLAP_STRIDE}.0) AS BIGINT)
+             END AS n_chunks,
+             w
+      FROM ws
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CASE WHEN n_chunks = 0 THEN NULL
+                ELSE md5(array_to_string(w[1 : {OVERLAP_WIN}], ' '))
+           END AS first_chunk_fp,
+           CASE WHEN n_chunks = 0 THEN NULL
+                ELSE md5(array_to_string(
+                    w[(n_chunks - 1) * {OVERLAP_STRIDE} + 1 :
+                      (n_chunks - 1) * {OVERLAP_STRIDE} + {OVERLAP_WIN}], ' '))
+           END AS last_chunk_fp
+    FROM g
+    """,
+)
+def pack_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING sliding-window chunker — the RAG-standard
+    {OVERLAP_WIN}-token window with {OVERLAP_STRIDE}-token stride (50%
+    overlap), the retrieval-side sibling of ``dedup_chunk_exact``'s
+    disjoint chunks and ``pack_concat_chunks``'s training-sequence
+    packing: every token (past the first window) appears in exactly
+    two chunks, so a retrieval hit never dangles at a chunk boundary.
+    Emits per-doc chunk geometry (count from the closed-form
+    ceil((n-win)/stride) + 1) plus the first/last chunk fingerprints —
+    the md5s pin that BOTH engines slice identical window extents at
+    identical offsets (an off-by-one in either the stride arithmetic
+    or the slice bounds flips the hash).  All chunking is pure
+    projection (``transform(sequence(...))`` over the token array →
+    slice → md5 — no UDF, no explode needed for the geometry), so the
+    operator is scan-bound at any scale; materializing the full chunk
+    relation for an index build is the same expression followed by
+    ``explode``.  Reference heritage: none (SURVEY §2 charter
+    extension, packing family)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    n_tok = F.size(w)
+    n_chunks = (
+        F.when(n_tok == 0, F.lit(0))
+        .when(n_tok <= OVERLAP_WIN, F.lit(1))
+        .otherwise(
+            1
+            + F.ceil(
+                (n_tok - F.lit(OVERLAP_WIN)) / F.lit(float(OVERLAP_STRIDE))
+            )
+        )
+        .cast("bigint")
+    )
+    base = docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_chunks.alias("n_chunks"),
+        w.alias("w"),
+    )
+    first_fp = F.md5(F.concat_ws(" ", F.slice("w", 1, OVERLAP_WIN)))
+    last_fp = F.md5(
+        F.concat_ws(" ", F.expr(f"slice(w, (n_chunks - 1) * {OVERLAP_STRIDE} + 1, {OVERLAP_WIN})"))
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        F.when(F.col("n_chunks") == 0, F.lit(None)).otherwise(first_fp).alias("first_chunk_fp"),
+        F.when(F.col("n_chunks") == 0, F.lit(None)).otherwise(last_fp).alias("last_chunk_fp"),
+    )
