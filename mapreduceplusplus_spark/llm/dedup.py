@@ -1450,3 +1450,62 @@ def pipeline_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         F.col("n_chars").cast("bigint").alias("n_chars"),
     )
+
+
+@query(
+    "dedup_decontaminate_near",
+    oracle=f"""
+    WITH pr AS ({_NGRAM_ORACLE}),
+    contaminated AS (
+      SELECT doc_b AS doc_id FROM pr
+      WHERE doc_a % {EVAL_MOD} = 0 AND doc_b % {EVAL_MOD} <> 0
+      UNION
+      SELECT doc_a FROM pr
+      WHERE doc_b % {EVAL_MOD} = 0 AND doc_a % {EVAL_MOD} <> 0
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id % {EVAL_MOD} <> 0
+      AND NOT EXISTS (SELECT 1 FROM contaminated c
+                      WHERE c.doc_id = d.doc_id)
+    """,
+)
+def dedup_decontaminate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate eval-set decontamination — the composition
+    ``dedup_decontaminate``'s docstring documents but the surface
+    didn't carry until r8: the exact-bag fingerprint anti-join only
+    catches verbatim (token-multiset) leaks, while a benchmark item
+    lightly paraphrased into the training corpus slips through.  Here
+    a training document is dropped when it forms a ≥ {JACCARD_T}
+    trigram-Jaccard pair with ANY held-out eval document — built on
+    the SAME lossless prefix-filtered pair generation as
+    ``dedup_ngram_jaccard`` (candidates ≈ true pairs, never n²), with
+    the pair set post-filtered to (train, eval) sides and anti-joined
+    back.  The oracle recomputes the whole thing from the ideal
+    all-pairs spec, so the prefix filter's losslessness is re-proven
+    on the cross-corpus slice too.
+
+    Scale: the pair stage is the audited near-dup machinery; the
+    contaminated-id set is bounded by (#eval docs × near-dup rate) —
+    broadcast side of the anti-join, so the training scan never
+    shuffles for the final filter.  Reference heritage: none (SURVEY
+    §2 charter extension, dedup family)."""
+    ensure_utc(spark)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    a_eval = pairs.where(
+        (F.col("doc_a") % EVAL_MOD == 0) & (F.col("doc_b") % EVAL_MOD != 0)
+    ).select(F.col("doc_b").alias("doc_id"))
+    b_eval = pairs.where(
+        (F.col("doc_b") % EVAL_MOD == 0) & (F.col("doc_a") % EVAL_MOD != 0)
+    ).select(F.col("doc_a").alias("doc_id"))
+    contaminated = a_eval.unionByName(b_eval).distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") % EVAL_MOD != 0)
+        # broadcast-safe: contaminated ids are bounded by the eval
+        # set's near-dup fan-out, not the corpus
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select(
+            "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+        )
+    )
