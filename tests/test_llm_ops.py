@@ -1138,3 +1138,31 @@ def test_lsh_batch_multiprobe_superset_and_plan(spark):
         return hits / total
 
     assert recall(multi) >= recall(single)           # (b)
+
+
+def test_compression_ratio_independent_recompute(spark):
+    """text_compression_ratio's deflate lengths must equal an
+    independent driver-side zlib recompute per document (level 6, UTF-8
+    bytes), the basis-point ratio must be the exact integer floor
+    division, results must be deterministic across runs, and ratios
+    must sit in a sane (0, 20000] band."""
+    import zlib
+
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    qs = registry.queries()
+    out = {r.doc_id: r for r in qs["text_compression_ratio"](spark, SF_DIR_ORACLE).collect()}
+    out2 = {r.doc_id: r for r in qs["text_compression_ratio"](spark, SF_DIR_ORACLE).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()
+    }
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text").collect()
+    nonempty = [d for d in docs if len(d.text or "") > 0]
+    assert len(out) == len(nonempty) > 0
+    for d in nonempty[:100]:
+        raw = d.text.encode("utf-8")
+        exp = len(zlib.compress(raw, 6))
+        r = out[d.doc_id]
+        assert r.n_deflated == exp, d.doc_id
+        assert r.ratio_bp == (10000 * exp) // len(raw)
+        assert 0 < r.ratio_bp <= 20000
