@@ -85,6 +85,20 @@ def main() -> None:
     except ValueError:
         sf = None
     spark = get_spark(app_name="bench")
+    # Quiet `WindowExec: No Partition Defined` for THIS harness only:
+    # every unpartitioned window in the suite is bounded by
+    # construction — a rank column over a post-`limit(k)` frame or a
+    # ≤|buckets| census (r7/r8 audits, re-checked in VERDICT r8
+    # "What's wrong"; the unbounded-broadcast/collect gates live in
+    # tests/test_broadcast_scale.py).  The generic warning is about
+    # unpartitioned windows over GROWING inputs, which the suite never
+    # does, so it is pure noise in BENCH tails.  Data-path plans are
+    # untouched.
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
     qs = registry.queries()
     names = [n for n in os.environ.get("BENCH_QUERIES", "").split(",") if n] or [
         n for n in HEADLINE if n in qs

@@ -641,6 +641,186 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_min_label_propagation(
+    edges: DataFrame, max_rounds: int = 20
+) -> tuple[DataFrame, int]:
+    """Baseline connected components: iterative min-label propagation.
+
+    ``edges`` must be the SYMMETRIC edge list (both directions present)
+    with columns ``(u, v)`` and should already be persisted by the
+    caller.  Every node starts labeled with itself; each round takes
+    the min of its own and its neighbors' labels (one hash join
+    edges⋈labels + one aggregation per round).  Converges in ≤ diameter
+    rounds — O(d) rounds, so a long path costs one shuffle pair per
+    hop.  Returns ``(labels(u, label), rounds)``.
+
+    Raises ``RuntimeError`` if the loop hits ``max_rounds`` with
+    changes still pending: an un-converged exit would silently emit
+    SPLIT clusters (two docs in one near-dup chain landing in
+    different "components"), which at scale means duplicate documents
+    surviving dedup with no error anywhere.  A loud failure is the
+    only safe behavior; the scale path is ``_cc_two_phase``.
+
+    Every round ends in an eager ``localCheckpoint``: each round's
+    frame references the previous one MULTIPLE times, so persist alone
+    (which caches data but keeps the full logical plan) lets the
+    analyzed plan grow EXPONENTIALLY with round count — Catalyst
+    analysis, not the data, becomes the bottleneck after ~6 rounds
+    (the PageRank iterate-and-checkpoint pattern, ``operators/
+    graph.py``).  Superseded checkpoint blocks are released by the
+    ContextCleaner when their Python references drop.
+    """
+    labels = (
+        edges.select("u")
+        .distinct()
+        .withColumn("label", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    changed = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("vlabel")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected-components min-label propagation did not "
+            f"converge in {max_rounds} rounds ({changed} labels still "
+            f"changing): component diameter exceeds the round cap; "
+            f"use the large-star/small-star path (_cc_two_phase)"
+        )
+    return labels, rounds
+
+
+def _cc_two_phase(
+    edges: DataFrame, max_rounds: int = 30
+) -> tuple[DataFrame, int]:
+    """Connected components via large-star/small-star alternation —
+    the O(log n)-round MapReduce CC algorithm of Kiveris, Lattanzi,
+    Mirrokni, Rastogi & Vassilvitskii, "Connected Components in
+    MapReduce and Beyond" (SoCC'14).  Unlike plain label propagation
+    (O(diameter) rounds), each alternation roughly halves path
+    lengths, so even an adversarial million-hop near-dup CHAIN
+    converges in ~log₂ rounds — the property that makes the round cap
+    safe at 100 TB.
+
+    ``edges`` is the symmetric edge list ``(u, v)`` (caller-persisted).
+    Internally the edge set is kept in canonical parent-pointer form
+    (``u > v``, distinct):
+
+    - **large-star**: per node u, connect every LARGER neighbor to
+      ``m = min(Γ(u) ∪ {{u}})`` → emit ``(v, m)`` for v ∈ Γ(u), v > u.
+    - **small-star**: per node u over its smaller neighbors, emit
+      ``(v, m)`` for v ∈ Γ₋(u) and ``(u, m)`` with
+      ``m = min(Γ₋(u) ∪ {{u}})``.
+
+    Both steps are one groupBy-min + one equi-join — the same shuffle
+    shape as a propagation round, just fewer of them.  Fixpoint =
+    every component is a star rooted at its minimum node; convergence
+    is detected by edge-set equality (distinct canonical form, so
+    ``subtract``-count + cardinality check is exact).  Returns
+    ``(labels(u, label), rounds)`` over ALL input nodes (roots label
+    themselves).  Raises ``RuntimeError`` on non-convergence — a
+    silent cap-exit would emit split clusters.
+
+    Every round ends in an eager ``localCheckpoint`` — see
+    ``_cc_min_label_propagation``: the round frame references the
+    previous one several times, so persist alone lets the LOGICAL plan
+    grow exponentially with round count and Catalyst analysis becomes
+    the bottleneck long before the data does.
+    """
+    nodes = edges.select("u").distinct().localCheckpoint(eager=True)
+    cur = (
+        edges.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        rounds += 1
+        und = cur.select("u", "v").unionAll(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+        # large-star: (v, min(Γ(u) ∪ {u})) for v > u — output keeps
+        # the u > v invariant because m ≤ u < v.  Checkpointed (not
+        # just persisted): ls is referenced twice below (mins2 + the
+        # join), and its own plan hangs off the checkpointed cur, so
+        # the snapshot stays O(1) deep.
+        ls = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star over the (u > v)-directed ls edges: attach u
+        # and all its smaller neighbors to the minimum neighbor
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        nxt = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionAll(mins2.select("u", F.col("mn").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        diff = nxt.subtract(cur).count()
+        cur = nxt
+        if diff == 0 and n_nxt == n_cur:
+            converged = True
+            break
+        n_cur = n_nxt
+    if not converged:
+        raise RuntimeError(
+            f"large-star/small-star connected components did not "
+            f"converge in {max_rounds} rounds (edge set still "
+            f"changing) — should be impossible below ~2^{max_rounds} "
+            f"nodes; refusing to emit potentially split clusters"
+        )
+    # at fixpoint cur is (child, root) star edges; roots have no row
+    labels = nodes.join(
+        cur.select("u", F.col("v").alias("root")), "u", "left"
+    ).select("u", F.coalesce("root", F.col("u")).alias("label"))
+    return labels.localCheckpoint(eager=True), rounds
+
+
 @query(
     "dedup_cluster_canonical",
     oracle=f"""
@@ -668,22 +848,23 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) — what actually decides which documents survive into the
     training set.
 
-    Implementation: iterative min-label propagation — every node starts
-    labeled with itself; each round takes the min of its own and its
-    neighbors' labels (one hash join edges⋈labels + one aggregation per
-    round); converges in ≤ diameter rounds (near-dup clusters are tiny,
-    so 2–3 rounds in practice; the loop is capped and each round is
-    checkpoint-persisted to keep lineage flat).  This is the iterative-
-    algorithm pattern the brief names as legitimately non-SQL — yet it
-    STILL gets a hard oracle: DuckDB computes the same components with
-    a recursive CTE over the identical pair query, an entirely
-    independent fixpoint engine.
-
-    At 100 TB: label propagation is the simple-and-correct baseline;
-    the large-star/small-star optimization (alternate min-label moves
-    that halve path lengths, Kiveris et al.'s "Connected Components in
-    MapReduce") drops rounds to O(log n) with the same join shape —
-    the round structure here is exactly where it would slot in.
+    Implementation: large-star/small-star alternation
+    (``_cc_two_phase`` — Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): each round connects every node's
+    neighborhood to its minimum via one groupBy-min + one equi-join,
+    alternating the large/small orientation so path lengths roughly
+    HALVE per round — O(log n) rounds instead of label propagation's
+    O(diameter), so an adversarial near-dup chain of any realistic
+    length converges well inside the cap, and a cap overrun raises
+    ``RuntimeError`` instead of silently emitting split clusters
+    (each round is persisted + counted to keep lineage flat).  The
+    O(diameter) min-label baseline survives as
+    ``_cc_min_label_propagation`` (same loud-failure contract) and is
+    pinned against this path in tests on a diameter-25 chain fixture.
+    This is the iterative-algorithm pattern the brief names as
+    legitimately non-SQL — yet it STILL gets a hard oracle: DuckDB
+    computes the same components with a recursive CTE over the
+    identical pair query, an entirely independent fixpoint engine.
 
     Labels converge to the component minimum regardless of join
     schedule, so the result is deterministic."""
@@ -700,57 +881,20 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND every round's convergence count re-ran it from the scan
     # (measured 6.0→3.4 s at sf0.1, 12.1→4.6 s at the 5× fixture)
     edges = edges.persist()
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
-    labels = labels.persist()
-    _last_cluster_edges = edges.count()  # materialize the persist
-    rounds = 0
     try:
-        for _ in range(20):  # cap ≫ any real cluster diameter
-            rounds += 1
-            neigh = (
-                edges.join(
-                    labels.select(
-                        F.col("u").alias("v"), F.col("label").alias("vlabel")
-                    ),
-                    "v",
-                )
-                .groupBy("u")
-                .agg(F.min("vlabel").alias("nmin"))
-            )
-            new_labels = (
-                labels.join(neigh, "u", "left")
-                .select(
-                    "u",
-                    F.least(
-                        F.col("label"), F.coalesce("nmin", F.col("label"))
-                    ).alias("label"),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "u")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
+        _last_cluster_edges = edges.count()  # materialize the persist
+        labels, rounds = _cc_two_phase(edges)
         _last_cluster_rounds = rounds
-        out = labels.select(
+        # labels is already lineage-truncated (localCheckpoint) by the
+        # helper — no driver materialization anywhere; on a real
+        # cluster a reliable checkpoint()/table write is the
+        # fault-tolerant equivalent
+        return labels.select(
             F.col("u").alias("doc_id"),
             F.col("label").cast("bigint").alias("cluster_id"),
             (F.col("label") == F.col("u")).alias("is_canonical"),
         )
-        # truncate the iteration lineage WITHOUT driver materialization
-        # (clustered docs can be millions of rows at scale — never
-        # collect them): localCheckpoint snapshots to executor storage;
-        # on a real cluster a reliable checkpoint()/table write is the
-        # fault-tolerant equivalent
-        return out.localCheckpoint(eager=True)
     finally:
-        labels.unpersist()
         edges.unpersist()
 
 
@@ -815,10 +959,13 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fp.where(F.col("doc_id") % EVAL_MOD != 0)
-        # broadcast-safe: eval_fp models a FIXED benchmark eval set —
-        # bounded by the benchmark suite, not the corpus (the modulo
-        # slice is the fixture stand-in)
-        .join(F.broadcast(eval_fp), "bag_fp", "left_anti")
+        # no broadcast HINT: a real benchmark eval set is fixed-size,
+        # but this fixture's membership rule (doc_id % EVAL_MOD == 0)
+        # is a fixed FRACTION of the corpus, so eval_fp grows linearly
+        # with it — AQE picks broadcast vs shuffle-hash from the
+        # measured runtime size instead of a compile-time promise
+        # (ADVICE r8)
+        .join(eval_fp, "bag_fp", "left_anti")
         .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
     )
 
@@ -1428,10 +1575,11 @@ def pipeline_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         fp
-        # broadcast-safe: eval_fp models a FIXED benchmark eval set —
-        # bounded by the benchmark suite, not the corpus
+        # no broadcast HINT: the fixture's eval slice (doc_id %
+        # EVAL_MOD == 0) is a fixed FRACTION of the corpus — AQE picks
+        # broadcast vs shuffle-hash from the runtime size (ADVICE r8)
         .join(
-            F.broadcast(eval_fp),
+            eval_fp,
             F.col("bag_fp") == F.col("eval_bag_fp"),
             "left",
         )
@@ -1502,9 +1650,11 @@ def dedup_decontaminate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.where(F.col("doc_id") % EVAL_MOD != 0)
-        # broadcast-safe: contaminated ids are bounded by the eval
-        # set's near-dup fan-out, not the corpus
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        # no broadcast HINT: contaminated ids are bounded by the eval
+        # set's near-dup fan-out, but the fixture's eval slice itself
+        # grows with the corpus (doc_id % EVAL_MOD) — AQE decides from
+        # the runtime size (ADVICE r8)
+        .join(contaminated, "doc_id", "left_anti")
         .select(
             "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
         )

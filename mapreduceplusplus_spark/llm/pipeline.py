@@ -211,9 +211,11 @@ def pipeline_corpus_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", "quality", "n_tokens", "bag_fp")
     )
-    # broadcast-safe: eval_fp models a FIXED benchmark eval set —
-    # bounded by the benchmark suite, not the corpus
-    decon = kept.join(F.broadcast(eval_fp), "bag_fp", "left_anti")
+    # no broadcast HINT: the fixture's eval slice (doc_id % EVAL_MOD)
+    # is a fixed FRACTION of the corpus, so eval_fp grows with it —
+    # AQE picks broadcast vs shuffle-hash from the runtime size
+    # (ADVICE r8)
+    decon = kept.join(eval_fp, "bag_fp", "left_anti")
     # DECIMAL(38,0) multiply — the bare BIGINT product overflows at
     # doc_id ~3.47e9 (see sample_split)
     bucket = (

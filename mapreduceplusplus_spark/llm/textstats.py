@@ -1435,7 +1435,5 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         "n_deflated",
-        (F.lit(10000) * F.col("n_deflated") / F.col("n_bytes"))
-        .cast("bigint")
-        .alias("ratio_bp"),
+        F.expr("10000 * n_deflated div n_bytes").alias("ratio_bp"),
     )

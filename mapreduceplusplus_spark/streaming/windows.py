@@ -231,6 +231,40 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    gap="4 hours",
+    watermark: str = "0 seconds",
+):
+    """Real Structured Streaming wiring for the session-window queries:
+    file source → event-time watermark → ``F.session_window`` grouped
+    by user.  ``gap`` is either a literal duration string (the
+    ``stream_session_window`` form) or a Column expression over the
+    stream's own columns (the ``stream_session_window_dynamic_gap``
+    form — e.g. a CASE over event_type).  Append mode emits a session
+    only once the watermark passes its END — i.e. no event can extend
+    or merge it anymore; state is one open session per (user, island),
+    bounded by the watermark delay.  The batch/stream equivalence
+    (including the dynamic-gap MERGE of a long-gap event bridging a
+    later short-gap one ACROSS a micro-batch boundary) is pinned in
+    tests/test_streaming.py.  Returns the streaming DataFrame (caller
+    attaches sink/trigger)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup_pipeline(
     spark: SparkSession,
     source_dir: str,
@@ -256,7 +290,7 @@ def streaming_dedup_pipeline(
       FROM events
     ),
     flagged AS (
-      SELECT user_id, ts, gap_s,
+      SELECT user_id, ts, event_id, gap_s,
              max(ts + gap_s * INTERVAL 1 SECOND) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -265,9 +299,14 @@ def streaming_dedup_pipeline(
     ),
     sess AS (
       SELECT user_id, ts, gap_s,
+             -- ORDER BY must be the same TOTAL order as prev_end's
+             -- window: with duplicate (user_id, ts) a ROWS frame is
+             -- peer-order-sensitive, and a tied event summed before
+             -- its session-starting peer would land in the previous
+             -- session (ADVICE r8)
              sum(CASE WHEN prev_end IS NULL OR ts >= prev_end
                       THEN 1 ELSE 0 END) OVER (
-                 PARTITION BY user_id ORDER BY ts
+                 PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS sid
       FROM flagged

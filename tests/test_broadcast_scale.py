@@ -108,10 +108,10 @@ EXTRA_BOUNDED = {
     # the modulus (the alias lands in the aggregate keys; the pmod
     # itself shows in the scan's DataFilters)
     "join_prefilter_bitmap": r"HashAggregate\(keys=\[bkt#",
-    # eval-set fingerprints: distinct bag_fp of the fixed-benchmark
-    # slice (bounded by the benchmark suite, not the corpus)
-    "dedup_decontaminate": r"HashAggregate\(keys=\[bag_fp#",
-    "pipeline_clean_corpus": r"HashAggregate\(keys=\[bag_fp#",
+    # (r9: the eval-fingerprint broadcast HINTS were removed — the
+    # fixture's modulo eval slice grows with the corpus, so those
+    # joins now let AQE choose from runtime sizes; no BroadcastExchange
+    # appears under the AQE-off plan this test inspects)
     # single probe vector: equality filter on the unique vec_id key
     "sim_search_topk": r"vec_id#\d+L?\)? = \d+",
     # top-N bigram set: row_number cap against a constant literal

@@ -1482,3 +1482,80 @@ def test_round8_sql_surface_plan_equality(spark):
         variant = canon(qs[name](spark, SF_DIR_ORACLE))
         classic = canon(spark.sql(classic_sql))
         assert variant == classic, f"{name}: optimized plan diverges\n{variant}\n--\n{classic}"
+
+
+# ------------------------------------------------- connected components paths
+
+
+def _chain_edges(spark, n_nodes: int):
+    """Symmetric edge list for a path graph 0-1-2-…-(n_nodes-1) — the
+    adversarial near-dup CHAIN shape (crawl-snapshot drift: each
+    adjacent pair ≥ threshold-similar, endpoints unrelated)."""
+    pairs = [(i, i + 1) for i in range(n_nodes - 1)]
+    df = spark.createDataFrame(pairs, "u bigint, v bigint")
+    return df.unionAll(
+        df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+
+
+def test_cc_chain_diameter25_baseline_fails_loud_twophase_converges(spark):
+    """VERDICT r8 item 1: a diameter-25 chain must (a) make the capped
+    O(diameter) min-label baseline fail LOUDLY (RuntimeError, never a
+    silent split-cluster answer) and (b) converge under the
+    large-star/small-star alternation in O(log n) rounds (≤ ~7)."""
+    from mapreduceplusplus_spark.llm.dedup import (
+        _cc_min_label_propagation,
+        _cc_two_phase,
+    )
+
+    edges = _chain_edges(spark, 26)  # 26 nodes, diameter 25
+    try:
+        # (a) baseline capped at 20 rounds: 25-hop chain cannot finish
+        with pytest.raises(RuntimeError, match="did not converge"):
+            _cc_min_label_propagation(edges, max_rounds=20)
+        # (b) two-phase: converges fast, labels all-zero (single component)
+        labels, rounds = _cc_two_phase(edges)
+        assert rounds <= 7, f"two-phase took {rounds} rounds on diameter 25"
+        got = {(r.u, r.label) for r in labels.collect()}
+        assert got == {(i, 0) for i in range(26)}
+    finally:
+        edges.unpersist()
+
+
+def test_cc_twophase_matches_baseline_on_multi_component_graph(spark):
+    """Cross-pin the two CC engines on a graph with several components
+    of mixed shape (chain, triangle+tail, star, singleton-pair): the
+    uncapped baseline and the two-phase alternation must emit the
+    identical (node → min-of-component) labeling."""
+    from mapreduceplusplus_spark.llm.dedup import (
+        _cc_min_label_propagation,
+        _cc_two_phase,
+    )
+
+    raw = [
+        # chain 0-1-2-3-4
+        (0, 1), (1, 2), (2, 3), (3, 4),
+        # triangle 10-11-12 with tail 12-13
+        (10, 11), (11, 12), (10, 12), (12, 13),
+        # star centered at 20
+        (20, 21), (20, 22), (20, 23), (20, 24),
+        # pair
+        (30, 31),
+    ]
+    df = spark.createDataFrame(raw, "u bigint, v bigint")
+    edges = df.unionAll(
+        df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    try:
+        base, _ = _cc_min_label_propagation(edges, max_rounds=20)
+        two, _ = _cc_two_phase(edges)
+        expect = {
+            **{i: 0 for i in range(5)},
+            **{i: 10 for i in (10, 11, 12, 13)},
+            **{i: 20 for i in (20, 21, 22, 23, 24)},
+            30: 30, 31: 30,
+        }
+        assert {(r.u, r.label) for r in base.collect()} == set(expect.items())
+        assert {(r.u, r.label) for r in two.collect()} == set(expect.items())
+    finally:
+        edges.unpersist()

@@ -1583,3 +1583,169 @@ def test_tws_mapstate_type_counts_matches_batch_counts():
         for uid, et in rows:
             expect[(uid, et)] = expect.get((uid, et), 0) + 1
     assert final == expect
+
+
+# ------------------------------------------------- session-window twins (r9)
+
+
+def _write_sess_batch(spark, src, rows, n):
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id bigint, event_type string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch{n}")
+
+
+_SESS_SCHEMA = "ts timestamp, user_id bigint, event_type string"
+
+
+def test_session_window_streaming_matches_batch_fixed_gap(spark, stream_dirs):
+    """VERDICT r8 item 3a: ``F.session_window`` with a FIXED gap driven
+    through a real micro-batch run (file source, watermark, append
+    mode) equals the identical batch aggregation — including a session
+    EXTENDED across a micro-batch boundary (10:00 + 10:50 in batch 1,
+    11:20 in batch 2 → one merged [10:00, 12:20) session)."""
+    from datetime import datetime as T
+
+    from pyspark.sql import functions as F
+
+    from mapreduceplusplus_spark.streaming.windows import (
+        streaming_session_pipeline,
+    )
+
+    src, chk = stream_dirs
+    b1 = [
+        (T(2024, 1, 1, 10, 0, 0), 1, "view"),
+        (T(2024, 1, 1, 10, 50, 0), 1, "view"),
+        (T(2024, 1, 1, 9, 30, 0), 2, "view"),
+    ]
+    # batch 2 EXTENDS user 1's open session across the batch boundary,
+    # then a far-future advancer (user 99) pushes the watermark past
+    # every other session's end so append mode finalizes them
+    b2 = [
+        (T(2024, 1, 1, 11, 20, 0), 1, "view"),
+        (T(2024, 1, 3, 0, 0, 0), 99, "view"),
+    ]
+    _write_sess_batch(spark, src, b1, 1)
+    agg = streaming_session_pipeline(
+        spark, f"{src}/batch*", _SESS_SCHEMA, gap="1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_fixed_sink")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_sess_batch(spark, src, b2, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_fixed_sink").collect()
+    }
+    batch_df = spark.createDataFrame(b1 + b2, _SESS_SCHEMA)
+    expect = {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
+        for r in (
+            batch_df.groupBy(
+                F.session_window("ts", "1 hour").alias("w"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("sess_start"),
+                F.col("w.end").alias("sess_end"),
+                "n_events",
+            )
+            .where(F.col("user_id") != 99)  # advancer not yet finalized
+            .collect()
+        )
+    }
+    assert got == expect
+    # the cross-boundary merge really happened: ONE user-1 session of 3
+    u1 = [g for g in got if g[0] == 1]
+    assert len(u1) == 1 and u1[0][3] == 3
+
+
+def test_session_window_streaming_matches_batch_dynamic_gap(spark, stream_dirs):
+    """VERDICT r8 item 3b: the DYNAMIC-gap form under micro-batches.
+    The adversarial shape: a long-gap click (2 h) in batch 1 bridges a
+    short-gap view (1 h) arriving in batch 2 — the view STARTS after
+    its own gap would have closed a session, but inside the click's
+    [ts, ts+2h) span, so the merge must happen ACROSS the batch
+    boundary; a later 30-min-gap event past the merged end opens a new
+    session.  Equivalence-pinned against the identical batch
+    aggregation (the same expression ``stream_session_window_dynamic_gap``
+    oracles in batch mode)."""
+    from datetime import datetime as T
+
+    from pyspark.sql import functions as F
+
+    from mapreduceplusplus_spark.streaming.windows import (
+        streaming_session_pipeline,
+    )
+
+    src, chk = stream_dirs
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("2 hours"))
+        .when(F.col("event_type") == "view", F.lit("1 hour"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    b1 = [(T(2024, 1, 1, 10, 0, 0), 1, "click")]  # spans [10:00, 12:00)
+    b2 = [
+        # view at 11:30 spans [11:30, 12:30): starts INSIDE the click's
+        # window → merged session [10:00, 12:30)
+        (T(2024, 1, 1, 11, 30, 0), 1, "view"),
+        # purchase at 13:30 (30 min gap): 13:30 ≥ 12:30 → NEW session
+        (T(2024, 1, 1, 13, 30, 0), 1, "purchase"),
+        (T(2024, 1, 3, 0, 0, 0), 99, "view"),  # watermark advancer
+    ]
+    _write_sess_batch(spark, src, b1, 1)
+    agg = streaming_session_pipeline(
+        spark, f"{src}/batch*", _SESS_SCHEMA, gap=gap
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_dyn_sink")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_sess_batch(spark, src, b2, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_dyn_sink").collect()
+    }
+    batch_df = spark.createDataFrame(b1 + b2, _SESS_SCHEMA)
+    expect = {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
+        for r in (
+            batch_df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("sess_start"),
+                F.col("w.end").alias("sess_end"),
+                "n_events",
+            )
+            .where(F.col("user_id") != 99)
+            .collect()
+        )
+    }
+    assert got == expect
+    # the long-gap event really bridged the later short-gap one: the
+    # merged session ends at the VIEW's end (12:30), not the click's
+    u1 = sorted(g for g in got if g[0] == 1)
+    assert len(u1) == 2
+    assert u1[0][2] == T(2024, 1, 1, 12, 30, 0) and u1[0][3] == 2
+    assert u1[1][1] == T(2024, 1, 1, 13, 30, 0) and u1[1][3] == 1
