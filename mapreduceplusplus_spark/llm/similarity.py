@@ -244,6 +244,24 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall is partial by design (ANN contract) and measured against
     ``sim_search_topk``; raising ``IVF_NPROBE`` is the recall knob."""
     ensure_utc(spark)
+    assigned, probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
+    cand = assigned.where(
+        F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
+    )
+    return _ivf_score_topk(cand, probe_v)
+
+
+def _ivf_seed_lists(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[float], list[int]]:
+    """Shared IVF index builder (seed-centroid quantizer): returns the
+    corpus with its nearest-centroid assignment as a map-side ``cid``
+    column (zero shuffle), the probe vector, and the probe's
+    ``IVF_NPROBE`` nearest centroid ids.  Callers choose the list
+    REPRESENTATION: ``sim_search_ivf`` filters the in-plan column,
+    ``sim_search_ivf_partitioned`` materializes the lists as a
+    cid-partitioned parquet index and lets partition pruning do the
+    filtering at the I/O layer."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
@@ -284,14 +302,20 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    return emb.withColumn("cid", (-best["negid"]).cast("int")), probe_v, probe_cids
+
+
+def _ivf_score_topk(cand: DataFrame, probe_v: list[float]) -> DataFrame:
+    """Exact-cosine scoring + deterministic top-k over surviving IVF
+    candidates — the tail shared by every IVF variant."""
+    import math
+
     pv_lit = F.array(*[F.lit(x) for x in probe_v])
     pn = math.sqrt(sum(x * x for x in probe_v))
-    cand = (
-        emb.withColumn("cid", (-best["negid"]).cast("int"))
-        .where(F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID))
-        .withColumn("c", _dot(F.col("v"), pv_lit) / (_norm(F.col("v")) * F.lit(pn)))
+    scored = cand.withColumn(
+        "c", _dot(F.col("v"), pv_lit) / (_norm(F.col("v")) * F.lit(pn))
     )
-    topk = cand.orderBy(F.col("c").desc(), F.col("vec_id")).limit(TOP_K)
+    topk = scored.orderBy(F.col("c").desc(), F.col("vec_id")).limit(TOP_K)
     w = Window.orderBy(F.col("c").desc(), F.col("vec_id"))
     return topk.select(
         "vec_id",
@@ -299,6 +323,47 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
+
+
+@query("sim_search_ivf_partitioned")  # no SQL oracle: the centroid table
+# and the on-disk index layout are runtime artifacts; pinned by
+# tests/test_llm_ops.py (row-identical to sim_search_ivf, PartitionFilters
+# on cid in the probe scan's plan, pruned partition count)
+def sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the inverted lists MATERIALIZED as a
+    cid-PARTITIONED parquet index — the on-disk layout a 100 TB vector
+    store actually uses, and the step ``sim_search_ivf``'s docstring
+    promises ("at scale the lists are a table partitioned by cid"):
+
+    1. INDEX BUILD (write-once): the same seed-centroid map-side
+       assignment, written ``partitionBy("cid")`` — one directory per
+       inverted list, no shuffle (the writer splits files per
+       partition value within each task);
+    2. PROBE (per query): re-read the index with ``cid IN
+       probe_cids``.  Because ``cid`` is a PARTITION column, Catalyst
+       turns the predicate into ``PartitionFilters`` — the non-probed
+       ~(1 - nprobe/C) of the index is pruned at FILE LISTING time,
+       never opened, never read: real I/O pruning, not a post-scan
+       filter (the plan pin asserts the pruned scan);
+    3. exact cosine + top-k identical to ``sim_search_ivf`` — the two
+       variants return row-identical results by construction.
+
+    At 100 TB the build is a one-time batch job and each probe touches
+    only nprobe/C of the bytes; refreshing a list is an overwrite of
+    one partition directory (``partitionOverwriteMode=dynamic``).
+    Reference heritage: none (SURVEY §2 charter extension, similarity
+    family)."""
+    import tempfile
+
+    ensure_utc(spark)
+    assigned, probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(index_dir)
+    lists = spark.read.parquet(index_dir)
+    cand = lists.where(
+        F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
+    )
+    return _ivf_score_topk(cand, probe_v)
 
 
 #: k-NN join: every vec_id divisible by this is a probe (5 probes per

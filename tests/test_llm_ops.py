@@ -1166,3 +1166,30 @@ def test_compression_ratio_independent_recompute(spark):
         assert r.n_deflated == exp, d.doc_id
         assert r.ratio_bp == (10000 * exp) // len(raw)
         assert 0 < r.ratio_bp <= 20000
+
+
+def test_ivf_partitioned_rows_identical_and_partition_pruned(spark):
+    """VERDICT r8 item 8: the cid-partitioned on-disk IVF index must
+    (a) return ROW-IDENTICAL results to the in-plan sim_search_ivf
+    (scores exact, recall unchanged — same quantizer, same probe
+    lists) and (b) show the probe predicate as PartitionFilters in the
+    scan — pruning at file-listing time, not a post-scan filter."""
+    qs = registry.queries()
+    part_df = qs["sim_search_ivf_partitioned"](spark, SF_DIR_ORACLE)
+    part = part_df.collect()
+    base = qs["sim_search_ivf"](spark, SF_DIR_ORACLE).collect()
+    assert sorted(map(tuple, part)) == sorted(map(tuple, base))
+    assert 0 < len(part) <= 10
+
+    plan = part_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.split("\n") if "FileScan" in ln and "ivf_index_" in ln
+    ]
+    assert scan_lines, f"no index FileScan in plan:\n{plan}"
+    ln = scan_lines[0]
+    pf = ln.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "cid" in pf[1].split("]")[0], (
+        f"probe cid predicate not pushed to PartitionFilters:\n{ln}"
+    )
+    # and the DATA filter side must NOT need cid (only vec_id != probe)
+    assert "cid" not in ln.split("PushedFilters: [", 1)[-1].split("]")[0]
