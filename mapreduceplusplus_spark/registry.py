@@ -160,15 +160,24 @@ _PRIORITY_ORDER = [
     # iterative integer-exact k-means, the freshly two-pass-ranked
     # Pareto curve (driver-side proof of the r8 rewrite), and the
     # heaviest bench query (asymmetric containment dedup).
-    # Remaining never-checked oracle-bearing candidates for r9+:
+    # r8 rotated sql_recursive_cte, ml_kmeans_lloyd,
+    # events_power_users_pareto, dedup_containment_quotes — all
+    # hash-green in CORRECTNESS_r08.  r9 rotates in the four rows the
+    # r8 verdict named (all oracle-bearing, none with any prior
+    # CORRECTNESS_r1..r8 row): the composed iterative dedup pipeline
+    # (the new flagship composition), the near-duplicate eval
+    # decontamination, the pure-Python streaming DataSource path, and
+    # the Spark-4 SQL pipe-syntax parser surface.
+    # Remaining never-checked oracle-bearing candidates for r10+:
     # text_winnowing_matches, mixture_sample_apply, text_bm25_search,
     # text_heavy_hitters, graph_pagerank, tpch_q21_waiting_suppliers,
     # agg_weighted_median, agg_trimmed_mean, sql_passthrough_q1,
-    # pack_concat_chunks, scd2_build_validity, window_gaps_islands.
-    "sql_recursive_cte",
-    "ml_kmeans_lloyd",
-    "events_power_users_pareto",
-    "dedup_containment_quotes",
+    # pack_concat_chunks, scd2_build_validity, window_gaps_islands,
+    # text_char_entropy, agg_listagg_within_group.
+    "pipeline_dedup_end2end",
+    "dedup_decontaminate_near",
+    "source_python_stream",
+    "sql_pipe_syntax",
 ]
 
 _loaded = False
