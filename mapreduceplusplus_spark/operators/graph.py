@@ -291,3 +291,106 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr_micro").desc(), "vertex")
         .limit(25)
     )
+
+
+#: minimum order co-occurrence for a CC edge — fragments the graph
+#: into ~59 components at the oracle scale (see docstring)
+_CC_MIN_COOC = 2
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < {_VMAX} AND b.l_partkey < {_VMAX}
+      GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOC}
+    ),
+    E2 AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL
+      SELECT b AS src, a AS dst FROM e
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM E2),
+    r AS (
+      SELECT v, v AS lbl FROM verts
+      UNION
+      SELECT e2.dst AS v, r.lbl
+      FROM r JOIN E2 e2 ON e2.src = r.v
+    ),
+    comp AS (SELECT v, min(lbl) AS root FROM r GROUP BY v)
+    SELECT CAST(root AS BIGINT) AS component,
+           count(*) AS n_vertices
+    FROM comp GROUP BY root
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph — the standalone
+    graph-family exposure of the large-star/small-star machinery that
+    ``dedup_cluster_canonical`` runs on near-dup pair graphs
+    (``llm/dedup.py::_cc_two_phase``; Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).  Each component is
+    labeled by its MINIMUM vertex id and reported with its vertex
+    count — the "how fragmented is this graph" profile that pairs with
+    ``graph_degree_distribution``.
+
+    Unlike the other graph rows, edges here require the pair to
+    co-occur in ≥ 2 ORDERS (a support threshold, the
+    association-rule convention): the raw co-purchase graph is one
+    giant component at the oracle scale, which would let a
+    merge-everything CC bug pass — thresholded, the sf0.01 graph has
+    ~59 components (sizes 1–11), so both the labeling and the
+    star-convergence are genuinely exercised.
+
+    The ORACLE is deliberately a different algorithm: a recursive-CTE
+    transitive closure (seed every vertex with its own label, spread
+    labels along directed-both-ways edges to fixpoint under UNION
+    dedup, take min per vertex).  The closure materializes
+    O(Σ |component|²) rows — fine for DuckDB on the ≤{_VMAX}-vertex
+    test graph, catastrophic at 100 TB — while the Spark side's
+    star alternations converge in O(log n) ROUNDS with per-round
+    shuffles linear in the edge count and no hot key (each round is a
+    groupBy-min plus an equi-join).  Checking the scalable algorithm
+    against un-scalable-but-obviously-correct semantics is the same
+    device as ``graph_triangle_count``'s naive 3-way-join oracle.
+
+    Scale: the edge distinct is the only data-sized shuffle; the CC
+    loop then works on the (much smaller) vertex-pair relation,
+    halving star depth each alternation, with every round
+    localCheckpointed so lineage stays O(1) (the iterate-and-truncate
+    convention shared by ``graph_pagerank`` / ``ml_kmeans_lloyd``).
+    Non-convergence inside the round cap raises instead of emitting
+    split components (VERDICT r8 item 1 contract)."""
+    from mapreduceplusplus_spark.llm.dedup import _cc_two_phase
+
+    ensure_utc(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < _VMAX)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("x")
+    b = li.alias("y")
+    edges = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("n_cooc"))
+        .where(F.col("n_cooc") >= _CC_MIN_COOC)
+        .select("a", "b")
+    )
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    labels, _rounds = _cc_two_phase(sym.localCheckpoint(eager=True))
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("n_vertices")
+    ).select(F.col("component").cast("bigint"), "n_vertices")
