@@ -1437,3 +1437,122 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_deflated",
         F.expr("10000 * n_deflated div n_bytes").alias("ratio_bp"),
     )
+
+
+@query(
+    "text_perplexity_bigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest([ws[i] for i in range(1, len(ws))]) AS w1,
+             unnest([ws[i] || ' ' || ws[i+1]
+                     for i in range(1, len(ws))]) AS bg
+      FROM toks
+    ),
+    grp AS (
+      SELECT doc_id, bg, w1, count(*) AS cnt FROM occ GROUP BY ALL
+    ),
+    c2 AS (SELECT bg, w1, sum(cnt) AS c2 FROM grp GROUP BY bg, w1),
+    c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(ws) AS t FROM toks)
+    ),
+    w AS (
+      SELECT bg,
+             CAST(floor(ln(CAST(c2 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(floor(ln(CAST(c1 + v AS DOUBLE)) * 1000000) AS BIGINT)
+               AS logp_micro
+      FROM c2 JOIN c1 USING (w1) CROSS JOIN vocab
+    )
+    SELECT g.doc_id,
+           CAST(sum(g.cnt) AS BIGINT)                       AS n_bigrams,
+           CAST((-sum(g.cnt * w.logp_micro)) // sum(g.cnt) AS BIGINT)
+                                                            AS nll_micro_nats
+    FROM grp g JOIN w USING (bg)
+    GROUP BY g.doc_id
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity — the CCNet-style statistical
+    quality filter (Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", LREC'20): train a
+    bigram MLE language model ON THE CORPUS ITSELF (add-one smoothing,
+    ``p(w2|w1) = (c(w1 w2)+1) / (c(w1 ·)+V)``), then score every
+    document by its average negative log-likelihood — documents whose
+    word sequences are improbable under the corpus's own statistics
+    (boilerplate, gibberish, wrong-language residue) surface with the
+    highest values, documents made of common constructions score low.
+    Reported in integer MICRO-NATS per bigram (perplexity =
+    ``exp(nll/1e6)``); V is the corpus vocabulary size (distinct
+    ``[a-z]+`` tokens, all positions).
+
+    Bit-determinism uses the ``corpus_mixture_entropy`` device: each
+    ``ln`` is QUANTIZED (``floor(ln(x)·1e6)`` as BIGINT) once per
+    distinct count, so every downstream sum is exact integer
+    arithmetic — a raw double Σ log p would be accumulation-order-
+    dependent and flip last ulps between partitionings.  Division is
+    integer ``div`` on non-negative operands (logp ≤ 0 always since
+    ``c2+1 ≤ c1+V``), matching the oracle's ``//`` exactly.
+
+    Scale: one documents scan → bigram explode (the only data-sized
+    shuffle, pre-reduced per (doc, bigram) so repeated phrases ship
+    once) → two Zipf-bounded hash aggregates for the model (bigram
+    and unigram-context counts, both map-side combined) → model
+    joined back on the bigram key → per-doc rollup.  The "model" is
+    never collected: it stays a distributed relation, so a 100 TB
+    corpus trains and scores in one job with no driver-side state —
+    the reason perplexity filtering is expressible as pure relational
+    algebra at all.  Reference heritage: none (SURVEY §2 charter
+    extension, text-quality family)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks(F.col("text")).alias("ws")
+    )
+    k = F.greatest(F.size("ws") - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice("ws", 1, k).alias("w1"), F.slice("ws", 2, k).alias("w2")
+    )
+    occ = docs.select(
+        "doc_id", F.explode(z).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.w1").alias("w1"),
+        F.concat_ws(" ", "p.w1", "p.w2").alias("bg"),
+    )
+    grp = occ.groupBy("doc_id", "bg", "w1").agg(F.count("*").alias("cnt"))
+    c2 = grp.groupBy("bg", "w1").agg(F.sum("cnt").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        docs.select(F.explode("ws").alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+
+    def _qln(x: Column) -> Column:
+        return F.floor(F.log(x.cast("double")) * 1000000).cast("bigint")
+
+    # broadcast-safe: vocab is a 1-row scalar aggregate
+    w = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            (_qln(F.col("c2") + 1) - _qln(F.col("c1") + F.col("v"))).alias(
+                "logp_micro"
+            ),
+        )
+    )
+    return (
+        grp.join(w, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.expr("(-sum(cnt * logp_micro)) div sum(cnt)")
+            .cast("bigint")
+            .alias("nll_micro_nats"),
+        )
+    )
