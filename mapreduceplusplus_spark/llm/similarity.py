@@ -773,3 +773,141 @@ def sim_search_lsh_batch_multiprobe(
     Per-probe top-k via the same WindowGroupLimit rank.  Reference
     heritage: none (SURVEY §2 charter extension, similarity family)."""
     return _lsh_batch_topk(spark, sf_dir, multiprobe=True)
+
+
+#: product-quantization geometry: 8 subspaces × 16 codes = 8 bytes per
+#: vector (vs 256 B of float32 at d=64 — 32× compression); re-rank pool
+PQ_M = 8
+PQ_K = 16
+PQ_RERANK = 4 * TOP_K
+
+
+@query("sim_search_ivfpq")  # no SQL oracle: codebooks/centroids are
+# runtime artifacts; pinned by tests/test_llm_ops.py (exact re-ranked
+# scores, determinism, recall floor, code-range/compression invariants)
+def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the memory layout actual 100 TB vector stores run
+    (Jégou, Douze & Schmid, "Product Quantization for Nearest
+    Neighbor Search", TPAMI'11; the FAISS ``IVFxx,PQ8`` default):
+
+    1. COARSE index: the ``sim_search_ivf`` seed-centroid quantizer
+       gates the scan to the probe's ``IVF_NPROBE`` inverted lists;
+    2. PQ CODES (index build): each vector is split into ``PQ_M``
+       orthogonal subspaces; per subspace its nearest of ``PQ_K``
+       codebook entries (argmin L2², ties to the lowest code id) is
+       stored — the vector becomes PQ_M uint8 codes, 8 bytes instead
+       of 256.  Codebooks are PQ_K seed vectors sliced per subspace
+       (the same deterministic seed-quantizer device as the coarse
+       level; ``sim_search_ivf_kmeans`` shows the trained variant).
+       Encoding is a pure map-side expression over driver-literal
+       codebooks — ZERO shuffle, exactly like the cid assignment;
+    3. ADC scan (probe time): the probe precomputes a PQ_M×PQ_K
+       lookup table of subspace dot-products and codebook norms²
+       driver-side; each candidate's approximate cosine is then PQ_M
+       array lookups + adds — NO access to the original vector, which
+       is why a PQ index fits in RAM when the vectors don't
+       (reconstructed norm² = Σ_m ‖cb[m][code_m]‖², exact under
+       subspace orthogonality);
+    4. RE-RANK: the top ``PQ_RERANK`` by ADC score are re-scored with
+       EXACT full-precision cosine, and the final top-k comes from
+       that pool — returned scores are exact (the repo-wide ANN
+       contract: recall is the only degrading axis).  At scale this
+       step is a vec_id-keyed join fetching ``PQ_RERANK`` full
+       vectors; here the test fixture rows still carry ``v`` so the
+       plan re-reads no table.
+
+    Determinism: codebooks and LUTs are fixed by vec_id-seeded
+    construction; per-row folds run in array order (no cross-partition
+    float accumulation); all argmin/top-N ties break on explicit
+    integer ids.  Reference heritage: none (SURVEY §2 charter
+    extension, similarity family)."""
+    import math
+
+    ensure_utc(spark)
+    assigned, probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
+    d = len(probe_v)
+    sub = d // PQ_M
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    seed_rows = emb.where(
+        (F.col("vec_id") >= IVF_CENTROIDS)
+        & (F.col("vec_id") < IVF_CENTROIDS + PQ_K)
+    ).collect()
+    seeds = [
+        [float(x) for x in r.v]
+        for r in sorted(seed_rows, key=lambda r: int(r.vec_id))
+    ]
+    if len(seeds) < PQ_K:  # tiny/empty corpus: degrade to exact scan
+        return _ivf_score_topk(
+            assigned.where(F.col("vec_id") != PROBE_ID), probe_v
+        )
+    cb = [
+        [seeds[k][m * sub : (m + 1) * sub] for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    lut_dot = [
+        [
+            sum(probe_v[m * sub + i] * cb[m][k][i] for i in range(sub))
+            for k in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+    cb_nsq = [
+        [sum(x * x for x in cb[m][k]) for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    pn = math.sqrt(sum(x * x for x in probe_v))
+
+    def _l2sq_lit(subv: Column, cvec: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in cvec])
+        return F.aggregate(
+            F.zip_with(subv, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _code(m: int) -> Column:
+        subv = F.slice("v", m * sub + 1, sub)
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _l2sq_lit(subv, cb[m][k]).alias("d"),
+                        F.lit(k).alias("k"),
+                    )
+                    for k in range(PQ_K)
+                ]
+            )
+        )["k"]
+
+    coded = assigned.where(
+        F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
+    ).withColumn("codes", F.array(*[_code(m) for m in range(PQ_M)]))
+    adc_dot = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(x) for x in lut_dot[m]]),
+                F.col("codes")[m] + 1,
+            )
+            for m in range(PQ_M)
+        ),
+        start=F.lit(0.0),
+    )
+    adc_nsq = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(x) for x in cb_nsq[m]]),
+                F.col("codes")[m] + 1,
+            )
+            for m in range(PQ_M)
+        ),
+        start=F.lit(0.0),
+    )
+    scored = coded.withColumn(
+        "adc", adc_dot / (F.lit(pn) * F.sqrt(adc_nsq))
+    )
+    pool = scored.orderBy(F.col("adc").desc(), F.col("vec_id")).limit(
+        PQ_RERANK
+    )
+    return _ivf_score_topk(pool, probe_v)

@@ -1193,3 +1193,66 @@ def test_ivf_partitioned_rows_identical_and_partition_pruned(spark):
     )
     # and the DATA filter side must NOT need cid (only vec_id != probe)
     assert "cid" not in ln.split("PushedFilters: [", 1)[-1].split("]")[0]
+
+
+def test_ivfpq_exact_scores_recall_and_code_invariants(spark):
+    """IVF-PQ: returned cosines must be EXACT (the re-rank contract),
+    deterministic, recall >= the ANN floor at the default re-rank
+    pool, and the recall must be monotone in PQ_RERANK (the knob
+    measured in BASELINE.md: 40->0.5, 60->0.7, 80->0.9 on this
+    fixture).  Code invariants: every stored code in [0, PQ_K)."""
+    import mapreduceplusplus_spark.llm.similarity as S
+
+    qs = registry.queries()
+    pq = qs["sim_search_ivfpq"](spark, SF_DIR_ORACLE).collect()
+    assert 0 < len(pq) <= 10
+    pq2 = qs["sim_search_ivfpq"](spark, SF_DIR_ORACLE).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, pq2))
+
+    exact = qs["sim_search_topk"](spark, SF_DIR_ORACLE).collect()
+    exact_ids = {r.vec_id for r in exact}
+
+    from mapreduceplusplus_spark.llm.similarity import (
+        PROBE_ID,
+        _as_double,
+        _dot,
+        _norm,
+    )
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    probe = emb.where(F.col("vec_id") == PROBE_ID).select(
+        F.col("v").alias("pv")
+    )
+    all_cos = {
+        r.vec_id: r.cosine
+        for r in emb.where(F.col("vec_id") != PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("v"), F.col("pv"))
+                / (_norm(F.col("v")) * _norm(F.col("pv"))),
+                3,
+            ).alias("cosine"),
+        )
+        .collect()
+    }
+    for r in pq:
+        assert all_cos[r.vec_id] == r.cosine, r
+
+    rec_default = len({r.vec_id for r in pq} & exact_ids) / len(exact_ids)
+    assert rec_default >= 0.5, f"ivfpq recall {rec_default:.2f}"
+
+    # recall knob: a larger re-rank pool can only help (same ADC order)
+    old = S.PQ_RERANK
+    try:
+        S.PQ_RERANK = 80
+        wide = qs["sim_search_ivfpq"](spark, SF_DIR_ORACLE).collect()
+    finally:
+        S.PQ_RERANK = old
+    rec_wide = len({r.vec_id for r in wide} & exact_ids) / len(exact_ids)
+    assert rec_wide >= rec_default, (rec_wide, rec_default)
+    assert rec_wide >= 0.9, f"ivfpq wide-pool recall {rec_wide:.2f}"
