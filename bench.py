@@ -67,6 +67,7 @@ HEADLINE = [
     "pack_bins_nextfit",      # per-shard Arrow stateful fold (sequence packing)
     "events_power_users_pareto",  # two-pass bucketed Lorenz/Pareto rank
     "pipeline_dedup_end2end",  # clusters -> canonical -> scrub, one governed job
+    "text_perplexity_bigram",  # corpus-trained bigram-LM quality filter
 ]
 
 
