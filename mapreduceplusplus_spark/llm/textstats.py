@@ -1524,7 +1524,15 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.w1").alias("w1"),
         F.concat_ws(" ", "p.w1", "p.w2").alias("bg"),
     )
-    grp = occ.groupBy("doc_id", "bg", "w1").agg(F.count("*").alias("cnt"))
+    # materialized ONCE (the graph/dedup localCheckpoint convention):
+    # grp feeds the c2→c1 model chain AND the final per-doc scoring
+    # join — without it Catalyst re-executes the scan+explode subplan
+    # per consumer (4 documents scans in the executed plan; 2 after)
+    grp = (
+        occ.groupBy("doc_id", "bg", "w1")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     c2 = grp.groupBy("bg", "w1").agg(F.sum("cnt").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
