@@ -1074,3 +1074,60 @@ def join_lateral_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
     )
+
+
+@query(
+    "join_runtime_bloom_filter",
+    oracle="""
+    SELECT p.p_size,
+           count(DISTINCT p.p_partkey) AS n_parts,
+           count(*) AS n_lineitems,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size < 10
+    GROUP BY p.p_size
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RUNTIME-FILTERED fact-dimension join: a highly selective
+    dimension predicate (~0.35% of ``part``) drives a join against the
+    fact table, and Spark's runtime bloom-filter injection
+    (``InjectRuntimeFilter``, on by default via
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled``) builds a
+    bloom filter from the filtered dim keys and applies it as a
+    ``might_contain`` semi-filter ON THE FACT SCAN — so at 100 TB the
+    ~99.6% of lineitem rows whose part can never match are dropped
+    BEFORE the join's shuffle, not after.  This is the shuffle-join
+    counterpart of ``join_dpp_partition_pruned`` (which needs a
+    partitioned layout; the bloom filter needs none) and of the manual
+    ``join_prefilter_bitmap``: same idea, but the optimizer derives it
+    from the plan instead of the author wiring it.
+
+    The QUERY is declared as the plain declarative join — correctness
+    never depends on whether the filter injects (below the size
+    thresholds Spark simply runs the unfiltered join; AQE broadcasts
+    the 7-row dim at test scale).  The injection itself is pinned in
+    ``tests/test_operator_edges.py`` under a session with the
+    documented thresholds lowered, asserting ``bloom_filter_agg`` /
+    ``might_contain`` attached to the lineitem side.  Aggregate output
+    (per-size part census, lineitem count, integer quantity sum) keeps
+    the oracle exact.  Reference heritage: none (SURVEY §2 charter
+    extension, join family)."""
+    ensure_utc(spark)
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_size")
+        .agg(
+            F.countDistinct("p_partkey").alias("n_parts"),
+            F.count("*").alias("n_lineitems"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty"),
+        )
+    )

@@ -1559,3 +1559,44 @@ def test_cc_twophase_matches_baseline_on_multi_component_graph(spark):
         assert {(r.u, r.label) for r in two.collect()} == set(expect.items())
     finally:
         edges.unpersist()
+
+
+def test_runtime_bloom_filter_injects_on_fact_scan(spark):
+    """join_runtime_bloom_filter's scale contract: under a session
+    where the injection thresholds are met (documented Spark confs —
+    no broadcast shortcut, creation side under the size cap,
+    application side always eligible), Catalyst injects a bloom
+    filter built from the filtered dim keys as a might_contain
+    predicate on the LINEITEM side — the fact rows are dropped before
+    the join's exchange.  Values must be identical with and without
+    the injection (the filter is lossless by construction: false
+    positives only pass extra rows into the join, which drops them)."""
+    qs = registry.queries()
+    base = qs["join_runtime_bloom_filter"](spark, SF_DIR_ORACLE).collect()
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100GB",
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    df = qs["join_runtime_bloom_filter"](s2, SF_DIR_ORACLE)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in p or "BloomFilter" in p, p
+    pe = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in pe, pe
+    # the filter must sit on the lineitem branch, not the part branch
+    li_branch = [
+        seg
+        for seg in pe.split("Scan parquet")
+        if "l_partkey" in seg.split("\n")[0]
+    ]
+    assert "might_contain" in pe.split("Scan")[0] or li_branch, pe
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, base))
