@@ -1564,3 +1564,98 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nll_micro_nats"),
         )
     )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM toks WHERE len(ws) > 0),
+    tf AS (
+      SELECT doc_id, unnest(ws) AS term FROM toks
+    ),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY ALL),
+    df AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             t.tf * (CAST(floor(ln(CAST(n.n_docs AS DOUBLE)) * 1000000)
+                          AS BIGINT)
+                     - CAST(floor(ln(CAST(d.df AS DOUBLE)) * 1000000)
+                            AS BIGINT))              AS score_micro
+      FROM tfc t JOIN df d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score_micro DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction — top-3 terms by TF-IDF, the
+    classic document-indexing / topic-surfacing primitive (and the
+    document-side dual of ``text_bm25_search``, which ranks DOCUMENTS
+    for a query; this ranks TERMS for a document).  ``score = tf ·
+    (ln N − ln df)`` with the logs QUANTIZED to integer micro-nats
+    (the ``corpus_mixture_entropy`` device) so scores are exact
+    BIGINTs and the per-doc top-3 is bit-deterministic under any
+    partitioning; ties break lexicographically on the term.
+
+    Scale: token explode → (doc, term) hash count (map-side combined)
+    → document-frequency rollup on the term key (vocabulary-bounded,
+    Zipf) → df joined back on term → per-doc window top-3.  The
+    window partitions by doc_id — millions of small partitions, the
+    well-conditioned case — and Spark plans the rank-filter as
+    ``WindowGroupLimit`` (per-partition top-k heap before the full
+    sort).  N (docs with ≥1 token) is a 1-row broadcast.  Reference
+    heritage: generalization of the reference's corpus-global word
+    count (``mr/word_count.h:22-31``) to per-document scoring.
+    """
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks(F.col("text")).alias("ws")
+    )
+    n = toks.where(F.size("ws") > 0).agg(F.count("*").alias("n_docs"))
+    tfc = (
+        toks.select("doc_id", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tfc.groupBy("term").agg(F.count("*").alias("df"))
+
+    def _qln(x: Column) -> Column:
+        return F.floor(F.log(x.cast("double")) * 1000000).cast("bigint")
+
+    # broadcast-safe: n is a 1-row scalar aggregate
+    scored = (
+        tfc.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("tf") * (_qln(F.col("n_docs")) - _qln(F.col("df")))).alias(
+                "score_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), "term"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            "score_micro",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
