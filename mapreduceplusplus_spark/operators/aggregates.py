@@ -1455,3 +1455,79 @@ def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name
         """
     )
+
+
+#: CMS geometry: eps -> width ceil(2/eps), confidence -> depth; seed
+#: fixed so the sketch (and thus every estimate) is bit-deterministic
+CMS_EPS = 0.001
+CMS_CONF = 0.99
+CMS_SEED = 42
+CMS_PROBE_KEYS = list(range(1, 9))
+
+
+@query("agg_count_min_sketch")  # no SQL oracle: the CMS binary is a
+# Spark-internal sketch DuckDB can't reproduce; the estimate bounds
+# (exact <= est <= exact + eps*N, deterministic under fixed seed) are
+# pinned in tests/test_operator_edges.py and by the returned
+# within_bound column itself
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-frequency estimation via Count-Min Sketch (Cormode &
+    Muthukrishnan '05) — the last corner of the mergeable-sketch
+    quartet (``agg_hll_sketch_merge`` = distinct, ``agg_approx_quantile``
+    = order statistics, ``agg_approx_top_k`` = heavy hitters; this =
+    "how often does key k occur" in O(1/eps) memory).  Spark's
+    ``count_min_sketch`` aggregate builds per-partition sketches and
+    MERGES them (cellwise BIGINT adds — associative, shuffle-free
+    partial aggregation), so at 100 TB the full frequency table is
+    never materialized: the coordinator receives one ~kB array no
+    matter how many executors contributed.
+
+    The sketch guarantees ``exact ≤ est ≤ exact + eps·N`` with
+    probability ≥ confidence (one-sided error: hash collisions only
+    ever ADD counts); with a FIXED seed the estimate is deterministic,
+    so the returned rows are stable and the bound columns are
+    themselves assertions.  Probe keys are read back driver-side
+    through the JVM sketch API (the sketch is the driver-sized
+    artifact by design) and joined against exact per-key counts from
+    the same scan.  Reference heritage: none (SURVEY §2 charter
+    extension, sketch family)."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    row = li.agg(
+        F.count_min_sketch(
+            "l_suppkey", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+        ).alias("sk"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    n_total = int(row.n)
+    if row.sk is None or n_total == 0:  # empty corpus: nothing to probe
+        return spark.createDataFrame(
+            [],
+            "l_suppkey bigint, exact_cnt bigint, est_cnt bigint, "
+            "n_total bigint, within_bound boolean",
+        )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row.sk))
+    )
+    est = {k: int(cms.estimateCount(k)) for k in CMS_PROBE_KEYS}
+    est_df = spark.createDataFrame(
+        [(k, est[k]) for k in CMS_PROBE_KEYS], "l_suppkey bigint, est_cnt bigint"
+    )
+    exact = (
+        li.where(F.col("l_suppkey").isin(CMS_PROBE_KEYS))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    bound = int(CMS_EPS * n_total)
+    # broadcast-safe: est_df is |CMS_PROBE_KEYS| rows by construction
+    return exact.join(F.broadcast(est_df), "l_suppkey").select(
+        "l_suppkey",
+        "exact_cnt",
+        "est_cnt",
+        F.lit(n_total).cast("bigint").alias("n_total"),
+        (
+            (F.col("est_cnt") >= F.col("exact_cnt"))
+            & (F.col("est_cnt") <= F.col("exact_cnt") + F.lit(bound))
+        ).alias("within_bound"),
+    )

@@ -1600,3 +1600,33 @@ def test_runtime_bloom_filter_injects_on_fact_scan(spark):
     ]
     assert "might_contain" in pe.split("Scan")[0] or li_branch, pe
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, base))
+
+
+def test_count_min_sketch_bounds_and_determinism(spark):
+    """CMS pins: every probe estimate obeys the one-sided bound
+    exact <= est <= exact + eps*N (within_bound True on every row),
+    the result is deterministic under the fixed seed, and the empty
+    corpus degrades to zero rows with the declared schema."""
+    qs = registry.queries()
+    rows = qs["agg_count_min_sketch"](spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 8
+    assert all(r.within_bound for r in rows), rows
+    assert all(r.est_cnt >= r.exact_cnt for r in rows), rows
+    rows2 = qs["agg_count_min_sketch"](spark, SF_DIR_ORACLE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+    import os
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="cms_empty_")
+    try:
+        li = spark.read.parquet(f"{SF_DIR_ORACLE}/lineitem.parquet").limit(0)
+        tmp = os.path.join(out, "_t")
+        li.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(out, "lineitem.parquet"))
+        empty = qs["agg_count_min_sketch"](spark, out).collect()
+        assert empty == []
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
