@@ -394,3 +394,104 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count("*").alias("n_vertices")
     ).select(F.col("component").cast("bigint"), "n_vertices")
+
+
+#: k-core order: vertices surviving iterated removal of degree-<K nodes.
+#: 15 on the (unthresholded) co-purchase graph → a 351-of-400-vertex
+#: core reached through a 4-round peel cascade at the oracle scale
+#: (removals push further vertices under K each round); 18 would
+#: cascade to empty, 8 removes nothing — 15 exercises the iteration
+_KCORE_K = 15
+_KCORE_MAX_ROUNDS = 30
+
+
+def kcore_subgraph(edges: DataFrame, k: int = _KCORE_K) -> tuple[DataFrame, int]:
+    """k-core by distributed peeling: repeatedly delete every vertex
+    of degree < k (and its edges) until none remains — the standard
+    greatest-fixpoint formulation (Matula & Beck '83; the MapReduce
+    peel is one degree aggregate + two semi-joins per round).  Unlike
+    connected components (least fixpoint, expressible as a recursive
+    CTE), the k-core REMOVES rows monotonically, which SQL recursion
+    cannot express — hence rows-only verification against constructed
+    fixtures.
+
+    ``edges`` is the SYMMETRIC edge list (u, v).  Each round:
+    degree = one map-side-combined hash aggregate; survivors = a
+    degree filter; the next edge set = two hash semi-joins (u
+    surviving, v surviving).  Rounds are localCheckpointed
+    (iterate-and-truncate, the ``_cc_two_phase`` convention) and the
+    loop exits when the edge count stops changing — by construction
+    that is the k-core.  Worst case (a path peeling one vertex per
+    round) needs O(n) rounds; real graphs peel in a handful, and the
+    cap RAISES instead of returning a not-yet-converged subgraph.
+
+    Returns ``(vertices(v, degree) of the k-core, rounds)``."""
+    cur = edges.localCheckpoint(eager=True)
+    n_cur = cur.count()
+    rounds = 0
+    for _ in range(_KCORE_MAX_ROUNDS):
+        rounds += 1
+        deg = cur.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u").localCheckpoint(
+            eager=True
+        )
+        nxt = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            break
+        n_cur = n_nxt
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge in {_KCORE_MAX_ROUNDS} "
+            f"rounds — refusing to return a partially-peeled subgraph"
+        )
+    return cur.groupBy(F.col("u").alias("v")).agg(
+        F.count("*").alias("degree")
+    ), rounds
+
+
+@query("graph_kcore")  # no SQL oracle: k-core is a GREATEST fixpoint
+# (monotone row REMOVAL), which recursive SQL cannot express; pinned by
+# tests/test_operator_edges.py (constructed cascade fixture with known
+# core, self-consistency degree>=k, determinism)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices of the 15-core of the co-purchase graph (the
+    ``graph_degree_distribution`` edge definition — UNthresholded, so
+    the graph is dense enough to carry a core), with their within-core
+    degree — the standard cohesion filter ("drop everything that only
+    hangs on by < k ties") used to find dense engagement cores in
+    co-occurrence graphs.
+
+    Scale: each peel round is one hash aggregate plus two semi-joins,
+    all equi-keyed on vertex ids — no hot key beyond the graph's own
+    degree skew, and the edge relation only SHRINKS round over round.
+    See ``kcore_subgraph`` for the algorithm and round-cap contract."""
+    ensure_utc(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < _VMAX)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("x")
+    b = li.alias("y")
+    edges = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    core, _rounds = kcore_subgraph(sym, _KCORE_K)
+    return core.select(F.col("v").cast("bigint"), "degree")

@@ -1630,3 +1630,64 @@ def test_count_min_sketch_bounds_and_determinism(spark):
         assert empty == []
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_kcore_cascade_fixture_and_independent_peel(spark):
+    """graph_kcore pins (no SQL oracle — a greatest fixpoint):
+    (a) constructed cascade fixture: K4 clique {10..13} with a pendant
+        chain 1-2-3-10 → the 3-core is exactly the clique (each at
+        degree 3) and the chain peels across MULTIPLE rounds (each
+        removal exposes the next vertex);
+    (b) real data: the returned 15-core equals an independent pure-
+        Python peel of the same edge set, every within-core degree
+        >= 15, and the result is deterministic."""
+    import collections
+
+    from mapreduceplusplus_spark.operators.graph import kcore_subgraph
+
+    und = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+           (1, 2), (2, 3), (3, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "u bigint, v bigint"
+    )
+    core, rounds = kcore_subgraph(edges, 3)
+    rows = sorted((r.v, r.degree) for r in core.collect())
+    assert rows == [(10, 3), (11, 3), (12, 3), (13, 3)], rows
+    assert rounds >= 2, rounds  # the chain cannot peel in one round
+
+    qs = registry.queries()
+    got = qs["graph_kcore"](spark, SF_DIR_ORACLE).collect()
+    assert all(r.degree >= 15 for r in got)
+    got2 = qs["graph_kcore"](spark, SF_DIR_ORACLE).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+    # independent peel on the same edge definition
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR_ORACLE}/lineitem.parquet')"
+    )
+    pairs = con.execute("""
+      SELECT a.l_partkey, b.l_partkey
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < 400 AND b.l_partkey < 400 GROUP BY 1, 2
+    """).fetchall()
+    adj = collections.defaultdict(set)
+    for x, y in pairs:
+        adj[x].add(y)
+        adj[y].add(x)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < 15:
+                for w in adj[v]:
+                    adj[w].discard(v)
+                del adj[v]
+                changed = True
+    assert sorted((r.v, r.degree) for r in got) == sorted(
+        (v, len(ns)) for v, ns in adj.items()
+    )
