@@ -353,11 +353,22 @@ def sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partition directory (``partitionOverwriteMode=dynamic``).
     Reference heritage: none (SURVEY §2 charter extension, similarity
     family)."""
+    import os
     import tempfile
 
     ensure_utc(spark)
     assigned, probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
-    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    # FIXED per-(process, dataset) path + overwrite, not a fresh
+    # mkdtemp per call: the probe plan reads the index lazily (the
+    # PartitionFilters pin needs the real scan in the returned plan),
+    # so the directory cannot be deleted before consumption — a fresh
+    # dir per invocation would accumulate one copy per bench rep.
+    # Overwrite semantics make repeated calls reuse the single slot,
+    # exactly like a real index refresh.
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_index_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(index_dir)
     lists = spark.read.parquet(index_dir)
     cand = lists.where(
