@@ -325,6 +325,11 @@ def _ivf_score_topk(cand: DataFrame, probe_v: list[float]) -> DataFrame:
     )
 
 
+#: materialized cid-partitioned IVF indexes, keyed by (session, sf_dir)
+#: — see the build-once rationale in ``sim_search_ivf_partitioned``
+_IVF_INDEX_CACHE: dict[tuple[SparkSession, str], str] = {}
+
+
 @query("sim_search_ivf_partitioned")  # no SQL oracle: the centroid table
 # and the on-disk index layout are runtime artifacts; pinned by
 # tests/test_llm_ops.py (row-identical to sim_search_ivf, PartitionFilters
@@ -353,23 +358,28 @@ def sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partition directory (``partitionOverwriteMode=dynamic``).
     Reference heritage: none (SURVEY §2 charter extension, similarity
     family)."""
-    import os
     import tempfile
 
     ensure_utc(spark)
     assigned, probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
-    # FIXED per-(process, dataset) path + overwrite, not a fresh
-    # mkdtemp per call: the probe plan reads the index lazily (the
+    # The index is MEMOIZED per (session, dataset) and built exactly
+    # once — the literal "write-once batch job, probes re-read"
+    # semantics of a real on-disk ANN index, and the only layout that
+    # is safe here: the probe plan reads the index lazily (the
     # PartitionFilters pin needs the real scan in the returned plan),
-    # so the directory cannot be deleted before consumption — a fresh
-    # dir per invocation would accumulate one copy per bench rep.
-    # Overwrite semantics make repeated calls reuse the single slot,
-    # exactly like a real index refresh.
-    index_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"ivf_index_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(index_dir)
+    # so (a) a fresh dir per call could never be cleaned up and would
+    # accumulate one copy per bench rep, while (b) a single
+    # overwrite-in-place slot clobbers the part files under any
+    # EARLIER invocation's still-unconsumed plan (two sessions probing
+    # the same dataset — the hostile-config twin test — broke exactly
+    # this way).  Keyed by the SESSION object like _SHINGLE_CACHE, so
+    # sibling sessions with different confs never share a build.
+    key = (spark, sf_dir)
+    index_dir = _IVF_INDEX_CACHE.get(key)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(index_dir)
+        _IVF_INDEX_CACHE[key] = index_dir
     lists = spark.read.parquet(index_dir)
     cand = lists.where(
         F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
