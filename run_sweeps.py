@@ -23,10 +23,35 @@ import sys
 import time
 
 
+#: named default-lane evidence recorded alongside the sweeps (VERDICT
+#: r8 item 7: the external record should carry the round's new
+#: convergence/equivalence proofs, not just the opt-in lanes) — these
+#: also run in every default pytest loop; the sweep entry re-runs them
+#: fresh and pins the counts in SWEEPS_r{N}.json
+EVIDENCE_TESTS = [
+    # O(log n) CC convergence on an adversarial diameter-25 chain
+    "tests/test_operator_edges.py::"
+    "test_cc_chain_diameter25_baseline_fails_loud_twophase_converges",
+    # k-core multi-round peel cascade + independent-peel equality
+    "tests/test_operator_edges.py::"
+    "test_kcore_cascade_fixture_and_independent_peel",
+    # micro-batch session windows == batch form, fixed AND dynamic gap
+    "tests/test_streaming.py::"
+    "test_session_window_streaming_matches_batch_fixed_gap",
+    "tests/test_streaming.py::"
+    "test_session_window_streaming_matches_batch_dynamic_gap",
+]
+
+
 def run_sweep(marker: str) -> dict:
     t0 = time.perf_counter()
+    args = (
+        EVIDENCE_TESTS
+        if marker == "evidence"
+        else ["tests/", "-m", marker]
+    )
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-m", marker, "-q", "--no-header"],
+        [sys.executable, "-m", "pytest", *args, "-q", "--no-header"],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -53,7 +78,12 @@ def main() -> None:
         if len(sys.argv) > 1
         else os.environ.get("SPARK_GRAFT_ROUND", "7")
     )
-    results = [run_sweep("hostile"), run_sweep("empty"), run_sweep("slow")]
+    results = [
+        run_sweep("hostile"),
+        run_sweep("empty"),
+        run_sweep("slow"),
+        run_sweep("evidence"),
+    ]
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"SWEEPS_r{int(rnd):02d}.json"
     )
