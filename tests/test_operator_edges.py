@@ -1691,3 +1691,23 @@ def test_kcore_cascade_fixture_and_independent_peel(spark):
     assert sorted((r.v, r.degree) for r in got) == sorted(
         (v, len(ns)) for v, ns in adj.items()
     )
+
+
+def test_round9_text_ops_plan_shapes(spark):
+    """Plan pins for the r9 text operators' scale claims:
+    - perplexity: the checkpointed bigram-count table must leave
+      exactly TWO documents scans in the executed plan (the grp build
+      runs at checkpoint time; the remaining scan is the vocabulary
+      branch) — the pre-fix plan re-derived the explode per model
+      branch (4 scans);
+    - tfidf: the per-doc top-3 must plan as WindowGroupLimit (a
+      per-partition top-k heap before the full sort), and the df
+      join-back must not broadcast the corpus-sized side."""
+    qs = registry.queries()
+    df = qs["text_perplexity_bigram"](spark, SF_DIR_ORACLE)
+    df.write.format("noop").mode("overwrite").save()
+    p = _plan(df)
+    assert p.count("Scan parquet") <= 2, p
+
+    p2 = _plan(qs["text_tfidf_topterms"](spark, SF_DIR_ORACLE))
+    assert "WindowGroupLimit" in p2, p2
