@@ -270,7 +270,18 @@ def _ivf_seed_lists(
         .select("vec_id", "v")
         .collect()
     )
-    cents = sorted((int(r.vec_id), [float(x) for x in r.v]) for r in cent_rows)
+    # dedupe by vec_id (deterministically: lowest vector under the
+    # (id, values) sort wins) — a physically-duplicated corpus (e.g.
+    # the N×-replication scale fixture, or a re-ingested shard at
+    # 100 TB) must not silently multiply the centroid set: every
+    # duplicate row became an argmax BRANCH in the per-row assignment
+    # expression (25× replication → a 400-way expression per row)
+    uniq: dict[int, list[float]] = {}
+    for r in sorted(
+        cent_rows, key=lambda r: (int(r.vec_id), [float(x) for x in r.v])
+    ):
+        uniq.setdefault(int(r.vec_id), [float(x) for x in r.v])
+    cents = sorted(uniq.items())
     probe_v = [
         float(x)
         for x in emb.where(F.col("vec_id") == PROBE_ID).collect()[0].v
@@ -855,10 +866,15 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= IVF_CENTROIDS)
         & (F.col("vec_id") < IVF_CENTROIDS + PQ_K)
     ).collect()
-    seeds = [
-        [float(x) for x in r.v]
-        for r in sorted(seed_rows, key=lambda r: int(r.vec_id))
-    ]
+    # dedupe by vec_id — same duplicated-corpus defense as
+    # _ivf_seed_lists (duplicates would otherwise fill the codebook
+    # with copies of the first few seed vectors)
+    uniq_seeds: dict[int, list[float]] = {}
+    for r in sorted(
+        seed_rows, key=lambda r: (int(r.vec_id), [float(x) for x in r.v])
+    ):
+        uniq_seeds.setdefault(int(r.vec_id), [float(x) for x in r.v])
+    seeds = [v for _, v in sorted(uniq_seeds.items())]
     if len(seeds) < PQ_K:  # tiny/empty corpus: degrade to exact scan
         return _ivf_score_topk(
             assigned.where(F.col("vec_id") != PROBE_ID), probe_v
