@@ -681,7 +681,13 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v")
         .collect()
     )
-    seeds = sorted((int(r.vec_id), [float(x) for x in r.v]) for r in seed_rows)
+    # dedupe by vec_id (duplicated-corpus defense — see _ivf_seed_lists)
+    uniq: dict[int, list[float]] = {}
+    for r in sorted(
+        seed_rows, key=lambda r: (int(r.vec_id), [float(x) for x in r.v])
+    ):
+        uniq.setdefault(int(r.vec_id), [float(x) for x in r.v])
+    seeds = sorted(uniq.items())
     cents = _lloyd_refine(spark, eq, seeds, IVF_KMEANS_ITERS)
     probe_v = [
         float(x)
