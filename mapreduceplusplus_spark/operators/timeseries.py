@@ -1401,3 +1401,145 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chi2_micro"),
         (d2 * 1000 > 3841 * F.col("n")).alias("srm_flag"),
     )
+
+
+#: CUPED pre/post experiment cutoff over the fixture's 2024-01 window
+CUPED_CUTOFF = "2024-01-16 00:00:00"
+
+
+@query(
+    "events_ab_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             sum(CASE WHEN ts <  TIMESTAMP '{CUPED_CUTOFF}'
+                      THEN CAST(round(value * 100) AS BIGINT) END) AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}'
+                      THEN CAST(round(value * 100) AS BIGINT) END) AS y
+      FROM events
+      GROUP BY user_id
+      HAVING x IS NOT NULL AND y IS NOT NULL
+    ),
+    pooled AS (
+      SELECT count(*)                                   AS n,
+             sum(x)                                     AS sx,
+             sum(y)                                     AS sy,
+             sum(CAST(x AS DECIMAL(38,0)) * x)          AS sxx,
+             sum(CAST(x AS DECIMAL(38,0)) * y)          AS sxy
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sx,
+             CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0
+                  THEN 0.0
+                  ELSE CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                            - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                       / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                              - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+             END AS th
+      FROM pooled
+    )
+    SELECT a.arm,
+           CAST(a.n_users AS BIGINT)                        AS n_users,
+           round(CAST(a.sy_a AS DOUBLE) / a.n_users, 4)     AS mean_post_cents,
+           round((CAST(a.sy_a AS DOUBLE)
+                  - t.th * (CAST(a.sx_a AS DOUBLE)
+                            - a.n_users * (CAST(t.sx AS DOUBLE) / t.n)))
+                 / a.n_users, 4)                            AS mean_cuped_cents,
+           round(t.th, 6)                                   AS theta
+    FROM (SELECT arm, count(*) AS n_users, sum(x) AS sx_a, sum(y) AS sy_a
+          FROM per_user GROUP BY arm) a
+    CROSS JOIN theta t
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, "Improving
+    the Sensitivity of Online Controlled Experiments", WSDM'13) — the
+    standard experimentation-platform readout that adjusts each unit's
+    post-period metric by its own PRE-period behavior:
+    ``ŷ = y − θ·(x − x̄)`` with pooled ``θ = cov(x,y)/var(x)``, shrinking
+    metric variance by the pre/post correlation² without biasing the
+    treatment contrast (pre-period behavior is independent of
+    assignment).  Units are users, the metric is spend in cents, the
+    pre/post split is a fixed calendar cutoff, and only users active
+    in BOTH periods enter (the covariate is undefined otherwise — the
+    mean-imputation variant is a contract choice this row does not
+    make).
+
+    Engine-exactness: every Σ is an exact integer (cents, DECIMAL(38)
+    quadratic moments — the ``agg_linear_trend`` overflow discipline),
+    and θ / x̄ / the adjusted means are derived from those scalars in
+    ONE structurally-identical IEEE expression per engine — no per-row
+    float accumulation anywhere, so partitioning cannot move a bit.
+    The adjusted mean itself is computed from the ARM-LEVEL sums
+    (Σŷ = Σy − θ·(Σx − n·x̄)), never by materializing per-user
+    adjusted values.
+
+    Scale: one user-keyed aggregate over events (map-side combined,
+    conditional on the cutoff — a single scan covers both periods),
+    one 1-row pooled-moment reduce, one 2-row arm rollup; θ broadcasts
+    back as a scalar.  Reference heritage: none (SURVEY §2 charter
+    extension, experimentation family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cut = F.lit(CUPED_CUTOFF).cast("timestamp")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, cents)).alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, cents)).alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    theta = pooled.select(
+        "n",
+        "sx",
+        F.when(
+            dec("n") * F.col("sxx") - dec("sx") * F.col("sx") == 0, F.lit(0.0)
+        )
+        .otherwise(
+            (dec("n") * F.col("sxy") - dec("sx") * F.col("sy")).cast("double")
+            / (dec("n") * F.col("sxx") - dec("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        .alias("th"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+    )
+    # broadcast-safe: theta is a 1-row scalar reduce
+    return arms.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(F.col("sy_a").cast("double") / F.col("n_users"), 4).alias(
+            "mean_post_cents"
+        ),
+        F.round(
+            (
+                F.col("sy_a").cast("double")
+                - F.col("th")
+                * (
+                    F.col("sx_a").cast("double")
+                    - F.col("n_users")
+                    * (F.col("sx").cast("double") / F.col("n"))
+                )
+            )
+            / F.col("n_users"),
+            4,
+        ).alias("mean_cuped_cents"),
+        F.round("th", 6).alias("theta"),
+    )
