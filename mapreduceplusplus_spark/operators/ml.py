@@ -159,3 +159,143 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.sum("dist").cast("bigint").alias("sum_sqdist"),
     )
+
+
+@query(
+    "ml_naive_bayes",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ),
+    occ AS (SELECT doc_id, lang, unnest(ws) AS w FROM toks),
+    doc_tf AS (SELECT doc_id, lang, w, count(*) AS cnt FROM occ GROUP BY ALL),
+    cls AS (
+      SELECT lang AS c, count(*) AS n_docs, sum(n_tok) AS n_tok
+      FROM (SELECT doc_id, any_value(lang) AS lang, sum(cnt) AS n_tok
+            FROM doc_tf GROUP BY doc_id)
+      GROUP BY lang
+    ),
+    vocab AS (SELECT DISTINCT w FROM occ),
+    vsize AS (SELECT count(*) AS v FROM vocab),
+    wc AS (SELECT w, lang AS c, sum(cnt) AS cw FROM doc_tf GROUP BY w, lang),
+    weights AS (
+      SELECT vo.w, cl.c,
+             CAST(floor(ln(CAST(coalesce(wc.cw, 0) + 1 AS DOUBLE)) * 1000000)
+                  AS BIGINT)
+             - CAST(floor(ln(CAST(cl.n_tok + vs.v AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS lw
+      FROM vocab vo CROSS JOIN cls cl CROSS JOIN vsize vs
+      LEFT JOIN wc ON wc.w = vo.w AND wc.c = cl.c
+    ),
+    scored AS (
+      SELECT d.doc_id, any_value(d.lang) AS lang_actual, wt.c,
+             CAST(floor(ln(CAST(any_value(cl.n_docs) AS DOUBLE)) * 1000000)
+                  AS BIGINT)
+             + sum(d.cnt * wt.lw) AS score
+      FROM doc_tf d
+      JOIN weights wt ON wt.w = d.w
+      JOIN cls cl ON cl.c = wt.c
+      GROUP BY d.doc_id, wt.c
+    ),
+    pred AS (
+      SELECT doc_id, any_value(lang_actual) AS lang_actual,
+             (max({'s': score, 'c': c})).c AS lang_pred
+      FROM scored GROUP BY doc_id
+    )
+    SELECT lang_actual, lang_pred, count(*) AS n_docs
+    FROM pred GROUP BY lang_actual, lang_pred
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND
+    applied over the documents table in one relational job, reported
+    as the (actual, predicted) confusion matrix — the second ML-family
+    row (next to the iterative ``ml_kmeans_lloyd``): NB is the
+    canonical "training is just counting" model, which is exactly why
+    it scales — the model IS two hash aggregates.
+
+    Model: class priors = document counts per lang; add-one-smoothed
+    token likelihoods ``P(w|c) = (c(w,c)+1)/(tok(c)+V)``.  Scores use
+    the quantized-ln device (``floor(ln·1e6)`` per distinct count →
+    BIGINT sums), so the per-doc argmax is bit-deterministic under any
+    partitioning; argmax ties break on the max (score, lang) struct —
+    the SAME total order in both engines.  Smoothing matters
+    structurally: unseen (w, c) pairs must contribute the smoothed
+    floor penalty, so the weight relation is built on vocab × classes
+    (Zipf-bounded × ≤5) with a LEFT join to observed counts — an inner
+    join would silently DROP unseen terms and bias toward classes with
+    larger vocabularies.
+
+    Scale: token explode → per-(doc, w) pre-reduce (repeated words
+    ship once) → two model aggregates (both vocabulary-bounded) →
+    per-doc scoring join with a ≤|classes| fan-out → argmax → a ≤25-row
+    confusion rollup.  No driver-side model, no iteration, no floats
+    in any accumulated path.  Self-training on the scored corpus keeps
+    the row self-contained; a train/apply split is ``sample_split``
+    composed upstream.  Reference heritage: none (SURVEY §2 charter
+    extension, ML family)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias(
+            "ws"
+        ),
+    )
+    occ = docs.select("doc_id", "lang", F.explode("ws").alias("w"))
+    doc_tf = occ.groupBy("doc_id", "lang", "w").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = doc_tf.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"), F.sum("cnt").alias("n_tok")
+    )
+    cls = per_doc.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tok")
+    )
+    vocab = occ.select("w").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    wc = doc_tf.groupBy("w", F.col("lang").alias("c")).agg(
+        F.sum("cnt").alias("cw")
+    )
+
+    def _qln(x) -> F.Column:
+        return F.floor(F.log(x.cast("double")) * 1000000).cast("bigint")
+
+    # broadcast-safe: cls is ≤|langs| rows, vsize is 1 row
+    weights = (
+        vocab.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(vsize))
+        .join(wc, ["w", "c"], "left")
+        .select(
+            "w",
+            "c",
+            (
+                _qln(F.coalesce(F.col("cw"), F.lit(0)) + 1)
+                - _qln(F.col("n_tok") + F.col("v"))
+            ).alias("lw"),
+        )
+    )
+    prior = cls.select("c", _qln(F.col("n_docs")).alias("lp"))
+    scored = (
+        doc_tf.join(weights, "w")
+        # broadcast-safe: prior is ≤|langs| rows
+        .join(F.broadcast(prior), "c")
+        .groupBy("doc_id", "c")
+        .agg(
+            F.any_value("lang").alias("lang_actual"),
+            (F.any_value("lp") + F.sum(F.col("cnt") * F.col("lw"))).alias(
+                "score"
+            ),
+        )
+    )
+    pred = scored.groupBy("doc_id").agg(
+        F.any_value("lang_actual").alias("lang_actual"),
+        F.max(
+            F.struct(F.col("score").alias("s"), F.col("c").alias("c"))
+        )["c"].alias("lang_pred"),
+    )
+    return pred.groupBy("lang_actual", "lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
