@@ -527,3 +527,105 @@ def pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q_ok") & F.col("l_ok") & (F.col("doc_id") != keeper), keeper
         ).alias("kept_doc_id"),
     )
+
+
+from mapreduceplusplus_spark.llm.textstats import NLL_CTES  # noqa: E402
+
+
+@query(
+    "pipeline_perplexity_gate",
+    oracle=f"""
+    WITH {NLL_CTES},
+    {_SCORED_SQL},
+    ranked AS (
+      SELECT doc_id, nll_micro_nats,
+             row_number() OVER (ORDER BY nll_micro_nats, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM nll
+    )
+    SELECT s.doc_id, s.lang, r.nll_micro_nats, s.quality,
+           CASE WHEN r.rn IS NULL THEN 'no_text'
+                WHEN r.rn <= r.n // 10 THEN 'ppl_low'
+                WHEN r.rn > r.n - r.n // 10 THEN 'ppl_high'
+                WHEN s.quality < {QUALITY_MIN} THEN 'low_quality'
+                ELSE 'kept' END AS status
+    FROM scored s LEFT JOIN ranked r ON r.doc_id = s.doc_id
+    """,
+)
+def pipeline_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet perplexity GATE composed into the governed-manifest
+    pattern (Wenzek et al. LREC'20 keep documents by LM-perplexity
+    BAND; ``text_perplexity_bigram`` computes the score, this row
+    makes the decision): every document gets exactly one status —
+
+    - ``ppl_low``  : rank ≤ n div 10 in (nll, doc_id) order — the
+      suspiciously-predictable decile (boilerplate, templated text);
+    - ``ppl_high`` : rank > n − n div 10 — the gibberish decile;
+    - ``low_quality``: survived the band but fails the
+      ``pipeline_clean_corpus`` quality blend minimum;
+    - ``kept``     : training-set material;
+    - ``no_text``  : < 2 tokens, no bigram NLL defined — surfaced,
+      never silently dropped (the manifest contract).
+
+    The cutoffs are RANK statistics, not fixed NLL constants: a
+    corpus-relative band survives vocabulary growth and domain drift
+    where absolute thresholds rot (and rank ties are impossible in
+    the (nll, doc_id) total order, so the decile edges are exact).
+
+    Scale: the per-doc NLL frame is one bigram job
+    (``llm/textstats.py::doc_nll``); the global decile ranks use THE
+    two-pass bucketed rank (``range_bucket_expr`` sampling +
+    per-bucket local row_number + census offsets as driver literals —
+    the ``sort_global`` machinery, parallelism |buckets| not 1); the
+    ORACLE instead states the ideal single-window spec, checking the
+    scalable plan against unoptimized semantics.  Status is then a
+    narrow CASE over (rank, n, quality) — one scoring join, no second
+    pass over text.  Reference heritage: none (SURVEY §2 charter
+    extension, composed-pipeline family)."""
+    from mapreduceplusplus_spark.llm.textstats import doc_nll
+    from mapreduceplusplus_spark.operators.aggregates import (
+        census_offsets_literal,
+        range_bucket_expr,
+    )
+
+    ensure_utc(spark)
+    nll = doc_nll(spark, sf_dir).localCheckpoint(eager=True)
+    bkt = range_bucket_expr(
+        spark,
+        nll.select(F.col("nll_micro_nats").cast("double").alias("nd")),
+        "nd",
+    )
+    loc = (
+        nll.withColumn("nd", F.col("nll_micro_nats").cast("double"))
+        .withColumn("_bkt", bkt)
+        .drop("nd")
+    )
+    census = loc.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    offsets = census_offsets_literal(
+        spark, census, "_bkt", ["_n"], ["_off"]
+    )
+    n_total = sum(int(r._n) for r in census.collect())
+    w_rank = Window.partitionBy("_bkt").orderBy("nll_micro_nats", "doc_id")
+    # broadcast-safe: offsets ≤ |buckets| literal rows
+    ranked = (
+        loc.withColumn("_lrn", F.row_number().over(w_rank))
+        .join(F.broadcast(offsets), "_bkt")
+        .select(
+            "doc_id",
+            "nll_micro_nats",
+            (F.col("_off") + F.col("_lrn")).alias("rn"),
+        )
+    )
+    cut = n_total // 10
+    scored = _scored_docs(spark, sf_dir)
+    m = scored.join(ranked, "doc_id", "left")
+    status = (
+        F.when(F.col("rn").isNull(), "no_text")
+        .when(F.col("rn") <= cut, "ppl_low")
+        .when(F.col("rn") > n_total - cut, "ppl_high")
+        .when(F.col("quality") < QUALITY_MIN, "low_quality")
+        .otherwise("kept")
+    )
+    return m.select(
+        "doc_id", "lang", "nll_micro_nats", "quality", status.alias("status")
+    )

@@ -1439,10 +1439,11 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_perplexity_bigram",
-    oracle="""
-    WITH toks AS (
+#: the bigram-LM NLL CTE chain, ONE SQL definition shared by the
+#: perplexity row and the pipeline gate built on it (the _SCORED_SQL
+#: convention from llm/pipeline.py — hand-copied model SQL could
+#: silently drift between the score and the gate)
+NLL_CTES = """toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
       FROM documents
     ),
@@ -1468,13 +1469,22 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
              - CAST(floor(ln(CAST(c1 + v AS DOUBLE)) * 1000000) AS BIGINT)
                AS logp_micro
       FROM c2 JOIN c1 USING (w1) CROSS JOIN vocab
-    )
-    SELECT g.doc_id,
-           CAST(sum(g.cnt) AS BIGINT)                       AS n_bigrams,
-           CAST((-sum(g.cnt * w.logp_micro)) // sum(g.cnt) AS BIGINT)
-                                                            AS nll_micro_nats
-    FROM grp g JOIN w USING (bg)
-    GROUP BY g.doc_id
+    ),
+    nll AS (
+      SELECT g.doc_id,
+             CAST(sum(g.cnt) AS BIGINT)                      AS n_bigrams,
+             CAST((-sum(g.cnt * w.logp_micro)) // sum(g.cnt) AS BIGINT)
+                                                             AS nll_micro_nats
+      FROM grp g JOIN w USING (bg)
+      GROUP BY g.doc_id
+    )"""
+
+
+@query(
+    "text_perplexity_bigram",
+    oracle=f"""
+    WITH {NLL_CTES}
+    SELECT doc_id, n_bigrams, nll_micro_nats FROM nll
     """,
 )
 def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1510,6 +1520,14 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra at all.  Reference heritage: none (SURVEY §2 charter
     extension, text-quality family)."""
     ensure_utc(spark)
+    return doc_nll(spark, sf_dir)
+
+
+def doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, nll_micro_nats) — the bigram-LM scoring
+    frame shared by ``text_perplexity_bigram`` and the pipeline gate
+    (``llm/pipeline.py::pipeline_perplexity_gate``).  SQL twin:
+    ``NLL_CTES``."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _toks(F.col("text")).alias("ws")
     )
