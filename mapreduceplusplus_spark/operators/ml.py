@@ -299,3 +299,120 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang_actual", "lang_pred").agg(
         F.count("*").alias("n_docs")
     )
+
+
+@query(
+    "ml_ols_normal_equations",
+    oracle="""
+    WITH m AS (
+      SELECT count(*)                                    AS n,
+             sum(x1)                                     AS s1,
+             sum(x2)                                     AS s2,
+             sum(y)                                      AS sy,
+             sum(CAST(x1 AS DECIMAL(38,0)) * x1)         AS s11,
+             sum(CAST(x2 AS DECIMAL(38,0)) * x2)         AS s22,
+             sum(CAST(x1 AS DECIMAL(38,0)) * x2)         AS s12,
+             sum(CAST(x1 AS DECIMAL(38,0)) * y)          AS s1y,
+             sum(CAST(x2 AS DECIMAL(38,0)) * y)          AS s2y
+      FROM (SELECT CAST(l_quantity AS BIGINT)                      AS x1,
+                   CAST(round(l_discount * 10000) AS BIGINT)       AS x2,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)    AS y
+            FROM lineitem)
+    ),
+    d AS (
+      SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+             CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+             CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+             CAST(s12 AS DOUBLE) AS s12, CAST(s1y AS DOUBLE) AS s1y,
+             CAST(s2y AS DOUBLE) AS s2y
+      FROM m
+    ),
+    sol AS (
+      SELECT n,
+             (n * s11 - s1 * s1)   AS a11,
+             (n * s12 - s1 * s2)   AS a12,
+             (n * s22 - s2 * s2)   AS a22,
+             (n * s1y - s1 * sy)   AS c1,
+             (n * s2y - s2 * sy)   AS c2,
+             s1, s2, sy
+      FROM d
+    ),
+    beta AS (
+      SELECT n, s1, s2, sy,
+             (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS b1,
+             (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS b2
+      FROM sol
+    )
+    SELECT CAST(n AS BIGINT)                              AS n,
+           round((sy - b1 * s1 - b2 * s2) / n, 4)         AS b0,
+           round(b1, 6)                                   AS b1,
+           round(b2, 6)                                   AS b2
+    FROM beta
+    """,
+)
+def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares solved in CLOSED FORM from
+    the normal equations — the third ML-family row and the pattern
+    that generalizes ``agg_linear_trend`` (1 feature) to multiple
+    regression: ONE distributed pass accumulates the exact Gram /
+    moment matrix (9 integer sums, quadratic products in
+    DECIMAL(38,0) — the ``agg_linear_trend`` overflow discipline),
+    then the 2×2 centered system solves by Cramer's rule in a
+    structurally-identical IEEE expression per engine (the
+    ``events_ab_cuped`` device: exact integer moments → deterministic
+    double chain; no per-row float accumulation, so partitioning
+    cannot move a bit).  Model: extendedprice_cents ~ quantity +
+    discount_bp over lineitem.
+
+    At 100 TB the data pass is a single map-side-combined aggregate —
+    the model fit costs one scan regardless of cluster size, the
+    classic "ML on the warehouse" shape (k features ⇒ a k²-cell Gram
+    aggregate, driver-side k×k solve).  Reference heritage: none
+    (SURVEY §2 charter extension, ML family)."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x1") * F.col("x1")).alias("s11"),
+        F.sum(dec("x2") * F.col("x2")).alias("s22"),
+        F.sum(dec("x1") * F.col("x2")).alias("s12"),
+        F.sum(dec("x1") * F.col("y")).alias("s1y"),
+        F.sum(dec("x2") * F.col("y")).alias("s2y"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    d = m.select(*[dbl(c).alias(c) for c in
+                   ("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y",
+                    "s2y")])
+    sol = d.select(
+        "n", "s1", "s2", "sy",
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).alias("a11"),
+        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).alias("a12"),
+        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).alias("a22"),
+        (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")).alias("c1"),
+        (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy")).alias("c2"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    beta = sol.select(
+        "n", "s1", "s2", "sy",
+        ((F.col("c1") * F.col("a22") - F.col("c2") * F.col("a12")) / det)
+        .alias("b1"),
+        ((F.col("c2") * F.col("a11") - F.col("c1") * F.col("a12")) / det)
+        .alias("b2"),
+    )
+    return beta.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("sy") - F.col("b1") * F.col("s1")
+             - F.col("b2") * F.col("s2")) / F.col("n"), 4
+        ).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+    )
