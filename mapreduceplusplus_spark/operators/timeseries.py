@@ -1543,3 +1543,156 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cuped_cents"),
         F.round("th", 6).alias("theta"),
     )
+
+
+#: inactivity horizon in DAYS: a user whose last event is more than
+#: this long before the corpus end is CHURNED (event); later =
+#: censored.  1 day on the dense fixture (events every ~11 h per
+#: user, so a full quiet day IS churn there; ~17 of 150 users churn
+#: at the oracle scale — the 7-day horizon a sparse production corpus
+#: would use leaves this fixture with zero events).  Lifetimes are in
+#: HOURS (epoch-second arithmetic, identical integers in both
+#: engines) so the curve has real resolution.
+KM_CHURN_DAYS = 1
+
+
+@query(
+    "events_survival_km",
+    oracle=f"""
+    WITH se AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+    ),
+    users AS (
+      SELECT user_id,
+             (max(es) - min(es)) // 3600 AS dur,
+             CASE WHEN max(es) <= (SELECT max(es) FROM se)
+                                  - {KM_CHURN_DAYS} * 86400
+                  THEN 1 ELSE 0 END AS event
+      FROM se GROUP BY user_id
+    ),
+    hist AS (SELECT dur, count(*) AS m FROM users GROUP BY dur),
+    risk AS (
+      SELECT dur, sum(m) OVER (ORDER BY dur DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS n_risk
+      FROM hist
+    ),
+    times AS (
+      SELECT dur AS t, count(*) AS d FROM users WHERE event = 1 GROUP BY dur
+    ),
+    steps AS (
+      SELECT t, d, r.n_risk,
+             CASE WHEN r.n_risk = d THEN NULL
+                  ELSE CAST(floor(ln(CAST(r.n_risk - d AS DOUBLE)) * 1000000)
+                            AS BIGINT)
+                       - CAST(floor(ln(CAST(r.n_risk AS DOUBLE)) * 1000000)
+                              AS BIGINT)
+             END AS step_micro
+      FROM times JOIN risk r ON r.dur = t
+    )
+    SELECT CAST(t AS BIGINT)       AS t_hours,
+           CAST(n_risk AS BIGINT)  AS n_risk,
+           CAST(d AS BIGINT)       AS n_events,
+           CAST(sum(step_micro) OVER (ORDER BY t
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+                                   AS logs_micro,
+           CASE WHEN sum(CASE WHEN step_micro IS NULL THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) > 0
+                THEN 0.0
+                ELSE round(exp(CAST(sum(step_micro) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS DOUBLE) / 1000000), 4)
+           END                     AS survival
+    FROM steps
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn survival curve with right-censoring — the
+    survival-analysis member of the events family (retention cohorts
+    measure WHO came back per period; KM estimates the probability of
+    SURVIVING past each lifetime, correctly using users who have not
+    churned yet instead of dropping them): per user, lifetime = days
+    between first and last event; CHURN (the event) if the user went
+    quiet more than ``KM_CHURN_DAYS`` before the corpus end, else the
+    observation is censored at its lifetime.  ``S(t) = Π_{{u≤t}}
+    (1 − d_u/n_u)`` over event times, ``n_u`` = users still at risk.
+
+    Engine-exactness: the product is carried in LOG space with the
+    quantized-ln device — each step is an exact BIGINT
+    (``qln(n−d) − qln(n)``), the running Π is a window SUM of
+    integers, and the float ``exp`` happens once per output row from
+    an identical integer.  A risk set that churns out entirely
+    (``n = d``) makes S exactly 0 from that time on (log undefined) —
+    surfaced as NULL ``logs_micro`` + 0.0 survival in BOTH engines
+    rather than an engine-specific ``ln(0)`` behavior (Spark NULL vs
+    DuckDB −inf — a real divergence the CASE removes).
+
+    Scale: one user-keyed aggregate over events, then everything
+    downstream operates on the DISTINCT-LIFETIME relation (≤ observed
+    days, bounded by the time window, not by users) — the reverse
+    cumulative risk census and the log-sum windows run over that tiny
+    relation, so the global unpartitioned windows are safe by
+    cardinality (the ``census_offsets_literal`` argument).  Reference
+    heritage: none (SURVEY §2 charter extension, events family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("es").alias("first_s"), F.max("es").alias("last_s"))
+        # broadcast-safe: corpus-end is a 1-row scalar aggregate
+        .crossJoin(F.broadcast(ev.agg(F.max("es").alias("end_s"))))
+        .select(
+            F.expr("(last_s - first_s) div 3600").alias("dur"),
+            F.when(
+                F.col("last_s")
+                <= F.col("end_s") - KM_CHURN_DAYS * 86400,
+                1,
+            )
+            .otherwise(0)
+            .alias("event"),
+        )
+    )
+    hist = users.groupBy("dur").agg(F.count("*").alias("m"))
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.select("dur", F.sum("m").over(w_desc).alias("n_risk"))
+    times = (
+        users.where(F.col("event") == 1)
+        .groupBy(F.col("dur").alias("t"))
+        .agg(F.count("*").alias("d"))
+    )
+
+    def _qln(x) -> F.Column:
+        return F.floor(F.log(x.cast("double")) * 1000000).cast("bigint")
+
+    steps = times.join(risk, times["t"] == risk["dur"]).select(
+        "t",
+        "d",
+        "n_risk",
+        F.when(F.col("n_risk") == F.col("d"), F.lit(None))
+        .otherwise(
+            _qln(F.col("n_risk") - F.col("d")) - _qln(F.col("n_risk"))
+        )
+        .alias("step_micro"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dead = F.sum(
+        F.when(F.col("step_micro").isNull(), 1).otherwise(0)
+    ).over(w_asc)
+    logs = F.sum("step_micro").over(w_asc)
+    return steps.select(
+        F.col("t").cast("bigint").alias("t_hours"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        logs.cast("bigint").alias("logs_micro"),
+        F.when(dead > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(logs.cast("double") / 1000000), 4))
+        .alias("survival"),
+    )
