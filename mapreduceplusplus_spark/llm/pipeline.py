@@ -600,11 +600,19 @@ def pipeline_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_bkt", bkt)
         .drop("nd")
     )
+    # collect the (bounded, ≤|buckets|-row) census ONCE; the offsets
+    # helper gets a literal re-wrap so the aggregation job over the
+    # checkpointed NLL frame runs exactly once (review r9)
     census = loc.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    crows = census.collect()
+    n_total = sum(int(r._n) for r in crows)
     offsets = census_offsets_literal(
-        spark, census, "_bkt", ["_n"], ["_off"]
+        spark,
+        spark.createDataFrame(crows, census.schema),
+        "_bkt",
+        ["_n"],
+        ["_off"],
     )
-    n_total = sum(int(r._n) for r in census.collect())
     w_rank = Window.partitionBy("_bkt").orderBy("nll_micro_nats", "doc_id")
     # broadcast-safe: offsets ≤ |buckets| literal rows
     ranked = (

@@ -210,6 +210,21 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 
 
+def _dedupe_seed_rows(rows) -> list[tuple[int, list[float]]]:
+    """Dedupe driver-collected (vec_id, v) rows by vec_id, sorted —
+    deterministically (lowest vector under the (id, values) sort
+    wins).  A physically-duplicated corpus (the N×-replication scale
+    fixture, or a re-ingested shard at 100 TB) must not silently
+    multiply a seed set: every duplicate row became an argmax BRANCH
+    in the per-row assignment expression before this (25× replication
+    → a 400-way expression per row, measured ~16× slower).  ONE
+    definition for all three seed collectors (review r9)."""
+    uniq: dict[int, list[float]] = {}
+    for r in sorted(rows, key=lambda r: (int(r.vec_id), [float(x) for x in r.v])):
+        uniq.setdefault(int(r.vec_id), [float(x) for x in r.v])
+    return sorted(uniq.items())
+
+
 def _py_cos(a: list[float], b: list[float]) -> float:
     import math
 
@@ -270,18 +285,7 @@ def _ivf_seed_lists(
         .select("vec_id", "v")
         .collect()
     )
-    # dedupe by vec_id (deterministically: lowest vector under the
-    # (id, values) sort wins) — a physically-duplicated corpus (e.g.
-    # the N×-replication scale fixture, or a re-ingested shard at
-    # 100 TB) must not silently multiply the centroid set: every
-    # duplicate row became an argmax BRANCH in the per-row assignment
-    # expression (25× replication → a 400-way expression per row)
-    uniq: dict[int, list[float]] = {}
-    for r in sorted(
-        cent_rows, key=lambda r: (int(r.vec_id), [float(x) for x in r.v])
-    ):
-        uniq.setdefault(int(r.vec_id), [float(x) for x in r.v])
-    cents = sorted(uniq.items())
+    cents = _dedupe_seed_rows(cent_rows)
     probe_v = [
         float(x)
         for x in emb.where(F.col("vec_id") == PROBE_ID).collect()[0].v
@@ -337,8 +341,24 @@ def _ivf_score_topk(cand: DataFrame, probe_v: list[float]) -> DataFrame:
 
 
 #: materialized cid-partitioned IVF indexes, keyed by (session, sf_dir)
-#: — see the build-once rationale in ``sim_search_ivf_partitioned``
+#: — see the build-once rationale in ``sim_search_ivf_partitioned``.
+#: The dirs live until process exit (a lazily-consumed plan may read
+#: one at any time), then are swept by the atexit hook — bounded at
+#: one dir per (session, dataset), never one per invocation
 _IVF_INDEX_CACHE: dict[tuple[SparkSession, str], str] = {}
+
+
+def _sweep_ivf_indexes() -> None:
+    import shutil
+
+    for d in _IVF_INDEX_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _IVF_INDEX_CACHE.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_sweep_ivf_indexes)
 
 
 @query("sim_search_ivf_partitioned")  # no SQL oracle: the centroid table
@@ -681,13 +701,7 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v")
         .collect()
     )
-    # dedupe by vec_id (duplicated-corpus defense — see _ivf_seed_lists)
-    uniq: dict[int, list[float]] = {}
-    for r in sorted(
-        seed_rows, key=lambda r: (int(r.vec_id), [float(x) for x in r.v])
-    ):
-        uniq.setdefault(int(r.vec_id), [float(x) for x in r.v])
-    seeds = sorted(uniq.items())
+    seeds = _dedupe_seed_rows(seed_rows)
     cents = _lloyd_refine(spark, eq, seeds, IVF_KMEANS_ITERS)
     probe_v = [
         float(x)
@@ -872,15 +886,7 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= IVF_CENTROIDS)
         & (F.col("vec_id") < IVF_CENTROIDS + PQ_K)
     ).collect()
-    # dedupe by vec_id — same duplicated-corpus defense as
-    # _ivf_seed_lists (duplicates would otherwise fill the codebook
-    # with copies of the first few seed vectors)
-    uniq_seeds: dict[int, list[float]] = {}
-    for r in sorted(
-        seed_rows, key=lambda r: (int(r.vec_id), [float(x) for x in r.v])
-    ):
-        uniq_seeds.setdefault(int(r.vec_id), [float(x) for x in r.v])
-    seeds = [v for _, v in sorted(uniq_seeds.items())]
+    seeds = [v for _, v in _dedupe_seed_rows(seed_rows)]
     if len(seeds) < PQ_K:  # tiny/empty corpus: degrade to exact scan
         return _ivf_score_topk(
             assigned.where(F.col("vec_id") != PROBE_ID), probe_v

@@ -1558,8 +1558,7 @@ def doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("t").alias("v"))
     )
 
-    def _qln(x: Column) -> Column:
-        return F.floor(F.log(x.cast("double")) * 1000000).cast("bigint")
+    from mapreduceplusplus_spark.session import qln_micro as _qln
 
     # broadcast-safe: vocab is a 1-row scalar aggregate
     w = (
@@ -1647,8 +1646,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tfc.groupBy("term").agg(F.count("*").alias("df"))
 
-    def _qln(x: Column) -> Column:
-        return F.floor(F.log(x.cast("double")) * 1000000).cast("bigint")
+    from mapreduceplusplus_spark.session import qln_micro as _qln
 
     # broadcast-safe: n is a 1-row scalar aggregate
     scored = (

@@ -1517,17 +1517,31 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         li.where(F.col("l_suppkey").isin(CMS_PROBE_KEYS))
         .groupBy("l_suppkey")
-        .agg(F.count("*").alias("exact_cnt"))
+        .agg(F.count("*").alias("exact_raw"))
     )
     bound = int(CMS_EPS * n_total)
-    # broadcast-safe: est_df is |CMS_PROBE_KEYS| rows by construction
-    return exact.join(F.broadcast(est_df), "l_suppkey").select(
-        "l_suppkey",
-        "exact_cnt",
-        "est_cnt",
-        F.lit(n_total).cast("bigint").alias("n_total"),
-        (
-            (F.col("est_cnt") >= F.col("exact_cnt"))
-            & (F.col("est_cnt") <= F.col("exact_cnt") + F.lit(bound))
-        ).alias("within_bound"),
+    # LEFT join FROM the probe set: a probe key absent from the corpus
+    # must surface as exact_cnt = 0 (the point-query case a CMS
+    # answers), never be silently dropped (review r9).
+    # broadcast-safe: exact is ≤ |CMS_PROBE_KEYS| rows after the isin
+    # filter + group (the build side of a left-outer BHJ must be the
+    # right side)
+    return (
+        est_df
+        .join(F.broadcast(exact), "l_suppkey", "left")
+        .select(
+            "l_suppkey",
+            F.coalesce("exact_raw", F.lit(0))
+            .cast("bigint")
+            .alias("exact_cnt"),
+            "est_cnt",
+            F.lit(n_total).cast("bigint").alias("n_total"),
+            (
+                (F.col("est_cnt") >= F.coalesce("exact_raw", F.lit(0)))
+                & (
+                    F.col("est_cnt")
+                    <= F.coalesce("exact_raw", F.lit(0)) + F.lit(bound)
+                )
+            ).alias("within_bound"),
+        )
     )

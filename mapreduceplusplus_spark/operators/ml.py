@@ -260,8 +260,7 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("cw")
     )
 
-    def _qln(x) -> F.Column:
-        return F.floor(F.log(x.cast("double")) * 1000000).cast("bigint")
+    from mapreduceplusplus_spark.session import qln_micro as _qln
 
     # broadcast-safe: cls is ≤|langs| rows, vsize is 1 row
     weights = (

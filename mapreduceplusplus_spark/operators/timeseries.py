@@ -1613,8 +1613,8 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     survival-analysis member of the events family (retention cohorts
     measure WHO came back per period; KM estimates the probability of
     SURVIVING past each lifetime, correctly using users who have not
-    churned yet instead of dropping them): per user, lifetime = days
-    between first and last event; CHURN (the event) if the user went
+    churned yet instead of dropping them): per user, lifetime = HOURS
+    between first and last event (epoch-second integers); CHURN (the event) if the user went
     quiet more than ``KM_CHURN_DAYS`` before the corpus end, else the
     observation is censored at its lifetime.  ``S(t) = Π_{{u≤t}}
     (1 − d_u/n_u)`` over event times, ``n_u`` = users still at risk.
@@ -1667,8 +1667,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("d"))
     )
 
-    def _qln(x) -> F.Column:
-        return F.floor(F.log(x.cast("double")) * 1000000).cast("bigint")
+    from mapreduceplusplus_spark.session import qln_micro as _qln
 
     steps = times.join(risk, times["t"] == risk["dur"]).select(
         "t",

@@ -132,3 +132,19 @@ def floor_div_sql(num: str, den: str, dialect: str) -> str:
         f"CASE WHEN ({num}) >= 0 THEN ({num}) {op} ({den})"
         f" ELSE -((-({num}) + ({den}) - 1) {op} ({den})) END"
     )
+
+
+def qln_micro(x):
+    """THE quantized-ln device shared by every log-space-exact
+    operator (mixture entropy, perplexity, TF-IDF, Naive Bayes,
+    Kaplan-Meier): ``floor(ln(x)·1e6)`` as BIGINT — evaluated once per
+    DISTINCT count so all downstream sums are exact integers and no
+    accumulation-order float noise can flip a result between engines
+    or partitionings.  One definition: diverging local copies of the
+    quantum or the cast would silently break the cross-engine
+    bit-exactness these queries document (review r9).
+
+    ``x`` is a pyspark Column (any numeric type)."""
+    from pyspark.sql import functions as F
+
+    return F.floor(F.log(x.cast("double")) * 1000000).cast("bigint")

@@ -42,19 +42,34 @@ def build_fixture(sf_dir: str, factor: int, root: str) -> str:
     (hard links: no data copy, the parquet reader just sees N splits),
     dims are linked once."""
     out = os.path.join(root, f"x{factor}")
+    marker = os.path.join(out, ".complete")
+    # reuse only a COMPLETE fixture built from the SAME source dir —
+    # a crash mid-build or a prior --keep run against a different
+    # sf-dir must not be silently timed against (review r9)
     if os.path.isdir(out):
-        return out
+        if os.path.isfile(marker) and open(marker).read() == sf_dir:
+            return out
+        shutil.rmtree(out)
     os.makedirs(out)
+
+    def _link(a: str, b: str) -> None:
+        try:
+            os.link(a, b)
+        except OSError:  # cross-device root (e.g. tmpfs): fall back
+            shutil.copyfile(a, b)
+
     for t in TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
         n = factor if t in FACTS else 1
         if n == 1:
-            os.link(src, os.path.join(out, f"{t}.parquet"))
+            _link(src, os.path.join(out, f"{t}.parquet"))
         else:
             d = os.path.join(out, f"{t}.parquet")
             os.makedirs(d)
             for i in range(n):
-                os.link(src, os.path.join(d, f"part-{i:05d}.parquet"))
+                _link(src, os.path.join(d, f"part-{i:05d}.parquet"))
+    with open(marker, "w") as f:
+        f.write(sf_dir)
     return out
 
 
@@ -82,6 +97,9 @@ def main() -> None:
                 rows = None
                 for _ in range(args.reps):
                     spark.catalog.clearCache()
+                    # reset so a PRIOR query's round count can never be
+                    # misattributed to this record (review r9)
+                    dedup_mod._last_cluster_rounds = None
                     t0 = time.perf_counter()
                     rows = qs[name](spark, fdir).count()
                     walls.append(time.perf_counter() - t0)

@@ -1592,13 +1592,12 @@ def test_runtime_bloom_filter_injects_on_fact_scan(spark):
     assert "bloom_filter_agg" in p or "BloomFilter" in p, p
     pe = df._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" in pe, pe
-    # the filter must sit on the lineitem branch, not the part branch
-    li_branch = [
-        seg
-        for seg in pe.split("Scan parquet")
-        if "l_partkey" in seg.split("\n")[0]
-    ]
-    assert "might_contain" in pe.split("Scan")[0] or li_branch, pe
+    # the filter must be APPLIED TO the fact join key: the
+    # might_contain predicate references l_partkey in the same
+    # expression (a filter on the part branch would reference
+    # p_partkey instead)
+    mc_lines = [ln for ln in pe.split("\n") if "might_contain" in ln]
+    assert mc_lines and any("l_partkey" in ln for ln in mc_lines), pe
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, base))
 
 
