@@ -68,6 +68,8 @@ HEADLINE = [
     "events_power_users_pareto",  # two-pass bucketed Lorenz/Pareto rank
     "pipeline_dedup_end2end",  # clusters -> canonical -> scrub, one governed job
     "text_perplexity_bigram",  # corpus-trained bigram-LM quality filter
+    "ml_naive_bayes",          # one-job relational NB train+apply
+    "pipeline_perplexity_gate",  # NLL + two-pass decile rank + manifest
 ]
 
 
