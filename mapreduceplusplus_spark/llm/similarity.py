@@ -286,10 +286,24 @@ def _ivf_seed_lists(
         .collect()
     )
     cents = _dedupe_seed_rows(cent_rows)
-    probe_v = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == PROBE_ID).collect()[0].v
-    ]
+    # loud empty-corpus contract (ADVICE r9): on a corpus with no seed
+    # vectors or no probe row, the argmax expression below would be
+    # built over zero centroids and the probe collect would IndexError
+    # — fail with a clear message instead of an opaque crash.  Callers
+    # that degrade (sim_search_ivfpq's exact-scan fallback) handle the
+    # "non-empty but fewer seeds than expected" case; truly probe-less
+    # data is a caller error.
+    if not cents:
+        raise ValueError(
+            f"IVF index build: no centroid seed vectors (vec_id < "
+            f"{IVF_CENTROIDS}) in {sf_dir!r} — cannot quantize an empty corpus"
+        )
+    probe_rows = emb.where(F.col("vec_id") == PROBE_ID).collect()
+    if not probe_rows:
+        raise ValueError(
+            f"IVF probe: no row with vec_id == {PROBE_ID} in {sf_dir!r}"
+        )
+    probe_v = [float(x) for x in probe_rows[0].v]
     probe_cids = [
         cid
         for cid, cv in sorted(cents, key=lambda t: (-_py_cos(t[1], probe_v), t[0]))[
@@ -340,12 +354,41 @@ def _ivf_score_topk(cand: DataFrame, probe_v: list[float]) -> DataFrame:
     )
 
 
-#: materialized cid-partitioned IVF indexes, keyed by (session, sf_dir)
-#: — see the build-once rationale in ``sim_search_ivf_partitioned``.
-#: The dirs live until process exit (a lazily-consumed plan may read
-#: one at any time), then are swept by the atexit hook — bounded at
-#: one dir per (session, dataset), never one per invocation
-_IVF_INDEX_CACHE: dict[tuple[SparkSession, str], str] = {}
+#: materialized cid-partitioned IVF indexes, keyed by (session id,
+#: sf_dir, source fingerprint) — see the build-once rationale in
+#: ``sim_search_ivf_partitioned``.  The FINGERPRINT component (file
+#: mtimes + sizes of the embeddings parquet, ADVICE r9) makes a stale
+#: read impossible: rewriting the dataset under sf_dir in-process
+#: changes the key, so the next probe rebuilds instead of silently
+#: reading the old index.  ``id(session)`` instead of the session
+#: object keeps the cache from pinning dead sessions alive; an id
+#: reuse after GC cannot resurrect a wrong index because the dataset
+#: fingerprint still has to match.  The dirs live until process exit
+#: (a lazily-consumed plan may read one at any time), then are swept
+#: by the atexit hook — bounded at one dir per (session, dataset,
+#: dataset version), never one per invocation
+_IVF_INDEX_CACHE: dict[tuple[int, str, tuple], str] = {}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """(relpath, mtime_ns, size) of every file under the embeddings
+    parquet path — a cheap content-version stamp for the index cache."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, path), st.st_mtime_ns, st.st_size)
+                )
+    return tuple(sorted(entries))
 
 
 def _sweep_ivf_indexes() -> None:
@@ -403,9 +446,11 @@ def sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overwrite-in-place slot clobbers the part files under any
     # EARLIER invocation's still-unconsumed plan (two sessions probing
     # the same dataset — the hostile-config twin test — broke exactly
-    # this way).  Keyed by the SESSION object like _SHINGLE_CACHE, so
-    # sibling sessions with different confs never share a build.
-    key = (spark, sf_dir)
+    # this way).  Keyed per SESSION like _SHINGLE_CACHE (sibling
+    # sessions with different confs never share a build) plus the
+    # dataset fingerprint — an in-process rewrite of sf_dir forces a
+    # rebuild instead of a stale read (ADVICE r9).
+    key = (id(spark), sf_dir, _embeddings_fingerprint(sf_dir))
     index_dir = _IVF_INDEX_CACHE.get(key)
     if index_dir is None:
         index_dir = tempfile.mkdtemp(prefix="ivf_index_")

@@ -19,7 +19,7 @@ inside the range); centroid updates are half-up integer means
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceplusplus_spark.registry import query
@@ -337,9 +337,17 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     ),
     beta AS (
+      -- degenerate-system guard (ADVICE r9, the events_ab_cuped
+      -- device): collinear features make det = 0 exactly (integer
+      -- moments -> identical doubles on both engines), so CASE to
+      -- NULL instead of IEEE +/-Inf division
       SELECT n, s1, s2, sy,
-             (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS b1,
-             (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS b2
+             CASE WHEN a11 * a22 - a12 * a12 = 0 THEN NULL
+                  ELSE (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12)
+             END AS b1,
+             CASE WHEN a11 * a22 - a12 * a12 = 0 THEN NULL
+                  ELSE (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12)
+             END AS b2
       FROM sol
     )
     SELECT CAST(n AS BIGINT)                              AS n,
@@ -399,11 +407,19 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy")).alias("c2"),
     )
     det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    # degenerate-system guard (ADVICE r9, the events_ab_cuped device):
+    # collinear features make det = 0 exactly — the moments are exact
+    # integers, so both engines compute the identical double and take
+    # the identical CASE branch; NULL coefficients instead of IEEE
+    # ±Inf/NaN (b0 then nulls through its arithmetic on both sides)
+    def _safe(num: Column) -> Column:
+        return F.when(det != 0, num / det)
+
     beta = sol.select(
         "n", "s1", "s2", "sy",
-        ((F.col("c1") * F.col("a22") - F.col("c2") * F.col("a12")) / det)
+        _safe(F.col("c1") * F.col("a22") - F.col("c2") * F.col("a12"))
         .alias("b1"),
-        ((F.col("c2") * F.col("a11") - F.col("c1") * F.col("a12")) / det)
+        _safe(F.col("c2") * F.col("a11") - F.col("c1") * F.col("a12"))
         .alias("b2"),
     )
     return beta.select(

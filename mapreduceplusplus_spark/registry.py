@@ -168,16 +168,24 @@ _PRIORITY_ORDER = [
     # (the new flagship composition), the near-duplicate eval
     # decontamination, the pure-Python streaming DataSource path, and
     # the Spark-4 SQL pipe-syntax parser surface.
-    # Remaining never-checked oracle-bearing candidates for r10+:
+    # r9 rotated pipeline_dedup_end2end, dedup_decontaminate_near,
+    # source_python_stream, sql_pipe_syntax — all hash-green in
+    # CORRECTNESS_r09.  r10 rotates in the four rows the r9 verdict
+    # named (all oracle-bearing r9 additions, none with any prior
+    # CORRECTNESS_r1..r9 row): the bigram-LM perplexity flagship, the
+    # Naive Bayes classifier, the large-star/small-star connected
+    # components (the r9 algorithm upgrade), and the governed
+    # perplexity decile gate.
+    # Remaining never-checked oracle-bearing candidates for r11+:
     # text_winnowing_matches, mixture_sample_apply, text_bm25_search,
     # text_heavy_hitters, graph_pagerank, tpch_q21_waiting_suppliers,
     # agg_weighted_median, agg_trimmed_mean, sql_passthrough_q1,
     # pack_concat_chunks, scd2_build_validity, window_gaps_islands,
     # text_char_entropy, agg_listagg_within_group.
-    "pipeline_dedup_end2end",
-    "dedup_decontaminate_near",
-    "source_python_stream",
-    "sql_pipe_syntax",
+    "text_perplexity_bigram",
+    "ml_naive_bayes",
+    "graph_connected_components",
+    "pipeline_perplexity_gate",
 ]
 
 _loaded = False

@@ -43,11 +43,24 @@ def build_fixture(sf_dir: str, factor: int, root: str) -> str:
     dims are linked once."""
     out = os.path.join(root, f"x{factor}")
     marker = os.path.join(out, ".complete")
-    # reuse only a COMPLETE fixture built from the SAME source dir —
-    # a crash mid-build or a prior --keep run against a different
-    # sf-dir must not be silently timed against (review r9)
+    # reuse only a COMPLETE fixture built from the SAME source dir AND
+    # the same source file versions — the marker fingerprints every
+    # source parquet's (mtime_ns, size) so regenerating sf_dir can't
+    # leave hard links pointing at stale inodes (review r9 + ADVICE
+    # r9); a crash mid-build or a prior --keep run against a different
+    # sf-dir must not be silently timed against either
+    stamp = json.dumps(
+        {
+            "src": sf_dir,
+            "files": sorted(
+                (t, os.stat(os.path.join(sf_dir, f"{t}.parquet")).st_mtime_ns,
+                 os.stat(os.path.join(sf_dir, f"{t}.parquet")).st_size)
+                for t in TABLES
+            ),
+        }
+    )
     if os.path.isdir(out):
-        if os.path.isfile(marker) and open(marker).read() == sf_dir:
+        if os.path.isfile(marker) and open(marker).read() == stamp:
             return out
         shutil.rmtree(out)
     os.makedirs(out)
@@ -69,7 +82,7 @@ def build_fixture(sf_dir: str, factor: int, root: str) -> str:
             for i in range(n):
                 _link(src, os.path.join(d, f"part-{i:05d}.parquet"))
     with open(marker, "w") as f:
-        f.write(sf_dir)
+        f.write(stamp)
     return out
 
 
