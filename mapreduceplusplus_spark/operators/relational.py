@@ -439,6 +439,145 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_incremental_diff",
+    oracle="""
+    WITH chg AS (
+      SELECT 1 AS seq, 'upsert' AS op, c_custkey AS k,
+             round(c_acctbal + 50.0, 2) AS bal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT 2, 'upsert', c_custkey, round(c_acctbal, 2)
+      FROM customer WHERE c_custkey % 9 = 0
+      UNION ALL
+      SELECT 3, 'delete', c_custkey, CAST(NULL AS DOUBLE)
+      FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT 4, 'upsert', c_custkey + 1000000, round(c_acctbal, 2)
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    old_snap AS (SELECT c_custkey AS k, round(c_acctbal, 2) AS bal
+                 FROM customer),
+    latest AS (
+      SELECT k, op, bal FROM (
+        SELECT k, op, bal,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM chg
+      ) WHERE rn = 1
+    ),
+    new_snap AS (
+      SELECT o.k, o.bal FROM old_snap o
+      WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = o.k)
+      UNION ALL
+      SELECT k, bal FROM latest WHERE op = 'upsert'
+    )
+    SELECT coalesce(n.k, o.k)               AS c_custkey,
+           CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                ELSE 'changed' END          AS change_type,
+           o.bal                            AS old_bal,
+           n.bal                            AS new_bal
+    FROM old_snap o FULL OUTER JOIN new_snap n ON n.k = o.k
+    WHERE o.k IS NULL OR n.k IS NULL OR o.bal <> n.bal
+    """,
+)
+def cdc_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL change-data-capture: old snapshot + APPEND-ONLY
+    change log → the identical diff a full snapshot recompute would
+    produce, without ever materializing the new snapshot (VERDICT r9
+    item 2 — ``etl_incremental_agg``'s partial-state idea applied to
+    CDC, and the read-side shape of the reference's atomic-commit
+    heritage: SURVEY §2.A A5, ``src/worker.cc:184-200``).
+
+    The log is derived deterministically from the fixture — four
+    sequenced batches: (seq 1) +50 balance upserts for every 7th key,
+    (seq 2) upserts REWRITING THE OLD VALUE for every 9th key (a
+    net no-op that must be suppressed — and for keys divisible by 63
+    it also overrides the seq-1 change back to the old value),
+    (seq 3) deletes for every 11th key (overriding any earlier
+    upsert — keys divisible by 77), (seq 4) inserts at key+1M for
+    every 13th key.
+
+    Plan: (a) collapse the log to its LAST entry per key — one hash
+    aggregate over |log| rows (``max(struct(seq, …))``, seq unique per
+    (key, batch)); (b) ONE left equi-join of the collapsed log against
+    the old snapshot; (c) a pure map-side classifier: delete+present →
+    removed, upsert+absent → added, upsert+present+different → changed,
+    upsert+present+equal → suppressed.  Keys the log never touched are
+    never joined, never emitted.
+
+    The ORACLE is deliberately the expensive algorithm this query
+    avoids: apply the log to build the full new snapshot, then
+    full-outer-join both complete snapshots (the ``cdc_snapshot_diff``
+    shape) — O(|table|) state vs the incremental form's O(|log|).
+    At 100 TB the incremental join shuffles |log| + the old-snapshot
+    partitions it touches (with a bucketed/partitioned snapshot, only
+    the touched buckets are read); the full recompute shuffles the
+    whole table twice."""
+    ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    old_snap = cust.select(
+        F.col("c_custkey").alias("k"), F.round("c_acctbal", 2).alias("old_bal")
+    )
+    nul = F.lit(None).cast("double")
+    log = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.lit(1).alias("seq"),
+            F.lit("upsert").alias("op"),
+            F.col("c_custkey").alias("k"),
+            F.round(F.col("c_acctbal") + 50.0, 2).alias("bal"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 9 == 0).select(
+                F.lit(2).alias("seq"),
+                F.lit("upsert").alias("op"),
+                F.col("c_custkey").alias("k"),
+                F.round("c_acctbal", 2).alias("bal"),
+            )
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 11 == 0).select(
+                F.lit(3).alias("seq"),
+                F.lit("delete").alias("op"),
+                F.col("c_custkey").alias("k"),
+                nul.alias("bal"),
+            )
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 13 == 0).select(
+                F.lit(4).alias("seq"),
+                F.lit("upsert").alias("op"),
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.round("c_acctbal", 2).alias("bal"),
+            )
+        )
+    )
+    latest = (
+        log.groupBy("k")
+        .agg(F.max(F.struct("seq", "op", "bal")).alias("m"))
+        .select("k", F.col("m.op").alias("op"), F.col("m.bal").alias("new_bal"))
+    )
+    j = latest.join(old_snap, "k", "left")
+    return j.where(
+        ((F.col("op") == "delete") & F.col("old_bal").isNotNull())
+        | (
+            (F.col("op") == "upsert")
+            & (F.col("old_bal").isNull() | (F.col("old_bal") != F.col("new_bal")))
+        )
+    ).select(
+        F.col("k").alias("c_custkey"),
+        F.when(F.col("op") == "delete", "removed")
+        .when(F.col("old_bal").isNull(), "added")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("old_bal"),
+        F.when(F.col("op") == "delete", nul).otherwise(F.col("new_bal")).alias(
+            "new_bal"
+        ),
+    )
+
+
+@query(
     "subquery_not_in_null_trap",
     oracle="""
     WITH probe AS (

@@ -1256,3 +1256,142 @@ def test_ivfpq_exact_scores_recall_and_code_invariants(spark):
     rec_wide = len({r.vec_id for r in wide} & exact_ids) / len(exact_ids)
     assert rec_wide >= rec_default, (rec_wide, rec_default)
     assert rec_wide >= 0.9, f"ivfpq wide-pool recall {rec_wide:.2f}"
+
+
+def test_ivfpq_dot_and_l2_metrics(spark):
+    """VERDICT r9 item 3: the second/third ADC metrics.  Per metric:
+    returned scores must be EXACT under THAT metric (dot = full
+    precision inner product, l2 = full-precision Euclidean distance —
+    the re-rank contract), deterministic, ranked the right direction
+    (dot descending, l2 ascending), recall >= the ANN floor vs the
+    exact top-k UNDER THE SAME metric, and monotone in PQ_RERANK
+    (measured on this fixture: dot 0.5→0.9, l2 0.6→0.8 at pool
+    40→80).  The metrics must genuinely differ: MIPS ranks by raw
+    dot (vector length matters), L2 by distance."""
+    import math
+
+    import mapreduceplusplus_spark.llm.similarity as S
+    from mapreduceplusplus_spark.llm.similarity import (
+        PROBE_ID,
+        TOP_K,
+        _as_double,
+        _dot,
+    )
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    qs = registry.queries()
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    probe = emb.where(F.col("vec_id") == PROBE_ID).select(
+        F.col("v").alias("pv")
+    )
+    rows = (
+        emb.where(F.col("vec_id") != PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            _dot(F.col("v"), F.col("pv")).alias("dot"),
+            F.aggregate(
+                "v", F.lit(0.0), lambda a, x: a + x * x
+            ).alias("n2"),
+        )
+        .collect()
+    )
+    pv = [
+        float(x) for x in emb.where(F.col("vec_id") == PROBE_ID).collect()[0].v
+    ]
+    pn2 = sum(x * x for x in pv)
+    exact_dot = {r.vec_id: r.dot for r in rows}
+    exact_l2 = {
+        r.vec_id: math.sqrt(max(0.0, pn2 - 2 * r.dot + r.n2)) for r in rows
+    }
+    top_dot = {
+        r.vec_id
+        for r in sorted(rows, key=lambda r: (-r.dot, r.vec_id))[:TOP_K]
+    }
+    top_l2 = {
+        r.vec_id
+        for r in sorted(rows, key=lambda r: (exact_l2[r.vec_id], r.vec_id))[
+            :TOP_K
+        ]
+    }
+
+    cases = [
+        ("sim_search_ivfpq_dot", "dot", exact_dot, top_dot, False, 0.9),
+        ("sim_search_ivfpq_l2", "l2_dist", exact_l2, top_l2, True, 0.8),
+    ]
+    for name, col, exact, top_ids, asc, wide_floor in cases:
+        out = qs[name](spark, SF_DIR_ORACLE).collect()
+        assert 0 < len(out) <= TOP_K, name
+        out2 = qs[name](spark, SF_DIR_ORACLE).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2)), name
+        # exact scores under the metric (re-rank contract) + ordering
+        ranked = sorted(out, key=lambda r: r.rnk)
+        scores = [r[col] for r in ranked]
+        assert scores == sorted(scores, reverse=not asc), (name, scores)
+        for r in out:
+            assert abs(exact[r.vec_id] - r[col]) < 5e-4, (name, r)
+        rec = len({r.vec_id for r in out} & top_ids) / len(top_ids)
+        assert rec >= 0.5, f"{name} recall {rec:.2f}"
+        old = S.PQ_RERANK
+        try:
+            S.PQ_RERANK = 80
+            wide = qs[name](spark, SF_DIR_ORACLE).collect()
+        finally:
+            S.PQ_RERANK = old
+        rec_wide = len({r.vec_id for r in wide} & top_ids) / len(top_ids)
+        assert rec_wide >= max(rec, wide_floor), (name, rec_wide, rec)
+
+    # the fixture embeddings are UNIT-NORM (n2 within 2e-7 of 1.0), so
+    # the three exact rankings must coincide there — a cross-metric
+    # consistency check, not a triviality (any metric-mixing bug in
+    # the ADC/re-rank chain would break the per-metric exactness pins
+    # above long before this)
+    norms = [r.n2 for r in rows]
+    assert max(norms) - min(norms) < 1e-5, "fixture no longer unit-norm"
+    seq_dot = [
+        r.vec_id for r in sorted(rows, key=lambda r: (-r.dot, r.vec_id))[:TOP_K]
+    ]
+    seq_cos = [
+        r.vec_id
+        for r in sorted(
+            rows, key=lambda r: (-r.dot / math.sqrt(r.n2), r.vec_id)
+        )[:TOP_K]
+    ]
+    assert seq_dot == seq_cos
+
+
+def test_ivf_metric_scorers_genuinely_differ(spark):
+    """The metric implementations must DIVERGE where the math says
+    they do — unit-norm fixture data can't show it (see above), so a
+    constructed frame with varying norms pins it: a LONG mildly-aligned
+    vector must beat a short well-aligned one under dot (MIPS), lose
+    under cosine, and l2 must pick the geometrically nearest point."""
+    from mapreduceplusplus_spark.llm.similarity import _ivf_score_topk
+
+    probe = [1.0, 0.0]
+    # id 1: long, 45° off-axis → dot ≈ 7.07 (max), cosine 0.707, dist ≈ 9.2
+    # id 2: aligned but far → cosine 1.0 (max), dot 2.0, dist 1.0
+    # id 3: geometrically nearest → dist ≈ 0.14 (min), dot 0.9, cos 0.994
+    cand = spark.createDataFrame(
+        [
+            (1, "long", [7.0710678, 7.0710678]),
+            (2, "aligned", [2.0, 0.0]),
+            (3, "near", [0.9, 0.1]),
+        ],
+        "vec_id INT, label STRING, v ARRAY<DOUBLE>",
+    )
+    order = {
+        m: [
+            r.vec_id
+            for r in sorted(
+                _ivf_score_topk(cand, probe, m).collect(), key=lambda r: r.rnk
+            )
+        ]
+        for m in ("cosine", "dot", "l2")
+    }
+    assert order["dot"][0] == 1, order  # length wins MIPS
+    assert order["cosine"][0] == 2, order  # alignment wins cosine
+    assert order["l2"][0] == 3, order  # proximity wins L2
+    assert len({tuple(v) for v in order.values()}) == 3  # all distinct
