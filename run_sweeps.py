@@ -35,6 +35,14 @@ EVIDENCE_TESTS = [
     # k-core multi-round peel cascade + independent-peel equality
     "tests/test_operator_edges.py::"
     "test_kcore_cascade_fixture_and_independent_peel",
+    # frontier BFS: exact distances on a depth-25 chain, O(ecc) rounds,
+    # loud cap (r10)
+    "tests/test_operator_edges.py::"
+    "test_sssp_chain_depth25_converges_and_cap_raises_loud",
+    # append-mode output matrix: finalized-window-only emission,
+    # closed-window batch equivalence, late-event eviction (r10)
+    "tests/test_streaming.py::"
+    "test_append_mode_emits_exactly_closed_windows_vs_batch",
     # micro-batch session windows == batch form, fixed AND dynamic gap
     "tests/test_streaming.py::"
     "test_session_window_streaming_matches_batch_fixed_gap",

