@@ -70,6 +70,9 @@ HEADLINE = [
     "text_perplexity_bigram",  # corpus-trained bigram-LM quality filter
     "ml_naive_bayes",          # one-job relational NB train+apply
     "pipeline_perplexity_gate",  # NLL + two-pass decile rank + manifest
+    "graph_sssp",              # frontier BFS, O(eccentricity) joined rounds
+    "cdc_incremental_diff",    # log collapse + one-join incremental CDC
+    "udtf_arrow_vectorized",   # vectorized Python UDTF word explosion
 ]
 
 

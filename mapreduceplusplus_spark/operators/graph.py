@@ -572,6 +572,153 @@ def sssp_frontier(edges_sym: DataFrame, source: int) -> tuple[DataFrame, int]:
     )
 
 
+def bellman_ford(
+    edges_w: DataFrame, sources: DataFrame
+) -> tuple[DataFrame, int]:
+    """Multi-source WEIGHTED shortest paths by distributed
+    Bellman-Ford value iteration — the weighted complement of
+    ``sssp_frontier`` (BFS settles by hop count; with weights a
+    later-found route can be cheaper, so vertices cannot be settled —
+    instead the whole distance relation relaxes to a fixpoint).
+
+    ``edges_w`` is the symmetric weighted edge list (u, v, w ≥ 1);
+    ``sources`` a frame of source vertex ids.  Each round: ONE
+    equi-join of the current (source, v, dist) relation against the
+    edge list (hash-partitioned on the vertex key) produces candidate
+    relaxations, then one hash aggregate takes the min per (source,
+    v); convergence = an empty anti-join of the new relation against
+    the old (no row improved, none added).  Rounds ≤ the longest
+    shortest-path EDGE COUNT + 1; localCheckpoint per round
+    (iterate-and-truncate), RuntimeError on cap overrun — never a
+    partially-relaxed answer.  At scale the distance relation
+    co-partitions with the edge list on the vertex key, so every
+    round is one co-located shuffle join + one combine-enabled agg."""
+    dist = sources.select(
+        F.col("source").cast("bigint").alias("source"),
+        F.col("source").cast("bigint").alias("v"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(_SSSP_MAX_ROUNDS):
+        rounds += 1
+        relax = dist.join(edges_w, dist["v"] == edges_w["u"]).select(
+            dist["source"],
+            edges_w["v"].cast("bigint").alias("v"),
+            (dist["dist"] + edges_w["w"]).alias("dist"),
+        )
+        nxt = (
+            dist.unionByName(relax)
+            .groupBy("source", "v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.join(dist, ["source", "v", "dist"], "left_anti").isEmpty():
+            return nxt, rounds
+        dist = nxt
+    raise RuntimeError(
+        f"Bellman-Ford did not reach a fixpoint in {_SSSP_MAX_ROUNDS} "
+        f"rounds — refusing to return partially-relaxed distances"
+    )
+
+
+#: oracle-side walk-weight bound for the WEIGHTED oracle: the
+#: thresholded fixture graph's components have ≤ ~11 vertices and edge
+#: weights ≤ 5, so every shortest path weighs ≤ 50; strictly-positive
+#: weights make walk weight increase every step, so the recursion
+#: terminates.  An undersized bound cannot hide — it would surface as
+#: a value mismatch in the differential.
+_BF_ORACLE_WMAX = 60
+
+_WEIGHTED_EDGES_SQL = f"""
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < {_VMAX} AND b.l_partkey < {_VMAX}
+      GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOC}
+"""
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_WEIGHTED_EDGES_SQL}),
+    E2 AS (
+      SELECT a AS src, b AS dst, 1 + (a + b) % 5 AS w FROM e
+      UNION ALL
+      SELECT b AS src, a AS dst, 1 + (a + b) % 5 AS w FROM e
+    ),
+    srcs AS (SELECT DISTINCT src FROM E2 WHERE src % 7 = 0),
+    r AS (
+      SELECT src AS source, src AS v, 0 AS d FROM srcs
+      UNION
+      SELECT r.source, e2.dst AS v, r.d + e2.w AS d
+      FROM r JOIN E2 e2 ON e2.src = r.v
+      WHERE r.d < {_BF_ORACLE_WMAX}
+    )
+    SELECT CAST(source AS BIGINT) AS source,
+           CAST(v AS BIGINT)      AS vertex,
+           CAST(min(d) AS BIGINT) AS dist
+    FROM r GROUP BY source, v
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (Bellman-Ford) over the
+    support-thresholded co-purchase graph — hop count is the wrong
+    cost model whenever edges carry one (latency, toll, dissimilarity);
+    this row pins the weighted semantics BFS cannot express: a 2-hop
+    route must beat a heavier direct edge.  Deterministic integer
+    weights w(a,b) = 1 + (a+b) mod 5 derive from the edge itself
+    (both engines compute them identically); sources are every graph
+    vertex divisible by 7 (a landmark set — the multi-source form is
+    the actual production shape: one relaxation job amortizes across
+    all landmarks instead of |L| separate runs, the same batching
+    argument as ``sim_search_knn_join``).
+
+    The ORACLE enumerates weighted walks by recursive CTE (UNION-dedup
+    on (source, v, cumulative weight), bounded at {_BF_ORACLE_WMAX} ≫
+    the heaviest shortest path) and takes the min — O(|V|·W) state,
+    fine at fixture scale, unusable at 100 TB — while the Spark side's
+    value iteration keeps exactly one row per (source, vertex) and
+    relaxes to fixpoint in ≤ longest-shortest-path-hops rounds.  See
+    ``bellman_ford`` for the per-round cost shape and the loud-cap
+    contract."""
+    ensure_utc(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < _VMAX)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("x")
+    b = li.alias("y")
+    edges = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("n_cooc"))
+        .where(F.col("n_cooc") >= _CC_MIN_COOC)
+        .select("a", "b", (1 + (F.col("a") + F.col("b")) % 5).alias("w"))
+    )
+    e2 = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    ).localCheckpoint(eager=True)
+    sources = (
+        e2.select("u").distinct().where(F.col("u") % 7 == 0)
+        .select(F.col("u").alias("source"))
+    )
+    dist, _rounds = bellman_ford(e2, sources)
+    return dist.select(
+        "source", F.col("v").alias("vertex"), F.col("dist")
+    )
+
+
 @query(
     "graph_sssp",
     oracle=f"""
@@ -582,7 +729,10 @@ def sssp_frontier(edges_sym: DataFrame, source: int) -> tuple[DataFrame, int]:
       SELECT b AS src, a AS dst FROM e
     ),
     r AS (
-      SELECT (SELECT min(src) FROM E2) AS v, 0 AS d
+      -- IS NOT NULL: an EMPTY graph has min(src) = NULL and must seed
+      -- zero rows (both engines return no distances), not a NULL row
+      SELECT src AS v, 0 AS d
+      FROM (SELECT min(src) AS src FROM E2) WHERE src IS NOT NULL
       UNION
       SELECT e2.dst AS v, r.d + 1 AS d
       FROM r JOIN E2 e2 ON e2.src = r.v
@@ -638,7 +788,11 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     # the source is the graph's minimum vertex id — a 1-value collect
     # (the bounded driver-side-literal pattern shared by sort_global's
-    # boundaries and the IVF probe)
+    # boundaries and the IVF probe); an EMPTY graph has no source and
+    # returns the empty typed frame, matching the oracle's NULL-seed
+    # suppression
     source = sym.agg(F.min("u")).collect()[0][0]
+    if source is None:
+        return spark.createDataFrame([], "vertex BIGINT, dist BIGINT")
     dists, _rounds = sssp_frontier(sym, int(source))
     return dists.select(F.col("v").alias("vertex"), "dist")

@@ -39,6 +39,10 @@ EVIDENCE_TESTS = [
     # loud cap (r10)
     "tests/test_operator_edges.py::"
     "test_sssp_chain_depth25_converges_and_cap_raises_loud",
+    # Bellman-Ford: 2-hop beats heavy direct edge, later-found route
+    # overwrites, loud cap (r10)
+    "tests/test_operator_edges.py::"
+    "test_bellman_ford_two_hops_beat_heavy_direct_edge_and_cap_raises",
     # append-mode output matrix: finalized-window-only emission,
     # closed-window batch equivalence, late-event eviction (r10)
     "tests/test_streaming.py::"

@@ -1553,6 +1553,50 @@ def test_sssp_chain_depth25_converges_and_cap_raises_loud(spark):
         edges.unpersist()
 
 
+def test_bellman_ford_two_hops_beat_heavy_direct_edge_and_cap_raises(spark):
+    """Weighted-SSSP semantics BFS cannot express, on a constructed
+    graph: (a) a 2-hop route (0→1→4, weight 2+1=3) must beat the
+    direct edge (0→4, weight 5); (b) a cheaper LATER-found route must
+    overwrite an earlier-settled distance (the reason weighted search
+    can't settle by hop count); (c) multi-source relaxation keeps each
+    source independent; (d) an undersized round cap RAISES."""
+    import mapreduceplusplus_spark.operators.graph as G
+
+    # weights follow the registered query's derivation w = 1+(a+b)%5:
+    # (0,1)=2, (1,4)=1, (0,4)=5, (4,5)=5, (1,2)=4, (2,5)=3
+    raw = [(0, 1), (1, 4), (0, 4), (4, 5), (1, 2), (2, 5)]
+    df = spark.createDataFrame(raw, "a bigint, b bigint")
+    e2 = (
+        df.select(F.col("a").alias("u"), F.col("b").alias("v"),
+                  (1 + (F.col("a") + F.col("b")) % 5).alias("w"))
+        .unionAll(
+            df.select(F.col("b").alias("u"), F.col("a").alias("v"),
+                      (1 + (F.col("a") + F.col("b")) % 5).alias("w"))
+        )
+        .persist()
+    )
+    srcs = spark.createDataFrame([(0,), (5,)], "source bigint")
+    try:
+        dist, rounds = G.bellman_ford(e2, srcs)
+        got = {(r.source, r.v): r.dist for r in dist.collect()}
+        # from 0: hop-1 route to 4 costs 5, the 2-hop route costs 3
+        assert got[(0, 4)] == 3
+        assert got[(0, 1)] == 2 and got[(0, 2)] == 6 and got[(0, 5)] == 8
+        # from 5: 5→2→1 (3+4=7) vs 5→4→1 (5+1=6): later-found wins
+        assert got[(5, 1)] == 6 and got[(5, 0)] == 8 and got[(5, 4)] == 5
+        assert got[(0, 0)] == 0 and got[(5, 5)] == 0
+        assert rounds <= 6
+        old = G._SSSP_MAX_ROUNDS
+        try:
+            G._SSSP_MAX_ROUNDS = 1
+            with pytest.raises(RuntimeError, match="fixpoint"):
+                G.bellman_ford(e2, srcs)
+        finally:
+            G._SSSP_MAX_ROUNDS = old
+    finally:
+        e2.unpersist()
+
+
 def test_cc_twophase_matches_baseline_on_multi_component_graph(spark):
     """Cross-pin the two CC engines on a graph with several components
     of mixed shape (chain, triangle+tail, star, singleton-pair): the
