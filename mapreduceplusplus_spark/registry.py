@@ -176,7 +176,10 @@ _PRIORITY_ORDER = [
     # Naive Bayes classifier, the large-star/small-star connected
     # components (the r9 algorithm upgrade), and the governed
     # perplexity decile gate.
-    # Remaining never-checked oracle-bearing candidates for r11+:
+    # Remaining never-checked oracle-bearing candidates for r11+
+    # (incl. the r10 additions cdc_incremental_diff, graph_sssp,
+    # graph_sssp_weighted, udtf_arrow_vectorized — none has a driver
+    # row yet):
     # text_winnowing_matches, mixture_sample_apply, text_bm25_search,
     # text_heavy_hitters, graph_pagerank, tpch_q21_waiting_suppliers,
     # agg_weighted_median, agg_trimmed_mean, sql_passthrough_q1,

@@ -47,6 +47,10 @@ EVIDENCE_TESTS = [
     # closed-window batch equivalence, late-event eviction (r10)
     "tests/test_streaming.py::"
     "test_append_mode_emits_exactly_closed_windows_vs_batch",
+    # update-mode output matrix: per-batch re-emission, latest-state
+    # batch equivalence, eviction (r10)
+    "tests/test_streaming.py::"
+    "test_update_mode_reemits_and_latest_state_matches_batch",
     # micro-batch session windows == batch form, fixed AND dynamic gap
     "tests/test_streaming.py::"
     "test_session_window_streaming_matches_batch_fixed_gap",

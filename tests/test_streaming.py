@@ -176,6 +176,84 @@ def test_append_mode_emits_exactly_closed_windows_vs_batch(spark, stream_dirs):
     assert got[w10] == 2
 
 
+def test_update_mode_reemits_and_latest_state_matches_batch(spark, stream_dirs):
+    """The third cell of the output-mode matrix (complete / append /
+    UPDATE): update mode re-emits a window EVERY micro-batch that
+    changes it — captured per-batch via foreachBatch — and the LATEST
+    emission per window must equal the batch aggregation over punctual
+    events; watermark eviction still drops late data, so a closed
+    window is neither re-opened nor re-emitted."""
+    from pyspark.sql import functions as F
+
+    src, chk = stream_dirs
+    T = datetime
+    b1 = [(T(2024, 1, 1, 10, 1, 0), 1), (T(2024, 1, 1, 10, 3, 0), 2)]
+    b2 = [(T(2024, 1, 1, 10, 5, 0), 3), (T(2024, 1, 1, 11, 0, 0), 4)]
+    # watermark after b2 = 10:50 → the 10:04 event is late (dropped);
+    # 11:05 updates the [11:00, 11:10) window a second time
+    b3 = [(T(2024, 1, 1, 10, 4, 0), 9), (T(2024, 1, 1, 11, 5, 0), 5)]
+    _write_batch(spark, src, b1, 1)
+    agg = streaming_pipeline(
+        spark, f"{src}/batch*", "ts timestamp, user_id bigint",
+        window="10 minutes", watermark="10 minutes",
+    )
+    captured = []
+
+    def capture(df, batch_id):
+        captured.append(
+            {(r.win_start, r.win_end): r.n_events for r in df.collect()}
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch(capture)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, b2, 2)
+        q.processAllAvailable()
+        _write_batch(spark, src, b3, 3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    w10 = (T(2024, 1, 1, 10, 0, 0), T(2024, 1, 1, 10, 10, 0))
+    w11 = (T(2024, 1, 1, 11, 0, 0), T(2024, 1, 1, 11, 10, 0))
+    nonempty = [c for c in captured if c]
+    # (a) re-emission: the 10:00 window appears in ≥ 2 distinct
+    # micro-batch emissions with GROWING counts (2 then 3) — the
+    # update-vs-append distinction
+    w10_counts = [c[w10] for c in nonempty if w10 in c]
+    assert w10_counts == [2, 3], (w10_counts, nonempty)
+    # (b) latest emission per window == batch agg over punctual events
+    latest = {}
+    for c in nonempty:
+        latest.update(c)
+    punctual = b1 + b2 + [b3[1]]
+    batch_counts = {
+        (r.win_start, r.win_end): r.n_events
+        for r in (
+            spark.createDataFrame(punctual, "ts timestamp, user_id bigint")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    assert latest == batch_counts, (latest, batch_counts)
+    # (c) eviction: after the watermark passed 10:10, the late 10:04
+    # event produced NO further emission of the 10:00 window — its
+    # last emitted count stays 3 (b3's only emission touches 11:00)
+    assert all(w10 not in c for c in nonempty[2:]), nonempty
+    assert latest[w11] == 2
+
+
 def test_streaming_matches_batch_semantics(spark, stream_dirs):
     """The streaming aggregation over a fully-delivered source equals
     the same F.window aggregation run in batch (one micro-batch, no
