@@ -552,6 +552,19 @@ def cdc_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return incremental_diff(old_snap, log).withColumnRenamed("k", "c_custkey")
+
+
+def incremental_diff(old_snap: DataFrame, log: DataFrame) -> DataFrame:
+    """The incremental-CDC core, factored for reuse and property
+    testing (random logs vs a full-recompute model in
+    tests/test_properties.py): ``old_snap(k, old_bal)`` +
+    ``log(seq, op ∈ upsert|delete, k, bal)`` → the added / removed /
+    changed delta.  Last writer per key wins (seq unique per key);
+    deletes of absent keys and upserts rewriting the old value emit
+    nothing.  See ``cdc_incremental_diff`` for the plan-shape and
+    scale argument."""
+    nul = F.lit(None).cast("double")
     latest = (
         log.groupBy("k")
         .agg(F.max(F.struct("seq", "op", "bal")).alias("m"))
@@ -565,7 +578,7 @@ def cdc_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("old_bal").isNull() | (F.col("old_bal") != F.col("new_bal")))
         )
     ).select(
-        F.col("k").alias("c_custkey"),
+        F.col("k"),
         F.when(F.col("op") == "delete", "removed")
         .when(F.col("old_bal").isNull(), "added")
         .otherwise("changed")

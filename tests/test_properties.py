@@ -404,3 +404,120 @@ def test_census_offsets_literal_matches_prefix_sums(spark, census_rows):
         exp_c = sum(c for b, c, _ in census_rows if b < bkt)
         exp_s = sum(s for b, _, s in census_rows if b < bkt)
         assert out[bkt] == (exp_c, exp_s), bkt
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 7), st.integers(0, 7), st.integers(1, 9)
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.sets(st.integers(0, 7), min_size=1, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_bellman_ford_matches_python_dijkstra(spark, raw_edges, sources):
+    """Distributed Bellman-Ford on random small weighted graphs must
+    equal a pure-Python Dijkstra per source (parallel edges keep the
+    min weight; self-loops dropped; isolated sources still report
+    dist 0 to themselves; unreachable vertices absent)."""
+    import heapq
+
+    from pyspark.sql import functions as F
+
+    from mapreduceplusplus_spark.operators.graph import bellman_ford
+
+    edges = [(u, v, w) for u, v, w in raw_edges if u != v]
+
+    adj: dict[int, dict[int, int]] = {}
+    for u, v, w in edges:
+        for x, y in ((u, v), (v, u)):
+            cur = adj.setdefault(x, {})
+            cur[y] = min(cur.get(y, w), w)
+
+    expect = {}
+    for s in sources:
+        dist = {s: 0}
+        heap = [(0, s)]
+        while heap:
+            d, x = heapq.heappop(heap)
+            if d > dist.get(x, 1 << 60):
+                continue
+            for y, w in adj.get(x, {}).items():
+                nd = d + w
+                if nd < dist.get(y, 1 << 60):
+                    dist[y] = nd
+                    heapq.heappush(heap, (nd, y))
+        for v, d in dist.items():
+            expect[(s, v)] = d
+
+    if edges:
+        df = spark.createDataFrame(edges, "a bigint, b bigint, w bigint")
+        e2 = df.select(
+            F.col("a").alias("u"), F.col("b").alias("v"), "w"
+        ).unionAll(df.select(F.col("b").alias("u"), F.col("a").alias("v"), "w"))
+    else:
+        e2 = spark.createDataFrame([], "u bigint, v bigint, w bigint")
+    srcs = spark.createDataFrame([(s,) for s in sources], "source bigint")
+    dists, _rounds = bellman_ford(e2, srcs)
+    got = {(r.source, r.v): r.dist for r in dists.collect()}
+    assert got == expect
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 9), st.integers(-3, 3), min_size=0, max_size=8
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "delete"]),
+            st.integers(0, 9),
+            st.integers(-3, 3),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_incremental_diff_matches_full_recompute_model(spark, old, log_raw):
+    """The incremental-CDC core on RANDOM snapshots and logs must equal
+    the full-recompute model (apply the log in sequence → new snapshot
+    → dict diff): last writer wins, no-op upserts and deletes of absent
+    keys emit nothing, re-inserts after delete surface as changed or
+    added correctly."""
+    from mapreduceplusplus_spark.operators.relational import (
+        incremental_diff,
+    )
+
+    log = [(i + 1, op, k, float(v)) for i, (op, k, v) in enumerate(log_raw)]
+
+    # python model: full recompute
+    new = {k: float(v) for k, v in old.items()}
+    for _seq, op, k, v in log:
+        if op == "delete":
+            new.pop(k, None)
+        else:
+            new[k] = v
+    expect = {}
+    for k in set(old) | set(new):
+        o = float(old[k]) if k in old else None
+        n = new.get(k)
+        if k in old and k not in new:
+            expect[k] = ("removed", o, None)
+        elif k not in old and k in new:
+            expect[k] = ("added", None, n)
+        elif o != n:
+            expect[k] = ("changed", o, n)
+
+    old_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in old.items()], "k bigint, old_bal double"
+    )
+    log_df = spark.createDataFrame(
+        log, "seq int, op string, k bigint, bal double"
+    )
+    got = {
+        r.k: (r.change_type, r.old_bal, r.new_bal)
+        for r in incremental_diff(old_df, log_df).collect()
+    }
+    assert got == expect
