@@ -355,11 +355,18 @@ def _ivf_score_topk(
         score, col, asc = dotc, "dot", False
     elif metric == "l2":
         # ‖q−x‖² = ‖q‖² − 2·q·x + ‖x‖², sqrt'd once for the emitted
-        # distance (sort on the squared form would be equivalent)
+        # distance (sort on the squared form would be equivalent).
+        # CLAMP at 0 before the sqrt (r10 review): for a candidate
+        # equal to the probe the expression is analytically 0 but
+        # fl(fl(√S)²) rounds below S about half the time, the argument
+        # lands at ~-4e-16, sqrt returns NaN, and Spark sorts NaN
+        # LARGEST — the true nearest neighbor would rank last.
         nsq = F.aggregate(
             F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
         )
-        score = F.sqrt(F.lit(pn * pn) - 2.0 * dotc + nsq)
+        score = F.sqrt(
+            F.greatest(F.lit(0.0), F.lit(pn * pn) - 2.0 * dotc + nsq)
+        )
         col, asc = "l2_dist", True
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown IVF metric: {metric!r}")

@@ -33,6 +33,64 @@ from mapreduceplusplus_spark.sources.tables import load_table
 #: k-core peel on a ~10^4-vertex graph (scale row in BASELINE.md).
 _VMAX = int(os.environ.get("SPARK_GRAFT_GRAPH_VMAX", "400"))
 
+def _copurchase_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_cooc: int | None = None,
+    weighted: bool = False,
+) -> DataFrame:
+    """Undirected co-purchase edge list (a < b) over parts with
+    ``p_partkey < _VMAX`` — the shared builder behind every
+    graph-family query (factored from six inline copies by the r10
+    review).  ``min_cooc`` applies the ≥N-orders support threshold
+    (the CC / weighted-SSSP graph); ``weighted`` appends the
+    deterministic edge weight ``1 + (a+b) mod 5``.  Every variant's
+    oracle SQL restates the same definition independently."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < _VMAX)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("x")
+    b = li.alias("y")
+    pairs = a.join(
+        b,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    )
+    if min_cooc is None:
+        edges = pairs.select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        ).distinct()
+    else:
+        edges = (
+            pairs.groupBy(
+                F.col("x.l_partkey").alias("a"),
+                F.col("y.l_partkey").alias("b"),
+            )
+            .agg(F.count("*").alias("n_cooc"))
+            .where(F.col("n_cooc") >= min_cooc)
+            .select("a", "b")
+        )
+    if weighted:
+        edges = edges.select(
+            "a", "b", (1 + (F.col("a") + F.col("b")) % 5).alias("w")
+        )
+    return edges
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected ``(a, b, *extra)`` → directed-both-ways
+    ``(u, v, *extra)``."""
+    extra = [c for c in edges.columns if c not in ("a", "b")]
+    return edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), *extra
+    ).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"), *extra)
+    )
+
+
 _EDGES_SQL = f"""
       SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
       FROM lineitem a
@@ -126,25 +184,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans in the executed plan before the change, 2 logical scans
     after)."""
     ensure_utc(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_partkey") < _VMAX)
-        .select("l_orderkey", "l_partkey")
-    )
-    a = li.alias("x")
-    b = li.alias("y")
-    edges = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     verts = edges.select(F.col("a").alias("v")).unionAll(
         edges.select(F.col("b").alias("v"))
     )
@@ -255,27 +295,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector co-shuffles — the canonical Pregel-on-relational shape.
     Top-25 by final rank, full (pr, id) tiebreak."""
     ensure_utc(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_partkey") < _VMAX)
-        .select("l_orderkey", "l_partkey")
-    )
-    a = li.alias("x")
-    b = li.alias("y")
-    edges = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-    )
     e2 = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        _symmetrize(_copurchase_edges(spark, sf_dir))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .localCheckpoint(eager=True)
     )
     d = e2.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(
@@ -309,18 +331,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: into ~59 components at the oracle scale (see docstring)
 _CC_MIN_COOC = 2
 
-
-@query(
-    "graph_connected_components",
-    oracle=f"""
-    WITH RECURSIVE e AS (
+#: the support-thresholded edge set as oracle SQL — shared by the CC
+#: and weighted-SSSP oracles (one definition, two checking algorithms)
+_THRESHOLDED_EDGES_SQL = f"""
       SELECT a.l_partkey AS a, b.l_partkey AS b
       FROM lineitem a
       JOIN lineitem b ON a.l_orderkey = b.l_orderkey
                      AND a.l_partkey < b.l_partkey
       WHERE a.l_partkey < {_VMAX} AND b.l_partkey < {_VMAX}
       GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOC}
-    ),
+"""
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_THRESHOLDED_EDGES_SQL}),
     E2 AS (
       SELECT a AS src, b AS dst FROM e
       UNION ALL
@@ -379,28 +405,8 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduceplusplus_spark.llm.dedup import _cc_two_phase
 
     ensure_utc(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_partkey") < _VMAX)
-        .select("l_orderkey", "l_partkey")
-    )
-    a = li.alias("x")
-    b = li.alias("y")
-    edges = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .agg(F.count("*").alias("n_cooc"))
-        .where(F.col("n_cooc") >= _CC_MIN_COOC)
-        .select("a", "b")
-    )
-    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    sym = _symmetrize(
+        _copurchase_edges(spark, sf_dir, min_cooc=_CC_MIN_COOC)
     )
     labels, _rounds = _cc_two_phase(sym.localCheckpoint(eager=True))
     return labels.groupBy(F.col("label").alias("component")).agg(
@@ -484,27 +490,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree skew, and the edge relation only SHRINKS round over round.
     See ``kcore_subgraph`` for the algorithm and round-cap contract."""
     ensure_utc(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_partkey") < _VMAX)
-        .select("l_orderkey", "l_partkey")
-    )
-    a = li.alias("x")
-    b = li.alias("y")
-    edges = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-    )
-    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
+    sym = _symmetrize(_copurchase_edges(spark, sf_dir))
     core, _rounds = kcore_subgraph(sym, _KCORE_K)
     return core.select(F.col("v").cast("bigint"), "degree")
 
@@ -533,12 +519,16 @@ def sssp_frontier(edges_sym: DataFrame, source: int) -> tuple[DataFrame, int]:
     with a pre-partitioned edge relation at scale) plus one anti-join
     against the settled set; the frontier only ever holds the NEWLY
     reached vertices, so total work over the whole run is O(Σ degree
-    of reached vertices) — each edge relaxes at most twice.  Rounds
-    are localCheckpointed (iterate-and-truncate, the module-wide
-    convention) so lineage stays O(1); round count = eccentricity of
-    the source, and overrunning ``_SSSP_MAX_ROUNDS`` RAISES rather
-    than emitting partial distances (the loud-failure contract of
-    VERDICT r8 item 1).
+    of reached vertices) — each edge relaxes at most twice.  Only each
+    round's NEW frontier is localCheckpointed; the settled set stays a
+    LAZY union over those materialized leaves (r10 review: eagerly
+    re-checkpointing the whole settled set copied O(|V|·depth) rows
+    over a run — the lazy union reads the same leaves without the
+    per-round rewrite, and its lineage depth is bounded by the round
+    cap).  Round count = source eccentricity + 1 (the final round
+    that discovers the empty frontier is counted); overrunning
+    ``_SSSP_MAX_ROUNDS`` RAISES rather than emitting partial distances
+    (the loud-failure contract of VERDICT r8 item 1).
 
     Returns ``(frame(v, dist), rounds)``; unreachable vertices are
     absent (the BFS semantics — callers wanting ∞ rows can left-join
@@ -564,7 +554,7 @@ def sssp_frontier(edges_sym: DataFrame, source: int) -> tuple[DataFrame, int]:
         )
         if new.isEmpty():
             return settled, rounds
-        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        settled = settled.unionByName(new)  # lazy over checkpointed leaves
         frontier = new
     raise RuntimeError(
         f"BFS did not exhaust its frontier in {_SSSP_MAX_ROUNDS} rounds — "
@@ -629,20 +619,10 @@ def bellman_ford(
 #: a value mismatch in the differential.
 _BF_ORACLE_WMAX = 60
 
-_WEIGHTED_EDGES_SQL = f"""
-      SELECT a.l_partkey AS a, b.l_partkey AS b
-      FROM lineitem a
-      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-                     AND a.l_partkey < b.l_partkey
-      WHERE a.l_partkey < {_VMAX} AND b.l_partkey < {_VMAX}
-      GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOC}
-"""
-
-
 @query(
     "graph_sssp_weighted",
     oracle=f"""
-    WITH RECURSIVE e AS ({_WEIGHTED_EDGES_SQL}),
+    WITH RECURSIVE e AS ({_THRESHOLDED_EDGES_SQL}),
     E2 AS (
       SELECT a AS src, b AS dst, 1 + (a + b) % 5 AS w FROM e
       UNION ALL
@@ -684,30 +664,8 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bellman_ford`` for the per-round cost shape and the loud-cap
     contract."""
     ensure_utc(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_partkey") < _VMAX)
-        .select("l_orderkey", "l_partkey")
-    )
-    a = li.alias("x")
-    b = li.alias("y")
-    edges = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .agg(F.count("*").alias("n_cooc"))
-        .where(F.col("n_cooc") >= _CC_MIN_COOC)
-        .select("a", "b", (1 + (F.col("a") + F.col("b")) % 5).alias("w"))
-    )
-    e2 = edges.select(
-        F.col("a").alias("u"), F.col("b").alias("v"), "w"
-    ).unionAll(
-        edges.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    e2 = _symmetrize(
+        _copurchase_edges(spark, sf_dir, min_cooc=_CC_MIN_COOC, weighted=True)
     ).localCheckpoint(eager=True)
     sources = (
         e2.select("u").distinct().where(F.col("u") % 7 == 0)
@@ -759,33 +717,16 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-joins the full edge set per iteration — fine for DuckDB under
     the ≤``_VMAX``-vertex fixture cap, unusable at 100 TB — while the
     Spark frontier settles each vertex exactly once and stops the
-    moment the frontier empties (round count = source eccentricity,
-    measured 3 on this fixture).  An undersized oracle depth bound
+    moment the frontier empties (round count = source eccentricity
+    + 1 for the empty-frontier probe — 4 on this fixture, ecc 3).
+    An undersized oracle depth bound
     cannot hide: it would surface as a value mismatch in the
     differential.  See ``sssp_frontier`` for the per-round cost
     argument and the loud round-cap contract."""
     ensure_utc(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_partkey") < _VMAX)
-        .select("l_orderkey", "l_partkey")
+    sym = _symmetrize(_copurchase_edges(spark, sf_dir)).localCheckpoint(
+        eager=True
     )
-    a = li.alias("x")
-    b = li.alias("y")
-    edges = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-    )
-    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    ).localCheckpoint(eager=True)
     # the source is the graph's minimum vertex id — a 1-value collect
     # (the bounded driver-side-literal pattern shared by sort_global's
     # boundaries and the IVF probe); an EMPTY graph has no source and

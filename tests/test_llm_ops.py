@@ -1395,3 +1395,29 @@ def test_ivf_metric_scorers_genuinely_differ(spark):
     assert order["cosine"][0] == 2, order  # alignment wins cosine
     assert order["l2"][0] == 3, order  # proximity wins L2
     assert len({tuple(v) for v in order.values()}) == 3  # all distinct
+
+
+def test_ivf_l2_exact_duplicate_of_probe_ranks_first(spark):
+    """r10 review regression: an EXACT duplicate of the probe has
+    analytical distance 0, but fl(fl(√S)²) rounds below S about half
+    the time, so the unclamped ‖q‖²−2·q·x+‖x‖² goes ~-4e-16 and sqrt
+    returns NaN — which Spark sorts LARGEST, ranking the true nearest
+    neighbor LAST.  The clamp must keep it first with distance 0."""
+    import math
+
+    from mapreduceplusplus_spark.llm.similarity import _ivf_score_topk
+
+    # √3 per dim: S = 3·(√3)² rounds to 8.999999999999998 < 9 — the
+    # adversarial rounding class from the review
+    x = math.sqrt(3.0)
+    probe = [x, x, x]
+    cand = spark.createDataFrame(
+        [(1, "dup", [x, x, x]), (2, "near", [x, x, x + 0.5])],
+        "vec_id INT, label STRING, v ARRAY<DOUBLE>",
+    )
+    out = sorted(
+        _ivf_score_topk(cand, probe, "l2").collect(), key=lambda r: r.rnk
+    )
+    assert out[0].vec_id == 1, out
+    assert out[0].l2_dist == 0.0 and not math.isnan(out[0].l2_dist), out
+    assert out[1].l2_dist > 0.0, out
