@@ -1597,6 +1597,40 @@ def test_bellman_ford_two_hops_beat_heavy_direct_edge_and_cap_raises(spark):
         e2.unpersist()
 
 
+def test_r10_iterative_results_have_truncated_lineage_and_sane_joins(spark):
+    """Plan-shape pins for the r10 additions: (a) the frames returned
+    by the iterative graph queries must read from CHECKPOINTED rounds
+    (Scan ExistingRDD), never re-derive the lineitem self-join — the
+    iterate-and-truncate contract made visible in the plan; (b)
+    cdc_incremental_diff must plan pure hash/sort equi-joins — no
+    cartesian or broadcast-nested-loop node anywhere."""
+    from tests.conftest import SF_DIR_ORACLE
+
+    from mapreduceplusplus_spark import registry
+
+    qs = registry.queries()
+    for name in ("graph_sssp", "graph_sssp_weighted"):
+        plan = (
+            qs[name](spark, SF_DIR_ORACLE)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Relation" not in plan or "parquet" not in plan.lower(), (
+            name,
+            plan,
+        )
+        assert "LogicalRDD" in plan, (name, plan)
+    cdc_plan = (
+        qs["cdc_incremental_diff"](spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in cdc_plan
+    assert "BroadcastNestedLoopJoin" not in cdc_plan
+
+
 def test_cc_twophase_matches_baseline_on_multi_component_graph(spark):
     """Cross-pin the two CC engines on a graph with several components
     of mixed shape (chain, triangle+tail, star, singleton-pair): the
