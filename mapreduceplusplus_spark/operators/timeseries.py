@@ -1070,6 +1070,128 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(round(value * 100) AS BIGINT) * 10000 AS conv_micro,
+             count(CASE WHEN event_type <> 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS n_prior
+      FROM events
+    ),
+    shares AS (
+      SELECT *,
+             CASE WHEN event_type = 'purchase' AND n_prior > 0
+                  THEN conv_micro // n_prior END AS share
+      FROM seq
+    ),
+    credits AS (
+      SELECT *,
+             sum(share) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING) AS credit
+      FROM shares
+    )
+    SELECT event_type                     AS channel,
+           CAST(count(*) AS BIGINT)       AS n_credited_rows,
+           CAST(sum(credit) AS BIGINT)    AS credited_micro
+    FROM credits
+    WHERE event_type <> 'purchase' AND credit IS NOT NULL
+    GROUP BY 1
+    UNION ALL
+    SELECT 'none', CAST(count(*) AS BIGINT), CAST(sum(conv_micro) AS BIGINT)
+    FROM shares WHERE event_type = 'purchase' AND n_prior = 0
+    HAVING count(*) > 0
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR (equal-split) multi-touch attribution — the multi-touch
+    complement of ``events_attribution_last_touch``: every ``purchase``
+    conversion splits its value EQUALLY across ALL of the user's
+    strictly-preceding non-purchase touches, and credit rolls up per
+    touch channel.  Orphan conversions (no prior touch) report under
+    ``'none'`` so every conversion stays accounted for.
+
+    The whole operator is TWO window passes over ONE user_id exchange —
+    no conversions⋈touches join anywhere (the naive formulation is a
+    per-user theta join whose output is |touches|×|purchases| per
+    user):
+
+    1. backward pass: ``n_prior`` = running count of touches strictly
+       before each row → a purchase's per-touch share is
+       ``conv_micro div n_prior`` (integer micro-cents, deterministic
+       division — no float splits; the ≤ n_prior-1 micro-unit
+       remainder per conversion is deliberately unassigned);
+    2. forward pass: each touch's credit = ``sum(share)`` over the
+       user's STRICTLY-FOLLOWING rows — shares live only on purchase
+       rows, so the suffix sum collects exactly the conversions the
+       touch preceded.
+
+    Both passes share one partition ordering, so Catalyst plans a
+    single sort+exchange; the rollup output is |channels|+1 rows,
+    map-side combined.  All-integer arithmetic end to end.  Reference
+    heritage: none (SURVEY §2 charter extension, events family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        (F.round(F.col("value") * 100).cast("bigint") * 10000).alias(
+            "conv_micro"
+        ),
+        F.count(F.when(F.col("event_type") != "purchase", 1))
+        .over(w_prior)
+        .alias("n_prior"),
+    )
+    shares = seq.withColumn(
+        "share",
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("n_prior") > 0),
+            F.expr("conv_micro div n_prior"),
+        ),
+    )
+    w_after = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    credits = shares.withColumn("credit", F.sum("share").over(w_after))
+    touches = (
+        credits.where(
+            (F.col("event_type") != "purchase") & F.col("credit").isNotNull()
+        )
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_credited_rows"),
+            F.sum("credit").cast("bigint").alias("credited_micro"),
+        )
+    )
+    orphans = (
+        shares.where((F.col("event_type") == "purchase") & (F.col("n_prior") == 0))
+        .agg(
+            F.count("*").cast("bigint").alias("n_credited_rows"),
+            F.sum("conv_micro").cast("bigint").alias("credited_micro"),
+        )
+        .where(F.col("n_credited_rows") > 0)
+        .select(
+            F.lit("none").alias("channel"), "n_credited_rows", "credited_micro"
+        )
+    )
+    return touches.unionByName(orphans)
+
+
 #: CUSUM alarm threshold in integer cents (one-sided, upper): flag when
 #: the cumulative positive drift of a series vs its own mean exceeds
 #: this many cents.

@@ -920,6 +920,57 @@ def test_attribution_strictly_before_and_none_bucket(spark, tmp_path):
     assert got["none"].revenue_cents == 700
 
 
+def test_linear_attribution_matches_python_replay(spark):
+    """Independent-model pin for events_attribution_linear: the oracle
+    deliberately shares the two-window formulation (dialect parity),
+    so this test replays the REAL sf0.001 events table through a
+    literal per-user Python loop — each purchase splits conv_micro //
+    n_prior_touches across every strictly-preceding touch, remainders
+    unassigned, orphans to 'none' — and the rollup must match exactly."""
+    from tests.conftest import SF_DIR
+
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    ev = sorted(
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    credit: dict[str, int] = {}
+    credited_rows: dict[str, set] = {}
+    cur_user, touches = None, []
+    for r in ev:
+        if r.user_id != cur_user:
+            cur_user, touches = r.user_id, []
+        if r.event_type == "purchase":
+            micro = int(round(r.value * 100)) * 10000
+            if not touches:
+                credit["none"] = credit.get("none", 0) + micro
+                credited_rows.setdefault("none", set()).add(r.event_id)
+            else:
+                share = micro // len(touches)
+                for t in touches:
+                    credit[t.event_type] = credit.get(t.event_type, 0) + share
+                    credited_rows.setdefault(t.event_type, set()).add(
+                        t.event_id
+                    )
+        else:
+            touches.append(r)
+
+    got = {
+        r.channel: (r.n_credited_rows, r.credited_micro)
+        for r in registry.queries()["events_attribution_linear"](
+            spark, SF_DIR
+        ).collect()
+    }
+    expect = {
+        ch: (len(credited_rows[ch]), credit[ch]) for ch in credit
+    }
+    assert got == expect
+
+
 def test_cusum_closed_form_matches_recursive_fold(spark, tmp_path):
     """The load-bearing claim of events_cusum_drift: the window
     closed form S_i - min_{j<=i} S_j equals the textbook recursion
