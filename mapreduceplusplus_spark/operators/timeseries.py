@@ -1192,6 +1192,113 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touches.unionByName(orphans)
 
 
+@query(
+    "events_ab_ks_test",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id % 2 AS g, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    grid AS (
+      SELECT cents,
+             count(*) FILTER (WHERE g = 0) AS c0,
+             count(*) FILTER (WHERE g = 1) AS c1
+      FROM ev GROUP BY cents
+    ),
+    tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1 FROM grid),
+    cum AS (
+      SELECT cents,
+             sum(c0) OVER (ORDER BY cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum0,
+             sum(c1) OVER (ORDER BY cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum1
+      FROM grid
+    ),
+    sc AS (
+      SELECT c.cents, t.n0, t.n1,
+             abs((1000000 * CAST(c.cum0 AS BIGINT)) // t.n0
+               - (1000000 * CAST(c.cum1 AS BIGINT)) // t.n1) AS d
+      FROM cum c CROSS JOIN tot t
+    ),
+    best AS (SELECT n0, n1, max(d) AS ks FROM sc GROUP BY n0, n1)
+    SELECT b.n0, b.n1,
+           CAST(b.ks AS BIGINT)      AS ks_ppm,
+           CAST(min(s.cents) AS BIGINT) AS at_cents
+    FROM best b JOIN sc s ON s.d = b.ks
+    GROUP BY b.n0, b.n1, b.ks
+    """,
+)
+def events_ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the two
+    experiment arms' value distributions (arm = ``user_id mod 2``) —
+    the nonparametric "did the treatment move the WHOLE distribution"
+    readout that completes the experimentation family next to
+    ``events_ab_lift`` (means), ``events_ab_srm_check`` (assignment),
+    ``events_ab_cuped`` (variance reduction) and ``dq_distribution_psi``
+    (binned drift): KS = max |ECDF₀ − ECDF₁|, reported with WHERE the
+    distributions diverge most (``at_cents``, min-value tiebreak).
+
+    Exact-deterministic formulation: values quantize to integer cents,
+    each arm's ECDF quantizes to PARTS-PER-MILLION via integer
+    division (``(10⁶·cum) div n`` — bias ≤ 1 ppm per arm, documented),
+    and the statistic is a max over the DISTINCT-VALUE grid.  The grid
+    aggregation is one hash exchange; the running ECDFs are one
+    unpartitioned window over |distinct cents| rows — bounded by the
+    VALUE DOMAIN (≤ ~50k at any corpus size), not the row count, the
+    same census-bounded-window argument as ``events_power_users_pareto``
+     's offsets.  All-BIGINT arithmetic: 10⁶·cum ≤ 10⁶·rows, safe to
+    ~9·10¹² rows per arm (beyond: promote the products to
+    DECIMAL(38,0), the ``bp_ratio_halfup`` device).  Reference
+    heritage: none (SURVEY §2 charter extension, events family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    grid = ev.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("g") == 1, 1)).alias("c1"),
+    )
+    tot = grid.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "cents",
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+    )
+    # broadcast-safe: tot is a 1-row global aggregate
+    sc = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "n0",
+        "n1",
+        F.abs(
+            F.expr("(1000000 * cum0) div n0 - (1000000 * cum1) div n1")
+        ).alias("d"),
+    )
+    return (
+        sc.groupBy("n0", "n1")
+        .agg(
+            F.max(
+                F.struct(F.col("d").alias("d"), (-F.col("cents")).alias("negc"))
+            ).alias("m")
+        )
+        .select(
+            "n0",
+            "n1",
+            F.col("m.d").cast("bigint").alias("ks_ppm"),
+            (-F.col("m.negc")).cast("bigint").alias("at_cents"),
+        )
+    )
+
+
 #: CUSUM alarm threshold in integer cents (one-sided, upper): flag when
 #: the cumulative positive drift of a series vs its own mean exceeds
 #: this many cents.

@@ -971,6 +971,50 @@ def test_linear_attribution_matches_python_replay(spark):
     assert got == expect
 
 
+def test_ks_test_extremes_on_planted_fixture(spark, tmp_path):
+    """Pin events_ab_ks_test's analytic extremes: (1) DISJOINT arm
+    distributions (arm 0 all below, arm 1 all above) → KS = 1.0 =
+    1,000,000 ppm, achieved at the highest arm-0 value; (2) IDENTICAL
+    arm distributions → KS = 0."""
+    import datetime as dt
+
+    from mapreduceplusplus_spark import registry
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def _write(rows, d):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    # arm 0 = even user ids (values 1.00, 2.00), arm 1 = odd (3.00, 4.00)
+    disjoint = [
+        (1, t0, 2, "view", 1.0, None),
+        (2, t0, 4, "view", 2.0, None),
+        (3, t0, 1, "view", 3.0, None),
+        (4, t0, 3, "view", 4.0, None),
+    ]
+    d1 = str(tmp_path / "disjoint")
+    _write(disjoint, d1)
+    [r] = registry.queries()["events_ab_ks_test"](spark, d1).collect()
+    assert (r.n0, r.n1) == (2, 2)
+    assert r.ks_ppm == 1_000_000, r
+    assert r.at_cents == 200, r  # ECDF gap maximal at arm 0's top value
+
+    identical = [
+        (1, t0, 2, "view", 1.5, None),
+        (2, t0, 4, "view", 2.5, None),
+        (3, t0, 1, "view", 1.5, None),
+        (4, t0, 3, "view", 2.5, None),
+    ]
+    d2 = str(tmp_path / "identical")
+    _write(identical, d2)
+    [r2] = registry.queries()["events_ab_ks_test"](spark, d2).collect()
+    assert r2.ks_ppm == 0, r2
+
+
 def test_cusum_closed_form_matches_recursive_fold(spark, tmp_path):
     """The load-bearing claim of events_cusum_drift: the window
     closed form S_i - min_{j<=i} S_j equals the textbook recursion
