@@ -1299,6 +1299,104 @@ def events_ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_ab_mannwhitney",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id % 2 AS g, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    grid AS (
+      SELECT cents,
+             count(*) FILTER (WHERE g = 0) AS c0,
+             count(*) FILTER (WHERE g = 1) AS c1
+      FROM ev GROUP BY cents
+    ),
+    mid AS (
+      SELECT cents, c0, c1,
+             2 * sum(c0 + c1) OVER (ORDER BY cents
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+               - (c0 + c1) + 1 AS mid2
+      FROM grid
+    ),
+    agg AS (
+      SELECT CAST(sum(c0) AS BIGINT)        AS n0,
+             CAST(sum(c1) AS BIGINT)        AS n1,
+             CAST(sum(c1 * mid2) AS BIGINT) AS r1x2
+      FROM mid
+      HAVING sum(c0) > 0 AND sum(c1) > 0
+    )
+    SELECT n0, n1,
+           CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+           CAST((1000000 * (r1x2 - n1 * (n1 + 1))) // (2 * n0 * n1)
+                AS BIGINT) AS cles_ppm
+    FROM agg
+    """,
+)
+def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the two experiment
+    arms — the RANK-based location test that pairs with
+    ``events_ab_ks_test``'s shape test and closes the nonparametric
+    experimentation cell: U = Σ(pooled midranks of arm 1) − n₁(n₁+1)/2,
+    reported DOUBLED (``u2``, so tied midranks stay integer) alongside
+    the common-language effect size U/(n₀·n₁) in ppm — the probability
+    a random arm-1 value exceeds a random arm-0 value (ties half-
+    weighted).
+
+    Same scale shape as the KS row: one hash aggregation onto the
+    DISTINCT-cents grid, one value-domain-bounded window for the
+    pooled cumulative counts (midrank×2 of a tie group = 2·cum_all −
+    ties + 1), one final fold — no row-level ranking anywhere, so the
+    O(n log n) sort a naive rank-sum needs never happens (the grid is
+    bounded by the value domain, not the row count).  All-BIGINT;
+    2·R₁ ≤ 4n² caps exact arithmetic at ~10⁹ rows per arm — beyond,
+    promote the two products to DECIMAL(38,0) (the ``bp_ratio_halfup``
+    device).  Arms with zero members yield no row (both engines) —
+    there is no one-sample U.  Reference heritage: none (SURVEY §2
+    charter extension, events family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    grid = ev.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("g") == 1, 1)).alias("c1"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mid = grid.select(
+        "c0",
+        "c1",
+        (
+            2 * F.sum(F.col("c0") + F.col("c1")).over(w)
+            - (F.col("c0") + F.col("c1"))
+            + 1
+        ).alias("mid2"),
+    )
+    agg = (
+        mid.agg(
+            F.sum("c0").cast("bigint").alias("n0"),
+            F.sum("c1").cast("bigint").alias("n1"),
+            F.sum(F.col("c1") * F.col("mid2")).cast("bigint").alias("r1x2"),
+        )
+        .where((F.col("n0") > 0) & (F.col("n1") > 0))
+    )
+    u2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        "n0",
+        "n1",
+        u2.cast("bigint").alias("u2"),
+        F.expr(
+            "(1000000 * (r1x2 - n1 * (n1 + 1))) div (2 * n0 * n1)"
+        )
+        .cast("bigint")
+        .alias("cles_ppm"),
+    )
+
+
 #: CUSUM alarm threshold in integer cents (one-sided, upper): flag when
 #: the cumulative positive drift of a series vs its own mean exceeds
 #: this many cents.

@@ -1015,6 +1015,39 @@ def test_ks_test_extremes_on_planted_fixture(spark, tmp_path):
     assert r2.ks_ppm == 0, r2
 
 
+def test_mannwhitney_matches_bruteforce_pairwise(spark):
+    """Independent-model pin for events_ab_mannwhitney: the midrank
+    closed form over the distinct-value grid must equal the DEFINITION
+    — U = #(arm1 > arm0 pairs) + ½·#(tied pairs) — computed by literal
+    pairwise comparison over the real sf0.001 events."""
+    from tests.conftest import SF_DIR
+
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "value")
+        .collect()
+    )
+    a0 = [int(round(r.value * 100)) for r in rows if r.user_id % 2 == 0]
+    a1 = [int(round(r.value * 100)) for r in rows if r.user_id % 2 == 1]
+    from collections import Counter
+
+    c0 = Counter(a0)
+    u2 = 0  # doubled U: 2 per strictly-greater pair, 1 per tie
+    for v1 in a1:
+        for v0, n in c0.items():
+            if v1 > v0:
+                u2 += 2 * n
+            elif v1 == v0:
+                u2 += n
+    [r] = registry.queries()["events_ab_mannwhitney"](spark, SF_DIR).collect()
+    assert (r.n0, r.n1) == (len(a0), len(a1))
+    assert r.u2 == u2, (r.u2, u2)
+    assert r.cles_ppm == (1_000_000 * u2) // (2 * len(a0) * len(a1))
+
+
 def test_cusum_closed_form_matches_recursive_fold(spark, tmp_path):
     """The load-bearing claim of events_cusum_drift: the window
     closed form S_i - min_{j<=i} S_j equals the textbook recursion
