@@ -388,14 +388,16 @@ def _ivf_score_topk(
 #: mtimes + sizes of the embeddings parquet, ADVICE r9) makes a stale
 #: read impossible: rewriting the dataset under sf_dir in-process
 #: changes the key, so the next probe rebuilds instead of silently
-#: reading the old index.  ``id(session)`` instead of the session
-#: object keeps the cache from pinning dead sessions alive; an id
-#: reuse after GC cannot resurrect a wrong index because the dataset
-#: fingerprint still has to match.  The dirs live until process exit
-#: (a lazily-consumed plan may read one at any time), then are swept
-#: by the atexit hook — bounded at one dir per (session, dataset,
-#: dataset version), never one per invocation
-_IVF_INDEX_CACHE: dict[tuple[int, str, tuple], str] = {}
+#: reading the old index.  The session component of the key is
+#: ``sparkContext.applicationId`` — stable and unique per session, so
+#: (unlike the earlier ``id(session)`` key, ADVICE r10) a NEW session
+#: whose object happens to land on a recycled id can never adopt a
+#: dead session's index dir; and being a string it holds no reference,
+#: so the cache still never pins dead sessions alive.  The dirs live
+#: until process exit (a lazily-consumed plan may read one at any
+#: time), then are swept by the atexit hook — bounded at one dir per
+#: (session, dataset, dataset version), never one per invocation
+_IVF_INDEX_CACHE: dict[tuple[str, str, tuple], str] = {}
 
 
 def _embeddings_fingerprint(sf_dir: str) -> tuple:
@@ -478,7 +480,11 @@ def sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions with different confs never share a build) plus the
     # dataset fingerprint — an in-process rewrite of sf_dir forces a
     # rebuild instead of a stale read (ADVICE r9).
-    key = (id(spark), sf_dir, _embeddings_fingerprint(sf_dir))
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _embeddings_fingerprint(sf_dir),
+    )
     index_dir = _IVF_INDEX_CACHE.get(key)
     if index_dir is None:
         index_dir = tempfile.mkdtemp(prefix="ivf_index_")

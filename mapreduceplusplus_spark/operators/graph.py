@@ -502,8 +502,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: partial distances.
 _SSSP_MAX_ROUNDS = 64
 #: oracle-side recursion depth bound (must exceed the true diameter;
-#: the differential would expose a too-small bound as a value mismatch)
-_SSSP_ORACLE_DEPTH = 20
+#: the differential would expose a too-small bound as a value mismatch).
+#: SCALES with the ``SPARK_GRAFT_GRAPH_VMAX`` override (ADVICE r10):
+#: a bigger vertex slice can carry a bigger diameter, and a fixed
+#: bound would fail a CORRECT Spark answer as a false mismatch — so
+#: the bound grows linearly with the cap (a deliberate overestimate;
+#: hop diameter grows sublinearly in vertices, and an oversized bound
+#: only costs oracle time, never correctness).
+_SSSP_ORACLE_DEPTH = max(20, -(-20 * _VMAX // 400))
 
 
 def sssp_frontier(edges_sym: DataFrame, source: int) -> tuple[DataFrame, int]:
@@ -616,8 +622,12 @@ def bellman_ford(
 #: weights ≤ 5, so every shortest path weighs ≤ 50; strictly-positive
 #: weights make walk weight increase every step, so the recursion
 #: terminates.  An undersized bound cannot hide — it would surface as
-#: a value mismatch in the differential.
-_BF_ORACLE_WMAX = 60
+#: a value mismatch in the differential.  Like ``_SSSP_ORACLE_DEPTH``
+#: this scales with the ``SPARK_GRAFT_GRAPH_VMAX`` override (ADVICE
+#: r10): max edge weight is 5, so heaviest-shortest-path ≤ 5·diameter,
+#: and the linear-in-VMAX overestimate keeps the differential valid
+#: (not falsely red) when the knob enlarges the graph.
+_BF_ORACLE_WMAX = max(60, -(-60 * _VMAX // 400))
 
 @query(
     "graph_sssp_weighted",

@@ -1222,6 +1222,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
              abs((1000000 * CAST(c.cum0 AS BIGINT)) // t.n0
                - (1000000 * CAST(c.cum1 AS BIGINT)) // t.n1) AS d
       FROM cum c CROSS JOIN tot t
+      WHERE t.n0 > 0 AND t.n1 > 0
     ),
     best AS (SELECT n0, n1, max(d) AS ks FROM sc GROUP BY n0, n1)
     SELECT b.n0, b.n1,
@@ -1274,8 +1275,15 @@ def events_ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c0").over(w).alias("cum0"),
         F.sum("c1").over(w).alias("cum1"),
     )
-    # broadcast-safe: tot is a 1-row global aggregate
-    sc = cum.crossJoin(F.broadcast(tot)).select(
+    # broadcast-safe: tot is a 1-row global aggregate.  Both-arms-
+    # nonempty guard BEFORE the integer divisions: with one arm empty
+    # (n0 or n1 = 0) the ANSI-mode div would raise DIVIDE_BY_ZERO on
+    # the Spark side while DuckDB's `// 0` yields NULL — the guard
+    # makes both engines emit zero rows (there is no two-sample KS
+    # against an empty sample), mirroring events_ab_mannwhitney.
+    sc = cum.crossJoin(F.broadcast(tot)).where(
+        (F.col("n0") > 0) & (F.col("n1") > 0)
+    ).select(
         "cents",
         "n0",
         "n1",
