@@ -176,19 +176,27 @@ _PRIORITY_ORDER = [
     # Naive Bayes classifier, the large-star/small-star connected
     # components (the r9 algorithm upgrade), and the governed
     # perplexity decile gate.
-    # Remaining never-checked oracle-bearing candidates for r11+
-    # (incl. the r10 additions cdc_incremental_diff, graph_sssp,
-    # graph_sssp_weighted, udtf_arrow_vectorized — none has a driver
-    # row yet):
+    # r10 rotated text_perplexity_bigram, ml_naive_bayes,
+    # graph_connected_components, pipeline_perplexity_gate — all
+    # hash-green in CORRECTNESS_r10.  r11 rotates in the four rows the
+    # r10 verdict named (all oracle-bearing r10 additions, none with
+    # any prior CORRECTNESS_r1..r10 row): the O(|log|)-state
+    # incremental CDC collapse, the weighted Bellman-Ford (the
+    # stronger SSSP pin — weighted semantics BFS cannot express), the
+    # Spark-4.1 arrow-vectorized UDTF, and the two-window linear
+    # multi-touch attribution.
+    # Remaining never-checked oracle-bearing candidates for r12+
+    # (incl. the r10 additions graph_sssp, events_ab_ks_test,
+    # events_ab_mannwhitney — none has a driver row yet):
     # text_winnowing_matches, mixture_sample_apply, text_bm25_search,
     # text_heavy_hitters, graph_pagerank, tpch_q21_waiting_suppliers,
     # agg_weighted_median, agg_trimmed_mean, sql_passthrough_q1,
     # pack_concat_chunks, scd2_build_validity, window_gaps_islands,
     # text_char_entropy, agg_listagg_within_group.
-    "text_perplexity_bigram",
-    "ml_naive_bayes",
-    "graph_connected_components",
-    "pipeline_perplexity_gate",
+    "cdc_incremental_diff",
+    "graph_sssp_weighted",
+    "udtf_arrow_vectorized",
+    "events_attribution_linear",
 ]
 
 _loaded = False
