@@ -402,23 +402,12 @@ _IVF_INDEX_CACHE: dict[tuple[str, str, tuple], str] = {}
 
 def _embeddings_fingerprint(sf_dir: str) -> tuple:
     """(relpath, mtime_ns, size) of every file under the embeddings
-    parquet path — a cheap content-version stamp for the index cache."""
-    import os
+    parquet path — a cheap content-version stamp for the index cache
+    (shared helper in ``sources/tables.py`` since r11; the MinHash
+    ingest index in ``llm/dedup.py`` uses the same stamp)."""
+    from mapreduceplusplus_spark.sources.tables import dataset_fingerprint
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.isfile(path):
-        st = os.stat(path)
-        return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
-    entries = []
-    if os.path.isdir(path):
-        for root, _dirs, files in os.walk(path):
-            for fn in files:
-                p = os.path.join(root, fn)
-                st = os.stat(p)
-                entries.append(
-                    (os.path.relpath(p, path), st.st_mtime_ns, st.st_size)
-                )
-    return tuple(sorted(entries))
+    return dataset_fingerprint(sf_dir, "embeddings")
 
 
 def _sweep_ivf_indexes() -> None:

@@ -96,6 +96,30 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def dataset_fingerprint(sf_dir: str, table: str) -> tuple:
+    """(relpath, mtime_ns, size) of every file under ``<sf_dir>/
+    <table>.parquet`` — a cheap content-version stamp for on-disk index
+    caches (the memoized IVF / MinHash-band index dirs): an in-process
+    rewrite of the dataset changes the fingerprint, so the next probe
+    REBUILDS instead of silently reading a stale index (ADVICE r9)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, path), st.st_mtime_ns, st.st_size)
+                )
+    return tuple(sorted(entries))
+
+
 def load_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """Line-oriented text scan (reference A1, ``src/worker.cc:127-133``).
 

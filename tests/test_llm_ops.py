@@ -1421,3 +1421,61 @@ def test_ivf_l2_exact_duplicate_of_probe_ranks_first(spark):
     assert out[0].vec_id == 1, out
     assert out[0].l2_dist == 0.0 and not math.isnan(out[0].l2_dist), out
     assert out[1].l2_dist > 0.0, out
+
+
+def test_incremental_ingest_near_matches_full_recompute_and_prunes(spark):
+    """VERDICT r10 item 2: incremental near-dup ingest must (a) return
+    keep/drop verdicts EQUAL to the full-corpus dedup_minhash_near
+    recompute restricted to the batch (banding is per-document, so the
+    corpus/batch split cannot change which pairs collide), (b) probe
+    the persisted band index through PartitionFilters (file-listing
+    pruning, not a post-scan filter), and (c) actually PRUNE — the
+    batch's band keys cover a strict subset of the 512 pk buckets."""
+    import mapreduceplusplus_spark.llm.dedup as D
+
+    qs = registry.queries()
+    out_df = qs["dedup_incremental_ingest_near"](spark, SF_DIR_ORACLE)
+    out = {r.doc_id: r for r in out_df.collect()}
+    mod = D.INGEST_NEAR_MOD
+
+    # every batch doc gets exactly one row
+    import duckdb
+
+    n_batch = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR_ORACLE}/documents.parquet' "
+        f"WHERE doc_id % {mod} = 0"
+    ).fetchone()[0]
+    assert len(out) == n_batch > 0
+
+    # (a) full-recompute equality
+    dup_c, dup_b = set(), set()
+    for p in qs["dedup_minhash_near"](spark, SF_DIR_ORACLE).collect():
+        a, b = p.doc_a, p.doc_b
+        for x, y in ((a, b), (b, a)):
+            if y % mod == 0 and x % mod != 0:
+                dup_c.add(y)
+        if a % mod == 0 and b % mod == 0:
+            dup_b.add(b)  # doc_a < doc_b: the larger id drops
+    assert dup_c, "fixture must plant at least one batch-vs-corpus near-dup"
+    for doc_id, r in out.items():
+        assert r.dup_vs_corpus == (doc_id in dup_c), doc_id
+        assert r.dup_in_batch == (doc_id in dup_b), doc_id
+        assert r.verdict == (
+            "drop" if (doc_id in dup_c or doc_id in dup_b) else "keep"
+        ), doc_id
+
+    # (b) PartitionFilters pin on the index probe scan
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.split("\n")
+        if "FileScan" in ln and "neardup_index_" in ln
+    ]
+    assert scan_lines, f"no index FileScan in plan:\n{plan}"
+    pf = scan_lines[0].split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "pk" in pf[1].split("]")[0], (
+        f"probe pk predicate not pushed to PartitionFilters:\n{scan_lines[0]}"
+    )
+
+    # (c) real pruning: probed buckets < total buckets (file-level)
+    assert D._last_ingest_total_parts == D.MINHASH_BANDS * D._INGEST_NB
+    assert 0 < D._last_ingest_probe_parts < D._last_ingest_total_parts
