@@ -1884,3 +1884,139 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("verdict"),
         )
     )
+
+
+#: SemDeDup cosine threshold: pairs within a k-means cluster at or
+#: above this are semantic duplicates.  Same value (and the same
+#: clean fixture margin) as dedup_embedding_cosine's exact baseline.
+SEMDEDUP_T = 0.4
+
+
+def _semdedup_oracle() -> str:
+    from mapreduceplusplus_spark.operators.ml import KMEANS_A2_SQL
+
+    return f"""
+    WITH RECURSIVE {KMEANS_A2_SQL},
+    V AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+          FROM embeddings),
+    P AS (
+      SELECT x.vec_id AS u, y.vec_id AS v
+      FROM A2 x JOIN A2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN V vx ON vx.vec_id = x.vec_id
+      JOIN V vy ON vy.vec_id = y.vec_id
+      WHERE list_cosine_similarity(vx.ve, vy.ve) >= {SEMDEDUP_T}
+    ),
+    edges AS (SELECT u, v FROM P UNION ALL SELECT v, u FROM P),
+    reach(u, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    lab AS (SELECT u, min(label) AS label FROM reach GROUP BY u)
+    SELECT a.vec_id,
+           CAST(a.cid AS BIGINT)                        AS cid,
+           CAST(coalesce(l.label, a.vec_id) AS BIGINT)  AS sem_cluster,
+           (coalesce(l.label, a.vec_id) = a.vec_id)     AS keep
+    FROM A2 a LEFT JOIN lab l ON l.u = a.vec_id
+    """
+
+
+@query("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication") — the embedding-space complement of the lexical
+    near-dup family: documents that SAY the same thing in different
+    words never share shingles, but their embeddings cluster.
+
+    Three stages, each already proven on this engine:
+    1. COARSE GATE: k-means cluster assignment (the integer-exact
+       two-iteration Lloyd of ``ml_kmeans_lloyd`` —
+       ``operators/ml.py:kmeans_assignments``, shared code AND shared
+       oracle CTEs, so the gate itself is differential-checked);
+    2. WITHIN-CLUSTER pairs: exact cosine over pairs INSIDE one
+       cluster only (``a.cid = b.cid AND a.vec_id < b.vec_id``,
+       cosine ≥ {SEMDEDUP_T}) — the all-pairs search is BOUNDED per
+       cluster, never global: SemDeDup's whole point is that the
+       cluster gate turns O(n²) into Σ|cluster|², and at 100 TB k
+       scales with n so |cluster| (hence the per-key join fan-in)
+       stays constant.  Cross-cluster near-pairs are deliberately
+       missed — the documented SemDeDup approximation, mirrored
+       exactly by the oracle's gate;
+    3. CANONICAL ELECTION: connected components of the pair graph
+       (``_cc_two_phase``, O(log n) large-star/small-star rounds)
+       with the minimum vec_id kept per semantic cluster — singletons
+       keep themselves.
+
+    Output: one row per vector — its k-means cell ``cid``, its
+    semantic cluster id (component minimum), and the ``keep`` verdict.
+    The oracle recomputes all three stages independently: the same
+    quantized Lloyd CTEs, a within-cluster all-pairs spec join, and a
+    recursive-CTE fixpoint for the components (deliberately
+    unscalable checking algebra — the engine side never materializes
+    a global all-pairs).  Per-pair cosine is a fixed-order array fold
+    on BOTH engines (array order, not partition order), so the float
+    threshold compare is deterministic — the ``dedup_embedding_cosine``
+    precedent.  Reference heritage: none (SURVEY §2 charter extension,
+    dedup family)."""
+    from mapreduceplusplus_spark.operators.ml import kmeans_assignments
+
+    ensure_utc(spark)
+    assign = kmeans_assignments(spark, sf_dir).select("vec_id", "cid")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    # memoized persist (not a local persist/unpersist pair: the
+    # RETURNED plan still references this frame, so an unpersist on
+    # exit would silently re-run the Lloyd assignment at collect
+    # time): the gated frame feeds both sides of the pair join and
+    # the final left join — released by release_shingles() like every
+    # other dedup intermediate
+    x = _persisted_aux(
+        (spark, sf_dir, "semdedup_gate"),
+        lambda: assign.join(emb, "vec_id").withColumn("nrm", nrm),
+    )
+    a, b = x.alias("a"), x.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(dot / (F.col("a.nrm") * F.col("b.nrm")) >= SEMDEDUP_T)
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    try:
+        labels, _rounds = _cc_two_phase(edges)
+    finally:
+        edges.unpersist()
+    return (
+        x.select("vec_id", "cid")
+        .join(
+            labels.select(
+                F.col("u").alias("vec_id"), F.col("label").alias("lbl")
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cid"),
+            F.coalesce("lbl", F.col("vec_id")).cast("bigint").alias(
+                "sem_cluster"
+            ),
+            (F.coalesce("lbl", F.col("vec_id")) == F.col("vec_id")).alias(
+                "keep"
+            ),
+        )
+    )

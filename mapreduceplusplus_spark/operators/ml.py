@@ -29,11 +29,11 @@ from mapreduceplusplus_spark.sources.tables import load_table
 _K = 4
 _SHIFT = 1 << 21
 
-
-@query(
-    "ml_kmeans_lloyd",
-    oracle=f"""
-    WITH E AS (
+#: the two unrolled quantized Lloyd iterations as SQL CTEs ending in
+#: A2(vec_id, cid, dist) — shared by the ml_kmeans_lloyd oracle and
+#: the dedup_semdedup oracle (llm/dedup.py), which gates its
+#: within-cluster pair search on the SAME assignment
+KMEANS_A2_SQL = f"""E AS (
       SELECT vec_id, ord AS dim,
              -- CAST to DOUBLE before scaling: DuckDB would otherwise
              -- multiply in FLOAT and quantize a different value than
@@ -76,7 +76,13 @@ _SHIFT = 1 << 21
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY dist, cid) AS rn
         FROM D2) WHERE rn = 1
-    )
+    )"""
+
+
+@query(
+    "ml_kmeans_lloyd",
+    oracle=f"""
+    WITH {KMEANS_A2_SQL}
     SELECT CAST(cid AS BIGINT) AS cid,
            count(*) AS n_members,
            CAST(sum(dist) AS BIGINT) AS sum_sqdist
@@ -107,6 +113,20 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-cluster membership count and total squared distance
     (the inertia decomposition), all BIGINT."""
     ensure_utc(spark)
+    a2 = kmeans_assignments(spark, sf_dir)
+    return a2.groupBy(F.col("cid").cast("bigint").alias("cid")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("dist").cast("bigint").alias("sum_sqdist"),
+    )
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two unrolled quantized Lloyd iterations as DataFrame
+    algebra, returning the final assignment ``(vec_id, cid, dist)`` —
+    the Spark twin of ``KMEANS_A2_SQL``, shared by ``ml_kmeans_lloyd``
+    (inertia readout) and ``dedup_semdedup`` (cluster gate).  See
+    ``ml_kmeans_lloyd`` for the dataflow and the module docstring for
+    the quantization contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = (
         emb.select(
@@ -154,11 +174,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid", "dim")
         .agg(F.expr("CAST((2 * sum(q) + count(*)) div (2 * count(*)) AS BIGINT)").alias("c"))
     )
-    a2 = assign(c1, with_dist=True)
-    return a2.groupBy(F.col("cid").cast("bigint").alias("cid")).agg(
-        F.count("*").alias("n_members"),
-        F.sum("dist").cast("bigint").alias("sum_sqdist"),
-    )
+    return assign(c1, with_dist=True)
 
 
 @query(
