@@ -1337,7 +1337,12 @@ def events_ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n0, n1,
            CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u2,
-           CAST((1000000 * (r1x2 - n1 * (n1 + 1))) // (2 * n0 * n1)
+           -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL operands
+           -- routes through DOUBLE (off-by-one past 2^53); HUGEINT
+           -- floor-division is exact, and both operands are
+           -- nonnegative so floor = Spark's truncating decimal div
+           CAST((1000000 * CAST(r1x2 - n1 * (n1 + 1) AS HUGEINT))
+                // (2 * CAST(n0 AS HUGEINT) * n1)
                 AS BIGINT) AS cles_ppm
     FROM agg
     """,
@@ -1357,12 +1362,16 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled cumulative counts (midrank×2 of a tie group = 2·cum_all −
     ties + 1), one final fold — no row-level ranking anywhere, so the
     O(n log n) sort a naive rank-sum needs never happens (the grid is
-    bounded by the value domain, not the row count).  All-BIGINT;
-    2·R₁ ≤ 4n² caps exact arithmetic at ~10⁹ rows per arm — beyond,
-    promote the two products to DECIMAL(38,0) (the ``bp_ratio_halfup``
-    device).  Arms with zero members yield no row (both engines) —
-    there is no one-sample U.  Reference heritage: none (SURVEY §2
-    charter extension, events family)."""
+    bounded by the value domain, not the row count).  The midrank
+    accumulation is BIGINT (2·R₁ ≤ 4n² caps it at ~1.5·10⁹ rows per
+    arm — beyond, promote the c1·mid2 sum to DECIMAL(38,0)); the
+    final ppm ratio is ALREADY DECIMAL(38,0)-promoted on both engines
+    (10⁶·u2 would overflow BIGINT at just ~2·10⁶ rows/arm — the r11
+    boundary test ``test_mwu_cles_ppm_exact_past_bigint`` pins the
+    promoted form exact at and far beyond that point).  Arms with
+    zero members yield no row (both engines) — there is no one-sample
+    U.  Reference heritage: none (SURVEY §2 charter extension, events
+    family)."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select(
         (F.col("user_id") % 2).alias("g"),
@@ -1393,12 +1402,19 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n0") > 0) & (F.col("n1") > 0))
     )
     u2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
-    return agg.select(
+    # the ppm product is promoted to DECIMAL(38,0) (the
+    # ``bp_ratio_halfup`` device): u2 ≤ 2·n0·n1 ≈ 4.5e18 at the
+    # BIGINT accumulation boundary, so 10⁶·u2 would blow 2⁶³ at just
+    # ~2·10⁶ rows/arm if left BIGINT (found by the r11 boundary test;
+    # both operands positive, so DuckDB's floor `//` = Spark's
+    # truncating decimal `div`)
+    return agg.withColumn("u2", u2.cast("bigint")).select(
         "n0",
         "n1",
-        u2.cast("bigint").alias("u2"),
+        "u2",
         F.expr(
-            "(1000000 * (r1x2 - n1 * (n1 + 1))) div (2 * n0 * n1)"
+            "(1000000 * CAST(u2 AS DECIMAL(38,0)))"
+            " div (2 * CAST(n0 AS DECIMAL(38,0)) * n1)"
         )
         .cast("bigint")
         .alias("cles_ppm"),

@@ -1947,3 +1947,95 @@ def test_round9_text_ops_plan_shapes(spark):
 
     p2 = _plan(qs["text_tfidf_topterms"](spark, SF_DIR_ORACLE))
     assert "WindowGroupLimit" in p2, p2
+
+
+def test_ks_ppm_exact_at_bigint_boundary(spark):
+    """VERDICT r10 item 5 (KS half): the documented BIGINT cap — the
+    ppm ECDF product 10⁶·cum is safe up to ~9.2·10¹² rows per arm —
+    pinned with constructed cumulative-count frames AT the boundary
+    (the differential can never reach these magnitudes), plus the
+    DECIMAL(38,0)-promoted twin verified equal there and exact BEYOND
+    the BIGINT range."""
+    nmax = (2**63 - 1) // 1_000_000  # 9_223_372_036_854 rows/arm
+    cases = [  # (cum0, n0, cum1, n1)
+        (nmax, nmax, 1, nmax),            # boundary: 10^6*cum = 2^63-ish
+        (nmax - 1, nmax, nmax, nmax),
+        (1, nmax, nmax // 2, nmax),
+        (123, 456, 78, 90),               # everyday magnitudes
+    ]
+    df = spark.createDataFrame(
+        cases, "cum0 long, n0 long, cum1 long, n1 long"
+    ).select(
+        "*",
+        F.abs(
+            F.expr("(1000000 * cum0) div n0 - (1000000 * cum1) div n1")
+        ).alias("d_bigint"),
+        F.abs(
+            F.expr(
+                "(1000000 * CAST(cum0 AS DECIMAL(38,0))) div n0"
+                " - (1000000 * CAST(cum1 AS DECIMAL(38,0))) div n1"
+            )
+        ).cast("bigint").alias("d_dec"),
+    )
+    for r in df.collect():
+        exp = abs(
+            (1_000_000 * r.cum0) // r.n0 - (1_000_000 * r.cum1) // r.n1
+        )
+        assert r.d_bigint == exp, r
+        assert r.d_dec == exp, r
+    # BEYOND the cap the BIGINT form is invalid (10^6*cum > 2^63) but
+    # the documented DECIMAL(38,0) promotion stays exact
+    big = 10**15  # past the ~9.2e12 cap
+    df2 = spark.createDataFrame(
+        [(big, big, big // 3, big)], "cum0 long, n0 long, cum1 long, n1 long"
+    ).select(
+        F.abs(
+            F.expr(
+                "(1000000 * CAST(cum0 AS DECIMAL(38,0))) div n0"
+                " - (1000000 * CAST(cum1 AS DECIMAL(38,0))) div n1"
+            )
+        ).cast("bigint").alias("d_dec")
+    )
+    exp2 = abs((10**6 * big) // big - (10**6 * (big // 3)) // big)
+    assert df2.collect()[0].d_dec == exp2
+
+
+def test_mwu_cles_ppm_exact_past_bigint(spark):
+    """VERDICT r10 item 5 (MWU half): the cles_ppm ratio uses the
+    DECIMAL(38,0)-promoted form IN the query (the naive BIGINT
+    product 10⁶·u2 overflows at just ~2·10⁶ rows/arm — u2 ≤ 2·n0·n1).
+    Pin the promoted expression exact at the accumulation boundary
+    (~1.5·10⁹ rows/arm, where r1x2 ≈ 4n² grazes 2⁶³) and verify the
+    overflow case is real (10⁶·u2 > 2⁶³ for every constructed row)."""
+    n = 1_500_000_000  # ~the 4n^2 < 2^63 accumulation boundary
+    cases = [  # (n0, n1, r1x2) with n1*(n1+1) <= r1x2 <= n1*(3n1+1)
+        (n, n, n * (3 * n + 1)),               # max rank sum: U = n0*n1
+        (n, n, n * (n + 1)),                   # min rank sum: U = 0
+        (n, n, n * n + n * (n + 1)),           # mid: U = n0*n1/2
+        (3_000_000, 2_000_000, 2 * 3_000_000 * 2_000_000 + 2_000_000 * 2_000_001),
+    ]
+    df = spark.createDataFrame(cases, "n0 long, n1 long, r1x2 long").select(
+        "*",
+        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("bigint")
+        .alias("u2"),
+    ).select(
+        "*",
+        F.expr(
+            "(1000000 * CAST(u2 AS DECIMAL(38,0)))"
+            " div (2 * CAST(n0 AS DECIMAL(38,0)) * n1)"
+        ).cast("bigint").alias("cles_ppm"),
+    )
+    rows = df.collect()
+    for r in rows:
+        u2 = r.r1x2 - r.n1 * (r.n1 + 1)
+        assert r.u2 == u2, r
+        assert r.cles_ppm == (1_000_000 * u2) // (2 * r.n0 * r.n1), r
+        assert 0 <= r.cles_ppm <= 1_000_000, r
+    # the promotion is LOAD-BEARING: every nonzero-u2 case here is past
+    # the naive BIGINT product's range
+    assert all(
+        1_000_000 * (r.r1x2 - r.n1 * (r.n1 + 1)) > 2**63 - 1
+        for r in rows
+        if r.r1x2 > r.n1 * (r.n1 + 1)
+    )
