@@ -81,13 +81,24 @@ def streaming_join_pipeline(
     schema,
     lookback: str = LOOKBACK,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Real watermarked stream-stream inner join: ONE file source read
+    """Real watermarked stream-stream join: ONE file source read
     twice (purchases / clicks), each side watermarked, joined on
     user_id + the attribution time band.  The watermark + range bound
     lets Spark evict click state older than ``watermark + lookback`` —
     without both, join state grows without bound.  Returns the joined
-    streaming DataFrame; the caller attaches sink/trigger."""
+    streaming DataFrame; the caller attaches sink/trigger.
+
+    ``how="left_outer"`` (purchases left) adds the OUTER semantics
+    production attribution needs: a purchase with no click in its
+    lookback window is still emitted — with a NULL click — but only
+    AFTER the watermark closes its match window (no future click can
+    have ``c_ts < p_ts`` once the watermark passes ``p_ts``), so the
+    null-extension is late-data-safe: emitting it eagerly would be
+    retracted by a late click, and append-mode sinks cannot retract.
+    The timing is pinned by
+    ``tests/test_streaming.py::test_stream_stream_left_outer_null_timing``."""
     purchases = (
         spark.readStream.schema(schema)
         .parquet(source_dir)
@@ -115,11 +126,63 @@ def streaming_join_pipeline(
         & (F.col("c_ts") < F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
     )
-    return purchases.join(clicks, cond, "inner").select(
+    return purchases.join(clicks, cond, how).select(
         F.col("p_user").alias("user_id"),
         "click_id",
         "purchase_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_sec"),
+    )
+
+
+@query(
+    "stream_stream_join_left",
+    oracle="""
+    SELECT p.user_id                        AS user_id,
+           CAST(c.event_id AS BIGINT)       AS click_id,
+           p.event_id                       AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec,
+           (c.event_id IS NULL)             AS organic
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <  p.ts
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+    """,
+)
+def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution, LEFT OUTER batch form — the last
+    missing cell of the streaming join matrix (inner =
+    ``stream_stream_join``, stream-static = ``stream_static_enrich``):
+    every purchase survives the join, and one with NO click in its
+    10-minute lookback comes out with a NULL click and ``organic =
+    true`` — the unattributed-conversion row an attribution readout
+    cannot drop (dropping it silently overstates marketing's share).
+
+    Plan shape: identical hash join on the user_id equi conjunct with
+    the time band as a within-partition post-filter; LEFT OUTER only
+    changes null-extension, not the shuffle.  The streaming twin is
+    ``streaming_join_pipeline(how="left_outer")``: same condition +
+    watermarks ⇒ bounded state AND late-data-safe null timing (a
+    purchase's null row is held until the watermark proves no click
+    can still arrive — pinned by the micro-batch test).  Reference
+    heritage: none (SURVEY §2 charter extension, streaming family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") < F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 10 MINUTES"))
+    )
+    return p.join(c, cond, "left").select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("c.event_id").cast("bigint").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        (
+            F.unix_timestamp(F.col("p.ts")) - F.unix_timestamp(F.col("c.ts"))
+        ).alias("gap_sec"),
+        F.col("c.event_id").isNull().alias("organic"),
     )
 
 

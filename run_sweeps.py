@@ -56,6 +56,17 @@ EVIDENCE_TESTS = [
     "test_session_window_streaming_matches_batch_fixed_gap",
     "tests/test_streaming.py::"
     "test_session_window_streaming_matches_batch_dynamic_gap",
+    # stream-stream LEFT OUTER: null extension held until the
+    # watermark closes the match window, then batch equivalence (r11)
+    "tests/test_streaming.py::"
+    "test_stream_stream_left_outer_null_timing",
+    # KS/MWU integer-arithmetic boundary pins (r11)
+    "tests/test_operator_edges.py::test_ks_ppm_exact_at_bigint_boundary",
+    "tests/test_operator_edges.py::test_mwu_cles_ppm_exact_past_bigint",
+    # incremental near-dup ingest == full-corpus recompute + partition
+    # prune pin (r11)
+    "tests/test_llm_ops.py::"
+    "test_incremental_ingest_near_matches_full_recompute_and_prunes",
 ]
 
 

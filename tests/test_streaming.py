@@ -1914,3 +1914,115 @@ def test_session_window_streaming_matches_batch_dynamic_gap(spark, stream_dirs):
     assert len(u1) == 2
     assert u1[0][2] == T(2024, 1, 1, 12, 30, 0) and u1[0][3] == 2
     assert u1[1][1] == T(2024, 1, 1, 13, 30, 0) and u1[1][3] == 1
+
+
+def test_stream_stream_left_outer_null_timing(spark, stream_dirs):
+    """VERDICT r10 item 6: the watermarked LEFT OUTER stream-stream
+    join must (a) emit matched pairs immediately, (b) HOLD the null
+    extension of an unmatched purchase while a matching click could
+    still arrive (watermark below its match window), and (c) emit the
+    null row once the watermark proves the window closed — then the
+    delivered total equals the batch LEFT join on the same data."""
+    from pyspark.sql import functions as F
+
+    from mapreduceplusplus_spark.streaming.sjoin import streaming_join_pipeline
+
+    src, chk = stream_dirs
+    T = datetime
+    schema = "ts timestamp, user_id bigint, event_id bigint, event_type string"
+
+    def write(rows, n):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch{n}")
+
+    # batch 1: user 1 converts with a click (matched immediately);
+    # user 4 purchases with NO click — its null row must be HELD:
+    # a click with ts in [09:59, 10:09) could still arrive while the
+    # watermark (max_ts 10:09 - 10 min = 09:59) is below the window
+    write(
+        [
+            (T(2024, 1, 1, 10, 0, 0), 1, 100, "click"),
+            (T(2024, 1, 1, 10, 5, 0), 1, 102, "purchase"),
+            (T(2024, 1, 1, 10, 9, 0), 4, 400, "purchase"),
+        ],
+        1,
+    )
+    joined = streaming_join_pipeline(
+        spark,
+        f"{src}/batch*",
+        schema,
+        lookback="10 minutes",
+        watermark="10 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_left_sink")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+
+    def delivered():
+        return {
+            (r.user_id, r.click_id, r.purchase_id, r.gap_sec)
+            for r in spark.sql("SELECT * FROM ssj_left_sink").collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        got1 = delivered()
+        assert (1, 100, 102, 300) in got1, got1
+        assert not any(r[0] == 4 for r in got1), (
+            f"null extension emitted EARLY (watermark still below the "
+            f"match window): {got1}"
+        )
+        # batch 2: a later matched pair advances BOTH sides' watermarks
+        # (each side's watermark node sits behind its event_type
+        # filter, so advancing only one type stalls the global min) to
+        # 10:20 — past user 4's whole match window [09:59, 10:09)
+        write(
+            [
+                (T(2024, 1, 1, 10, 29, 0), 5, 500, "click"),
+                (T(2024, 1, 1, 10, 30, 0), 5, 502, "purchase"),
+            ],
+            2,
+        )
+        q.processAllAvailable()
+        got2 = delivered()
+        assert (5, 500, 502, 60) in got2, got2
+        # outer-join nulls are evicted on the micro-batch AFTER the
+        # watermark advance lands in state — deliver one more batch
+        write(
+            [
+                (T(2024, 1, 1, 10, 39, 0), 6, 600, "click"),
+                (T(2024, 1, 1, 10, 40, 0), 6, 602, "purchase"),
+            ],
+            3,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = delivered()
+    assert (4, None, 400, None) in got, got
+
+    # delivered total == batch LEFT join on the same delivered data
+    ev = spark.read.parquet(f"{src}/batch*")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    batch = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") < F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    ).select(
+        F.col("p.user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        (
+            F.unix_timestamp(F.col("p.ts")) - F.unix_timestamp(F.col("c.ts"))
+        ).alias("gap_sec"),
+    )
+    assert got == {tuple(r) for r in batch.collect()}
