@@ -1077,3 +1077,174 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
         F.col("adc").asc() if asc else F.col("adc").desc(), F.col("vec_id")
     ).limit(PQ_RERANK)
     return _ivf_score_topk(pool, probe_v, metric)
+
+
+#: MMR diversified re-rank: greedy-select MMR_K results from the
+#: MMR_POOL-deep relevance candidate pool with λ = 0.7 — expressed as
+#: the integer score 7·rel − 3·maxsim over micro-cosine BIGINTs
+#: (round(10⁶·cos)), so every argmax is integer-exact on both engines
+MMR_POOL, MMR_K = 20, 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled-greedy MMR as SQL — the ``ml_kmeans_lloyd`` device:
+    each greedy pick is one bounded argmax CTE over the pool, so the
+    oracle runs the IDENTICAL {MMR_K} iterations the engine does."""
+    ctes = [
+        f"""probe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id = {PROBE_ID}
+    ),
+    pool AS (
+      SELECT vec_id, ve, rel FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve,
+               CAST(round(1000000 * list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), p.pv)) AS BIGINT) AS rel
+        FROM embeddings e, probe p WHERE e.vec_id <> {PROBE_ID})
+      ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS cu, b.vec_id AS cv,
+             CAST(round(1000000 * list_cosine_similarity(a.ve, b.ve))
+                  AS BIGINT) AS s
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS (SELECT vec_id, rel, 7 * rel AS mmr FROM pool
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    s1 AS (SELECT vec_id FROM p1)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        ctes.append(
+            f"""r{t} AS (
+      SELECT c.vec_id, c.rel, 7 * c.rel - 3 * max(s.s) AS mmr
+      FROM pool c
+      JOIN sims s ON s.cu = c.vec_id
+      JOIN s{t - 1} sel ON sel.vec_id = s.cv
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM s{t - 1})
+      GROUP BY c.vec_id, c.rel
+    ),
+    p{t} AS (SELECT vec_id, rel, mmr FROM r{t}
+             ORDER BY mmr DESC, vec_id LIMIT 1),
+    s{t} AS (SELECT vec_id FROM s{t - 1}
+             UNION ALL SELECT vec_id FROM p{t})"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {t} AS pick, vec_id, rel, mmr FROM p{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(pick AS BIGINT) AS pick, vec_id, rel,
+           CAST(mmr AS BIGINT) AS mmr
+    FROM ({finals})"""
+    )
+
+
+@query("sim_search_mmr_rerank", oracle=_mmr_oracle())
+def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal-marginal-relevance) diversified re-rank on top of
+    ``sim_search_topk``'s exact retrieval — the standard RAG retrieval
+    finisher (Carbonell & Goldstein 1998): from the top-{MMR_POOL}
+    relevance pool, greedily pick {MMR_K} results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected (λ = 0.7),
+    so near-duplicate passages don't crowd out coverage.
+
+    Exact-deterministic formulation: relevance and pairwise similarity
+    quantize to MICRO-COSINE BIGINTs (round(10⁶·cos) — the integer-
+    cents device), the MMR score is the integer 7·rel − 3·maxsim
+    (λ = 0.7 scaled ×10), and each greedy step is a bounded argmax
+    (min-vec_id tiebreak) over the ≤{MMR_POOL}-row pool — so the
+    DuckDB oracle can unroll the IDENTICAL {MMR_K} iterations
+    (the ``ml_kmeans_lloyd`` unrolled-oracle device).
+
+    Scale: the corpus-sized work is exactly ``sim_search_topk``'s
+    map-side scoring + TakeOrdered pool (one pass, no shuffle of the
+    big side); everything after — the {MMR_POOL}×{MMR_POOL} pairwise
+    sims and the {MMR_K} picks — is constant-bounded and
+    localCheckpointed per step (1-row eager checkpoints: the
+    iterative-loop lineage rule), independent of corpus size.
+    Reference heritage: none (SURVEY §2 charter extension, similarity
+    family)."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    probe = emb.where(F.col("vec_id") == PROBE_ID).select(
+        F.col("v").alias("pv")
+    )
+    mc = lambda c: F.round(F.lit(1000000) * c).cast("bigint")  # noqa: E731
+    scored = (
+        emb.where(F.col("vec_id") != PROBE_ID)
+        # broadcast-safe: probe is a single query vector (1 row)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "v",
+            mc(
+                _dot(F.col("v"), F.col("pv"))
+                / (_norm(F.col("v")) * _norm(F.col("pv")))
+            ).alias("rel"),
+        )
+    )
+    pool = (
+        scored.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    sims = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("cu"),
+            F.col("b.vec_id").alias("cv"),
+            mc(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pool = pool.select("vec_id", "rel")
+    pick = (
+        pool.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "rel", (7 * F.col("rel")).alias("mmr"))
+        .localCheckpoint(eager=True)
+    )
+    picks = [pick.withColumn("pick", F.lit(1))]
+    selected = pick.select("vec_id")
+    for t in range(2, MMR_K + 1):
+        sel_sims = sims.join(
+            selected.select(F.col("vec_id").alias("cv")), "cv"
+        )
+        cand = (
+            pool.join(selected, "vec_id", "left_anti")
+            .join(sel_sims, pool["vec_id"] == sel_sims["cu"])
+            .groupBy(pool["vec_id"].alias("vec_id"), "rel")
+            .agg(F.max("s").alias("ms"))
+            .select(
+                "vec_id",
+                "rel",
+                (7 * F.col("rel") - 3 * F.col("ms")).alias("mmr"),
+            )
+        )
+        pick = (
+            cand.orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1-row eager: keeps the
+            # unrolled lineage flat (selected is referenced twice per
+            # step — uncheckpointed, the plan doubles each iteration)
+        )
+        picks.append(pick.withColumn("pick", F.lit(t)))
+        selected = selected.unionByName(pick.select("vec_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("pick").cast("bigint").alias("pick"),
+        "vec_id",
+        F.col("rel").cast("bigint").alias("rel"),
+        F.col("mmr").cast("bigint").alias("mmr"),
+    )
