@@ -73,6 +73,10 @@ HEADLINE = [
     "graph_sssp",              # frontier BFS, O(eccentricity) joined rounds
     "cdc_incremental_diff",    # log collapse + one-join incremental CDC
     "udtf_arrow_vectorized",   # vectorized Python UDTF word explosion
+    "dedup_semdedup",          # kmeans gate + within-cluster cosine + CC
+    "dedup_incremental_ingest_near",  # persisted band index probe + verify
+    "sim_search_mmr_rerank",   # top-k pool + 5 unrolled greedy argmax picks
+    "stream_stream_join_left",  # left-outer time-band attribution (batch)
 ]
 
 

@@ -1892,6 +1892,42 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
 SEMDEDUP_T = 0.4
 
 
+#: row-block height for the per-cluster cosine matmul — scratch per
+#: Arrow batch is block × |cluster| doubles (256 × 10⁵ ≈ 200 MB would
+#: already be an oversized SemDeDup cluster; typical cells are ≪ that)
+_SEMDEDUP_BLOCK = 256
+
+
+def _semdedup_cluster_pairs(pdf):
+    """Within-ONE-cluster cosine-threshold pairs (u < v, cos ≥
+    SEMDEDUP_T) — the Arrow-batched kernel behind ``dedup_semdedup``:
+    row-normalize the member matrix once, then matmul row blocks
+    against the whole matrix (BLAS, float64).  Sorted by vec_id first
+    so the float reduction order is fixed → deterministic across
+    partitionings; the threshold margins are the same clean-fixture
+    contract as ``dedup_embedding_cosine``'s 0.4."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) < 2:
+        return pd.DataFrame({"u": [], "v": []}).astype("int64")
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    us, vs = [], []
+    for lo in range(0, len(ids), _SEMDEDUP_BLOCK):
+        hi = min(lo + _SEMDEDUP_BLOCK, len(ids))
+        S = V[lo:hi] @ V.T  # block × n
+        bi, bj = np.nonzero(S >= SEMDEDUP_T)
+        keep = (bi + lo) < bj  # upper triangle only (u < v)
+        us.append(ids[bi[keep] + lo])
+        vs.append(ids[bj[keep]])
+    return pd.DataFrame(
+        {"u": np.concatenate(us), "v": np.concatenate(vs)}
+    )
+
+
 def _semdedup_oracle() -> str:
     from mapreduceplusplus_spark.operators.ml import KMEANS_A2_SQL
 
@@ -1954,10 +1990,12 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized Lloyd CTEs, a within-cluster all-pairs spec join, and a
     recursive-CTE fixpoint for the components (deliberately
     unscalable checking algebra — the engine side never materializes
-    a global all-pairs).  Per-pair cosine is a fixed-order array fold
-    on BOTH engines (array order, not partition order), so the float
-    threshold compare is deterministic — the ``dedup_embedding_cosine``
-    precedent.  Reference heritage: none (SURVEY §2 charter extension,
+    a global all-pairs).  The engine computes the per-cluster cosines
+    as one Arrow-batched BLAS matmul per cluster (vec_id-sorted, so
+    reduction order is fixed → deterministic across partitionings);
+    the float threshold compare against DuckDB's array fold rests on
+    the same clean-margin contract as ``dedup_embedding_cosine``'s
+    0.4.  Reference heritage: none (SURVEY §2 charter extension,
     dedup family)."""
     from mapreduceplusplus_spark.operators.ml import kmeans_assignments
 
@@ -1967,31 +2005,29 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     # memoized persist (not a local persist/unpersist pair: the
     # RETURNED plan still references this frame, so an unpersist on
     # exit would silently re-run the Lloyd assignment at collect
-    # time): the gated frame feeds both sides of the pair join and
-    # the final left join — released by release_shingles() like every
-    # other dedup intermediate
+    # time): the gated frame feeds the pair search and the final left
+    # join — released by release_shingles() like every other dedup
+    # intermediate
     x = _persisted_aux(
         (spark, sf_dir, "semdedup_gate"),
-        lambda: assign.join(emb, "vec_id").withColumn("nrm", nrm),
+        lambda: assign.join(emb, "vec_id"),
     )
-    a, b = x.alias("a"), x.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda p, q: p * q),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(dot / (F.col("a.nrm") * F.col("b.nrm")) >= SEMDEDUP_T)
-        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+    # within-cluster pairs via ONE Arrow applyInPandas per cluster: a
+    # BLAS matmul of the row-normalized member matrix, row-blocked at
+    # _SEMDEDUP_BLOCK so per-group scratch is O(block·|cluster|), not
+    # O(|cluster|²).  The first formulation — a self-join with a
+    # per-pair zip_with/aggregate cosine — re-ran an INTERPRETED
+    # 64-element fold 2·|pairs| times (~3.1M pairs at sf0.1: the
+    # linear-in-rows HOF cliff the kmeans assignment already hit in
+    # r8); the vectorized matmul does the same arithmetic at ~100×
+    # the throughput (measured 4.8 s → see BASELINE.md r11).  Group
+    # size is bounded by SemDeDup's own contract (k scales with n),
+    # so one group per Arrow batch holds at scale.
+    pairs = x.groupBy("cid").applyInPandas(
+        _semdedup_cluster_pairs, "u bigint, v bigint"
     )
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
