@@ -112,7 +112,22 @@ def shingles(text_col: Column, n: int = 3) -> Column:
 _last_cluster_rounds: int | None = None
 _last_cluster_edges: int | None = None
 
-_SHINGLE_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _docs_key(spark: SparkSession, sf_dir: str, table: str = "documents") -> tuple:
+    """Cache-key prefix for every memoized table derived from
+    ``<sf_dir>/<table>.parquet``: (session, dir, content fingerprint).
+    Including the fingerprint makes the in-memory caches stale-read-proof
+    the same way the on-disk index caches are (ADVICE r11: an in-process
+    rewrite of documents.parquet previously rebuilt the 'fresh' band
+    index FROM the stale persisted shingle/band frames, because those
+    were keyed only on (spark, sf_dir)).  Superseded entries linger
+    persisted until ``release_shingles()`` — acceptable: in-process
+    dataset rewrites happen only in tests, which release explicitly."""
+    from mapreduceplusplus_spark.sources.tables import dataset_fingerprint
+
+    return (spark, sf_dir, dataset_fingerprint(sf_dir, table))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +140,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens once per session+sf_dir.  At 100 TB the same role is played
     by persisting the shingle table to disk (or a checkpoint) before
     the self-join."""
-    key = (spark, sf_dir)
+    key = _docs_key(spark, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -302,7 +317,7 @@ def dedup_ngram_jaccard(
     return _ngram_pairs(
         docs,
         prefix,
-        aux_key=(spark, sf_dir, "prefix_posting", prefix),
+        aux_key=_docs_key(spark, sf_dir) + ("prefix_posting", prefix),
     )
 
 
@@ -491,7 +506,7 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doc_shingles(spark, sf_dir)
     # persisted: the band table feeds both self-join sides — see _AUX_CACHE
     bands = _persisted_aux(
-        (spark, sf_dir, "mh_bands"), lambda: _minhash_bands(docs)
+        _docs_key(spark, sf_dir) + ("mh_bands",), lambda: _minhash_bands(docs)
     )
 
     a = bands.alias("a")
@@ -1442,7 +1457,7 @@ def dedup_containment_quotes(
     # — without the persist each branch re-runs the HOF explode over
     # the shingle arrays (measured 2.78 s → 2.0 s at sf0.1)
     p = _persisted_aux(
-        (spark, sf_dir, "contain_postings"),
+        _docs_key(spark, sf_dir) + ("contain_postings",),
         lambda: docs.select(
             "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
         ).select("doc_id", "n", F.xxhash64("s").alias("s")),
@@ -1764,7 +1779,7 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
     ensure_utc(spark)
     docs = _doc_shingles(spark, sf_dir)
     bands = _persisted_aux(
-        (spark, sf_dir, "mh_bands"), lambda: _minhash_bands(docs)
+        _docs_key(spark, sf_dir) + ("mh_bands",), lambda: _minhash_bands(docs)
     )
     pk = (F.col("band") * _INGEST_NB + F.pmod(F.col("bkey"), F.lit(_INGEST_NB))).cast(
         "int"
@@ -1798,7 +1813,7 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # ---- 2. probe
     batch_bands = _persisted_aux(
-        (spark, sf_dir, "ingest_batch_bands"),
+        _docs_key(spark, sf_dir) + ("ingest_batch_bands",),
         lambda: bands.where(is_batch).withColumn("pk", pk),
     )
     # bounded census collect: ≤ MINHASH_BANDS·NB = 512 ints
@@ -1914,7 +1929,12 @@ def _semdedup_cluster_pairs(pdf):
     pdf = pdf.sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy()
     V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    # zero-norm guard (ADVICE r11): clamping the norm makes an all-zero
+    # embedding score cos=0 < SEMDEDUP_T → no pair, matching the DuckDB
+    # oracle, whose list_cosine_similarity returns -1.0 for a zero
+    # vector (verified) → also no pair.  Without it 0/0 = NaN would
+    # silently drop ALL comparisons against that row.
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
     us, vs = [], []
     for lo in range(0, len(ids), _SEMDEDUP_BLOCK):
         hi = min(lo + _SEMDEDUP_BLOCK, len(ids))
@@ -1972,7 +1992,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
        oracle CTEs, so the gate itself is differential-checked);
     2. WITHIN-CLUSTER pairs: exact cosine over pairs INSIDE one
        cluster only (``a.cid = b.cid AND a.vec_id < b.vec_id``,
-       cosine ≥ {SEMDEDUP_T}) — the all-pairs search is BOUNDED per
+       cosine ≥ 0.4 = SEMDEDUP_T) — the all-pairs search is BOUNDED per
        cluster, never global: SemDeDup's whole point is that the
        cluster gate turns O(n²) into Σ|cluster|², and at 100 TB k
        scales with n so |cluster| (hence the per-key join fan-in)
@@ -2012,7 +2032,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join — released by release_shingles() like every other dedup
     # intermediate
     x = _persisted_aux(
-        (spark, sf_dir, "semdedup_gate"),
+        _docs_key(spark, sf_dir, "embeddings") + ("semdedup_gate",),
         lambda: assign.join(emb, "vec_id"),
     )
     # within-cluster pairs via ONE Arrow applyInPandas per cluster: a
@@ -2023,7 +2043,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-element fold 2·|pairs| times (~3.1M pairs at sf0.1: the
     # linear-in-rows HOF cliff the kmeans assignment already hit in
     # r8); the vectorized matmul does the same arithmetic at ~100×
-    # the throughput (measured 4.8 s → see BASELINE.md r11).  Group
+    # the throughput (interpreted-HOF first cut measured 4.8 s at
+    # sf0.1 vs ~3.8-4.4 s for the whole query after this rewrite —
+    # scale points in BASELINE.md round 12).  Group
     # size is bounded by SemDeDup's own contract (k scales with n),
     # so one group per Arrow batch holds at scale.
     pairs = x.groupBy("cid").applyInPandas(

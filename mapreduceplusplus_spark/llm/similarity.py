@@ -388,12 +388,15 @@ def _ivf_score_topk(
 #: mtimes + sizes of the embeddings parquet, ADVICE r9) makes a stale
 #: read impossible: rewriting the dataset under sf_dir in-process
 #: changes the key, so the next probe rebuilds instead of silently
-#: reading the old index.  The session component of the key is
-#: ``sparkContext.applicationId`` — stable and unique per session, so
-#: (unlike the earlier ``id(session)`` key, ADVICE r10) a NEW session
-#: whose object happens to land on a recycled id can never adopt a
-#: dead session's index dir; and being a string it holds no reference,
-#: so the cache still never pins dead sessions alive.  The dirs live
+#: reading the old index.  The first component of the key is
+#: ``sparkContext.applicationId`` — stable and unique per Spark
+#: CONTEXT, so (unlike the earlier ``id(session)`` key, ADVICE r10) a
+#: NEW context whose object happens to land on a recycled id can never
+#: adopt a dead context's index dir; and being a string it holds no
+#: reference, so the cache never pins dead sessions alive.  Sibling
+#: sessions from ``newSession()`` share one build (ADVICE r11) — safe
+#: because the index content is conf-independent (deterministic
+#: integer arithmetic over the parquet bytes; hostile-twin pinned).  The dirs live
 #: until process exit (a lazily-consumed plan may read one at any
 #: time), then are swept by the atexit hook — bounded at one dir per
 #: (session, dataset, dataset version), never one per invocation
@@ -465,10 +468,13 @@ def sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overwrite-in-place slot clobbers the part files under any
     # EARLIER invocation's still-unconsumed plan (two sessions probing
     # the same dataset — the hostile-config twin test — broke exactly
-    # this way).  Keyed per SESSION like _SHINGLE_CACHE (sibling
-    # sessions with different confs never share a build) plus the
-    # dataset fingerprint — an in-process rewrite of sf_dir forces a
-    # rebuild instead of a stale read (ADVICE r9).
+    # this way).  Keyed per Spark CONTEXT (applicationId): sibling
+    # sessions from newSession() DO share a build (ADVICE r11) — safe,
+    # because the index content is conf-independent (deterministic
+    # integer seed assignment over the parquet bytes; the hostile-twin
+    # test pins identical output under different session confs) —
+    # plus the dataset fingerprint, so an in-process rewrite of sf_dir
+    # forces a rebuild instead of a stale read (ADVICE r9).
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
@@ -1146,8 +1152,8 @@ def _mmr_oracle() -> str:
 def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR (maximal-marginal-relevance) diversified re-rank on top of
     ``sim_search_topk``'s exact retrieval — the standard RAG retrieval
-    finisher (Carbonell & Goldstein 1998): from the top-{MMR_POOL}
-    relevance pool, greedily pick {MMR_K} results maximizing
+    finisher (Carbonell & Goldstein 1998): from the top-20 (MMR_POOL)
+    relevance pool, greedily pick 5 (MMR_K) results maximizing
     λ·relevance − (1−λ)·max-similarity-to-already-selected (λ = 0.7),
     so near-duplicate passages don't crowd out coverage.
 
@@ -1155,14 +1161,14 @@ def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize to MICRO-COSINE BIGINTs (round(10⁶·cos) — the integer-
     cents device), the MMR score is the integer 7·rel − 3·maxsim
     (λ = 0.7 scaled ×10), and each greedy step is a bounded argmax
-    (min-vec_id tiebreak) over the ≤{MMR_POOL}-row pool — so the
-    DuckDB oracle can unroll the IDENTICAL {MMR_K} iterations
+    (min-vec_id tiebreak) over the ≤20-row pool — so the
+    DuckDB oracle can unroll the IDENTICAL 5 iterations
     (the ``ml_kmeans_lloyd`` unrolled-oracle device).
 
     Scale: the corpus-sized work is exactly ``sim_search_topk``'s
     map-side scoring + TakeOrdered pool (one pass, no shuffle of the
-    big side); everything after — the {MMR_POOL}×{MMR_POOL} pairwise
-    sims and the {MMR_K} picks — is constant-bounded and
+    big side); everything after — the 20×20 pairwise
+    sims and the 5 picks — is constant-bounded and
     localCheckpointed per step (1-row eager checkpoints: the
     iterative-loop lineage rule), independent of corpus size.
     Reference heritage: none (SURVEY §2 charter extension, similarity

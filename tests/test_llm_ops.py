@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 import hashlib
+import os
 
 from pyspark.sql import functions as F
 
@@ -1479,3 +1480,41 @@ def test_incremental_ingest_near_matches_full_recompute_and_prunes(spark):
     # (c) real pruning: probed buckets < total buckets (file-level)
     assert D._last_ingest_total_parts == D.MINHASH_BANDS * D._INGEST_NB
     assert 0 < D._last_ingest_probe_parts < D._last_ingest_total_parts
+
+
+def test_mmr_micro_cosine_boundary_margin():
+    """ADVICE r11: ``sim_search_mmr_rerank``'s oracle equivalence rests
+    on round(10⁶·cos) agreeing between Spark's HOF fold and DuckDB's
+    list_cosine_similarity — differing float REDUCTION ORDERS can
+    differ by ~d·ulp ≈ 1e-8 micro-units, which only matters if some
+    pool cosine sits within that distance of a .5 rounding boundary.
+    Pin the clean-margin contract: recompute every pool cosine (probe
+    relevances + all pairwise sims over the top-MMR_POOL pool) in
+    numpy float64 and assert each is ≥ 1e-4 micro-units away from the
+    nearest .5 boundary — 10⁴× the plausible cross-engine deviation.
+    Checked at both the oracle sf (0.01) and bench sf (0.1) fixtures."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduceplusplus_spark.llm.similarity import MMR_POOL, PROBE_ID
+
+    for sf_dir in (SF_DIR_ORACLE, "/root/testdata/sf0.1"):
+        if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+            continue
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        ).to_pandas()
+        ids = t["vec_id"].to_numpy()
+        V = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        pv = V[ids == PROBE_ID][0]
+        mask = ids != PROBE_ID
+        Vm, im = V[mask], ids[mask]
+        rel = (Vm @ pv) / (np.linalg.norm(Vm, axis=1) * np.linalg.norm(pv))
+        order = np.lexsort((im, -rel))[:MMR_POOL]
+        P = Vm[order] / np.linalg.norm(Vm[order], axis=1, keepdims=True)
+        S = P @ P.T
+        off_diag = S[~np.eye(len(order), dtype=bool)]
+        vals = np.concatenate([rel[order], off_diag]) * 1e6
+        dist = np.abs(vals - np.floor(vals) - 0.5)
+        assert dist.min() > 1e-4, (sf_dir, float(dist.min()))
