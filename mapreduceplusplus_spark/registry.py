@@ -185,18 +185,26 @@ _PRIORITY_ORDER = [
     # stronger SSSP pin — weighted semantics BFS cannot express), the
     # Spark-4.1 arrow-vectorized UDTF, and the two-window linear
     # multi-touch attribution.
-    # Remaining never-checked oracle-bearing candidates for r12+
-    # (incl. the r10 additions graph_sssp, events_ab_ks_test,
-    # events_ab_mannwhitney — none has a driver row yet):
+    # r11 rotated cdc_incremental_diff, graph_sssp_weighted,
+    # udtf_arrow_vectorized, events_attribution_linear — all
+    # hash-green in CORRECTNESS_r11.  r12 rotates in the four rows the
+    # r11 verdict named (none with any prior CORRECTNESS_r1..r11 row):
+    # the SemDeDup semantic dedup (shared-Lloyd gate + Arrow BLAS
+    # pair kernel + CC), the MMR diversified re-rank (unrolled
+    # integer-exact greedy), the watermark-null-timing stream-stream
+    # LEFT OUTER join, and the unweighted BFS SSSP (r10 leftover).
+    # Remaining never-checked oracle-bearing candidates for r13+
+    # (incl. the r10 additions events_ab_ks_test,
+    # events_ab_mannwhitney — neither has a driver row yet):
     # text_winnowing_matches, mixture_sample_apply, text_bm25_search,
     # text_heavy_hitters, graph_pagerank, tpch_q21_waiting_suppliers,
     # agg_weighted_median, agg_trimmed_mean, sql_passthrough_q1,
     # pack_concat_chunks, scd2_build_validity, window_gaps_islands,
     # text_char_entropy, agg_listagg_within_group.
-    "cdc_incremental_diff",
-    "graph_sssp_weighted",
-    "udtf_arrow_vectorized",
-    "events_attribution_linear",
+    "dedup_semdedup",
+    "sim_search_mmr_rerank",
+    "stream_stream_join_left",
+    "graph_sssp",
 ]
 
 _loaded = False
