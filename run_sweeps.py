@@ -64,9 +64,11 @@ EVIDENCE_TESTS = [
     "tests/test_operator_edges.py::test_ks_ppm_exact_at_bigint_boundary",
     "tests/test_operator_edges.py::test_mwu_cles_ppm_exact_past_bigint",
     # incremental near-dup ingest == full-corpus recompute + partition
-    # prune pin (r11)
+    # prune pin (r11; r12 adds the shingle-store scan + sk-prune pins)
     "tests/test_llm_ops.py::"
     "test_incremental_ingest_near_matches_full_recompute_and_prunes",
+    # MMR micro-cosine clean-margin contract (ADVICE r11)
+    "tests/test_llm_ops.py::test_mmr_micro_cosine_boundary_margin",
 ]
 
 

@@ -1481,6 +1481,39 @@ def test_incremental_ingest_near_matches_full_recompute_and_prunes(spark):
     assert D._last_ingest_total_parts == D.MINHASH_BANDS * D._INGEST_NB
     assert 0 < D._last_ingest_probe_parts < D._last_ingest_total_parts
 
+    # (d) VERDICT r11: the verify step's corpus-shingle fetch is served
+    # from the persisted shingle store (sk-partition-pruned), so corpus
+    # text is never re-shingled cold.  Pin: a FileScan on the store
+    # with an sk PartitionFilters entry, and a real bucket prune.
+    sh_lines = [
+        ln for ln in plan.split("\n")
+        if "FileScan" in ln and "neardup_index_" in ln and "/shingles" in ln
+    ]
+    assert sh_lines, f"no shingle-store FileScan in plan:\n{plan}"
+    spf = sh_lines[0].split("PartitionFilters: [", 1)
+    assert len(spf) == 2 and "sk" in spf[1].split("]")[0], (
+        f"sk predicate not pushed to PartitionFilters:\n{sh_lines[0]}"
+    )
+    assert D._last_ingest_shingle_total_parts == D._INGEST_NS
+    assert (
+        0
+        < D._last_ingest_shingle_probe_parts
+        <= D._last_ingest_shingle_total_parts
+    )
+    # and the ONLY documents.parquet scans left in the plan are the
+    # batch side (every one carries the batch filter downstream —
+    # textually: each documents FileScan's ReadSchema is the slim
+    # doc_id/text projection, and the corpus shingle relation's source
+    # is the store path, asserted above).  Count them: base + batch
+    # shingles — the corpus side adds none beyond the cached/stored
+    # relations.
+    doc_scans = [
+        ln for ln in plan.split("\n")
+        if "FileScan" in ln and "documents.parquet" in ln
+    ]
+    for ln in doc_scans:
+        assert "neardup_index_" not in ln
+
 
 def test_mmr_micro_cosine_boundary_margin():
     """ADVICE r11: ``sim_search_mmr_rerank``'s oracle equivalence rests
