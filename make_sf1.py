@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""sf1 fixture generator — GENUINE 10× cardinality, not replication.
+
+The N×-replication harness (``scale_point.py``) hard-links the same
+parquet file N times, which is the right lever for scan/shuffle cost but
+SHARES key values: doc_ids collide, the MMR pool fills with copies of
+one document, near-dup pair counts grow quadratically in N instead of
+tracking the corpus.  This generator derives an sf1 directory from the
+driver's sf0.1 with 10× rows and REAL key cardinality (VERDICT r10 item
+8 / r11 item 4), deterministically (no RNG state outside seeded
+``numpy.default_rng``):
+
+- ``documents``: 10 copies; copy k shifts ``doc_id`` by k·10⁴ and
+  RENAMES the whole token vocabulary (suffix ``q``+letter(k), alphabetic
+  so the ``[a-z]+`` tokenizer keeps each token whole).  Jaccard is
+  invariant under token renaming, so every planted within-copy near-dup
+  survives EXACTLY while cross-copy docs share zero shingles — dedup
+  output scales linearly (10×), the honest corpus-growth shape.  Vocab
+  and n-gram tables grow 10× (genuine for BM25 / heavy hitters /
+  perplexity).
+- ``embeddings``: 10 copies; ``vec_id`` shifted by k·|rows|, copy k > 0
+  perturbed with seeded noise (σ = 0.01·scale) — breaks exact ties so
+  top-k/MMR see 10× distinct candidates, keeps the label/cluster
+  geometry.
+- ``events``: 10 copies; ``event_id``/``user_id`` shifted — 10× genuine
+  users over the same time span (a denser stream, not a replayed one).
+- ``lineitem``/``orders``: ``l_orderkey``/``o_orderkey`` shifted — 10×
+  genuine orders against the 1× dimension tables (co-occurrence graphs
+  densify, FKs stay valid).
+- dims (``region nation customer supplier part``): copied 1×.
+
+Usage:  python make_sf1.py [--src /root/testdata/sf0.1] [--out /tmp/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+K = 10
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def _letters(k: int) -> str:
+    return "q" + chr(ord("a") + k)
+
+
+def _suffix_text(texts, suf: str):
+    return [
+        " ".join(w + suf for w in t.split()) if t is not None else None
+        for t in texts
+    ]
+
+
+def gen_documents(src: str, out: str) -> int:
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    shift = 10_000  # > max sf0.1 doc_id (4,999); keeps ids disjoint
+    parts = []
+    for k in range(K):
+        doc_id = pc.add(t["doc_id"], shift * k)
+        if k == 0:
+            txt = t["text"]
+        else:
+            txt = pa.array(_suffix_text(t["text"].to_pylist(), _letters(k)))
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": doc_id,
+                    "text": txt,
+                    "lang": t["lang"],
+                    "source": t["source"],
+                    "n_chars": pa.array(
+                        [len(x) if x is not None else None for x in txt.to_pylist()],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+        )
+    full = pa.concat_tables(parts)
+    pq.write_table(full, os.path.join(out, "documents.parquet"))
+    return full.num_rows
+
+
+def gen_embeddings(src: str, out: str) -> int:
+    t = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    n = t.num_rows
+    vecs = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float32)
+    scale = float(np.abs(vecs).mean())
+    parts = []
+    for k in range(K):
+        v = vecs
+        if k > 0:
+            rng = np.random.default_rng(42 + k)
+            v = vecs + rng.normal(0.0, 0.01 * scale, vecs.shape).astype(
+                np.float32
+            )
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pc.add(t["vec_id"], n * k),
+                    "embedding": pa.array(list(v), type=t.schema.field("embedding").type),
+                    "label": t["label"],
+                }
+            )
+        )
+    full = pa.concat_tables(parts)
+    pq.write_table(full, os.path.join(out, "embeddings.parquet"))
+    return full.num_rows
+
+
+def gen_shifted(src: str, out: str, table: str, shifts: dict[str, int]) -> int:
+    t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+    parts = []
+    for k in range(K):
+        cols = {}
+        for name in t.column_names:
+            col = t[name]
+            if name in shifts:
+                col = pc.add(col, shifts[name] * k)
+            cols[name] = col
+        parts.append(pa.table(cols))
+    full = pa.concat_tables(parts)
+    pq.write_table(full, os.path.join(out, f"{table}.parquet"))
+    return full.num_rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sf1")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    for d in DIMS:
+        shutil.copyfile(
+            os.path.join(args.src, f"{d}.parquet"),
+            os.path.join(args.out, f"{d}.parquet"),
+        )
+    print("documents:", gen_documents(args.src, args.out))
+    print("embeddings:", gen_embeddings(args.src, args.out))
+    # key shifts: > the max key in the sf0.1 table, round numbers
+    print(
+        "events:",
+        gen_shifted(
+            args.src, args.out, "events",
+            {"event_id": 1_000_000, "user_id": 1_000_000},
+        ),
+    )
+    print(
+        "lineitem:",
+        gen_shifted(args.src, args.out, "lineitem", {"l_orderkey": 1_000_000}),
+    )
+    print(
+        "orders:",
+        gen_shifted(args.src, args.out, "orders", {"o_orderkey": 1_000_000}),
+    )
+
+
+if __name__ == "__main__":
+    main()

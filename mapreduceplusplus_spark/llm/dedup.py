@@ -2148,3 +2148,227 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: batch membership for the incremental SEMANTIC ingest — every 5th
+#: vec_id is "today's embeddings batch", the rest are the indexed
+#: corpus (distinct from the lexical twin's doc_id % 25 so the two
+#: incremental queries exercise different split shapes)
+SEMINGEST_MOD = 5
+
+#: memoized on-disk cid-partitioned member-embedding indexes for the
+#: incremental semantic ingest, keyed like _NEARDUP_INDEX_CACHE
+_SEMINGEST_INDEX_CACHE: dict[tuple[str, str, tuple], str] = {}
+
+#: probe diagnostics (cluster dirs probed / total) — the prune pin
+_last_semingest_probe_parts: int | None = None
+_last_semingest_total_parts: int | None = None
+
+
+def _sweep_semingest_indexes() -> None:
+    import shutil
+
+    for d in _SEMINGEST_INDEX_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _SEMINGEST_INDEX_CACHE.clear()
+
+
+atexit.register(_sweep_semingest_indexes)
+
+
+def _semingest_flags(pdf):
+    """Per-cluster verify kernel behind ``dedup_semdedup_incremental``:
+    one Arrow batch = one k-means cell holding today's BATCH vectors
+    (``is_corpus = False``) and the cell's pruned INDEX members.  Emits
+    one row per batch vector: does a corpus member within the cell
+    clear the SemDeDup threshold (``dup_vs_corpus``), does a SMALLER-id
+    batch vector (``dup_in_batch`` — the same greedy pairwise rule as
+    the lexical twin)?  Same row-blocked float64 BLAS matmul, fixed
+    vec_id sort order, and zero-norm clamp as
+    ``_semdedup_cluster_pairs``."""
+    import numpy as np
+    import pandas as pd
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "dup_vs_corpus": pd.Series([], dtype=bool),
+                "dup_in_batch": pd.Series([], dtype=bool),
+            }
+        )
+
+    b = pdf[~pdf["is_corpus"]].sort_values("vec_id")
+    if not len(b):
+        return _empty()
+    Vb = np.stack(b["v"].to_numpy()).astype(np.float64)
+    Vb /= np.maximum(np.linalg.norm(Vb, axis=1, keepdims=True), 1e-300)
+    c = pdf[pdf["is_corpus"]]
+    Vc = None
+    if len(c):
+        Vc = np.stack(c["v"].to_numpy()).astype(np.float64)
+        Vc /= np.maximum(np.linalg.norm(Vc, axis=1, keepdims=True), 1e-300)
+    dup_c = np.zeros(len(b), dtype=bool)
+    dup_b = np.zeros(len(b), dtype=bool)
+    for lo in range(0, len(b), _SEMDEDUP_BLOCK):
+        hi = min(lo + _SEMDEDUP_BLOCK, len(b))
+        if Vc is not None:
+            dup_c[lo:hi] = (Vb[lo:hi] @ Vc.T >= SEMDEDUP_T).any(axis=1)
+        S = Vb[lo:hi] @ Vb.T  # block × |batch|
+        # strictly-earlier columns only: j < global row index ⇒ the
+        # j-th batch vector has a SMALLER vec_id (rows are id-sorted)
+        mask = np.arange(len(b))[None, :] < np.arange(lo, hi)[:, None]
+        dup_b[lo:hi] = ((S >= SEMDEDUP_T) & mask).any(axis=1)
+    return pd.DataFrame(
+        {
+            "vec_id": b["vec_id"].to_numpy(),
+            "dup_vs_corpus": dup_c,
+            "dup_in_batch": dup_b,
+        }
+    )
+
+
+def _semingest_oracle() -> str:
+    from mapreduceplusplus_spark.operators.ml import KMEANS_A2_SQL
+
+    return f"""
+    WITH {KMEANS_A2_SQL},
+    V AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+          FROM embeddings),
+    M AS (SELECT a.vec_id, a.cid, v.ve
+          FROM A2 a JOIN V v ON v.vec_id = a.vec_id),
+    B AS (SELECT * FROM M WHERE vec_id % {SEMINGEST_MOD} = 0),
+    C AS (SELECT * FROM M WHERE vec_id % {SEMINGEST_MOD} <> 0),
+    dc AS (SELECT DISTINCT b.vec_id FROM B b JOIN C c ON b.cid = c.cid
+           WHERE list_cosine_similarity(b.ve, c.ve) >= {SEMDEDUP_T}),
+    db AS (SELECT DISTINCT b.vec_id FROM B b
+           JOIN B c2 ON b.cid = c2.cid AND c2.vec_id < b.vec_id
+           WHERE list_cosine_similarity(b.ve, c2.ve) >= {SEMDEDUP_T})
+    SELECT b.vec_id,
+           (dc.vec_id IS NOT NULL) AS dup_vs_corpus,
+           (db.vec_id IS NOT NULL) AS dup_in_batch,
+           CASE WHEN dc.vec_id IS NOT NULL OR db.vec_id IS NOT NULL
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM B b LEFT JOIN dc ON dc.vec_id = b.vec_id
+             LEFT JOIN db ON db.vec_id = b.vec_id
+    """
+
+
+@query("dedup_semdedup_incremental", oracle=_semingest_oracle())
+def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC ingest — the SemDeDup analog of
+    ``dedup_incremental_ingest_near``, completing the incremental-
+    ingest pair (lexical + semantic) a continuous 100 TB training-data
+    pipeline runs per crawl batch:
+
+    1. INDEX (write-once, memoized per dataset version): the corpus
+       member embeddings, parquet PARTITIONED BY their k-means cell
+       ``cid`` — ``sim_search_ivf_partitioned``'s layout.  The cell
+       assignment comes from the SHARED integer-exact Lloyd gate
+       (``operators/ml.py:kmeans_assignments``) over the dataset
+       version — the same relation ``dedup_semdedup`` gates on (and
+       the same persisted ``semdedup_gate`` frame, so the two queries
+       share one build).  That sharing is what makes the equality pin
+       EXACT: a Lloyd assignment is not split-invariant, so a
+       production system freezes the trained centroid set as the model
+       artifact and assigns batches map-side against the broadcast
+       centroids — precisely what ``kmeans_assignments``' assign step
+       is (a k·d broadcast join), with the training corpus here being
+       the dataset version.
+    2. PROBE: the batch (``vec_id % {SEMINGEST_MOD} = 0``) collects its
+       DISTINCT cells (bounded census, ≤ k ints) and reads the index
+       ``WHERE cid IN (...)`` — a partition-column predicate, so the
+       unprobed cells are pruned at file-listing time.  With the
+       fixture's k = 4 a spread batch touches every cell; the prune
+       pin therefore uses a CONSTRUCTED dataset whose batch occupies a
+       strict cell subset (at 100 TB, SemDeDup's k-scales-with-n
+       contract makes a batch touch a vanishing fraction of cells).
+    3. VERIFY: one Arrow kernel per probed cell (``_semingest_flags``)
+       computes batch×corpus and batch×batch cosines as row-blocked
+       float64 BLAS — ``dup_vs_corpus`` (any corpus member ≥
+       {SEMDEDUP_T}), ``dup_in_batch`` (any smaller-id batch member ≥
+       threshold, the greedy pairwise rule), verdict keep/drop.
+
+    Output mirrors the lexical twin: one row per batch vector.  The
+    DuckDB oracle recomputes everything from the spec — shared Lloyd
+    CTEs, within-cell batch⋈corpus and batch⋈batch cosine joins —
+    under the same clean-margin float-threshold contract as
+    ``dedup_semdedup``.  Reference heritage: none (SURVEY §2 charter
+    extension, dedup family)."""
+    import os as _os
+    import tempfile
+
+    global _last_semingest_probe_parts, _last_semingest_total_parts
+    ensure_utc(spark)
+    from mapreduceplusplus_spark.operators.ml import kmeans_assignments
+    from mapreduceplusplus_spark.sources.tables import dataset_fingerprint
+
+    assign = kmeans_assignments(spark, sf_dir).select("vec_id", "cid")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    x = _persisted_aux(
+        _docs_key(spark, sf_dir, "embeddings") + ("semdedup_gate",),
+        lambda: assign.join(emb, "vec_id"),
+    )
+    is_batch = F.col("vec_id") % SEMINGEST_MOD == 0
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_fingerprint(sf_dir, "embeddings"),
+    )
+    index_dir = _SEMINGEST_INDEX_CACHE.get(key)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="semingest_index_")
+        (
+            x.where(~is_batch)
+            .select("vec_id", "v", "cid")
+            # one writer task per cell: file count ≈ #cells
+            .repartition(4, F.col("cid"))
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(index_dir)
+        )
+        _SEMINGEST_INDEX_CACHE[key] = index_dir
+
+    batch = _persisted_aux(
+        _docs_key(spark, sf_dir, "embeddings") + ("semingest_batch",),
+        lambda: x.where(is_batch),
+    )
+    # bounded census collect: ≤ k cluster ids
+    probe_cids = sorted(
+        r[0] for r in batch.select("cid").distinct().collect()
+    )
+    _last_semingest_total_parts = sum(
+        1 for d in _os.listdir(index_dir) if d.startswith("cid=")
+    )
+    _last_semingest_probe_parts = len(probe_cids)
+    if not probe_cids:
+        return batch.select(
+            "vec_id",
+            F.lit(False).alias("dup_vs_corpus"),
+            F.lit(False).alias("dup_in_batch"),
+            F.lit("keep").alias("verdict"),
+        )
+    idx = (
+        spark.read.schema("vec_id BIGINT, v ARRAY<DOUBLE>, cid BIGINT")
+        .parquet(index_dir)
+        .where(F.col("cid").isin(probe_cids))
+    )
+    un = batch.select(
+        "vec_id", "v", "cid", F.lit(False).alias("is_corpus")
+    ).unionByName(idx.withColumn("is_corpus", F.lit(True)))
+    flags = un.groupBy("cid").applyInPandas(
+        _semingest_flags,
+        "vec_id bigint, dup_vs_corpus boolean, dup_in_batch boolean",
+    )
+    return flags.select(
+        "vec_id",
+        "dup_vs_corpus",
+        "dup_in_batch",
+        F.when(F.col("dup_vs_corpus") | F.col("dup_in_batch"), "drop")
+        .otherwise("keep")
+        .alias("verdict"),
+    )

@@ -69,6 +69,10 @@ EVIDENCE_TESTS = [
     "test_incremental_ingest_near_matches_full_recompute_and_prunes",
     # MMR micro-cosine clean-margin contract (ADVICE r11)
     "tests/test_llm_ops.py::test_mmr_micro_cosine_boundary_margin",
+    # incremental semantic ingest: constructed-fixture prune +
+    # independent numpy recompute (r12)
+    "tests/test_llm_ops.py::"
+    "test_semdedup_incremental_prunes_and_matches_recompute",
 ]
 
 

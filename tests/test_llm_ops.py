@@ -1551,3 +1551,104 @@ def test_mmr_micro_cosine_boundary_margin():
         vals = np.concatenate([rel[order], off_diag]) * 1e6
         dist = np.abs(vals - np.floor(vals) - 0.5)
         assert dist.min() > 1e-4, (sf_dir, float(dist.min()))
+
+
+def test_semdedup_incremental_prunes_and_matches_recompute(spark, tmp_path):
+    """VERDICT r11 item 5: the incremental SEMANTIC ingest must (a) be
+    pinned equal to an independent numpy recompute of the spec (same
+    Lloyd cells, batch×corpus / batch×batch cosine thresholds, greedy
+    smaller-id rule), (b) probe the cid-partitioned member index
+    through PartitionFilters, and (c) actually PRUNE.  The fixture's
+    k = 4 with a spread batch touches every cell, so the prune case
+    uses a CONSTRUCTED dataset whose batch lives in 2 of 4 cells —
+    the regime SemDeDup's k-scales-with-n contract guarantees at
+    scale.  The sf0.01 end-to-end equality is the DuckDB oracle's job
+    (dedup_semdedup_incremental is oracle-bearing)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import mapreduceplusplus_spark.llm.dedup as D
+    from mapreduceplusplus_spark.operators.ml import kmeans_assignments
+
+    # ---- constructed dataset: 4 one-hot anchors; seeds 0..3 define
+    # the cells; batch ids (vec_id % 5 == 0) only ever sit near
+    # anchors 0/1; corpus fills all four cells.
+    rng = np.random.default_rng(7)
+    d = 8
+    anchors = np.eye(4, d, dtype=np.float64)
+    ids, vecs = [], []
+    for vid in range(40):
+        if vid < 4:
+            a = anchors[vid]
+        elif vid % 5 == 0:
+            a = anchors[vid % 2]          # batch: cells 0/1 only
+        else:
+            a = anchors[vid % 4]          # corpus: all cells
+        ids.append(vid)
+        vecs.append(a + rng.normal(0, 0.05, d))
+    emb = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 40, type=pa.int32()),
+        }
+    )
+    sf = str(tmp_path / "semingest")
+    import os as _os
+
+    _os.makedirs(sf)
+    pq.write_table(emb, _os.path.join(sf, "embeddings.parquet"))
+
+    qs = registry.queries()
+    out_df = qs["dedup_semdedup_incremental"](spark, sf)
+    out = {r.vec_id: r for r in out_df.collect()}
+
+    # (a) independent recompute: cells from the shared gate, cosines
+    # in numpy over the raw float32-cast-double embeddings
+    cell = {
+        r.vec_id: r.cid for r in kmeans_assignments(spark, sf).collect()
+    }
+    V = {vid: np.asarray(v, dtype=np.float64) for vid, v in zip(ids, (
+        np.asarray(vecs[i], dtype=np.float32).astype(np.float64)
+        for i in range(40)
+    ))}
+
+    def cos(a, b):
+        return float(
+            V[a] @ V[b]
+            / (np.linalg.norm(V[a]) * np.linalg.norm(V[b]))
+        )
+
+    batch = [v for v in ids if v % D.SEMINGEST_MOD == 0]
+    corpus = [v for v in ids if v % D.SEMINGEST_MOD != 0]
+    assert len(out) == len(batch)
+    for b in batch:
+        exp_c = any(
+            cell[c] == cell[b] and cos(b, c) >= D.SEMDEDUP_T for c in corpus
+        )
+        exp_b = any(
+            cell[c] == cell[b] and c < b and cos(b, c) >= D.SEMDEDUP_T
+            for c in batch
+        )
+        r = out[b]
+        assert r.dup_vs_corpus == exp_c, (b, r)
+        assert r.dup_in_batch == exp_b, (b, r)
+        assert r.verdict == ("drop" if exp_c or exp_b else "keep"), (b, r)
+
+    # (b) PartitionFilters pin on the index probe scan
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.split("\n")
+        if "FileScan" in ln and "semingest_index_" in ln
+    ]
+    assert scan_lines, f"no index FileScan in plan:\n{plan}"
+    pf = scan_lines[0].split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "cid" in pf[1].split("]")[0], scan_lines[0]
+
+    # (c) REAL prune: the constructed batch occupies 2 of the 4 cells
+    assert D._last_semingest_total_parts == 4
+    assert D._last_semingest_probe_parts == 2
