@@ -54,9 +54,9 @@ def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-@query(
-    "sim_search_topk",
-    oracle=f"""
+#: sim_search_topk's oracle, shared verbatim with the hybrid-RRF
+#: fusion oracle (which nests it as a CTE body)
+_TOPK_ORACLE = f"""
     WITH probe AS (
       SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = {PROBE_ID}
     ),
@@ -71,8 +71,10 @@ def _norm(v: Column) -> Column:
     FROM scored
     ORDER BY c DESC, vec_id
     LIMIT {TOP_K}
-    """,
-)
+    """
+
+
+@query("sim_search_topk", oracle=_TOPK_ORACLE)
 def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k vs one probe vector.  The probe
     row is a 1-row broadcast (no shuffle of the big side); scoring is a
@@ -1253,4 +1255,97 @@ def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("rel").cast("bigint").alias("rel"),
         F.col("mmr").cast("bigint").alias("mmr"),
+    )
+
+
+#: reciprocal-rank-fusion constant (Cormack/Clarke/Büttcher 2009's
+#: k = 60) and the fused list length
+RRF_K = 60
+HYBRID_TOPK = 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    from mapreduceplusplus_spark.llm.textstats import _bm25_sql
+
+    return f"""
+    WITH bm AS ({_bm25_sql()}),
+    km AS ({_TOPK_ORACLE}),
+    fused AS (
+      SELECT coalesce(bm.doc_id, km.vec_id) AS doc_id,
+             bm.rnk AS bm_rnk,
+             km.rnk AS knn_rnk,
+             CAST(coalesce(round(1000000.0 / ({RRF_K} + bm.rnk)), 0)
+                + coalesce(round(1000000.0 / ({RRF_K} + km.rnk)), 0)
+                  AS BIGINT) AS rrf_micro
+      FROM bm FULL OUTER JOIN km ON km.vec_id = bm.doc_id
+    )
+    SELECT doc_id, bm_rnk, knn_rnk, rrf_micro,
+           CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM fused
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT {HYBRID_TOPK}
+    """
+
+
+@query("sim_search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def sim_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion — reciprocal-rank fusion (RRF, k = 60)
+    of the LEXICAL ranked list (``text_bm25_search``'s BM25 top-20
+    over documents) and the SEMANTIC ranked list (``sim_search_topk``'s
+    exact cosine top-10 over embeddings): the standard RAG retriever
+    shape, sitting next to the ``sim_search_mmr_rerank`` finisher.
+    ``embeddings.vec_id`` indexes the same corpus items as
+    ``documents.doc_id`` (the fixture contract), so the two lists fuse
+    on one id.
+
+    Integer-exact device: each list contributes the QUANTIZED
+    reciprocal ``round(10⁶/(60 + rank))`` (an id absent from a list
+    contributes 0 — the standard RRF convention), so the fused score
+    is a small-integer sum both engines compute identically: ranks are
+    integers, the ~20 possible reciprocals hit no .5 rounding boundary
+    (10⁶·2/(60+r) is never an odd integer for r ≤ 40), and ties break
+    by doc_id.  The oracle COMPOSES the two existing oracle
+    formulations verbatim (nested CTE bodies) and fuses with the same
+    arithmetic — rank agreement is therefore inherited from the two
+    already-green differentials, and the fusion adds only exact
+    integer steps.
+
+    Scale: both input lists are the outputs of scan-bound top-k plans
+    (TakeOrderedAndProject — no global sort); the fusion itself is a
+    ≤30-row FULL OUTER join.  At 100 TB the two retrieval passes
+    dominate; fusion cost is constant.  Reference heritage: none
+    (SURVEY §2 charter extension, similarity family)."""
+    from mapreduceplusplus_spark.llm.textstats import text_bm25_search
+
+    ensure_utc(spark)
+    bm = text_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("bm_rnk")
+    )
+    km = sim_search_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("rnk").alias("knn_rnk")
+    )
+    rec = lambda r: F.round(F.lit(1000000.0) / (RRF_K + r)).cast(  # noqa: E731
+        "bigint"
+    )
+    fused = bm.join(km, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm_rnk",
+        "knn_rnk",
+        (
+            F.coalesce(rec(F.col("bm_rnk")), F.lit(0))
+            + F.coalesce(rec(F.col("knn_rnk")), F.lit(0))
+        ).alias("rrf_micro"),
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(HYBRID_TOPK)
+        .select(
+            "doc_id",
+            "bm_rnk",
+            "knn_rnk",
+            "rrf_micro",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
     )

@@ -98,7 +98,13 @@ def streaming_join_pipeline(
     null-extension is late-data-safe: emitting it eagerly would be
     retracted by a late click, and append-mode sinks cannot retract.
     The timing is pinned by
-    ``tests/test_streaming.py::test_stream_stream_left_outer_null_timing``."""
+    ``tests/test_streaming.py::test_stream_stream_left_outer_null_timing``.
+
+    ``how="full_outer"`` adds the CLICK-side extension on top: a click
+    with no purchase in its FORWARD window (``(c_ts, c_ts+lookback]``)
+    is emitted with a NULL purchase — held until the watermark passes
+    the end of that window, the symmetric late-data argument.  Timing
+    pinned by ``test_stream_stream_full_outer_click_null_timing``."""
     purchases = (
         spark.readStream.schema(schema)
         .parquet(source_dir)
@@ -127,7 +133,10 @@ def streaming_join_pipeline(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
     )
     return purchases.join(clicks, cond, how).select(
-        F.col("p_user").alias("user_id"),
+        # coalesce: under full_outer an unmatched CLICK row has a null
+        # p_user; for inner/left_outer p_user is never null, so this
+        # is identical to the old p_user projection there
+        F.coalesce("p_user", "c_user").alias("user_id"),
         "click_id",
         "purchase_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_sec"),
@@ -183,6 +192,65 @@ def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.col("p.ts")) - F.unix_timestamp(F.col("c.ts"))
         ).alias("gap_sec"),
         F.col("c.event_id").isNull().alias("organic"),
+    )
+
+
+@query(
+    "stream_stream_join_full",
+    oracle="""
+    SELECT coalesce(p.user_id, c.user_id)   AS user_id,
+           CAST(c.event_id AS BIGINT)       AS click_id,
+           CAST(p.event_id AS BIGINT)       AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec,
+           (c.event_id IS NULL)             AS organic,
+           (p.event_id IS NULL)             AS unconverted
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <  p.ts
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+    """,
+)
+def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution, FULL OUTER batch form — completes
+    the streaming join matrix (inner = ``stream_stream_join``, left =
+    ``stream_stream_join_left``, stream-static =
+    ``stream_static_enrich``): BOTH unmatched sides survive.  A
+    purchase with no click in its 10-minute lookback is the
+    unattributed conversion (``organic = true``, as in the LEFT form);
+    a click with no purchase in its FORWARD 10-minute window is the
+    UNCONVERTED click (``unconverted = true``) — the row funnel /
+    spend-efficiency readouts need (dropping it silently overstates
+    click→purchase conversion).
+
+    Plan shape: the same user_id hash join with the time band as a
+    within-partition post-filter; FULL OUTER only adds null extension
+    on both sides, not a new shuffle.  The streaming twin is
+    ``streaming_join_pipeline(how="full_outer")`` — watermarks on both
+    sides still bound state, and each side's null row is held until
+    the watermark proves its match window closed (purchase side:
+    backward window, as LEFT; click side: forward window — pinned by
+    ``tests/test_streaming.py::
+    test_stream_stream_full_outer_click_null_timing``).  Reference
+    heritage: none (SURVEY §2 charter extension, streaming family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") < F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 10 MINUTES"))
+    )
+    return p.join(c, cond, "full_outer").select(
+        F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
+        F.col("c.event_id").cast("bigint").alias("click_id"),
+        F.col("p.event_id").cast("bigint").alias("purchase_id"),
+        (
+            F.unix_timestamp(F.col("p.ts")) - F.unix_timestamp(F.col("c.ts"))
+        ).alias("gap_sec"),
+        F.col("c.event_id").isNull().alias("organic"),
+        F.col("p.event_id").isNull().alias("unconverted"),
     )
 
 

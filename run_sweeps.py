@@ -73,6 +73,10 @@ EVIDENCE_TESTS = [
     # independent numpy recompute (r12)
     "tests/test_llm_ops.py::"
     "test_semdedup_incremental_prunes_and_matches_recompute",
+    # stream-stream FULL OUTER: click-side null extension held until
+    # the forward window closes, then batch equivalence (r12)
+    "tests/test_streaming.py::"
+    "test_stream_stream_full_outer_click_null_timing",
 ]
 
 

@@ -2026,3 +2026,114 @@ def test_stream_stream_left_outer_null_timing(spark, stream_dirs):
         ).alias("gap_sec"),
     )
     assert got == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_stream_full_outer_click_null_timing(spark, stream_dirs):
+    """VERDICT r11 item 7: the FULL OUTER stream-stream join adds the
+    CLICK-side extension on top of the LEFT form's purchase side — an
+    unconverted click must (a) be HELD while a purchase could still
+    arrive in its forward window ``(c_ts, c_ts + lookback]``, (b) be
+    emitted with a NULL purchase once the watermark proves that window
+    closed, and (c) the delivered total must equal the batch FULL
+    OUTER join on the same data (both sides' extensions)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceplusplus_spark.streaming.sjoin import streaming_join_pipeline
+
+    src, chk = stream_dirs
+    T = datetime
+    schema = "ts timestamp, user_id bigint, event_id bigint, event_type string"
+
+    def write(rows, n):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch{n}")
+
+    # batch 1: user 1 converts (matched immediately); user 7 CLICKS at
+    # 10:08 with no purchase — its forward match window is
+    # (10:08, 10:18], and the global watermark (min of both sides:
+    # purchases max 10:05 → 09:55) is far below it: HOLD the null row
+    write(
+        [
+            (T(2024, 1, 1, 10, 0, 0), 1, 100, "click"),
+            (T(2024, 1, 1, 10, 5, 0), 1, 102, "purchase"),
+            (T(2024, 1, 1, 10, 8, 0), 7, 700, "click"),
+        ],
+        1,
+    )
+    joined = streaming_join_pipeline(
+        spark,
+        f"{src}/batch*",
+        schema,
+        lookback="10 minutes",
+        watermark="10 minutes",
+        how="full_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_full_sink")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+
+    def delivered():
+        return {
+            (r.user_id, r.click_id, r.purchase_id, r.gap_sec)
+            for r in spark.sql("SELECT * FROM ssj_full_sink").collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        got1 = delivered()
+        assert (1, 100, 102, 300) in got1, got1
+        assert not any(r[0] == 7 for r in got1), (
+            f"click-side null extension emitted EARLY (a purchase in "
+            f"(10:08, 10:18] could still arrive): {got1}"
+        )
+        # batch 2: a later matched pair advances BOTH sides' watermarks
+        # to ≥ 10:19 — past user 7's whole forward window (10:08, 10:18]
+        write(
+            [
+                (T(2024, 1, 1, 10, 29, 0), 5, 500, "click"),
+                (T(2024, 1, 1, 10, 30, 0), 5, 502, "purchase"),
+            ],
+            2,
+        )
+        q.processAllAvailable()
+        got2 = delivered()
+        assert (5, 500, 502, 60) in got2, got2
+        # outer-join nulls are evicted on the micro-batch AFTER the
+        # watermark advance lands in state — deliver one more batch
+        write(
+            [
+                (T(2024, 1, 1, 10, 39, 0), 6, 600, "click"),
+                (T(2024, 1, 1, 10, 40, 0), 6, 602, "purchase"),
+            ],
+            3,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = delivered()
+    assert (7, 700, None, None) in got, got
+
+    # delivered total == batch FULL OUTER join on the same data
+    ev = spark.read.parquet(f"{src}/batch*")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    batch = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") < F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        (
+            F.unix_timestamp(F.col("p.ts")) - F.unix_timestamp(F.col("c.ts"))
+        ).alias("gap_sec"),
+    )
+    assert got == {tuple(r) for r in batch.collect()}
