@@ -2039,3 +2039,65 @@ def test_mwu_cles_ppm_exact_past_bigint(spark):
         for r in rows
         if r.r1x2 > r.n1 * (r.n1 + 1)
     )
+
+
+@pytest.mark.slow
+def test_mwu_promoted_path_end_to_end_at_overflow_scale(spark, tmp_path):
+    """VERDICT r11 item 8: the r11 boundary tests pinned the
+    DECIMAL(38,0)-promoted cles_ppm EXPRESSION on synthetic count
+    frames; this proves the promoted path through the FULL
+    ``events_ab_mannwhitney`` plan (scan → cents grid → midrank window
+    → fold → promoted ratio) on a PLANTED events table with 3·10⁶ rows
+    per arm — past the ~2.1·10⁶ rows/arm point where the naive BIGINT
+    product 10⁶·u2 overflows.  Arms overlap on half their value
+    windows (real tied midranks), and the expected u2/cles_ppm come
+    from an independent integer recompute of the analytic count grid."""
+    n_arm = 3_000_000
+    sf = str(tmp_path / "mwu_scale")
+    import os as _os
+
+    _os.makedirs(sf)
+    # arm = user_id % 2; within-arm index j uniform over 100 cents
+    # cells; arm 1's window shifted +50 → cells 50..99 are tied
+    (
+        spark.range(2 * n_arm)
+        .select(
+            F.col("id").alias("event_id"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.col("id").alias("user_id"),
+            F.lit("exp").alias("event_type"),
+            (
+                (
+                    (F.col("id") / 2).cast("bigint") % 100
+                    + 50 * (F.col("id") % 2)
+                ).cast("double")
+                / 100.0
+            ).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(_os.path.join(sf, "events.parquet"))
+    )
+
+    # independent integer recompute from the analytic grid: each arm
+    # puts exactly n_arm/100 rows in each of its 100 cells
+    per = n_arm // 100
+    c0 = {c: per for c in range(0, 100)}
+    c1 = {c: per for c in range(50, 150)}
+    cum, r1x2 = 0, 0
+    for c in range(0, 150):
+        t = c0.get(c, 0) + c1.get(c, 0)
+        mid2 = 2 * (cum + t) - t + 1
+        r1x2 += c1.get(c, 0) * mid2
+        cum += t
+    u2 = r1x2 - n_arm * (n_arm + 1)
+    exp_ppm = (1_000_000 * u2) // (2 * n_arm * n_arm)
+    # the promotion is LOAD-BEARING at this scale: the naive BIGINT
+    # product would overflow 2^63-1
+    assert 1_000_000 * u2 > 2**63 - 1
+
+    [r] = registry.queries()["events_ab_mannwhitney"](spark, sf).collect()
+    assert (r.n0, r.n1) == (n_arm, n_arm), r
+    assert r.u2 == u2, (r.u2, u2)
+    assert r.cles_ppm == exp_ppm, (r.cles_ppm, exp_ppm)
+    assert 500_000 < r.cles_ppm < 1_000_000  # arm 1 shifted up, overlap
