@@ -77,6 +77,9 @@ HEADLINE = [
     "dedup_incremental_ingest_near",  # persisted band index probe + verify
     "sim_search_mmr_rerank",   # top-k pool + 5 unrolled greedy argmax picks
     "stream_stream_join_left",  # left-outer time-band attribution (batch)
+    "dedup_semdedup_incremental",  # cid-partitioned member index probe + Arrow verify
+    "sim_search_hybrid_rrf",   # BM25 ⊕ cosine reciprocal-rank fusion
+    "stream_stream_join_full",  # full-outer attribution (both null sides)
 ]
 
 

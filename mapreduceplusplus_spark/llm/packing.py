@@ -355,6 +355,84 @@ def mixture_lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH {_LANG_WEIGHTS_SQL},
+    s AS (
+      SELECT lang, n_docs, total,
+             CAST(round(1000000 * sqrt(CAST(n_docs AS DOUBLE)))
+                  AS BIGINT) AS s_micro
+      FROM w
+    ),
+    ssum AS (SELECT CAST(sum(s_micro) AS BIGINT) AS s_total FROM s)
+    SELECT lang, n_docs,
+           CAST(n_docs * 1000000 // total AS BIGINT)   AS obs_ppm,
+           CAST(s_micro * 1000000 // s_total AS BIGINT) AS temp_ppm,
+           -- HUGEINT oracle-side / DECIMAL(38,0) Spark-side: the same
+           -- promoted-ratio pairing as events_ab_mannwhitney's
+           -- cles_ppm (DuckDB's // on DECIMAL is not exact integer
+           -- division)
+           CAST((1000000 * CAST(s_micro AS HUGEINT) * total)
+                // (CAST(s_total AS HUGEINT) * n_docs)
+                AS BIGINT)                              AS boost_ppm
+    FROM s, ssum
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled mixture weights (α = ½, i.e. T = 2 — the
+    multilingual-pretraining standard from mBERT/XLM-R onward):
+    instead of ``mixture_lang_weights``' full flattening to uniform,
+    each language's sampling share is proportional to ``n_docs^α`` —
+    high-resource languages are downsampled, low-resource ones
+    upsampled, but the corpus-size signal is only DAMPED, not erased.
+
+    Engine-exactness without a float margin: ``sqrt`` and the ×10⁶
+    multiply are single correctly-rounded IEEE ops over an
+    integer-exact double, so BOTH engines produce the bit-identical
+    double before rounding — unlike a multi-term float reduction,
+    there is no order-of-evaluation divergence to guard.  Each
+    language's scaled score quantizes to a BIGINT micro-unit
+    (``s = round(10⁶·√n)``) FIRST; the normalized share and the
+    boost-vs-observed ratio are then pure integer floor divisions
+    (the boost numerator 10⁶·s·total is DECIMAL(38,0)-promoted: at
+    10¹² docs it reaches ~10³⁰, past BIGINT but comfortably inside
+    DECIMAL(38,0)).
+
+    Scale: one map-side-combined rollup to ~#languages rows, one
+    1-row broadcast total — nothing else touches the corpus.
+    Reference heritage: none (SURVEY §2 charter extension, mixture
+    family)."""
+    ensure_utc(spark)
+    w = _lang_weights(load_table(spark, sf_dir, "documents"))
+    s = w.select(
+        "lang",
+        "n_docs",
+        "total",
+        F.round(
+            F.lit(1000000) * F.sqrt(F.col("n_docs").cast("double"))
+        )
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    ssum = s.agg(F.sum("s_micro").cast("bigint").alias("s_total"))
+    # broadcast-safe: ssum is a 1-row global aggregate
+    return s.crossJoin(F.broadcast(ssum)).select(
+        "lang",
+        "n_docs",
+        F.expr("n_docs * 1000000 div total").cast("bigint").alias("obs_ppm"),
+        F.expr("s_micro * 1000000 div s_total")
+        .cast("bigint")
+        .alias("temp_ppm"),
+        F.expr(
+            "(1000000 * CAST(s_micro AS DECIMAL(38,0)) * total)"
+            " div (CAST(s_total AS DECIMAL(38,0)) * n_docs)"
+        )
+        .cast("bigint")
+        .alias("boost_ppm"),
+    )
+
+
+@query(
     "pack_chunk_manifest",
     oracle=f"""
     WITH t AS (
