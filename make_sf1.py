@@ -58,9 +58,23 @@ def _suffix_text(texts, suf: str):
     ]
 
 
+def _check_shift(t: pa.Table, col: str, shift: int, table: str) -> None:
+    """Shifts are hardcoded for the default sf0.1 maxima; make a
+    mismatched --src LOUD instead of silently producing colliding keys
+    across copies (the exact replication artifact this script exists
+    to avoid)."""
+    mx = pc.max(t[col]).as_py()
+    if mx is not None and mx >= shift:
+        raise SystemExit(
+            f"{table}.{col} max {mx} >= copy shift {shift}: ids would "
+            f"collide across copies — raise the shift for this source"
+        )
+
+
 def gen_documents(src: str, out: str) -> int:
     t = pq.read_table(os.path.join(src, "documents.parquet"))
     shift = 10_000  # > max sf0.1 doc_id (4,999); keeps ids disjoint
+    _check_shift(t, "doc_id", shift, "documents")
     parts = []
     for k in range(K):
         doc_id = pc.add(t["doc_id"], shift * k)
@@ -116,6 +130,8 @@ def gen_embeddings(src: str, out: str) -> int:
 
 def gen_shifted(src: str, out: str, table: str, shifts: dict[str, int]) -> int:
     t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+    for name, shift in shifts.items():
+        _check_shift(t, name, shift, table)
     parts = []
     for k in range(K):
         cols = {}

@@ -1469,9 +1469,9 @@ def test_incremental_ingest_near_matches_full_recompute_and_prunes(spark):
     plan = out_df._jdf.queryExecution().executedPlan().toString()
     scan_lines = [
         ln for ln in plan.split("\n")
-        if "FileScan" in ln and "neardup_index_" in ln
+        if "FileScan" in ln and "neardup_index_" in ln and "/bands" in ln
     ]
-    assert scan_lines, f"no index FileScan in plan:\n{plan}"
+    assert scan_lines, f"no band-index FileScan in plan:\n{plan}"
     pf = scan_lines[0].split("PartitionFilters: [", 1)
     assert len(pf) == 2 and "pk" in pf[1].split("]")[0], (
         f"probe pk predicate not pushed to PartitionFilters:\n{scan_lines[0]}"
@@ -1500,19 +1500,16 @@ def test_incremental_ingest_near_matches_full_recompute_and_prunes(spark):
         < D._last_ingest_shingle_probe_parts
         <= D._last_ingest_shingle_total_parts
     )
-    # and the ONLY documents.parquet scans left in the plan are the
-    # batch side (every one carries the batch filter downstream —
-    # textually: each documents FileScan's ReadSchema is the slim
-    # doc_id/text projection, and the corpus shingle relation's source
-    # is the store path, asserted above).  Count them: base + batch
-    # shingles — the corpus side adds none beyond the cached/stored
-    # relations.
-    doc_scans = [
-        ln for ln in plan.split("\n")
-        if "FileScan" in ln and "documents.parquet" in ln
-    ]
-    for ln in doc_scans:
-        assert "neardup_index_" not in ln
+    # NOTE a count pin on documents.parquet FileScan LINES is not
+    # well-defined here (round-12 review): the persisted shingle
+    # frame's child plan — which contains the one text FileScan — is
+    # textually REPRINTED under every InMemoryTableScan that references
+    # it (~39 copies), so line counts measure print fan-out, not
+    # executed scans.  The honest pins are (i) the store FileScan with
+    # its sk PartitionFilters above — the corpus verify side's source —
+    # and (ii) the text-derived relations all being persisted
+    # (InMemoryTableScan at runtime), asserted here:
+    assert "InMemoryTableScan" in plan
 
 
 def test_mmr_micro_cosine_boundary_margin():
