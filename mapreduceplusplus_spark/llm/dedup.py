@@ -2388,3 +2388,89 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("verdict"),
     )
+
+
+@query(
+    "dq_duplication_report",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             unnest([md5(array_to_string(w[i*20+1 : i*20+20], ' '))
+                     for i in range(0, CAST((len(w) + 19) // 20 AS INT))])
+               AS fp
+      FROM ws WHERE len(w) > 0
+    ),
+    freq AS (
+      SELECT fp, count(*) AS c, count(DISTINCT source) AS ns
+      FROM chunks GROUP BY fp
+    ),
+    j AS (SELECT ch.source, f.c, f.ns FROM chunks ch JOIN freq f ON f.fp = ch.fp)
+    SELECT source,
+           CAST(count(*) AS BIGINT)                        AS n_chunks,
+           CAST(count(*) FILTER (WHERE c > 1) AS BIGINT)   AS n_dup_chunks,
+           CAST(count(*) FILTER (WHERE ns > 1) AS BIGINT)  AS n_cross_chunks,
+           CAST(count(*) FILTER (WHERE c > 1) * 1000000 // count(*)
+                AS BIGINT)                                 AS dup_ppm
+    FROM j GROUP BY source
+    """,
+)
+def dq_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE duplication governance report — the rollup a corpus
+    owner reads before deciding which crawls to keep: for each
+    ``source``, how many of its 20-token chunks (the
+    ``dedup_chunk_exact`` granularity, same md5 fingerprints) are
+    duplicated ANYWHERE in the corpus (``n_dup_chunks``, ppm rate) and
+    how many appear in MORE THAN ONE source (``n_cross_chunks`` —
+    syndication/mirror mass, the chunks document-level dedup inside a
+    source can never remove).  Full-text duplicate rate is the
+    degenerate special case (this fixture plants chunk-level dups
+    only), so the chunk grain is the informative one.
+
+    Plan: the same explode → 16-byte-fp hash agg as
+    ``dedup_chunk_exact`` (uniform md5 keyspace, no skew), one join
+    back, one per-source rollup — two shuffles total, text never
+    shuffled.  The ppm rate is a BIGINT floor division (engine-exact);
+    at 100 TB the report is ~#sources rows.  Reference heritage: none
+    (SURVEY §2 charter extension, dq family)."""
+    ensure_utc(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", tokens(F.col("text")).alias("w"))
+        .where(F.size("w") > 0)
+    )
+    nc = F.expr("(size(w) + 19) div 20").cast("int")
+    chunk_fps = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("w", i * 20 + 1, 20))),
+    )
+    chunks = docs.select("source", F.explode(chunk_fps).alias("fp"))
+    freq = chunks.groupBy("fp").agg(
+        F.count("*").alias("c"),
+        F.count_distinct("source").alias("ns"),
+    )
+    return (
+        chunks.join(freq, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.count(F.when(F.col("c") > 1, 1))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.count(F.when(F.col("ns") > 1, 1))
+            .cast("bigint")
+            .alias("n_cross_chunks"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_dup_chunks",
+            "n_cross_chunks",
+            F.expr("n_dup_chunks * 1000000 div n_chunks")
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+    )
