@@ -4,9 +4,10 @@ no streaming — SURVEY.md §2.B mandates the family).
 ``stream_stream_join`` is the batch form of the classic click→purchase
 attribution join, oracle-checked like every other registered query;
 ``streaming_join_pipeline`` wires the IDENTICAL join condition into a
-real watermarked stream-stream inner join, which
-``tests/test_streaming.py`` replays through micro-batches and compares
-against the batch form.
+real watermarked stream-stream join (inner / left_outer / full_outer —
+the full matrix as of r12), which ``tests/test_streaming.py`` replays
+through micro-batches and compares against the batch form, pinning
+each outer side's null-extension timing against the watermark.
 
 Scale notes (the whole point of watermarked stream-stream joins): an
 unwatermarked stream-stream join must buffer BOTH streams forever.
