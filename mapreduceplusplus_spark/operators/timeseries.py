@@ -2046,3 +2046,116 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(logs.cast("double") / 1000000), 4))
         .alias("survival"),
     )
+
+
+@query(
+    "events_ab_chi2_conversion",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS g,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT CAST(sum(CASE WHEN g = 0 AND conv = 1 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS a,
+             CAST(sum(CASE WHEN g = 0 AND conv = 0 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS b,
+             CAST(sum(CASE WHEN g = 1 AND conv = 1 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS c,
+             CAST(sum(CASE WHEN g = 1 AND conv = 0 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS d
+      FROM u
+    )
+    SELECT CAST(a AS BIGINT) AS conv_a,
+           CAST(b AS BIGINT) AS nonconv_a,
+           CAST(c AS BIGINT) AS conv_b,
+           CAST(d AS BIGINT) AS nonconv_b,
+           CAST((1000 * (a + b + c + d) * (a*d - b*c) * (a*d - b*c))
+                // ((a + b) * (c + d) * (a + c) * (b + d))
+                AS BIGINT)                                 AS chi2_milli,
+           (1000 * (a + b + c + d) * (a*d - b*c) * (a*d - b*c)
+              > 3841 * (a + b) * (c + d) * (a + c) * (b + d))
+                                                           AS significant
+    FROM t
+    WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0
+    """,
+)
+def events_ab_chi2_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of INDEPENDENCE on the 2×2
+    (arm × converted) table — the categorical-outcome significance
+    readout that completes the experimentation family next to
+    ``events_ab_srm_check`` (which chi-squares the ASSIGNMENT counts,
+    not the outcome): is the conversion difference between arms
+    larger than chance?  Same unit-of-analysis discipline as
+    ``events_ab_lift``: users collapse to one converted-indicator row
+    before any counting.
+
+    Engine-exactness: the closed form χ² = n·(ad−bc)²/((a+b)(c+d)
+    (a+c)(b+d)) is a ratio of INTEGER products, so the milli-χ²
+    statistic is one exact floor division (DECIMAL(38,0) Spark-side /
+    HUGEINT oracle-side — the ``cles_ppm`` pairing) and the 95%
+    significance flag (critical value 3.841, df=1) is a CROSS-
+    MULTIPLIED integer compare that cannot flip on float rounding.
+    Magnitude cap, documented like the MWU row: the numerator
+    1000·n·(ad−bc)² reaches ~62·n⁵ at the worst-case margins, so
+    DECIMAL(38,0)/HUGEINT hold it exactly to ~1.5·10⁷ units TOTAL
+    (~7·10⁶ per arm) — beyond that, divide (ad−bc)² by two of the row
+    margins first (two floor divisions, one ulp of the statistic,
+    flag unaffected).  Degenerate margins
+    (an empty arm or all/no conversions) emit NO row on both engines
+    — χ² is undefined there.
+
+    Scale: one map-side-combined user collapse, then a 1-row fold —
+    identical shape to ``events_ab_lift``.  Reference heritage: none
+    (SURVEY §2 charter extension, experimentation family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).alias("g"), "conv")
+    t = u.agg(
+        F.sum(F.when((F.col("g") == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("g") == 0) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("g") == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("g") == 1) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    num = (
+        "1000 * CAST(a + b + c + d AS DECIMAL(38,0))"
+        " * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)"
+        " * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)"
+    )
+    den = (
+        "CAST(a + b AS DECIMAL(38,0)) * (c + d)"
+        " * CAST(a + c AS DECIMAL(38,0)) * (b + d)"
+    )
+    return (
+        t.where(
+            (F.col("a") + F.col("b") > 0)
+            & (F.col("c") + F.col("d") > 0)
+            & (F.col("a") + F.col("c") > 0)
+            & (F.col("b") + F.col("d") > 0)
+        )
+        .select(
+            F.col("a").alias("conv_a"),
+            F.col("b").alias("nonconv_a"),
+            F.col("c").alias("conv_b"),
+            F.col("d").alias("nonconv_b"),
+            F.expr(f"CAST(({num}) div ({den}) AS BIGINT)").alias(
+                "chi2_milli"
+            ),
+            F.expr(f"({num}) > 3841 * ({den})").alias("significant"),
+        )
+    )
