@@ -2054,8 +2054,9 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH u AS (
       SELECT user_id,
              CAST(user_id % 2 AS BIGINT) AS g,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                 AS conv
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= 8
+                  THEN 1 ELSE 0 END AS conv
       FROM events GROUP BY user_id
     ),
     t AS (
@@ -2091,7 +2092,10 @@ def events_ab_chi2_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the outcome): is the conversion difference between arms
     larger than chance?  Same unit-of-analysis discipline as
     ``events_ab_lift``: users collapse to one converted-indicator row
-    before any counting.
+    before any counting.  The outcome is the HEAVY-BUYER indicator
+    (≥ 8 purchase events) rather than any-purchase, because on this
+    fixture every user purchases at least once — the any-purchase
+    2×2 has an empty non-converted margin and χ² is undefined there.
 
     Engine-exactness: the closed form χ² = n·(ad−bc)²/((a+b)(c+d)
     (a+c)(b+d)) is a ratio of INTEGER products, so the milli-χ²
@@ -2114,9 +2118,15 @@ def events_ab_chi2_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("conv")
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 8,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
     ).select((F.col("user_id") % 2).alias("g"), "conv")
     t = u.agg(
         F.sum(F.when((F.col("g") == 0) & (F.col("conv") == 1), 1).otherwise(0))
