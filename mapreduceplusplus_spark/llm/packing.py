@@ -756,3 +756,99 @@ def pack_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_chunks") == 0, F.lit(None)).otherwise(first_fp).alias("first_chunk_fp"),
         F.when(F.col("n_chunks") == 0, F.lit(None)).otherwise(last_fp).alias("last_chunk_fp"),
     )
+
+
+#: training-token budget as a multiple of the corpus's own token mass
+#: (scale-free: the plan is interesting exactly when some languages
+#: must repeat — 2× guarantees epochs > 1 for the upweighted tail)
+BUDGET_X = 2
+
+
+@query(
+    "corpus_token_budget_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({_NTOK_SQL}) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens FROM t),
+    s AS (
+      SELECT lang, n_docs, avail_tokens, total_tokens,
+             CAST(round(1000000 * sqrt(CAST(n_docs AS DOUBLE)))
+                  AS BIGINT) AS s_micro
+      FROM t, tot
+    ),
+    ssum AS (SELECT CAST(sum(s_micro) AS BIGINT) AS s_total FROM s)
+    SELECT lang, n_docs, avail_tokens,
+           CAST((CAST({BUDGET_X} AS HUGEINT) * total_tokens * s_micro)
+                // s_total AS BIGINT)                     AS target_tokens,
+           CAST((CAST({BUDGET_X} AS HUGEINT) * total_tokens * s_micro * 1000)
+                // (CAST(s_total AS HUGEINT) * avail_tokens)
+                AS BIGINT)                                AS epochs_milli
+    FROM s, ssum
+    WHERE avail_tokens > 0
+    """,
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data RECIPE plan — the rollup that turns a mixture
+    policy into per-language token quotas and repeat counts, the
+    planning step every curated pretraining run does before packing
+    (how many epochs of each under-represented language fit the
+    budget): total budget = {BUDGET_X}× the corpus's own token mass,
+    split by the TEMPERATURE shares of ``mixture_temperature_weights``
+    (α = ½ — same quantized-√n micro-unit device, composed verbatim),
+    yielding ``target_tokens`` per language and ``epochs_milli`` =
+    target/available in exact milli-epochs (> 1000 ⇒ that language's
+    data repeats — the Muennighoff-style data-constrained regime made
+    explicit).
+
+    Engine-exactness: the availability rollup is integer token counts
+    (whitespace ``\\S+`` grain, the ``pack_*`` contract); the share
+    arithmetic reuses the correctly-rounded-√ micro-unit trick, and
+    both ratios are single integer floor divisions, HUGEINT
+    oracle-side / DECIMAL(38,0) Spark-side (at 10¹² tokens the epochs
+    numerator reaches ~10³⁴ — inside both).  Scale: one map-side
+    token-count rollup to #languages rows, two 1-row broadcasts;
+    nothing else touches the corpus.  Reference heritage: none
+    (SURVEY §2 charter extension, mixture/packing family)."""
+    ensure_utc(spark)
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(_ntok()).cast("bigint").alias("avail_tokens"),
+        )
+    )
+    tot = t.agg(F.sum("avail_tokens").cast("bigint").alias("total_tokens"))
+    # broadcast-safe: 1-row global aggregates
+    s = t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "avail_tokens",
+        "total_tokens",
+        F.round(F.lit(1000000) * F.sqrt(F.col("n_docs").cast("double")))
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    ssum = s.agg(F.sum("s_micro").cast("bigint").alias("s_total"))
+    return (
+        s.crossJoin(F.broadcast(ssum))
+        .where(F.col("avail_tokens") > 0)
+        .select(
+            "lang",
+            "n_docs",
+            "avail_tokens",
+            F.expr(
+                f"CAST((CAST({BUDGET_X} AS DECIMAL(38,0)) * total_tokens"
+                " * s_micro) div s_total AS BIGINT)"
+            ).alias("target_tokens"),
+            F.expr(
+                f"CAST((CAST({BUDGET_X} AS DECIMAL(38,0)) * total_tokens"
+                " * s_micro * 1000)"
+                " div (CAST(s_total AS DECIMAL(38,0)) * avail_tokens)"
+                " AS BIGINT)"
+            ).alias("epochs_milli"),
+        )
+    )
