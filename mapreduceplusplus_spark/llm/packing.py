@@ -834,6 +834,7 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ssum = s.agg(F.sum("s_micro").cast("bigint").alias("s_total"))
     return (
+        # broadcast-safe: ssum is a 1-row global aggregate
         s.crossJoin(F.broadcast(ssum))
         .where(F.col("avail_tokens") > 0)
         .select(
