@@ -2169,3 +2169,106 @@ def events_ab_chi2_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({num}) > 3841 * ({den})").alias("significant"),
         )
     )
+
+
+@query(
+    "events_ab_winsorized_means",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id % 2 AS g, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    grid AS (
+      SELECT cents, count(*) AS c FROM ev GROUP BY cents
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grid),
+    cum AS (
+      SELECT cents,
+             sum(c) OVER (ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cumall
+      FROM grid
+    ),
+    cut AS (
+      SELECT CAST(min(cents) AS BIGINT) AS cutoff
+      FROM cum, tot WHERE 100 * cumall >= 95 * n
+    ),
+    arm AS (
+      SELECT g, count(*) AS n_g, cutoff,
+             CAST(sum(least(cents, cutoff)) AS BIGINT) AS wins_sum,
+             CAST(sum(cents) AS BIGINT) AS raw_sum
+      FROM ev, cut GROUP BY g, cutoff
+    )
+    SELECT CAST(g AS BIGINT) AS arm,
+           CAST(n_g AS BIGINT) AS n,
+           cutoff AS cutoff_cents,
+           CAST(1000 * wins_sum // n_g AS BIGINT) AS wins_mean_milli,
+           CAST(1000 * raw_sum // n_g AS BIGINT)  AS raw_mean_milli
+    FROM arm
+    """,
+)
+def events_ab_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-arm metric readout — the heavy-tail guardrail
+    experimentation platforms apply before trusting a mean lift: cap
+    every observation at the POOLED 95th-percentile value (one shared
+    cutoff, so the cap cannot itself favor an arm), then report each
+    arm's winsorized and raw means side by side (a large gap = the
+    raw lift is whale-driven).
+
+    The percentile is EXACT, not approximate, via the same
+    distinct-cents-grid device as ``events_ab_ks_test``/``_mannwhitney``:
+    one hash aggregation onto the value grid, one value-domain-bounded
+    cumulative window, and the cutoff is the smallest cents value
+    whose pooled cumulative count clears the CROSS-MULTIPLIED integer
+    bound ``100·cum ≥ 95·n`` (no float quantile, no row-level sort —
+    the O(n log n) pooled sort never happens).  Means ship as
+    milli-cents BIGINT floor divisions.  Empty input emits no rows on
+    both engines (the cutoff CTE is empty).  Scale: grid size is
+    bounded by the VALUE DOMAIN, not the row count; everything else is
+    map-side.  Reference heritage: none (SURVEY §2 charter extension,
+    experimentation family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    grid = ev.groupBy("cents").agg(F.count("*").alias("c"))
+    tot = grid.agg(F.sum("c").cast("bigint").alias("n"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select("cents", F.sum("c").over(w).alias("cumall"))
+    cut = (
+        # broadcast-safe: tot is a 1-row global aggregate
+        cum.crossJoin(F.broadcast(tot))
+        .where(100 * F.col("cumall") >= 95 * F.col("n"))
+        .agg(F.min("cents").cast("bigint").alias("cutoff"))
+        .where(F.col("cutoff").isNotNull())
+    )
+    arm = (
+        # broadcast-safe: cut is a ≤1-row scalar cutoff
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("g", "cutoff")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum(F.least(F.col("cents"), F.col("cutoff")))
+            .cast("bigint")
+            .alias("wins_sum"),
+            F.sum("cents").cast("bigint").alias("raw_sum"),
+        )
+    )
+    # value >= 0 on this table, so both mean sums are nonnegative and
+    # DuckDB's floor // equals Spark's truncating div (the MWU
+    # convention; a signed metric would need the DECIMAL promotion +
+    # floor alignment instead)
+    return arm.select(
+        F.col("g").cast("bigint").alias("arm"),
+        F.col("n_g").cast("bigint").alias("n"),
+        F.col("cutoff").alias("cutoff_cents"),
+        F.expr("1000 * wins_sum div n_g").cast("bigint").alias(
+            "wins_mean_milli"
+        ),
+        F.expr("1000 * raw_sum div n_g").cast("bigint").alias(
+            "raw_mean_milli"
+        ),
+    )
