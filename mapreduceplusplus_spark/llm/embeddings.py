@@ -309,3 +309,113 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", "label", F.round(pc1, 6).alias("pc1")
     )
+
+
+@query(
+    "embedding_outlier_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v_e6
+      FROM embeddings
+    ),
+    dim AS (
+      SELECT label, pos, CAST(sum(v_e6) AS HUGEINT) AS s
+      FROM ex GROUP BY label, pos
+    ),
+    lnorm AS (
+      SELECT label, CAST(sum(s * s) AS HUGEINT) AS nb FROM dim
+      GROUP BY label
+    ),
+    per AS (
+      SELECT e.vec_id, e.label,
+             CAST(sum(CAST(e.v_e6 AS HUGEINT) * d.s) AS HUGEINT) AS dot,
+             CAST(sum(CAST(e.v_e6 AS HUGEINT) * e.v_e6) AS HUGEINT) AS na
+      FROM ex e JOIN dim d ON d.label = e.label AND d.pos = e.pos
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT p.vec_id, CAST(p.label AS BIGINT) AS label,
+           CAST(round(1000000 * (CAST(p.dot AS DOUBLE)
+                / (sqrt(CAST(p.na AS DOUBLE))
+                   * sqrt(CAST(l.nb AS DOUBLE))))) AS BIGINT) AS cos_ppm,
+           (CAST(p.dot AS DOUBLE) < 0) AS is_outlier
+    FROM per p JOIN lnorm l ON l.label = p.label
+    WHERE p.na > 0 AND l.nb > 0
+    """,
+)
+def embedding_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space OUTLIER scoring — the curation pass that flags
+    vectors pointing AWAY from their own label's centroid (mislabeled
+    or junk embeddings a classifier-filtered corpus wants re-examined):
+    per-vector cosine to the label centroid in exact micro-units, with
+    ``is_outlier`` = negative similarity to the own-label centroid.
+
+    Exactness chain (three proven devices composed): (1) dimensions
+    quantize to the same round(10⁶·x) BIGINTs as
+    ``embedding_label_centroids``, so the per-label SUM vector is an
+    exact integer relation — and cosine against the SUM equals cosine
+    against the MEAN (scale invariance), so no division happens before
+    the float stage; (2) dot and both norm sums are exact integer
+    aggregations (HUGEINT oracle-side / DECIMAL(38,0) Spark-side: a
+    10⁹-vector label pushes the dot terms past 2⁶³); (3) the final
+    ``dot/(√na·√nb)`` is a straight-line chain of correctly-rounded
+    IEEE ops on bit-identical operands — no float REDUCTION anywhere —
+    so both engines produce the same double and the same ppm (the
+    ``mixture_temperature_weights`` argument).  The outlier flag tests
+    the exact integer sign of ``dot``, not the rounded ppm.
+
+    Scale: one posexplode → (label, dim) rollup (the centroid
+    aggregation), one broadcast-sized join back (|labels|·d rows), one
+    per-vector fold — vectors shuffle once, as (vec, dim) cells.
+    Reference heritage: none (SURVEY §2 charter extension, embedding
+    family)."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("val").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("v_e6"),
+    )
+    dim = ex.groupBy("label", "pos").agg(
+        F.sum("v_e6").cast("decimal(38,0)").alias("s")
+    )
+    lnorm = dim.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("decimal(38,0)").alias("nb")
+    )
+    per = (
+        # broadcast-safe: dim is |labels|·|dims| rows (constant,
+        # config-bounded centroid cells)
+        ex.join(F.broadcast(dim), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v_e6").cast("decimal(38,0)") * F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("dot"),
+            F.sum(F.col("v_e6").cast("decimal(38,0)") * F.col("v_e6"))
+            .cast("decimal(38,0)")
+            .alias("na"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        # broadcast-safe: lnorm is one row per label
+        per.join(F.broadcast(lnorm), "label")
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(F.lit(1000000) * cos).cast("bigint").alias("cos_ppm"),
+            (F.col("dot").cast("double") < 0).alias("is_outlier"),
+        )
+    )
