@@ -71,10 +71,32 @@ def _check_shift(t: pa.Table, col: str, shift: int, table: str) -> None:
         )
 
 
+def _check_alpha_tokens(texts) -> None:
+    """The vocabulary-rename disjointness argument assumes every
+    whitespace token is purely alphabetic: ``'word.' + 'qb'`` would
+    tokenize under ``[a-z]+`` as ``'word'`` plus ``'qb'``, silently
+    re-sharing tokens across copies.  Make a non-alphabetic --src LOUD
+    (the default driver fixture is verified all-alphabetic)."""
+    import re
+
+    pat = re.compile(r"[a-z]+\Z")
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.split():
+            if not pat.match(w):
+                raise SystemExit(
+                    f"documents.text token {w!r} is not purely [a-z]+: the "
+                    f"suffix-rename trick would split it and re-share tokens "
+                    f"across copies — clean the source text first"
+                )
+
+
 def gen_documents(src: str, out: str) -> int:
     t = pq.read_table(os.path.join(src, "documents.parquet"))
     shift = 10_000  # > max sf0.1 doc_id (4,999); keeps ids disjoint
     _check_shift(t, "doc_id", shift, "documents")
+    _check_alpha_tokens(t["text"].to_pylist())
     parts = []
     for k in range(K):
         doc_id = pc.add(t["doc_id"], shift * k)
@@ -103,7 +125,11 @@ def gen_documents(src: str, out: str) -> int:
 
 def gen_embeddings(src: str, out: str) -> int:
     t = pq.read_table(os.path.join(src, "embeddings.parquet"))
-    n = t.num_rows
+    # shift by max(vec_id)+1, not the row count: a --src whose vec_ids
+    # are not dense 0..n-1 would otherwise silently produce colliding
+    # ids across copies (ADVICE r12)
+    n = pc.max(t["vec_id"]).as_py() + 1
+    _check_shift(t, "vec_id", n, "embeddings")
     vecs = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float32)
     scale = float(np.abs(vecs).mean())
     parts = []

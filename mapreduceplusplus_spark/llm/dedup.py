@@ -117,17 +117,40 @@ _SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 def _docs_key(spark: SparkSession, sf_dir: str, table: str = "documents") -> tuple:
     """Cache-key prefix for every memoized table derived from
-    ``<sf_dir>/<table>.parquet``: (session, dir, content fingerprint).
-    Including the fingerprint makes the in-memory caches stale-read-proof
-    the same way the on-disk index caches are (ADVICE r11: an in-process
-    rewrite of documents.parquet previously rebuilt the 'fresh' band
-    index FROM the stale persisted shingle/band frames, because those
-    were keyed only on (spark, sf_dir)).  Superseded entries linger
-    persisted until ``release_shingles()`` — acceptable: in-process
-    dataset rewrites happen only in tests, which release explicitly."""
+    ``<sf_dir>/<table>.parquet``: (session, dir, table, content
+    fingerprint).  Including the fingerprint makes the in-memory caches
+    stale-read-proof the same way the on-disk index caches are (ADVICE
+    r11: an in-process rewrite of documents.parquet previously rebuilt
+    the 'fresh' band index FROM the stale persisted shingle/band frames,
+    because those were keyed only on (spark, sf_dir)).  Superseded
+    entries are evicted EAGERLY here (ADVICE r12): a fingerprint change
+    for the same (session, dir, table) unpersists and drops every entry
+    built against the old version, so a long-lived session that rewrites
+    datasets repeatedly never accumulates dead persisted frames."""
     from mapreduceplusplus_spark.sources.tables import dataset_fingerprint
 
-    return (spark, sf_dir, dataset_fingerprint(sf_dir, table))
+    key = (spark, sf_dir, table, dataset_fingerprint(sf_dir, table))
+    _evict_stale(key)
+    return key
+
+
+def _evict_stale(key: tuple) -> None:
+    """Unpersist and evict every cache entry whose (session, dir, table)
+    prefix matches ``key`` but whose content fingerprint differs — the
+    dataset was rewritten in-process and those frames can never be read
+    again (their key is unreachable)."""
+    prefix, fp = key[:3], key[3]
+    for cache in (_SHINGLE_CACHE, _AUX_CACHE):
+        stale = [k for k in cache if len(k) >= 4 and k[:3] == prefix and k[3] != fp]
+        for k in stale:
+            try:
+                cache[k].unpersist()
+            except Exception:
+                pass  # session already stopped
+            del cache[k]
+    stale = [k for k in _SCALAR_MEMO if len(k) >= 4 and k[:3] == prefix and k[3] != fp]
+    for k in stale:
+        del _SCALAR_MEMO[k]
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,6 +187,13 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: deterministically.  Released together with the shingle tables.
 _AUX_CACHE: dict[tuple, DataFrame] = {}
 
+#: memoized DRIVER-SIDE scalars (bounded census results — e.g. the
+#: probe-partition id lists of the incremental-ingest paths).  Each is
+#: deterministic for its dataset version (same ``_docs_key``-based key
+#: as the persisted frame it was collected from), so warm invocations
+#: skip the census Spark job entirely (ADVICE r12).
+_SCALAR_MEMO: dict[tuple, object] = {}
+
 
 def _persisted_aux(key: tuple, build) -> DataFrame:
     df = _AUX_CACHE.get(key)
@@ -171,6 +201,12 @@ def _persisted_aux(key: tuple, build) -> DataFrame:
         df = build().persist()
         _AUX_CACHE[key] = df
     return df
+
+
+def _memo_scalar(key: tuple, build):
+    if key not in _SCALAR_MEMO:
+        _SCALAR_MEMO[key] = build()
+    return _SCALAR_MEMO[key]
 
 
 def release_shingles() -> None:
@@ -184,6 +220,7 @@ def release_shingles() -> None:
             except Exception:
                 pass  # session already stopped
         cache.clear()
+    _SCALAR_MEMO.clear()
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -1860,9 +1897,14 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
         _docs_key(spark, sf_dir) + ("ingest_batch_bands",),
         lambda: bands.where(is_batch).withColumn("pk", pk),
     )
-    # bounded census collect: ≤ MINHASH_BANDS·NB = 512 ints
-    probe_pks = sorted(
-        r[0] for r in batch_bands.select("pk").distinct().collect()
+    # bounded census collect: ≤ MINHASH_BANDS·NB = 512 ints — memoized
+    # per dataset version alongside the persisted frame it reads, so a
+    # warm invocation runs zero census jobs (ADVICE r12)
+    probe_pks = _memo_scalar(
+        _docs_key(spark, sf_dir) + ("ingest_probe_pks",),
+        lambda: sorted(
+            r[0] for r in batch_bands.select("pk").distinct().collect()
+        ),
     )
     base = (
         load_table(spark, sf_dir, "documents")
@@ -1933,13 +1975,16 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
     # corpus text (the store build is the only text pass).  The BATCH
     # side shingles today's crawl, which is by definition the text
     # being scanned.
-    probe_sks = sorted(
-        r[0]
-        for r in cand_corpus.select(
-            F.pmod(F.col("dc"), F.lit(_INGEST_NS)).cast("int").alias("sk")
-        )
-        .distinct()
-        .collect()
+    probe_sks = _memo_scalar(
+        _docs_key(spark, sf_dir) + ("ingest_probe_sks",),
+        lambda: sorted(
+            r[0]
+            for r in cand_corpus.select(
+                F.pmod(F.col("dc"), F.lit(_INGEST_NS)).cast("int").alias("sk")
+            )
+            .distinct()
+            .collect()
+        ),
     )
     _last_ingest_shingle_probe_parts = len(probe_sks)
     corpus_sh = (
@@ -2311,7 +2356,7 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. VERIFY: one Arrow kernel per probed cell (``_semingest_flags``)
        computes batch×corpus and batch×batch cosines as row-blocked
        float64 BLAS — ``dup_vs_corpus`` (any corpus member ≥
-       {SEMDEDUP_T}), ``dup_in_batch`` (any smaller-id batch member ≥
+       ``SEMDEDUP_T`` = 0.4), ``dup_in_batch`` (any smaller-id batch member ≥
        threshold, the greedy pairwise rule), verdict keep/drop.
 
     Output mirrors the lexical twin: one row per batch vector.  The

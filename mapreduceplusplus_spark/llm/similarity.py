@@ -1097,7 +1097,7 @@ MMR_POOL, MMR_K = 20, 5
 def _mmr_oracle() -> str:
     """Unrolled-greedy MMR as SQL — the ``ml_kmeans_lloyd`` device:
     each greedy pick is one bounded argmax CTE over the pool, so the
-    oracle runs the IDENTICAL {MMR_K} iterations the engine does."""
+    oracle runs the IDENTICAL ``MMR_K`` = 5 iterations the engine does."""
     ctes = [
         f"""probe AS (
       SELECT CAST(embedding AS DOUBLE[]) AS pv
