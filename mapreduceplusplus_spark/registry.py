@@ -187,24 +187,29 @@ _PRIORITY_ORDER = [
     # multi-touch attribution.
     # r11 rotated cdc_incremental_diff, graph_sssp_weighted,
     # udtf_arrow_vectorized, events_attribution_linear — all
-    # hash-green in CORRECTNESS_r11.  r12 rotates in the four rows the
-    # r11 verdict named (none with any prior CORRECTNESS_r1..r11 row):
-    # the SemDeDup semantic dedup (shared-Lloyd gate + Arrow BLAS
-    # pair kernel + CC), the MMR diversified re-rank (unrolled
-    # integer-exact greedy), the watermark-null-timing stream-stream
-    # LEFT OUTER join, and the unweighted BFS SSSP (r10 leftover).
-    # Remaining never-checked oracle-bearing candidates for r13+
-    # (incl. the r10 additions events_ab_ks_test,
-    # events_ab_mannwhitney — neither has a driver row yet):
+    # hash-green in CORRECTNESS_r11.  r12 rotated dedup_semdedup,
+    # sim_search_mmr_rerank, stream_stream_join_left, graph_sssp — all
+    # hash-green in CORRECTNESS_r12.  r13 rotates in the four rows the
+    # r12 verdict named (the oracle-bearing r12 additions, none with
+    # any prior CORRECTNESS_r1..r12 row): the incremental SemDeDup
+    # ingest (cid-partitioned member-embedding index probe), the
+    # BM25+cosine reciprocal-rank-fusion retriever, the point-in-time
+    # SCD2 feature join with label embargo, and the exact-ppm
+    # cosine-to-own-centroid outlier scorer.
+    # Remaining never-checked oracle-bearing candidates for r14+
+    # (verdict queue first): events_ab_ks_test, events_ab_mannwhitney,
+    # events_ab_winsorized_means, events_ab_chi2_conversion,
+    # stream_stream_join_full, dq_duplication_report,
+    # corpus_token_budget_plan, mixture_temperature_weights; then
     # text_winnowing_matches, mixture_sample_apply, text_bm25_search,
     # text_heavy_hitters, graph_pagerank, tpch_q21_waiting_suppliers,
     # agg_weighted_median, agg_trimmed_mean, sql_passthrough_q1,
     # pack_concat_chunks, scd2_build_validity, window_gaps_islands,
     # text_char_entropy, agg_listagg_within_group.
-    "dedup_semdedup",
-    "sim_search_mmr_rerank",
-    "stream_stream_join_left",
-    "graph_sssp",
+    "dedup_semdedup_incremental",
+    "sim_search_hybrid_rrf",
+    "join_pit_scd2_embargo",
+    "embedding_outlier_centroid",
 ]
 
 _loaded = False

@@ -43,6 +43,38 @@ def test_contract_queries_inside_driver_window():
     assert not unknown, f"_PRIORITY_ORDER names not registered: {unknown}"
 
 
+def test_rotation_slots_are_fresh_oracle_bearing():
+    """VERDICT r12 #6 — mechanize the driver-window rotation rule that
+    was previously enforced only by convention: slots 47-50 of
+    ``_PRIORITY_ORDER`` must name ORACLE-BEARING queries (a no-oracle
+    query there can only ever produce a rows-only row — wasted window)
+    with NO row in any committed ``CORRECTNESS_r*.json``.  The driver
+    commits round N's CORRECTNESS file together with the verdict at the
+    round boundary, so during round N+1's build (and its judging) the
+    repo carries files only up to round N — the moment last round's
+    slots gain their driver rows, this test goes red until the new
+    round rotates fresh picks in."""
+    import json
+    import pathlib
+
+    repo = pathlib.Path(__file__).parent.parent
+    recorded: set[str] = set()
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
+        recorded |= set(json.loads(p.read_text()).keys())
+    assert recorded, "no CORRECTNESS_r*.json committed — driver contract changed?"
+    slots = registry._PRIORITY_ORDER[46:50]
+    assert len(slots) == 4, f"rotation slots missing: {slots}"
+    oracles = registry.oracles()
+    no_oracle = [n for n in slots if n not in oracles]
+    assert not no_oracle, f"rotation slots without a SQL oracle: {no_oracle}"
+    stale = [n for n in slots if n in recorded]
+    assert not stale, (
+        f"rotation slots already carry driver-side CORRECTNESS rows: {stale} "
+        f"— rotate slots 47-50 to never-driver-checked oracle-bearing queries "
+        f"(candidate list in the registry.py slot comment)"
+    )
+
+
 def test_readme_query_count_matches_registry():
     """ADVICE r5: the README's surface count drifted (94 vs 112).  Pin
     it to the registry so it can never drift again."""
