@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from functools import reduce as _reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceplusplus_spark.registry import query
@@ -2517,5 +2517,200 @@ def dq_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_dup_chunks * 1000000 div n_chunks")
             .cast("bigint")
             .alias("dup_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window exact-substring dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+#: substring-dedup parameters: K = gram length in words (the paper's
+#: "50 BPE tokens" at word grain), W = winnowing window over the gram
+#: sequence.  The reported-span floor is W + K - 1 = 28 shared words.
+SUBSTR_K, SUBSTR_W = 25, 4
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i + {SUBSTR_K} - 1], ' ')) AS h
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - {SUBSTR_K} + 1)) AS i
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z]+') AS ws
+                  FROM documents)
+            WHERE len(ws) >= {SUBSTR_K})
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS grp
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pa) AS BIGINT)                      AS a_start,
+           CAST(max(pa) + {SUBSTR_K} - 1 AS BIGINT)     AS a_end,
+           CAST(min(pa) - diag AS BIGINT)               AS b_start,
+           CAST(max(pa) - diag + {SUBSTR_K} - 1 AS BIGINT) AS b_end,
+           CAST(count(*) + {SUBSTR_K} - 1 AS BIGINT)    AS n_words
+    FROM isl
+    GROUP BY doc_a, doc_b, diag, grp
+    HAVING count(*) >= {SUBSTR_W}
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window EXACT-SUBSTRING dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): report
+    every maximal cross-document shared word run of >=
+    W + K - 1 = {28} words, with per-document SPANS (1-based inclusive
+    word positions) — the duplication ``dedup_chunk_exact``'s
+    fixed-stride chunks structurally miss (a copied passage shifted by
+    one word lands across chunk boundaries and never collides; stride-1
+    grams are alignment-free).
+
+    Spec (the oracle states it directly as the deliberately-unscalable
+    all-pairs form): hash every stride-1 K-word gram; a shared maximal
+    run between two docs is an island of consecutive matching gram
+    positions on one (doc_a, doc_b, pos_a - pos_b) diagonal; report
+    islands of >= W grams (= W + K - 1 words) with their extents.
+
+    Engine plan — candidates are WINNOWED, verification is exact and
+    pair-bounded, and the composition is PROVABLY LOSSLESS for this
+    output spec (the Bayardo/PPJoin shape: candidates track true
+    pairs):
+
+    1. one corpus pass computes the positional gram-hash sequence per
+       document (zero-shuffle codegen'd HOF projection);
+    2. winnowing (Schleimer et al. SIGMOD'03, the
+       ``text_winnowing_matches`` machinery at K={25}, W={4}) selects
+       each W-window's min hash — expected density 2/(W+1) of gram
+       positions, the volume knob a 100 TB run turns UP (W~50) to thin
+       the candidate index without losing the guarantee;
+    3. candidate pairs = DISTINCT (doc_a, doc_b) sharing >= 1 selected
+       fingerprint.  Losslessness: a reported island has m >= W
+       consecutive matching grams, so >= 1 full winnowing window lies
+       entirely inside the shared run; that window's min is selected
+       in BOTH documents (identical window content), so the pair is
+       always a candidate.  Chance single-fingerprint pairs die in
+       verification (no island reaches W).
+    4. exact verify joins the candidate pairs back to the FULL gram
+       relation (volume bounded by candidate pairs x matching grams,
+       not corpus^2), then one diagonal gaps-and-islands window
+       recovers exact maximal extents.
+
+    Reference heritage: charter headroom (VERDICT r12 #3); the
+    reference has no dedup at all (``mr/word_count.h`` counts words).
+
+    At 100 TB: the gram pass is scan-shaped; the fingerprint self-join
+    shuffles the winnowed index (2/(W+1) of corpus grams, the knob);
+    the verify join shuffles only candidate-pair grams.  Hot
+    boilerplate fingerprints are the skew risk — AQE skew-split
+    backstops, and the W knob thins exactly them."""
+    ensure_utc(spark)
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    k, w = SUBSTR_K, SUBSTR_W
+
+    def _grams_arr():
+        toks = docs.select(
+            "doc_id", tokens(F.col("text")).alias("ws")
+        ).where(F.size("ws") >= k)
+        # stop clamped to >= 1: Catalyst's subexpression elimination can
+        # evaluate this transform BEFORE the size(ws) >= k guard
+        # short-circuits (both land in one collapsed Filter), and an
+        # unclamped sequence(1, n < 1) descends through slice start 0
+        # — a runtime error on the rows the filter is about to drop
+        n_g = F.greatest(F.size("ws") - (k - 1), F.lit(1))
+        return toks.select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), n_g),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i, k))),
+            ).alias("hs"),
+        )
+
+    # full positional gram relation — feeds the exact verify
+    grams = _persisted_aux(
+        _docs_key(spark, sf_dir) + ("substr_grams",),
+        lambda: _grams_arr().select(
+            "doc_id", F.posexplode("hs").alias("pos0", "h")
+        ).select(
+            "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h"
+        ),
+    )
+    # winnowed fingerprint index — feeds BOTH sides of the candidate
+    # self-join (persisted like the text_winnowing_matches index)
+    fps = _persisted_aux(
+        _docs_key(spark, sf_dir) + ("substr_winnow_fp",),
+        lambda: _grams_arr()
+        .where(F.size("hs") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        # same >= 1 clamp as the gram sequence above
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size("hs") - (w - 1), F.lit(1)),
+                        ),
+                        lambda j: F.array_min(F.slice("hs", j, w)),
+                    )
+                )
+            ).alias("fp"),
+        ),
+    )
+    cand = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    m = (
+        cand.join(
+            grams.select(
+                F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h"
+            ),
+            "doc_a",
+        )
+        .join(
+            grams.select(
+                F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h"
+            ),
+            ["doc_b", "h"],
+        )
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wnd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.withColumn("grp", F.col("pa") - F.row_number().over(wnd))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("mn"),
+            F.max("pa").alias("mx"),
+            F.count("*").alias("cnt"),
+        )
+        .where(F.col("cnt") >= w)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("mn").cast("bigint").alias("a_start"),
+            (F.col("mx") + (k - 1)).cast("bigint").alias("a_end"),
+            (F.col("mn") - F.col("diag")).cast("bigint").alias("b_start"),
+            (F.col("mx") - F.col("diag") + (k - 1)).cast("bigint").alias("b_end"),
+            (F.col("cnt") + (k - 1)).cast("bigint").alias("n_words"),
         )
     )

@@ -74,6 +74,7 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.operators.tpch",
     "mapreduceplusplus_spark.llm.packing",
     "mapreduceplusplus_spark.llm.embeddings",
+    "mapreduceplusplus_spark.llm.bpe",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external

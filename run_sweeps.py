@@ -77,6 +77,14 @@ EVIDENCE_TESTS = [
     # the forward window closes, then batch equivalence (r12)
     "tests/test_streaming.py::"
     "test_stream_stream_full_outer_click_null_timing",
+    # relational BPE == imperative greedy left-to-right reference on
+    # an overlap-run stress corpus (merges AND final segmentations) (r13)
+    "tests/test_llm_ops.py::"
+    "test_bpe_train_matches_imperative_reference_on_overlap_runs",
+    # substring-span dedup: 28-word floor reported with exact extents,
+    # 27-word run absent, repeated run -> one span per diagonal (r13)
+    "tests/test_llm_ops.py::"
+    "test_substring_spans_guarantee_floor_and_exact_extents",
 ]
 
 
