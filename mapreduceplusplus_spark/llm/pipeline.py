@@ -637,3 +637,78 @@ def pipeline_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id", "lang", "nll_micro_nats", "quality", status.alias("status")
     )
+
+
+#: per-cluster quota for the cluster-balanced subsample
+_CB_QUOTA = 40
+
+
+def _cluster_balanced_oracle() -> str:
+    from mapreduceplusplus_spark.operators.ml import KMEANS_A2_SQL
+
+    return f"""
+    WITH {KMEANS_A2_SQL},
+    census AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_n
+               FROM A2 GROUP BY cid)
+    SELECT r.vec_id,
+           CAST(r.cid AS BIGINT) AS cid,
+           CAST(r.rn AS BIGINT)  AS rn,
+           c.cluster_n
+    FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY cid
+                                    ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                             vec_id) AS rn
+          FROM A2) r
+    JOIN census c ON c.cid = r.cid
+    WHERE r.rn <= {_CB_QUOTA}
+    """
+
+
+@query("sample_cluster_balanced", oracle=_cluster_balanced_oracle())
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-BALANCED corpus subsample (VERDICT r12 #4): up to
+    ``_CB_QUOTA`` vectors per k-means cell, the diversity-preserving
+    downsample that pairs with SemDeDup in a curation stack — a uniform
+    random downsample keeps the corpus's mode collapse (dominant
+    clusters stay dominant); quota-per-cluster flattens the mixture
+    while dedup removes the within-cluster redundancy.
+
+    Composition of two already-proven devices, consuming the EXISTING
+    SemDeDup census — zero new corpus passes:
+    - the cluster gate is ``_semdedup_gate``'s memoized Lloyd
+      assignment (shared code AND shared ``KMEANS_A2_SQL`` oracle CTEs,
+      so the gate stays differential-checked here too);
+    - the per-cluster draw is ``sample_per_group_topk_hash``'s
+      deterministic hash-rank reservoir (md5 of vec_id, unique-key
+      tiebreak): reproducible on any engine, any partitioning, any day,
+      and growth-stable under corpus appends.
+
+    Output: the sampled rows with their hash rank and the cluster's
+    population (the balance evidence: ``rn <= quota <= cluster_n`` for
+    clamped cells).  Plan: one window on cid (WindowGroupLimit prunes
+    each partition to quota rows before the exchange) + the k-row
+    census aggregate joined back broadcast — at 100 TB the shuffle
+    carries ~k·quota rows, not the corpus."""
+    ensure_utc(spark)
+    from mapreduceplusplus_spark.llm.dedup import _semdedup_gate
+
+    gate = _semdedup_gate(spark, sf_dir).select("vec_id", "cid")
+    census = gate.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("cluster_n")
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        gate.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _CB_QUOTA)
+        # broadcast-safe: census is one row per k-means cell (k = 4,
+        # config-bounded — k·1 rows at any corpus size)
+        .join(F.broadcast(census), "cid")
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("rn").cast("bigint").alias("rn"),
+            "cluster_n",
+        )
+    )
