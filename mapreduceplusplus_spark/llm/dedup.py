@@ -1784,6 +1784,56 @@ import atexit  # noqa: E402
 atexit.register(_sweep_neardup_indexes)
 
 
+def _recoverable_index_dir(prefix: str, sf_dir: str, fp: tuple, build) -> str:
+    """Deterministic on-disk index location with COLD-START recovery
+    (VERDICT r12 #8): the directory name derives from (dataset dir,
+    content fingerprint) — not from the process — and a ``_COMPLETE``
+    marker stamps exactly what was indexed.  A restarted process (or a
+    cleared in-memory memo) finds the finished store and ADOPTS it
+    without rebuilding; a missing/mismatched marker (crash mid-build,
+    rewritten dataset) forces a fresh build.  Builds land in a
+    pid-suffixed staging dir and rename into place, so a concurrent
+    builder can never serve a half-written store.  In production the
+    same protocol runs against cluster storage (the marker doubles as
+    the commit record); ``atexit`` sweeping keeps this harness's /tmp
+    clean, which is the process-lifetime caveat — the RECOVERY path
+    itself is what the cold-start test pins."""
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    stamp = repr((_os.path.abspath(sf_dir), fp))
+    h = hashlib.md5(stamp.encode()).hexdigest()[:16]
+    final = _os.path.join(tempfile.gettempdir(), f"{prefix}_{h}")
+    marker = _os.path.join(final, "_COMPLETE")
+
+    def _complete(d: str) -> bool:
+        m = _os.path.join(d, "_COMPLETE")
+        try:
+            with open(m) as fh:
+                return fh.read() == stamp
+        except OSError:
+            return False
+
+    if _complete(final):
+        return final
+    tmp = f"{final}.tmp{_os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    with open(_os.path.join(tmp, "_COMPLETE"), "w") as fh:
+        fh.write(stamp)
+    shutil.rmtree(final, ignore_errors=True)  # stale or partial leftover
+    try:
+        _os.rename(tmp, final)
+    except OSError:
+        # a concurrent builder renamed first — adopt theirs if complete
+        if not _complete(final):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 @query("dedup_incremental_ingest_near")  # no SQL oracle: MinHash-LSH
 # banding isn't SQL-expressible (same exemption as dedup_minhash_near);
 # pinned by tests/test_llm_ops.py: keep/drop verdicts EQUAL to the
@@ -1837,7 +1887,6 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
     split cannot change which pairs collide).  Reference heritage:
     none (SURVEY §2 charter extension, dedup family)."""
     import os as _os
-    import tempfile
 
     global _last_ingest_probe_parts, _last_ingest_total_parts
     global _last_ingest_shingle_probe_parts, _last_ingest_shingle_total_parts
@@ -1861,34 +1910,43 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     index_dir = _NEARDUP_INDEX_CACHE.get(key)
     if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="neardup_index_")
-        (
-            bands.where(~is_batch)
-            .withColumn("pk", pk)
-            # repartition ON pk so each task holds few buckets: total
-            # file count ≈ #directories, not #tasks × #directories
-            # (each pk lands in exactly one of the 32 writer tasks;
-            # at 100 TB raise the task count toward #directories)
-            .repartition(32, F.col("pk"))
-            .write.mode("overwrite")
-            .partitionBy("pk")
-            .parquet(_os.path.join(index_dir, "bands"))
-        )
-        # the corpus SHINGLE store, doc_id-bucketed, written once next
-        # to the band index: the verify step's exact-Jaccard fetch is
-        # served from HERE (sk-pruned), so a cold process never
-        # re-shingles corpus text (VERDICT r11).  Appending tomorrow's
-        # accepted docs is the same dynamic partition overwrite as the
-        # band index.
-        (
-            docs.where(~is_batch)
-            .withColumn(
-                "sk", F.pmod(F.col("doc_id"), F.lit(_INGEST_NS)).cast("int")
+
+        def _build_stores(d: str) -> None:
+            (
+                bands.where(~is_batch)
+                .withColumn("pk", pk)
+                # repartition ON pk so each task holds few buckets:
+                # total file count ≈ #directories, not #tasks ×
+                # #directories (each pk lands in exactly one of the 32
+                # writer tasks; at 100 TB raise the task count toward
+                # #directories)
+                .repartition(32, F.col("pk"))
+                .write.mode("overwrite")
+                .partitionBy("pk")
+                .parquet(_os.path.join(d, "bands"))
             )
-            .repartition(16, F.col("sk"))
-            .write.mode("overwrite")
-            .partitionBy("sk")
-            .parquet(_os.path.join(index_dir, "shingles"))
+            # the corpus SHINGLE store, doc_id-bucketed, written once
+            # next to the band index: the verify step's exact-Jaccard
+            # fetch is served from HERE (sk-pruned), so a cold process
+            # never re-shingles corpus text (VERDICT r11).  Appending
+            # tomorrow's accepted docs is the same dynamic partition
+            # overwrite as the band index.
+            (
+                docs.where(~is_batch)
+                .withColumn(
+                    "sk",
+                    F.pmod(F.col("doc_id"), F.lit(_INGEST_NS)).cast("int"),
+                )
+                .repartition(16, F.col("sk"))
+                .write.mode("overwrite")
+                .partitionBy("sk")
+                .parquet(_os.path.join(d, "shingles"))
+            )
+
+        # deterministic dir + completeness stamp: a COLD process (or a
+        # cleared memo) adopts the finished store without rebuilding
+        index_dir = _recoverable_index_dir(
+            "neardup_index", sf_dir, key[2], _build_stores
         )
         _NEARDUP_INDEX_CACHE[key] = index_dir
 
@@ -2366,7 +2424,6 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_semdedup``.  Reference heritage: none (SURVEY §2 charter
     extension, dedup family)."""
     import os as _os
-    import tempfile
 
     global _last_semingest_probe_parts, _last_semingest_total_parts
     ensure_utc(spark)
@@ -2382,15 +2439,22 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index_dir = _SEMINGEST_INDEX_CACHE.get(key)
     if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="semingest_index_")
-        (
-            x.where(~is_batch)
-            .select("vec_id", "v", "cid")
-            # one writer task per cell: file count ≈ #cells
-            .repartition(4, F.col("cid"))
-            .write.mode("overwrite")
-            .partitionBy("cid")
-            .parquet(index_dir)
+
+        def _build_store(d: str) -> None:
+            (
+                x.where(~is_batch)
+                .select("vec_id", "v", "cid")
+                # one writer task per cell: file count ≈ #cells
+                .repartition(4, F.col("cid"))
+                .write.mode("overwrite")
+                .partitionBy("cid")
+                .parquet(d)
+            )
+
+        # deterministic dir + completeness stamp (cold-start recovery,
+        # same protocol as the lexical twin's band/shingle stores)
+        index_dir = _recoverable_index_dir(
+            "semingest_index", sf_dir, key[2], _build_store
         )
         _SEMINGEST_INDEX_CACHE[key] = index_dir
 

@@ -85,6 +85,10 @@ EVIDENCE_TESTS = [
     # 27-word run absent, repeated run -> one span per diagonal (r13)
     "tests/test_llm_ops.py::"
     "test_substring_spans_guarantee_floor_and_exact_extents",
+    # cold-start restart path: cleared memos adopt the on-disk
+    # band/shingle + member-embedding stores without rebuild (r13)
+    "tests/test_llm_ops.py::"
+    "test_incremental_indexes_cold_start_recovery",
 ]
 
 
