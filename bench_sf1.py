@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Standing sf1 bench lane (VERDICT r12 #5) — genuine-cardinality
+perf tracked round-over-round instead of re-derived ad hoc.
+
+Builds the sf1 fixture with ``make_sf1.py`` (10× REAL key cardinality
+derived from the driver's sf0.1 — renamed vocabulary, disjoint
+doc/vec/user/order ids; replication-artifact-free, see BASELINE.md
+"Round-12 sf1 point") unless a complete one already exists, then runs
+``bench.py`` over the standing heavy list and writes
+``BENCH_SF1_r{N}.json``.
+
+Usage:  python bench_sf1.py [round_number]   (default: $SPARK_GRAFT_ROUND)
+  SPARK_GRAFT_SF1_DIR   fixture dir (default /tmp/sf1)
+  SPARK_GRAFT_SF_DIR    source dir  (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+#: the standing sf1 heavy list: the r12 sf1 table's heavies, the r12
+#: additions, and each later round's new heavies appended (append-only
+#: so round-over-round totals stay comparable on the common prefix)
+SF1_QUERIES = [
+    # r12 sf1 table (top-10 r11 heavies + MMR)
+    "pipeline_dedup_end2end",
+    "dedup_semdedup",
+    "graph_sssp",
+    "dedup_incremental_ingest_near",
+    "pipeline_perplexity_gate",
+    "dedup_containment_quotes",
+    "ml_naive_bayes",
+    "dedup_ngram_jaccard",
+    "text_winnowing_matches",
+    "stream_stateful_running_total",
+    "sim_search_mmr_rerank",
+    # r12 additions
+    "dedup_semdedup_incremental",
+    "sim_search_hybrid_rrf",
+    "stream_stream_join_full",
+    # r13 additions
+    "text_bpe_train",
+    "text_token_count_bpe",
+    "dedup_substring_spans",
+    "sample_cluster_balanced",
+]
+
+
+def ensure_sf1(src: str, out: str) -> None:
+    """Build the fixture once; ``make_sf1.py`` is deterministic, so an
+    existing COMPLETE build (all 10 tables present) is reused."""
+    from mapreduceplusplus_spark.sources.tables import TABLES
+
+    if all(
+        os.path.exists(os.path.join(out, f"{t}.parquet")) for t in TABLES
+    ):
+        return
+    subprocess.run(
+        [sys.executable, "make_sf1.py", "--src", src, "--out", out],
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+
+
+def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    rnd = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_ROUND", "13")
+    )
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+    ensure_sf1(src, out)
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=out,
+        BENCH_QUERIES=",".join(SF1_QUERIES),
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=env,
+        cwd=here,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = proc.stdout.strip().split("\n")[-1]
+    path = os.path.join(here, f"BENCH_SF1_r{rnd}.json")
+    with open(path, "w") as f:
+        f.write(line + "\n")
+    print(line)
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

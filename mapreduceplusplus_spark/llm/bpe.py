@@ -339,3 +339,59 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("np").cast("bigint").alias("bpe_tokens"),
         )
     )
+
+
+@query(
+    "text_bpe_fertility",
+    oracle=f"""
+    WITH {_bpe_sql_ctes()},
+    pieces AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS np
+      FROM seg{BPE_N_MERGES} GROUP BY w),
+    tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents)
+    SELECT t.lang,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT)                 AS ws_tokens,
+           CAST(sum(p.np) AS BIGINT)                AS bpe_tokens,
+           CAST(CAST(sum(p.np) AS HUGEINT) * 1000000
+                // count(*) AS BIGINT)              AS fertility_ppm
+    FROM tok t JOIN pieces p ON p.w = t.w
+    GROUP BY t.lang
+    """,
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — bpe_tokens/ws_tokens in exact
+    integer ppm, the standard readout for 'how well does this vocab
+    serve each language slice' (multilingual vocab sizing decisions are
+    made on exactly this table; fertility ≫ 1 means the slice pays more
+    context budget per word).  Same vocab-bounded pieces lookup as
+    ``text_token_count_bpe``, rolled up to |languages| rows; the ratio
+    is one integer floor division (DECIMAL(38,0) Spark / HUGEINT
+    oracle — the cles_ppm pairing), no float anywhere."""
+    ensure_utc(spark)
+    _merges, seg = _bpe_state(spark, sf_dir)
+    pieces = seg.groupBy("w").agg(F.count("*").cast("bigint").alias("np"))
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    return (
+        tok.join(pieces, "w")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("ws_tokens"),
+            F.sum("np").cast("bigint").alias("bpe_tokens"),
+            F.expr(
+                "CAST(CAST(sum(np) AS DECIMAL(38,0)) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+    )

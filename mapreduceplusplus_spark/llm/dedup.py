@@ -2778,3 +2778,126 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt") + (k - 1)).cast("bigint").alias("n_words"),
         )
     )
+
+
+@query(
+    "dedup_substring_scrub",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i + {SUBSTR_K} - 1], ' ')) AS h
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - {SUBSTR_K} + 1)) AS i
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z]+') AS ws
+                  FROM documents)
+            WHERE len(ws) >= {SUBSTR_K})
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_b AS doc_id,
+             CAST(min(pa) - diag AS BIGINT)                   AS s,
+             CAST(max(pa) - diag + {SUBSTR_K} - 1 AS BIGINT)  AS e
+      FROM isl
+      GROUP BY doc_a, doc_b, diag, grp
+      HAVING count(*) >= {SUBSTR_W}
+    ),
+    swept AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_e
+      FROM spans
+    ),
+    cut AS (
+      SELECT doc_id,
+             CAST(sum(greatest(0, e - greatest(s - 1, coalesce(prev_e, 0))))
+                  AS BIGINT) AS n_cut
+      FROM swept GROUP BY doc_id
+    ),
+    toklen AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS n_words
+      FROM documents
+    )
+    SELECT c.doc_id, t.n_words, c.n_cut,
+           CAST(t.n_words - c.n_cut AS BIGINT) AS n_kept,
+           CAST(CAST(c.n_cut AS HUGEINT) * 1000000 // t.n_words AS BIGINT)
+             AS cut_ppm
+    FROM cut c JOIN toklen t ON t.doc_id = c.doc_id
+    """,
+)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCRUB accounting that completes the Lee et al. 2022
+    substring-dedup pipeline: for every document that shares a
+    >= W + K - 1 word run with a LOWER-id document (the repo's standard
+    lowest-id-wins keeper rule — the earlier copy is kept intact, the
+    later copy is cut), the interval UNION of its to-cut spans and the
+    resulting word budget: total words, words cut, words kept, cut
+    share in exact ppm.
+
+    Composition: the span relation is ``dedup_substring_spans``' exact
+    output (same winnowed-candidates + pair-bounded verify plan — the
+    persisted gram/fingerprint frames are shared, so this adds no new
+    corpus pass); the interval union is one SWEEP window per document
+    (sort spans by start, running max of end over PRECEDING rows, count
+    only the newly covered words) — overlap-safe without exploding
+    positions, |spans per doc| rows, never |words|.  The ppm ratio is
+    one integer floor division (DECIMAL(38,0) / HUGEINT pairing).
+
+    At 100 TB this is the operator that actually EDITS the corpus: the
+    kept/cut intervals drive the rewrite job (a mapInPandas slice over
+    (doc, merged intervals) — deliberately out of scope here since the
+    fixture pipeline consumes counts, not rewritten text; the
+    accounting is the verifiable part)."""
+    ensure_utc(spark)
+    k = SUBSTR_K
+    spans = (
+        dedup_substring_spans(spark, sf_dir)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("b_start").alias("s"),
+            F.col("b_end").alias("e"),
+        )
+    )
+    sweep = Window.partitionBy("doc_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cut = (
+        spans.withColumn("prev_e", F.max("e").over(sweep))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(0),
+                F.col("e")
+                - F.greatest(F.col("s") - 1, F.coalesce("prev_e", F.lit(0))),
+            ).alias("newly"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("newly").cast("bigint").alias("n_cut"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toklen = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_words")
+    )
+    return cut.join(toklen, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_cut",
+        (F.col("n_words") - F.col("n_cut")).cast("bigint").alias("n_kept"),
+        F.expr(
+            "CAST(CAST(n_cut AS DECIMAL(38,0)) * 1000000 div n_words"
+            " AS BIGINT)"
+        ).alias("cut_ppm"),
+    )

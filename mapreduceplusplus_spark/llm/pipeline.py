@@ -712,3 +712,170 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_n",
         )
     )
+
+
+#: DSIR parameters: the target slice and the selection budget
+_DSIR_TARGET_LANG = "en"
+_DSIR_K = 64
+
+_QLN_SQL = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+@query(
+    "sample_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    dgl AS (
+      SELECT doc_id, lang, w, count(*) AS cnt FROM tok GROUP BY ALL
+    ),
+    cr AS (SELECT w, sum(cnt) AS c_r FROM dgl GROUP BY w),
+    ct AS (SELECT w, sum(cnt) AS c_t FROM dgl
+           WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY w),
+    tots AS (
+      SELECT (SELECT sum(c_r) FROM cr)               AS n_r,
+             (SELECT coalesce(sum(c_t), 0) FROM ct)  AS n_t,
+             (SELECT count(*) FROM cr)               AS v
+    ),
+    lr AS (
+      SELECT cr.w,
+             {_QLN_SQL.format(x="coalesce(ct.c_t, 0) + 1")}
+             - {_QLN_SQL.format(x="n_t + v")}
+             - {_QLN_SQL.format(x="cr.c_r + 1")}
+             + {_QLN_SQL.format(x="n_r + v")} AS lr_micro
+      FROM cr LEFT JOIN ct ON ct.w = cr.w CROSS JOIN tots
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(sum(d.cnt) AS BIGINT)               AS n_tokens,
+             CAST(sum(d.cnt * l.lr_micro) AS BIGINT)  AS dsir_micro_nats
+      FROM dgl d JOIN lr l ON l.w = d.w
+      GROUP BY d.doc_id
+    ),
+    cutoff AS (
+      SELECT dsir_micro_nats AS cw, doc_id AS cd FROM scored
+      ORDER BY dsir_micro_nats DESC, doc_id
+      LIMIT 1 OFFSET {_DSIR_K - 1}
+    )
+    SELECT s.doc_id, s.n_tokens, s.dsir_micro_nats,
+           coalesce(s.dsir_micro_nats > (SELECT cw FROM cutoff)
+                    OR (s.dsir_micro_nats = (SELECT cw FROM cutoff)
+                        AND s.doc_id <= (SELECT cd FROM cutoff)),
+                    true) AS selected
+    FROM scored s
+    """,
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    importance weight log p_target(x) − log p_raw(x) under add-one-
+    smoothed bag-of-unigrams models — target = the 'en' slice, raw =
+    the whole corpus — plus the deterministic top-``_DSIR_K``
+    ``selected`` verdict (weight DESC, doc_id tiebreak; DSIR's Gumbel
+    resampling is replaced by the rank rule so the selection is
+    engine-reproducible, the same trade ``sample_weighted_priority``
+    documents).
+
+    Exactness: every log is the shared quantized-ln device
+    (``qln_micro`` — floor(ln·1e6) BIGINT, evaluated once per DISTINCT
+    count), so per-document weights are exact integer sums in
+    micro-nats — order-independent under any partitioning, bit-equal
+    to the oracle.
+
+    Scale: one documents scan → per-(doc, lang, word) pre-reduction
+    (repeated words ship once) → two Zipf-bounded model aggregates
+    (target + raw counts) and three 1-row totals → the per-word
+    log-ratio relation joins back on the word key → per-doc integer
+    rollup.  Models stay distributed relations (the perplexity-filter
+    property); the selection cutoff is ONE boundary row — found with
+    TakeOrdered(k), never a global rank — broadcast back.  At 100 TB
+    nothing here exceeds vocabulary-bounded state."""
+    ensure_utc(spark)
+    from mapreduceplusplus_spark.session import qln_micro as _qln
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    # materialized once: feeds the raw model, the target model AND the
+    # final scoring join (the doc_nll localCheckpoint convention)
+    dgl = (
+        tok.groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cr = dgl.groupBy("w").agg(F.sum("cnt").alias("c_r"))
+    ct = (
+        dgl.where(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("w")
+        .agg(F.sum("cnt").alias("c_t"))
+    )
+    tots = (
+        cr.agg(
+            F.sum("c_r").alias("n_r"), F.count("*").alias("v")
+        )
+        # broadcast-safe: both sides are 1-row scalar aggregates
+        .crossJoin(
+            F.broadcast(
+                ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+            )
+        )
+    )
+    lr = (
+        cr.join(ct, "w", "left")
+        # broadcast-safe: tots is a 1-row scalar aggregate
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "w",
+            (
+                _qln(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                - _qln(F.col("n_t") + F.col("v"))
+                - _qln(F.col("c_r") + 1)
+                + _qln(F.col("n_r") + F.col("v"))
+            ).alias("lr_micro"),
+        )
+    )
+    scored = (
+        dgl.join(lr, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lr_micro"))
+            .cast("bigint")
+            .alias("dsir_micro_nats"),
+        )
+    )
+    cutoff = (
+        scored.orderBy(F.desc("dsir_micro_nats"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+        .orderBy(F.asc("dsir_micro_nats"), F.desc("doc_id"))
+        .limit(1)
+        .select(
+            F.col("dsir_micro_nats").alias("cw"), F.col("doc_id").alias("cd")
+        )
+    )
+    return (
+        scored
+        # broadcast-safe: cutoff is LIMIT 1 — at most one boundary row
+        .join(F.broadcast(cutoff), F.lit(True), "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_micro_nats",
+            F.coalesce(
+                (F.col("dsir_micro_nats") > F.col("cw"))
+                | (
+                    (F.col("dsir_micro_nats") == F.col("cw"))
+                    & (F.col("doc_id") <= F.col("cd"))
+                ),
+                F.lit(True),
+            ).alias("selected"),
+        )
+    )
