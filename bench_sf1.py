@@ -50,18 +50,44 @@ SF1_QUERIES = [
 
 def ensure_sf1(src: str, out: str) -> None:
     """Build the fixture once; ``make_sf1.py`` is deterministic, so an
-    existing COMPLETE build (all 10 tables present) is reused."""
+    existing COMPLETE build from the SAME source file versions is
+    reused.  Completeness is a ``_COMPLETE`` stamp written AFTER the
+    build (the ``_recoverable_index_dir`` protocol) — a bare
+    files-exist check would permanently adopt a crash-truncated last
+    table and poison every future bench run."""
+    import json
+    import shutil
+
     from mapreduceplusplus_spark.sources.tables import TABLES
 
-    if all(
-        os.path.exists(os.path.join(out, f"{t}.parquet")) for t in TABLES
-    ):
-        return
+    stamp = json.dumps(
+        {
+            "src": os.path.abspath(src),
+            "files": sorted(
+                (
+                    t,
+                    os.stat(os.path.join(src, f"{t}.parquet")).st_mtime_ns,
+                    os.stat(os.path.join(src, f"{t}.parquet")).st_size,
+                )
+                for t in TABLES
+            ),
+        }
+    )
+    marker = os.path.join(out, "_COMPLETE")
+    try:
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return
+    except OSError:
+        pass
+    shutil.rmtree(out, ignore_errors=True)
     subprocess.run(
         [sys.executable, "make_sf1.py", "--src", src, "--out", out],
         check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
+    with open(marker, "w") as fh:
+        fh.write(stamp)
 
 
 def main() -> None:
@@ -87,8 +113,13 @@ def main() -> None:
         cwd=here,
         capture_output=True,
         text=True,
-        check=True,
     )
+    if proc.returncode != 0:
+        # surface bench.py's own traceback instead of an opaque
+        # CalledProcessError with the diagnostics swallowed
+        sys.stderr.write(proc.stdout)
+        sys.stderr.write(proc.stderr)
+        raise SystemExit(f"bench.py failed with exit code {proc.returncode}")
     line = proc.stdout.strip().split("\n")[-1]
     path = os.path.join(here, f"BENCH_SF1_r{rnd}.json")
     with open(path, "w") as f:

@@ -84,11 +84,14 @@ def _check_alpha_tokens(texts) -> None:
         if t is None:
             continue
         for w in t.split():
-            if not pat.match(w):
+            # case-insensitive: the [a-z]+ tokenizer runs on
+            # lower(text), so 'The' is safe; only digits/punctuation
+            # genuinely break the rename disjointness
+            if not pat.match(w.lower()):
                 raise SystemExit(
-                    f"documents.text token {w!r} is not purely [a-z]+: the "
-                    f"suffix-rename trick would split it and re-share tokens "
-                    f"across copies — clean the source text first"
+                    f"documents.text token {w!r} is not purely alphabetic: "
+                    f"the suffix-rename trick would split it and re-share "
+                    f"tokens across copies — clean the source text first"
                 )
 
 
@@ -127,9 +130,19 @@ def gen_embeddings(src: str, out: str) -> int:
     t = pq.read_table(os.path.join(src, "embeddings.parquet"))
     # shift by max(vec_id)+1, not the row count: a --src whose vec_ids
     # are not dense 0..n-1 would otherwise silently produce colliding
-    # ids across copies (ADVICE r12)
-    n = pc.max(t["vec_id"]).as_py() + 1
-    _check_shift(t, "vec_id", n, "embeddings")
+    # ids across copies (ADVICE r12).  max+1 disjointness additionally
+    # requires non-negative ids (min < 0 would wrap a negative id into
+    # the base range) and a non-empty table — both checked LOUDLY
+    mx = pc.max(t["vec_id"]).as_py()
+    mn = pc.min(t["vec_id"]).as_py()
+    if mx is None:
+        raise SystemExit("embeddings is empty — nothing to scale")
+    if mn < 0:
+        raise SystemExit(
+            f"embeddings.vec_id min {mn} < 0: max+1 copy shifts would "
+            f"collide negative ids into the base range — re-key the source"
+        )
+    n = mx + 1
     vecs = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float32)
     scale = float(np.abs(vecs).mean())
     parts = []

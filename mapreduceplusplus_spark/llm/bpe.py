@@ -227,13 +227,11 @@ def _bpe_state(
     if key_m in _AUX_CACHE and key_s in _AUX_CACHE:
         return _AUX_CACHE[key_m], _AUX_CACHE[key_s]
 
+    from mapreduceplusplus_spark.llm.dedup import tokens
+
     docs = load_table(spark, sf_dir, "documents")
     wf = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
-            ).alias("w")
-        )
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
@@ -324,12 +322,11 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     _merges, seg = _bpe_state(spark, sf_dir)
     pieces = seg.groupBy("w").agg(F.count("*").cast("bigint").alias("np"))
+    from mapreduceplusplus_spark.llm.dedup import tokens
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
-        ).alias("w"),
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     )
     return (
         tok.join(pieces, "w")
@@ -374,13 +371,11 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     _merges, seg = _bpe_state(spark, sf_dir)
     pieces = seg.groupBy("w").agg(F.count("*").cast("bigint").alias("np"))
+    from mapreduceplusplus_spark.llm.dedup import tokens
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
-        ).alias("w"),
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
     )
     return (
         tok.join(pieces, "w")

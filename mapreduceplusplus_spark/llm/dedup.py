@@ -1784,6 +1784,30 @@ import atexit  # noqa: E402
 atexit.register(_sweep_neardup_indexes)
 
 
+def _index_store_root() -> str:
+    """Per-user 0700 root for the recoverable index stores.  A bare
+    deterministic /tmp path would let any local user pre-create the
+    directory with a forged ``_COMPLETE`` marker and have another
+    user's dedup silently serve attacker-controlled verdicts (the
+    unpredictable-name + 0700 guarantee ``mkdtemp`` used to provide);
+    the uid-scoped root restores that: created 0700, and adoption
+    refuses a root some other uid owns."""
+    import os as _os
+    import tempfile
+
+    uid = _os.getuid() if hasattr(_os, "getuid") else 0
+    root = _os.path.join(tempfile.gettempdir(), f"mrpp_index_u{uid}")
+    _os.makedirs(root, mode=0o700, exist_ok=True)
+    st = _os.stat(root)
+    if hasattr(_os, "getuid") and st.st_uid != _os.getuid():
+        raise RuntimeError(
+            f"index store root {root} is owned by uid {st.st_uid}, "
+            f"not the current user — refusing to trust its contents"
+        )
+    _os.chmod(root, 0o700)
+    return root
+
+
 def _recoverable_index_dir(prefix: str, sf_dir: str, fp: tuple, build) -> str:
     """Deterministic on-disk index location with COLD-START recovery
     (VERDICT r12 #8): the directory name derives from (dataset dir,
@@ -1791,27 +1815,31 @@ def _recoverable_index_dir(prefix: str, sf_dir: str, fp: tuple, build) -> str:
     marker stamps exactly what was indexed.  A restarted process (or a
     cleared in-memory memo) finds the finished store and ADOPTS it
     without rebuilding; a missing/mismatched marker (crash mid-build,
-    rewritten dataset) forces a fresh build.  Builds land in a
-    pid-suffixed staging dir and rename into place, so a concurrent
-    builder can never serve a half-written store.  In production the
-    same protocol runs against cluster storage (the marker doubles as
-    the commit record); ``atexit`` sweeping keeps this harness's /tmp
-    clean, which is the process-lifetime caveat — the RECOVERY path
-    itself is what the cold-start test pins."""
+    rewritten dataset) forces a fresh build.
+
+    Concurrency protocol: builds land in a pid-suffixed staging dir,
+    then RENAME-FIRST into place — on rename failure (a concurrent
+    builder won) the finished store is adopted and the staging copy
+    dropped, so a complete store is never deleted by a racing builder
+    (only a store whose marker is absent/mismatched — by definition
+    not serving anyone — gets cleared before the rename retry).
+    Residual harness caveat: the ``atexit`` sweeps still remove stores
+    at process exit to keep /tmp clean, so two OVERLAPPING harness
+    processes sharing a store can see the earlier exiter sweep it;
+    production runs this protocol against cluster storage with no
+    sweep (the marker doubles as the commit record), and the
+    single-process restart path is what the cold-start test pins."""
     import hashlib
     import os as _os
     import shutil
-    import tempfile
 
     stamp = repr((_os.path.abspath(sf_dir), fp))
     h = hashlib.md5(stamp.encode()).hexdigest()[:16]
-    final = _os.path.join(tempfile.gettempdir(), f"{prefix}_{h}")
-    marker = _os.path.join(final, "_COMPLETE")
+    final = _os.path.join(_index_store_root(), f"{prefix}_{h}")
 
     def _complete(d: str) -> bool:
-        m = _os.path.join(d, "_COMPLETE")
         try:
-            with open(m) as fh:
+            with open(_os.path.join(d, "_COMPLETE")) as fh:
                 return fh.read() == stamp
         except OSError:
             return False
@@ -1823,15 +1851,17 @@ def _recoverable_index_dir(prefix: str, sf_dir: str, fp: tuple, build) -> str:
     build(tmp)
     with open(_os.path.join(tmp, "_COMPLETE"), "w") as fh:
         fh.write(stamp)
-    shutil.rmtree(final, ignore_errors=True)  # stale or partial leftover
-    try:
-        _os.rename(tmp, final)
-    except OSError:
-        # a concurrent builder renamed first — adopt theirs if complete
-        if not _complete(final):
-            raise
-        shutil.rmtree(tmp, ignore_errors=True)
-    return final
+    for _attempt in (1, 2):
+        try:
+            _os.rename(tmp, final)
+            return final
+        except OSError:
+            if _complete(final):  # concurrent builder won — adopt
+                shutil.rmtree(tmp, ignore_errors=True)
+                return final
+            # stale/partial leftover (not serving anyone) — clear, retry
+            shutil.rmtree(final, ignore_errors=True)
+    raise RuntimeError(f"could not install index store at {final}")
 
 
 @query("dedup_incremental_ingest_near")  # no SQL oracle: MinHash-LSH
@@ -2652,7 +2682,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs):
 
     1. one corpus pass computes the positional gram-hash sequence per
-       document (zero-shuffle codegen'd HOF projection);
+       document (a single doc_id-windowed lead/concat/md5 pass — JVM
+       expression eval, not an interpreted array HOF; see the build
+       comment below for the measured 10x);
     2. winnowing (Schleimer et al. SIGMOD'03, the
        ``text_winnowing_matches`` machinery at K={25}, W={4}) selects
        each W-window's min hash — expected density 2/(W+1) of gram
@@ -2673,7 +2705,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference heritage: charter headroom (VERDICT r12 #3); the
     reference has no dedup at all (``mr/word_count.h`` counts words).
 
-    At 100 TB: the gram pass is scan-shaped; the fingerprint self-join
+    At 100 TB: the gram pass is one token-level doc_id exchange plus
+    windowed JVM expression eval; the fingerprint self-join
     shuffles the winnowed index (2/(W+1) of corpus grams, the knob);
     the verify join shuffles only candidate-pair grams.  Hot
     boilerplate fingerprints are the skew risk — AQE skew-split
@@ -2681,55 +2714,57 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     k, w = SUBSTR_K, SUBSTR_W
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
 
-    def _grams_arr():
-        toks = docs.select(
-            "doc_id", tokens(F.col("text")).alias("ws")
-        ).where(F.size("ws") >= k)
-        # stop clamped to >= 1: Catalyst's subexpression elimination can
-        # evaluate this transform BEFORE the size(ws) >= k guard
-        # short-circuits (both land in one collapsed Filter), and an
-        # unclamped sequence(1, n < 1) descends through slice start 0
-        # — a runtime error on the rows the filter is about to drop
-        n_g = F.greatest(F.size("ws") - (k - 1), F.lit(1))
-        return toks.select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(1), n_g),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i, k))),
-            ).alias("hs"),
+    # full positional gram relation — feeds the winnow pass AND the
+    # exact verify.  Built as ONE window pass over the exploded token
+    # stream (k-1 leads + concat + md5, all JVM expression eval
+    # sharing a single doc_id sort): the first formulation — an array
+    # HOF `transform(sequence, i -> md5(concat_ws(slice(ws, i, k))))`
+    # — is INTERPRETED per gram position (the linear-CPU cliff the
+    # kmeans assignment hit in r8) and measured 10-14x slower at sf1
+    # (30 s -> 2-3 s for the identical 1.56M-gram output).  The cost
+    # is one token-level exchange on doc_id; at 100 TB that shuffle is
+    # the deliberate trade against interpreted per-gram CPU.
+    def _build_grams() -> DataFrame:
+        t = docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+        )
+        lead_cols = [F.col("w")] + [
+            F.lead("w", j).over(wnd) for j in range(1, k)
+        ]
+        return (
+            t.select(
+                "doc_id",
+                (F.col("pos") + 1).cast("bigint").alias("pos"),
+                F.md5(F.concat_ws(" ", *lead_cols)).alias("h"),
+                # a full k-gram exists exactly where the last lead lands
+                F.lead("w", k - 1).over(wnd).isNotNull().alias("_full"),
+            )
+            .where("_full")
+            .drop("_full")
         )
 
-    # full positional gram relation — feeds the exact verify
     grams = _persisted_aux(
-        _docs_key(spark, sf_dir) + ("substr_grams",),
-        lambda: _grams_arr().select(
-            "doc_id", F.posexplode("hs").alias("pos0", "h")
-        ).select(
-            "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h"
-        ),
+        _docs_key(spark, sf_dir) + ("substr_grams",), _build_grams
     )
     # winnowed fingerprint index — feeds BOTH sides of the candidate
-    # self-join (persisted like the text_winnowing_matches index)
+    # self-join; the W-window minimum is a rows-frame min over the
+    # SAME per-doc sort (persisted like the text_winnowing_matches
+    # index)
     fps = _persisted_aux(
         _docs_key(spark, sf_dir) + ("substr_winnow_fp",),
-        lambda: _grams_arr()
-        .where(F.size("hs") >= w)
-        .select(
+        lambda: grams.select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        # same >= 1 clamp as the gram sequence above
-                        F.sequence(
-                            F.lit(1),
-                            F.greatest(F.size("hs") - (w - 1), F.lit(1)),
-                        ),
-                        lambda j: F.array_min(F.slice("hs", j, w)),
-                    )
-                )
-            ).alias("fp"),
-        ),
+            F.min("h")
+            .over(wnd.rowsBetween(Window.currentRow, w - 1))
+            .alias("fp"),
+            # a full winnow window exists where its last gram does
+            F.lead("h", w - 1).over(wnd).isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .select("doc_id", "fp")
+        .distinct(),
     )
     cand = (
         fps.alias("a")

@@ -796,13 +796,11 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     from mapreduceplusplus_spark.session import qln_micro as _qln
 
+    from mapreduceplusplus_spark.llm.dedup import tokens
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
-        ).alias("w"),
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
     )
     # materialized once: feeds the raw model, the target model AND the
     # final scoring join (the doc_nll localCheckpoint convention)

@@ -1788,14 +1788,10 @@ def test_substring_spans_guarantee_floor_and_exact_extents(spark, tmp_path):
     assert got[(0, 1, 31)] == (58, 6, 33, floor), got
     # (2,3): 27-word run is below the floor — absent entirely
     assert not any(a == 2 and b == 3 for a, b, _ in got), got
-    # (0,4): doc4 carries run_a TWICE -> two diagonals, two exact spans
-    assert got[(0, 4, 31)] == (58, 3, 30, floor), got
-    assert (0, 4, 31) in got and len(
-        [kk for kk in got if kk[0] == 0 and kk[1] == 4]
-    ) == 1, got
-    # ... but both doc4 copies align against doc0's single copy on
-    # DIFFERENT diagonals with the SAME a-extent — they surface as two
-    # rows only if a_start keys differ; assert via full row list instead
+    # (0,4): doc4 carries run_a TWICE -> two diagonals, two exact spans.
+    # Both rows share (doc_a, doc_b, a_start) so the dict above cannot
+    # distinguish them — assert via the full sorted row list only (a
+    # dict lookup here would be collect-order-dependent and flaky)
     spans_04 = sorted(
         (r.a_start, r.a_end, r.b_start, r.b_end, r.n_words)
         for r in rows
