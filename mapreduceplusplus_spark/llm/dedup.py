@@ -359,12 +359,26 @@ def dedup_ngram_jaccard(
 
 
 def _ngram_pairs(
-    docs: DataFrame, prefix: bool = True, aux_key: tuple | None = None
+    docs: DataFrame,
+    prefix: bool = True,
+    aux_key: tuple | None = None,
+    *,
+    t_num: int = JACCARD_T_NUM,
+    t_den: int = JACCARD_T_DEN,
+    raw_counts: bool = False,
 ) -> DataFrame:
     """Core of ``dedup_ngram_jaccard`` over an arbitrary ``(doc_id,
     sh)`` table — separated so adversarial fixtures (boundary-Jaccard
     pairs, 1-shingle docs, df ties) can exercise the prefix/position
-    arithmetic directly (``tests/test_llm_ops.py``)."""
+    arithmetic directly (``tests/test_llm_ops.py``).
+
+    ``t_num/t_den`` is the Jaccard threshold as an exact rational
+    (default the module's 4/5); the prefix/position arithmetic is
+    lossless at ANY threshold, which is what lets
+    ``dedup_threshold_curve`` build ONE candidate set at the sweep's
+    minimum.  ``raw_counts=True`` returns ``(da, db, i, u)`` —
+    intersection/union sizes, unfiltered beyond the threshold — so
+    callers can re-threshold exactly in integers."""
 
     def _build_prefix() -> DataFrame:
         p = docs.select(
@@ -389,7 +403,7 @@ def _ngram_pairs(
         # ceil(t*n) = (NUM*n + DEN - 1) div DEN
         plen = (
             F.col("n")
-            - F.expr(f"({JACCARD_T_NUM}*n + {JACCARD_T_DEN - 1}) div {JACCARD_T_DEN}")
+            - F.expr(f"({t_num}*n + {t_den - 1}) div {t_den}")
             + F.lit(1)
             if prefix
             else F.col("n")
@@ -429,8 +443,8 @@ def _ngram_pairs(
         # required overlap ceil(t/(1+t)*(na+nb)), integer-exact with
         # t = NUM/DEN: ceil(NUM*m / (NUM+DEN))
         need = F.expr(
-            f"({JACCARD_T_NUM}*(na + nb) + {JACCARD_T_NUM + JACCARD_T_DEN - 1})"
-            f" div {JACCARD_T_NUM + JACCARD_T_DEN}"
+            f"({t_num}*(na + nb) + {t_num + t_den - 1})"
+            f" div {t_num + t_den}"
         )
         cand = cand.where(
             F.col("cs")
@@ -444,6 +458,15 @@ def _ngram_pairs(
     ).join(full.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b")), "db")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    if raw_counts:
+        # integer-exact re-thresholding form: keep every candidate at
+        # or above t_num/t_den (i·den ≥ num·u), report (i, u) raw
+        return (
+            pairs.withColumn("i", inter)
+            .withColumn("u", union)
+            .where(F.col("i") * t_den >= t_num * F.col("u"))
+            .select("da", "db", "i", "u")
+        )
     return (
         pairs.withColumn("jaccard_raw", inter / union)
         .where(F.col("jaccard_raw") >= JACCARD_T)
@@ -2935,4 +2958,95 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(n_cut AS DECIMAL(38,0)) * 1000000 div n_words"
             " AS BIGINT)"
         ).alias("cut_ppm"),
+    )
+
+
+#: the Jaccard sweep grid (percent) — min 50 sets the one candidate
+#: generation threshold; everything above re-thresholds for free
+_CURVE_PCTS = [50, 60, 70, 80, 90]
+
+
+@query(
+    "dedup_threshold_curve",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                for i in range(1, len(ws) - 1)])) AS s
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY da, db
+    ),
+    pairs AS (
+      SELECT da, db, i, ca.n + cb.n - i AS u
+      FROM inter
+      JOIN cnt ca ON ca.doc_id = da
+      JOIN cnt cb ON cb.doc_id = db
+      WHERE i * 2 >= ca.n + cb.n - i
+    ),
+    t AS (SELECT unnest({_CURVE_PCTS}) AS pct)
+    SELECT CAST(pct AS BIGINT) AS threshold_pct,
+           CAST(count(CASE WHEN i * 100 >= pct * u THEN 1 END) AS BIGINT)
+             AS n_dup_pairs,
+           CAST(count(DISTINCT CASE WHEN i * 100 >= pct * u THEN db END)
+                AS BIGINT) AS n_docs_flagged
+    FROM t CROSS JOIN pairs
+    GROUP BY pct
+    """,
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold SWEEP — the dedup-rate-vs-threshold curve
+    every curation run plots before committing to a cut (how much of
+    the corpus disappears at J ≥ 0.7 vs 0.9?), from ONE candidate
+    pass.  The prefix/position filter (``_ngram_pairs``) is built once
+    at the sweep MINIMUM (J ≥ 1/2, lossless there, hence lossless for
+    every higher threshold); each candidate pair carries its exact
+    integer (intersection, union), and all {len(_CURVE_PCTS)} grid
+    points re-threshold with pure integer comparisons
+    (``i·100 ≥ pct·u``) in a single conditional aggregate — no float
+    Jaccard anywhere, no second pass over the corpus.  Per threshold:
+    qualifying pair count and distinct later-copy docs flagged (the
+    lowest-id-keeper greedy accounting of ``dedup_exact``; transitive
+    closure is ``dedup_cluster_canonical``'s job).
+
+    Scale: the candidate stage is the documented all-pairs prefix
+    filter (Bayardo WWW'07 / Xiao WWW'08) — at J ≥ 1/2 each doc
+    indexes ~half its shingles (vs ~20% at 0.8), the honest cost of
+    sweeping low; the sweep itself adds one broadcast of a
+    {len(_CURVE_PCTS)}-row literal grid and one hash aggregate over
+    the (tiny) surviving pair relation.  Reference heritage: none
+    (SURVEY §2 charter extension, dedup family)."""
+    ensure_utc(spark)
+    docs = _doc_shingles(spark, sf_dir)
+    raw = _ngram_pairs(
+        docs,
+        True,
+        aux_key=_docs_key(spark, sf_dir) + ("prefix_posting_t", 1, 2),
+        t_num=1,
+        t_den=2,
+        raw_counts=True,
+    )
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _CURVE_PCTS])).alias("pct")
+    )
+    qual = raw["i"] * 100 >= F.col("pct") * raw["u"]
+    # broadcast-safe: th is the literal 5-row threshold grid
+    return (
+        raw.crossJoin(F.broadcast(th))
+        .groupBy("pct")
+        .agg(
+            F.count(F.when(qual, 1)).alias("n_dup_pairs"),
+            F.countDistinct(F.when(qual, F.col("db"))).alias("n_docs_flagged"),
+        )
+        .select(
+            F.col("pct").cast("bigint").alias("threshold_pct"),
+            F.col("n_dup_pairs").cast("bigint").alias("n_dup_pairs"),
+            F.col("n_docs_flagged").cast("bigint").alias("n_docs_flagged"),
+        )
     )

@@ -1675,3 +1675,143 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+#: the interpolated Kneser-Ney model chain as oracle CTEs — built on
+#: the same (grp, c2) relations as NLL_CTES but keeping w2 so the
+#: continuation counts exist; discount D = 3/4 keeps every probability
+#: an exact integer ratio (see text_perplexity_kneser_ney docstring)
+KN_CTES = """toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest([ws[i] for i in range(1, len(ws))]) AS w1,
+             unnest([ws[i+1] for i in range(1, len(ws))]) AS w2,
+             unnest([ws[i] || ' ' || ws[i+1]
+                     for i in range(1, len(ws))]) AS bg
+      FROM toks
+    ),
+    grp AS (
+      SELECT doc_id, bg, w1, w2, count(*) AS cnt FROM occ GROUP BY ALL
+    ),
+    c2 AS (SELECT bg, w1, w2, sum(cnt) AS c2 FROM grp GROUP BY bg, w1, w2),
+    c1 AS (SELECT w1, sum(c2) AS c1, count(*) AS n1fwd
+           FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS ncont FROM c2 GROUP BY w2),
+    ntypes AS (SELECT count(*) AS nt FROM c2),
+    w AS (
+      SELECT bg,
+             CAST(floor(ln(CAST((4 * c2 - 3) * nt + 3 * n1fwd * ncont
+                                AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(floor(ln(CAST(4 * c1 * nt AS DOUBLE)) * 1000000)
+                    AS BIGINT)                             AS logp_micro
+      FROM c2 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN ntypes
+    ),
+    knnll AS (
+      SELECT g.doc_id,
+             CAST(sum(g.cnt) AS BIGINT)                      AS n_bigrams,
+             CAST((-sum(g.cnt * w.logp_micro)) // sum(g.cnt) AS BIGINT)
+                                                             AS nll_micro_nats
+      FROM grp g JOIN w USING (bg)
+      GROUP BY g.doc_id
+    )"""
+
+
+@query(
+    "text_perplexity_kneser_ney",
+    oracle=f"""
+    WITH {KN_CTES}
+    SELECT doc_id, n_bigrams, nll_micro_nats FROM knnll
+    """,
+)
+def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney bigram
+    LM (Kneser & Ney 1995; Chen & Goodman 1999) — the smoothing every
+    production n-gram filter (KenLM, the CCNet pipeline's actual LM)
+    uses instead of ``text_perplexity_bigram``'s add-one: add-one
+    steals far too much mass from seen events, while KN discounts each
+    seen bigram by a fixed D and backs off to the CONTINUATION
+    probability (in how many distinct contexts does w2 appear?), so
+    frequent-but-context-bound words (collocation tails) stop inflating
+    unseen-word likelihood.  ``p(w2|w1) = (c(w1 w2) − D)/c(w1·) +
+    D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|``.
+
+    Exactness device: D = 3/4 keeps p an exact integer RATIO —
+    ``p = num/den`` with ``num = (4·c2 − 3)·T + 3·n1fwd·ncont`` and
+    ``den = 4·c1·T`` (T = bigram type count; c2 ≥ 1 always since the
+    corpus scores itself, so num ≥ T > 0) — which makes ``ln p =
+    qln(num) − qln(den)`` two applications of THE shared quantized-ln
+    device (``session.qln_micro``) on integers, and every downstream
+    sum exact integer arithmetic.  A float-interpolated KN (the
+    textbook ``a + b·c`` of doubles) would be the one place in the
+    module where ln(a + b) CANNOT decompose and cross-engine bit-drift
+    could enter; the common-denominator form removes the addition of
+    doubles entirely.
+
+    Scale: identical shape to ``doc_nll`` — one documents scan →
+    per-doc pre-reduced bigram explode (the only data-sized shuffle)
+    → Zipf-bounded model aggregates (bigram, context, continuation,
+    one 1-row type count) → broadcast-joined scoring.  The two extra
+    model relations (n1fwd folded into c1's aggregate, cont keyed by
+    w2) are vocabulary-sized; the model never collects to the driver.
+    Reference heritage: none (SURVEY §2 charter extension,
+    text-quality family)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks(F.col("text")).alias("ws")
+    )
+    k = F.greatest(F.size("ws") - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice("ws", 1, k).alias("w1"), F.slice("ws", 2, k).alias("w2")
+    )
+    occ = docs.select("doc_id", F.explode(z).alias("p")).select(
+        "doc_id",
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+        F.concat_ws(" ", "p.w1", "p.w2").alias("bg"),
+    )
+    # materialized once: grp feeds the model chain AND the final
+    # scoring join (the doc_nll convention — without it Catalyst
+    # re-executes the scan+explode subplan per consumer)
+    grp = (
+        occ.groupBy("doc_id", "bg", "w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    c2 = grp.groupBy("bg", "w1", "w2").agg(F.sum("cnt").alias("c2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1fwd")
+    )
+    cont = c2.groupBy("w2").agg(F.count("*").alias("ncont"))
+    ntypes = c2.agg(F.count("*").alias("nt"))
+
+    from mapreduceplusplus_spark.session import qln_micro as _qln
+
+    # broadcast-safe: ntypes is a 1-row scalar aggregate
+    w = (
+        c2.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(ntypes))
+        .select(
+            "bg",
+            (
+                _qln(
+                    (4 * F.col("c2") - 3) * F.col("nt")
+                    + 3 * F.col("n1fwd") * F.col("ncont")
+                )
+                - _qln(4 * F.col("c1") * F.col("nt"))
+            ).alias("logp_micro"),
+        )
+    )
+    return (
+        grp.join(w, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.expr("(-sum(cnt * logp_micro)) div sum(cnt)")
+            .cast("bigint")
+            .alias("nll_micro_nats"),
+        )
+    )

@@ -747,3 +747,111 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "vertex BIGINT, dist BIGINT")
     dists, _rounds = sssp_frontier(sym, int(source))
     return dists.select(F.col("v").alias("vertex"), "dist")
+
+
+#: synchronous label-propagation rounds — fixed and small so the
+#: oracle can unroll the SAME rounds as CTEs (the pagerank device);
+#: async/until-convergence LPA is visit-order-dependent and therefore
+#: unsuitable for a cross-engine differential
+_LPA_ITERS = 3
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round as dialect-intersection SQL: every
+    vertex adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label (count DESC, label ASC — fully
+    deterministic, no RNG)."""
+    return f"""
+    {out} AS (
+      SELECT v, lbl FROM (
+        SELECT e.dst AS v, p.lbl, count(*) AS cnt,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, p.lbl) AS rn
+        FROM E2 e JOIN {prev} p ON p.v = e.src
+        GROUP BY e.dst, p.lbl
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    E2 AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL
+      SELECT b AS src, a AS dst FROM e
+    ),
+    L0 AS (SELECT DISTINCT src AS v, src AS lbl FROM E2),
+    {_lpa_iter_sql("L0", "L1")},
+    {_lpa_iter_sql("L1", "L2")},
+    {_lpa_iter_sql("L2", "L3")}
+    SELECT lbl AS community,
+           count(*) AS n_members,
+           CAST(min(v) AS BIGINT) AS min_vertex
+    FROM L3 GROUP BY lbl
+    ORDER BY n_members DESC, community
+    LIMIT 25
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the co-purchase graph — the community-structure
+    row between connected components (too coarse: one label per
+    reachable set) and k-core (density, not membership).  Every vertex
+    starts labeled with its own id; each round it adopts the most
+    frequent label among its neighbors (count DESC, label ASC
+    tiebreak).  Fixed {_LPA_ITERS} SYNCHRONOUS rounds: the textbook
+    asynchronous sweep is visit-order-dependent (non-deterministic on
+    any parallel engine), while the synchronous variant with a total
+    tiebreak is partitioning-independent by construction — the same
+    reasoning that makes ``graph_pagerank``'s quantized iterations
+    differential-checkable.  Output: the 25 largest communities with
+    their canonical (minimum) member vertex.
+
+    Spark side: directed-both-ways edges localCheckpointed once; each
+    round is one shuffle (edge ⋈ label on src, hash agg on (dst,
+    label)) plus one vertex-sized argmax agg — the argmax is a single
+    ``min(struct(-cnt, lbl))`` hash aggregate, NOT a window, so no
+    per-vertex sort materializes.  At 100 TB the edge relation
+    hash-partitions on src and the (vertex-sized) label vector
+    co-shuffles per round — the Pregel-on-relational shape shared by
+    pagerank/SSSP; rounds are bounded (3), not data-dependent.
+    Reference heritage: none (SURVEY §2 charter extension, graph
+    family)."""
+    ensure_utc(spark)
+    e2 = (
+        _symmetrize(_copurchase_edges(spark, sf_dir))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    lbl = e2.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            e2.join(lbl, e2["src"] == lbl["v"])
+            .groupBy(F.col("dst"), F.col("lbl"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        lbl = (
+            cnt.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("lbl").alias("l")
+                    )
+                ).alias("s")
+            )
+            .select(F.col("dst").alias("v"), F.col("s.l").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("v").cast("bigint").alias("min_vertex"),
+        )
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(25)
+    )

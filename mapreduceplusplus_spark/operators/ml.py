@@ -447,3 +447,111 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b1", 6).alias("b1"),
         F.round("b2", 6).alias("b2"),
     )
+
+
+#: k-NN classifier: every KNN_CLS_MOD-th vector is a held-out probe,
+#: classified by majority label of its KNN_CLS_K nearest corpus
+#: neighbors (leave-the-probes-out evaluation)
+KNN_CLS_MOD = 25
+KNN_CLS_K = 7
+
+
+@query(
+    "ml_knn_classifier",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, label AS true_label,
+             CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id % {KNN_CLS_MOD} = 0
+    ),
+    corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {KNN_CLS_MOD} <> 0
+    ),
+    topk AS (
+      SELECT probe_id, true_label, label FROM (
+        SELECT p.probe_id, p.true_label, c.label,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY list_cosine_similarity(c.v, p.pv) DESC,
+                          c.vec_id) AS rnk
+        FROM probes p CROSS JOIN corpus c
+      ) WHERE rnk <= {KNN_CLS_K}
+    ),
+    votes AS (
+      SELECT probe_id, true_label, label, count(*) AS cnt
+      FROM topk GROUP BY ALL
+    )
+    SELECT probe_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(label AS BIGINT) AS pred_label,
+           CAST(cnt AS BIGINT) AS n_votes,
+           CAST(label = true_label AS BIGINT) AS correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY cnt DESC, label) AS rn
+          FROM votes)
+    WHERE rn = 1
+    """,
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the embeddings table —
+    the third classical-ML row (after Lloyd k-means and Naive Bayes)
+    and the evaluation shape every embedding-quality check runs:
+    hold out a probe set, classify each probe by the majority label of
+    its k nearest corpus neighbors, report prediction vs true label.
+    Votes tie-break deterministically (count DESC, label ASC); the
+    neighbor sets themselves are deterministic because the cosine is
+    the same fixed expression shape on both engines (the
+    ``sim_search_knn_join`` device) with a vec_id tiebreak.
+
+    Plan: identical physical shape to ``sim_search_knn_join`` —
+    broadcast nested-loop of the bounded probe set over one corpus
+    scan, per-probe top-k via WindowGroupLimit (each task keeps ≤ k
+    rows per probe BEFORE the exchange), then two tiny hash aggregates
+    (vote count, argmax via ``min(struct(-cnt, label))`` — no second
+    window).  At 100 TB the corpus side never shuffles for the join;
+    beyond ~10k probes, LSH-bucket both sides first
+    (``sim_search_lsh``'s layout).  Reference heritage: none (SURVEY
+    §2 charter extension, ML family)."""
+    ensure_utc(spark)
+    from mapreduceplusplus_spark.llm.similarity import _as_double, _dot, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % KNN_CLS_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        _as_double("embedding").alias("pv"),
+    )
+    corpus = emb.where(F.col("vec_id") % KNN_CLS_MOD != 0).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    # broadcast-safe: probes is the documented bounded probe set
+    scored = corpus.join(F.broadcast(probes)).withColumn(
+        "s", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("s").desc(), F.col("vec_id")
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= KNN_CLS_K
+    )
+    votes = topk.groupBy("probe_id", "true_label", "label").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        votes.groupBy("probe_id", "true_label")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+            ).alias("s")
+        )
+        .select(
+            "probe_id",
+            F.col("true_label").cast("bigint").alias("true_label"),
+            F.col("s.l").cast("bigint").alias("pred_label"),
+            (-F.col("s.nc")).cast("bigint").alias("n_votes"),
+            (F.col("s.l") == F.col("true_label"))
+            .cast("bigint")
+            .alias("correct"),
+        )
+    )
