@@ -3050,3 +3050,64 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs_flagged").cast("bigint").alias("n_docs_flagged"),
         )
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                for i in range(1, len(ws) - 1)])) AS s
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents)
+    ),
+    first_seen AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
+                AS BIGINT) AS n_novel,
+           CAST(count(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
+                * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN first_seen f USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the fraction of a document's
+    distinct word-trigrams never seen in any earlier (lower doc_id)
+    document, the standard memorization/redundancy readout a curation
+    run plots over ingest order (a corpus whose novelty curve collapses
+    is re-crawling itself; a near-dup's novelty is ~0 without ever
+    running pair dedup).  Ingest order = doc_id, the fixture's stable
+    ordering (the ``dedup_exact`` keeper convention).
+
+    Plan: the cached distinct-shingle frame (``_doc_shingles``, shared
+    with the whole near-dup family — no new corpus pass) exploded once
+    → one hash aggregate for the global first-occurrence relation
+    (``min(doc_id)`` per gram — map-side combined, the word-count
+    shape) → equi-join back on the gram key → per-doc conditional
+    rollup.  Integer ppm floor division on both engines.  At 100 TB
+    the first-seen relation is the corpus's distinct-gram table —
+    Zipf-bounded, hash-partitioned on the gram key; no sort, no
+    window, no driver state.  Reference heritage: none (SURVEY §2
+    charter extension, text-analysis family)."""
+    ensure_utc(spark)
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count(novel).cast("bigint").alias("n_novel"),
+            F.expr("(count(CASE WHEN first_doc = doc_id THEN 1 END)"
+                   " * 1000000) div count(*)")
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -419,3 +419,134 @@ def embedding_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dot").cast("double") < 0).alias("is_outlier"),
         )
     )
+
+
+#: Matryoshka evaluation: recall@K of the truncated-prefix index
+#: against full-dimension ground truth, per probe
+_MRL_DIM = 16
+_MRL_K = 10
+_MRL_PROBE_MOD = 100
+
+
+@query(
+    "embedding_matryoshka_eval",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id,
+             CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id % {_MRL_PROBE_MOD} = 0
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv)
+               AS s_full,
+             list_cosine_similarity((CAST(e.embedding AS DOUBLE[]))[1:{_MRL_DIM}],
+                                    (p.pv)[1:{_MRL_DIM}]) AS s_trunc
+      FROM probes p CROSS JOIN embeddings e
+      WHERE e.vec_id <> p.probe_id
+    ),
+    fullk AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY s_full DESC, vec_id) AS rnk
+        FROM scored) WHERE rnk <= {_MRL_K}
+    ),
+    trunck AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY s_trunc DESC, vec_id) AS rnk
+        FROM scored) WHERE rnk <= {_MRL_K}
+    )
+    SELECT f.probe_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.vec_id) * 1000000 // {_MRL_K} AS BIGINT)
+             AS recall_ppm
+    FROM fullk f
+    LEFT JOIN trunck t ON t.probe_id = f.probe_id AND t.vec_id = f.vec_id
+    GROUP BY f.probe_id
+    """,
+)
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation (Kusupati et al.
+    2022, MRL): how much recall@{_MRL_K} survives when the ANN index
+    keeps only the first {_MRL_DIM} of 64 dimensions?  The standard
+    go/no-go readout before committing a vector corpus to a truncated
+    (4× cheaper) serving index: per probe, the top-{_MRL_K} under
+    prefix-{_MRL_DIM} cosine is compared against full-dimension ground
+    truth and the overlap reported in exact integer ppm.
+
+    Determinism: both rankings order by the raw cosine — the same
+    fixed expression shape on both engines (the ``sim_search_topk``
+    device) — with the vec_id tiebreak; overlap counting is then pure
+    integer arithmetic, so no rounding enters the result at all.
+
+    Plan: ONE corpus scan scores both similarities side by side
+    (the truncated dot is a ``slice`` before the same ``zip_with``
+    fold — no second pass, no second shuffle); per-probe top-k twice
+    via WindowGroupLimit (each task keeps ≤ k rows per probe before
+    the exchange); the two k-row-per-probe relations equi-join on
+    (probe, vec).  At 100 TB this is the honest brute-force
+    evaluation harness — run over a probe SAMPLE by construction
+    (bounded broadcast set), not the full corpus as queries.
+    Reference heritage: none (SURVEY §2 charter extension,
+    embedding family)."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    from mapreduceplusplus_spark.llm.similarity import _as_double, _dot, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % _MRL_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        _as_double("embedding").alias("pv"),
+    )
+    corpus = emb.select("vec_id", _as_double("embedding").alias("v"))
+    # broadcast-safe: probes is the documented bounded probe sample
+    scored = (
+        corpus.join(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (_dot(F.col("v"), F.col("pv"))
+             / (_norm(F.col("v")) * _norm(F.col("pv")))).alias("s_full"),
+            (_dot(F.slice("v", 1, _MRL_DIM), F.slice("pv", 1, _MRL_DIM))
+             / (_norm(F.slice("v", 1, _MRL_DIM))
+                * _norm(F.slice("pv", 1, _MRL_DIM)))).alias("s_trunc"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.col("s_full").desc(), F.col("vec_id")
+    )
+    wt = Window.partitionBy("probe_id").orderBy(
+        F.col("s_trunc").desc(), F.col("vec_id")
+    )
+    fullk = (
+        scored.withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= _MRL_K)
+        .select("probe_id", "vec_id")
+    )
+    trunck = (
+        scored.withColumn("rnk", F.row_number().over(wt))
+        .where(F.col("rnk") <= _MRL_K)
+        .select(
+            F.col("probe_id").alias("t_probe"), F.col("vec_id").alias("t_vec")
+        )
+    )
+    return (
+        fullk.join(
+            trunck,
+            (F.col("probe_id") == F.col("t_probe"))
+            & (F.col("vec_id") == F.col("t_vec")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("t_vec").cast("bigint").alias("n_overlap"),
+            F.expr(f"(count(t_vec) * 1000000) div {_MRL_K}")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )

@@ -853,3 +853,95 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs_milli"),
         )
     )
+
+
+from mapreduceplusplus_spark.llm.textstats import NLL_CTES  # noqa: E402
+
+
+@query(
+    "corpus_curriculum_stages",
+    oracle=f"""
+    WITH {NLL_CTES},
+    x AS (SELECT doc_id, n_bigrams, nll_micro_nats AS x FROM nll),
+    st AS (SELECT count(*) AS n,
+                  CAST(sum(x) AS HUGEINT) AS s,
+                  CAST(sum(x * x) AS HUGEINT) AS ss
+           FROM x),
+    b AS (
+      SELECT doc_id, n_bigrams, x,
+             CAST(x AS HUGEINT) * n - s AS d,
+             n * ss - s * s          AS v
+      FROM x CROSS JOIN st
+    )
+    SELECT CAST(CASE WHEN d < 0 AND d * d >= v THEN 1
+                     WHEN d <= 0 THEN 2
+                     WHEN d * d < v THEN 3
+                     ELSE 4 END AS BIGINT)      AS stage,
+           CAST(count(*) AS BIGINT)             AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT)       AS total_bigrams,
+           CAST(min(x) AS BIGINT)               AS min_nll,
+           CAST(max(x) AS BIGINT)               AS max_nll
+    FROM b GROUP BY 1
+    """,
+)
+def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging by statistical difficulty — partition the
+    corpus into 4 stages by where each document's bigram-LM NLL
+    (``doc_nll``, the shared CCNet-style score) falls relative to the
+    corpus mean ± one standard deviation: stage 1 (z ≤ −1, the
+    easy/most-predictable quarter a curriculum schedule feeds first),
+    2 (−1 < z ≤ 0), 3 (0 < z ≤ 1... strictly, z < 1), 4 (z ≥ 1, the
+    hardest/noisiest tail that is ALSO the quality-filter suspect
+    list).  Per stage: document count, bigram mass, NLL range.
+
+    Exactness device — z-bands WITHOUT computing z: with n, S = Σx,
+    SS = Σx² over integer micro-nat scores, ``z ≥ 1  ⟺  D ≥ 0 ∧ D² ≥ V``
+    where ``D = n·x − S`` and ``V = n·SS − S²`` (= n²·σ²) — both exact
+    integers (DECIMAL(38,0) Spark-side / HUGEINT oracle-side for the
+    squares), so stage assignment involves NO sqrt, NO float, and no
+    quantile sort: unlike an ntile(4) curriculum, which needs a global
+    rank (single-partition window — a genuine 100 TB scale-killer),
+    this is two scan-shaped aggregates (the 1-row moment frame
+    broadcast back) and a map-side CASE.  Ties: z = −1 exactly lands
+    in stage 1, z = 0 in stage 2, z = 1 in stage 4 — pinned by the
+    integer comparisons identically on both engines.
+    Reference heritage: none (SURVEY §2 charter extension, corpus
+    family)."""
+    ensure_utc(spark)
+    from mapreduceplusplus_spark.llm.textstats import doc_nll
+
+    x = doc_nll(spark, sf_dir).select(
+        "doc_id", "n_bigrams", F.col("nll_micro_nats").alias("x")
+    )
+    stats = x.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("ss"),
+    )
+    # broadcast-safe: stats is a 1-row moment aggregate
+    b = (
+        x.crossJoin(F.broadcast(stats))
+        .withColumn("d", F.expr("CAST(x * n - s AS DECIMAL(38,0))"))
+        .withColumn(
+            "v",
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * ss"
+                " - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"
+            ),
+        )
+    )
+    stage = (
+        F.when((F.col("d") < 0) & (F.col("d") * F.col("d") >= F.col("v")), 1)
+        .when(F.col("d") <= 0, 2)
+        .when(F.col("d") * F.col("d") < F.col("v"), 3)
+        .otherwise(4)
+    )
+    return (
+        b.groupBy(stage.cast("bigint").alias("stage"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+            F.min("x").cast("bigint").alias("min_nll"),
+            F.max("x").cast("bigint").alias("max_nll"),
+        )
+    )
