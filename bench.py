@@ -80,6 +80,9 @@ HEADLINE = [
     "dedup_semdedup_incremental",  # cid-partitioned member index probe + Arrow verify
     "sim_search_hybrid_rrf",   # BM25 ⊕ cosine reciprocal-rank fusion
     "stream_stream_join_full",  # full-outer attribution (both null sides)
+    "graph_label_propagation",  # 3 synchronous LPA rounds (argmax aggs)
+    "text_perplexity_kneser_ney",  # KN bigram LM, integer-ratio smoothing
+    "dedup_threshold_curve",   # J>=1/2 prefix pass + 5-point integer sweep
 ]
 
 

@@ -913,6 +913,24 @@ def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = doc_nll(spark, sf_dir).select(
         "doc_id", "n_bigrams", F.col("nll_micro_nats").alias("x")
     )
+    return (
+        curriculum_stage_of(x)
+        .groupBy(F.col("stage").cast("bigint").alias("stage"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+            F.min("x").cast("bigint").alias("min_nll"),
+            F.max("x").cast("bigint").alias("max_nll"),
+        )
+    )
+
+
+def curriculum_stage_of(x: DataFrame) -> DataFrame:
+    """Append the integer-exact z-band ``stage`` column to a frame
+    with a BIGINT score column ``x`` (see ``corpus_curriculum_stages``
+    for the D/V invariants).  Separated so the boundary semantics
+    (z = −1 → stage 1, z = 0 → stage 2, z = 1 → stage 4) are pinned on
+    constructed score sets in ``tests/test_packing.py``."""
     stats = x.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),
@@ -936,12 +954,4 @@ def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("d") * F.col("d") < F.col("v"), 3)
         .otherwise(4)
     )
-    return (
-        b.groupBy(stage.cast("bigint").alias("stage"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
-            F.min("x").cast("bigint").alias("min_nll"),
-            F.max("x").cast("bigint").alias("max_nll"),
-        )
-    )
+    return b.withColumn("stage", stage).drop("n", "s", "ss", "d", "v")

@@ -773,6 +773,37 @@ def _lpa_iter_sql(prev: str, out: str) -> str:
     )"""
 
 
+def lpa_rounds(e2: DataFrame, iters: int) -> DataFrame:
+    """``iters`` synchronous LPA rounds over a directed-both-ways
+    ``(src, dst)`` edge frame (already checkpointed by the caller);
+    returns the final ``(v, lbl)`` assignment.  Separated so the
+    tie-break (count DESC, label ASC via ``min(struct(-cnt, lbl))``)
+    is pinned on a constructed graph in ``tests/test_operator_edges.py``
+    independent of the co-purchase derivation."""
+    lbl = e2.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(iters):
+        cnt = (
+            e2.join(lbl, e2["src"] == lbl["v"])
+            .groupBy(F.col("dst"), F.col("lbl"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        lbl = (
+            cnt.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("lbl").alias("l")
+                    )
+                ).alias("s")
+            )
+            .select(F.col("dst").alias("v"), F.col("s.l").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return lbl
+
+
 @query(
     "graph_label_propagation",
     oracle=f"""
@@ -825,27 +856,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .localCheckpoint(eager=True)
     )
-    lbl = e2.select(F.col("src").alias("v")).distinct().select(
-        "v", F.col("v").alias("lbl")
-    )
-    for _ in range(_LPA_ITERS):
-        cnt = (
-            e2.join(lbl, e2["src"] == lbl["v"])
-            .groupBy(F.col("dst"), F.col("lbl"))
-            .agg(F.count("*").alias("cnt"))
-        )
-        lbl = (
-            cnt.groupBy("dst")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("nc"), F.col("lbl").alias("l")
-                    )
-                ).alias("s")
-            )
-            .select(F.col("dst").alias("v"), F.col("s.l").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
+    lbl = lpa_rounds(e2, _LPA_ITERS)
     return (
         lbl.groupBy(F.col("lbl").alias("community"))
         .agg(

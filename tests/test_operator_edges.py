@@ -2101,3 +2101,45 @@ def test_mwu_promoted_path_end_to_end_at_overflow_scale(spark, tmp_path):
     assert r.u2 == u2, (r.u2, u2)
     assert r.cles_ppm == exp_ppm, (r.cles_ppm, exp_ppm)
     assert 500_000 < r.cles_ppm < 1_000_000  # arm 1 shifted up, overlap
+
+
+def test_lpa_tiebreak_and_rounds_on_constructed_graph(spark):
+    """Pin the synchronous-LPA semantics on a hand-built graph:
+    star 1-{2,3,4} plus edge 2-3.  Round 1 from self-labels: vertex 1
+    sees {2,3,4} (all count 1, tie -> min = 2); 2 sees {1,3}; 3 sees
+    {1,2} -> tie -> 1; 4 sees {1}.  The count-DESC precedence (not
+    just label-ASC) is exercised in round 2: vertex 1 then sees labels
+    {1 (from 2), 1 (from 3), 1 (from 4)} -> 1 by MAJORITY over any
+    smaller label absent."""
+    from mapreduceplusplus_spark.operators.graph import lpa_rounds
+
+    und = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    e2 = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src bigint, dst bigint",
+    ).localCheckpoint(eager=True)
+    r1 = {r["v"]: r["lbl"] for r in lpa_rounds(e2, 1).collect()}
+    assert r1 == {1: 2, 2: 1, 3: 1, 4: 1}
+    # round 2: v1's neighbors now all carry label 1 -> majority beats
+    # the tie-break path; v2 sees {2 (from 1), 1 (from 3)} -> tie -> 1
+    r2 = {r["v"]: r["lbl"] for r in lpa_rounds(e2, 2).collect()}
+    assert r2[1] == 1 and r2[4] == 2
+    # determinism: same input, same result, both runs
+    assert r2 == {r["v"]: r["lbl"] for r in lpa_rounds(e2, 2).collect()}
+
+
+def test_knn_classifier_vote_tiebreak_shape(spark):
+    """ml_knn_classifier output invariants at oracle scale: one row
+    per probe, votes sum <= k, correct consistent with labels."""
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.operators.ml import KNN_CLS_K, KNN_CLS_MOD
+
+    registry.load_all()
+    rows = registry.queries()["ml_knn_classifier"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+    assert rows, "probe set empty at oracle scale"
+    for r in rows:
+        assert r["probe_id"] % KNN_CLS_MOD == 0
+        assert 1 <= r["n_votes"] <= KNN_CLS_K
+        assert r["correct"] == int(r["pred_label"] == r["true_label"])

@@ -104,3 +104,76 @@ def test_mixture_weights_direction(spark):
         if lang != "en":
             assert r.weight_ppm > 1_000_000
         assert r.obs_ppm <= 1_000_000
+
+
+def test_curriculum_stage_boundaries_exact(spark):
+    """Pin the z-band boundary semantics of curriculum_stage_of on a
+    constructed score set where the boundaries land EXACTLY: scores
+    {0, 10, 10, 20} have mean 10 and population sigma = sqrt(50);
+    {0, 20} sit at z = +-sqrt(2) (outer bands), the 10s at z = 0
+    (stage 2 by the <= tie rule).  Then {5, 15}: mean 10, sigma 5,
+    z exactly -1 -> stage 1 (D < 0, D^2 == V) and z exactly +1 ->
+    stage 4 (D^2 >= V)."""
+    from mapreduceplusplus_spark.llm.packing import curriculum_stage_of
+
+    x1 = spark.createDataFrame(
+        [(1, 1, 0), (2, 1, 10), (3, 1, 10), (4, 1, 20)],
+        "doc_id bigint, n_bigrams bigint, x bigint",
+    )
+    s1 = {r["doc_id"]: r["stage"] for r in curriculum_stage_of(x1).collect()}
+    assert s1 == {1: 1, 2: 2, 3: 2, 4: 4}
+
+    x2 = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 15)], "doc_id bigint, n_bigrams bigint, x bigint"
+    )
+    s2 = {r["doc_id"]: r["stage"] for r in curriculum_stage_of(x2).collect()}
+    assert s2 == {1: 1, 2: 4}
+
+    # single doc: D = 0, V = 0 -> stage 2 (z = 0 tie rule)
+    x3 = spark.createDataFrame(
+        [(1, 1, 7)], "doc_id bigint, n_bigrams bigint, x bigint"
+    )
+    assert curriculum_stage_of(x3).collect()[0]["stage"] == 2
+
+
+def test_threshold_curve_monotone_and_consistent_with_jaccard(spark):
+    """The sweep must be non-increasing in the threshold, and its
+    J >= 80% grid point must agree exactly with dedup_ngram_jaccard's
+    pair count (same corpus, same trigram definition)."""
+    from mapreduceplusplus_spark import registry
+    from tests.conftest import SF_DIR_ORACLE
+
+    registry.load_all()
+    curve = {
+        r["threshold_pct"]: (r["n_dup_pairs"], r["n_docs_flagged"])
+        for r in registry.queries()["dedup_threshold_curve"](
+            spark, SF_DIR_ORACLE
+        ).collect()
+    }
+    assert sorted(curve) == [50, 60, 70, 80, 90]
+    pcts = sorted(curve)
+    for lo, hi in zip(pcts, pcts[1:]):
+        assert curve[hi][0] <= curve[lo][0]
+        assert curve[hi][1] <= curve[lo][1]
+    n80 = registry.queries()["dedup_ngram_jaccard"](
+        spark, SF_DIR_ORACLE
+    ).count()
+    assert curve[80][0] == n80
+
+
+def test_matryoshka_eval_bounds_and_identity(spark):
+    """recall_ppm in [0, 1e6], n_overlap <= K; and the truncated
+    ranking equals ground truth when the 'truncation' keeps every
+    dimension (identity sanity of the two-ranking machinery)."""
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.llm.embeddings import _MRL_K
+    from tests.conftest import SF_DIR_ORACLE
+
+    registry.load_all()
+    rows = registry.queries()["embedding_matryoshka_eval"](
+        spark, SF_DIR_ORACLE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= _MRL_K
+        assert r["recall_ppm"] == r["n_overlap"] * 1_000_000 // _MRL_K
