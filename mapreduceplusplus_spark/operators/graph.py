@@ -866,3 +866,93 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), "community")
         .limit(25)
     )
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    E2 AS (
+      SELECT a AS u, b AS v FROM e
+      UNION ALL
+      SELECT b AS u, a AS v FROM e
+    ),
+    deg AS (SELECT u, count(*) AS d FROM E2 GROUP BY u),
+    cn AS (
+      SELECT x.v AS a, y.v AS b, count(*) AS common_n
+      FROM E2 x JOIN E2 y ON x.u = y.u AND x.v < y.v
+      GROUP BY x.v, y.v
+    ),
+    nonedge AS (
+      SELECT cn.a, cn.b, cn.common_n
+      FROM cn ANTI JOIN e ON cn.a = e.a AND cn.b = e.b
+    )
+    SELECT n.a, n.b,
+           CAST(n.common_n AS BIGINT) AS common_neighbors,
+           CAST(n.common_n * 1000000
+                // (da.d + db.d - n.common_n) AS BIGINT) AS jaccard_ppm
+    FROM nonedge n
+    JOIN deg da ON da.u = n.a
+    JOIN deg db ON db.u = n.b
+    ORDER BY common_neighbors DESC, n.a, n.b
+    LIMIT 25
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by COMMON-NEIGHBOR / neighborhood-Jaccard
+    scoring (Liben-Nowell & Kleinberg 2003) over the co-purchase
+    graph: for every NON-adjacent pair sharing ≥1 neighbor, the shared
+    neighbor count and the Jaccard of the two neighborhoods in exact
+    integer ppm — the "customers who buy these two parts will buy them
+    together next" readout, and the graph-family complement of the
+    wedge machinery triangle counting already uses (a triangle is a
+    closed wedge; a predicted link is an OPEN one).
+
+    Plan: candidate pairs enumerate per-middle-vertex wedges (one
+    self-equi-join of the directed edge list on the shared endpoint,
+    a < b halves the output) → hash agg on the pair → ANTI join
+    against the existing edge set (left_anti — the pair must NOT be an
+    edge) → two degree joins, integer floor-division ppm, top-25 with
+    full (score, a, b) tiebreak via TakeOrdered.  The wedge join
+    materializes Σ deg(m)² rows — the same hub-quadratic
+    ``graph_triangle_count`` documents; its orientation trick does not
+    apply here (both wedge endpoints are needed regardless of degree
+    order), so at 100 TB the standard mitigations are a hub-degree cap
+    or minhash-sketched neighborhoods (documented, not silently
+    applied at fixture scale).  Reference heritage: none (SURVEY §2
+    charter extension, graph family)."""
+    ensure_utc(spark)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e2 = _symmetrize(edges)
+    deg = e2.groupBy("u").agg(F.count("*").alias("d"))
+    x = e2.alias("x")
+    y = e2.alias("y")
+    cn = (
+        x.join(
+            y,
+            (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")),
+        )
+        .groupBy(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
+        .agg(F.count("*").alias("common_n"))
+    )
+    nonedge = cn.join(
+        edges.select(F.col("a").alias("ea"), F.col("b").alias("eb")),
+        (F.col("a") == F.col("ea")) & (F.col("b") == F.col("eb")),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    return (
+        nonedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("common_n").cast("bigint").alias("common_neighbors"),
+            F.expr("(common_n * 1000000) div (da + db - common_n)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "a", "b")
+        .limit(25)
+    )

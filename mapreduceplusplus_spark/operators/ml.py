@@ -555,3 +555,135 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+@query(
+    "ml_decision_stump",
+    oracle="""
+    WITH pts AS (
+      SELECT n_chars AS x, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n, sum(y) AS pos FROM pts),
+    vals AS (SELECT x, count(*) AS cnt, sum(y) AS pos_cnt
+             FROM pts GROUP BY x),
+    cum AS (
+      SELECT x,
+             sum(cnt)     OVER (ORDER BY x) AS n_l,
+             sum(pos_cnt) OVER (ORDER BY x) AS pos_l
+      FROM vals
+    ),
+    scored AS (
+      SELECT x AS threshold, n_l, pos_l,
+             n - n_l AS n_r, pos - pos_l AS pos_r,
+             (1000000 * pos_l * (n_l - pos_l)) // n_l
+             + (1000000 * (pos - pos_l) * ((n - n_l) - (pos - pos_l)))
+               // (n - n_l)                       AS imp_micro
+      FROM cum CROSS JOIN tot
+      WHERE n - n_l > 0
+    ),
+    best AS (
+      SELECT * FROM scored ORDER BY imp_micro, threshold LIMIT 1
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(imp_micro AS BIGINT) AS imp_micro,
+           CAST(2 * pos_l > n_l AS BIGINT)  AS pred_left,
+           CAST(2 * pos_r > n_r AS BIGINT)  AS pred_right,
+           CAST(CASE WHEN 2 * pos_l > n_l THEN pos_l ELSE 0 END
+              + CASE WHEN 2 * pos_r > n_r THEN pos_r ELSE 0 END
+              AS BIGINT) AS true_pos,
+           CAST(CASE WHEN 2 * pos_l > n_l THEN n_l - pos_l ELSE 0 END
+              + CASE WHEN 2 * pos_r > n_r THEN n_r - pos_r ELSE 0 END
+              AS BIGINT) AS false_pos,
+           CAST(CASE WHEN 2 * pos_l > n_l THEN 0 ELSE n_l - pos_l END
+              + CASE WHEN 2 * pos_r > n_r THEN 0 ELSE n_r - pos_r END
+              AS BIGINT) AS true_neg,
+           CAST(CASE WHEN 2 * pos_l > n_l THEN 0 ELSE pos_l END
+              + CASE WHEN 2 * pos_r > n_r THEN 0 ELSE pos_r END
+              AS BIGINT) AS false_neg
+    FROM best
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a DECISION STUMP (1-split tree, the boosting weak
+    learner) relationally: target ``lang = 'en'``, feature
+    ``n_chars``, split predicate ``x ≤ t`` over every distinct feature
+    value, argmin of the weighted Gini impurity — and report the
+    learned split WITH its training confusion matrix, derived from the
+    same cumulative counts (no second pass over the data).
+
+    Exactness device: the split score is QUANTIZED per side —
+    ``imp_micro = ⌊10⁶·pos_L·neg_L/n_L⌋ + ⌊10⁶·pos_R·neg_R/n_R⌋``
+    (monotone in the true rational impurity up to the micro quantum;
+    the quantized sum IS the operator contract, ties broken threshold
+    ASC) — so the argmin is over exact integers on both engines; no
+    float division anywhere.  Degenerate right-empty split (t = max x)
+    excluded on both sides.
+
+    Plan: one scan → per-value hash aggregate (cardinality = distinct
+    feature values, domain-bounded — the classic pre-binning every
+    distributed tree learner does; at 100 TB one would quantile-bin
+    continuous features first, same shape) → ONE window cumsum over
+    that value-sized relation (not the data!) → 1-row TakeOrdered
+    argmin.  The 1-row total aggregate enters via broadcast cross
+    join.  Reference heritage: none (SURVEY §2 charter extension, ML
+    family)."""
+    ensure_utc(spark)
+    pts = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    tot = pts.agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    vals = pts.groupBy("x").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos_cnt")
+    )
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "x",
+        F.sum("cnt").over(wcum).alias("n_l"),
+        F.sum("pos_cnt").over(wcum).alias("pos_l"),
+    )
+    # broadcast-safe: tot is a 1-row total aggregate
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("n") - F.col("n_l") > 0)
+        .select(
+            F.col("x").alias("threshold"),
+            "n_l",
+            "pos_l",
+            (F.col("n") - F.col("n_l")).alias("n_r"),
+            (F.col("pos") - F.col("pos_l")).alias("pos_r"),
+            F.expr(
+                "(1000000 * pos_l * (n_l - pos_l)) div n_l"
+                " + (1000000 * (pos - pos_l) * ((n - n_l) - (pos - pos_l)))"
+                "   div (n - n_l)"
+            ).alias("imp_micro"),
+        )
+    )
+    best = scored.orderBy("imp_micro", "threshold").limit(1)
+    pl = (2 * F.col("pos_l") > F.col("n_l")).cast("bigint")
+    pr = (2 * F.col("pos_r") > F.col("n_r")).cast("bigint")
+    neg_l = F.col("n_l") - F.col("pos_l")
+    neg_r = F.col("n_r") - F.col("pos_r")
+    return best.select(
+        F.col("threshold").cast("bigint").alias("threshold"),
+        F.col("imp_micro").cast("bigint").alias("imp_micro"),
+        pl.alias("pred_left"),
+        pr.alias("pred_right"),
+        (
+            F.when(pl == 1, F.col("pos_l")).otherwise(0)
+            + F.when(pr == 1, F.col("pos_r")).otherwise(0)
+        ).cast("bigint").alias("true_pos"),
+        (
+            F.when(pl == 1, neg_l).otherwise(0)
+            + F.when(pr == 1, neg_r).otherwise(0)
+        ).cast("bigint").alias("false_pos"),
+        (
+            F.when(pl == 1, F.lit(0)).otherwise(neg_l)
+            + F.when(pr == 1, F.lit(0)).otherwise(neg_r)
+        ).cast("bigint").alias("true_neg"),
+        (
+            F.when(pl == 1, F.lit(0)).otherwise(F.col("pos_l"))
+            + F.when(pr == 1, F.lit(0)).otherwise(F.col("pos_r"))
+        ).cast("bigint").alias("false_neg"),
+    )
