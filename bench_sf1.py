@@ -45,6 +45,10 @@ SF1_QUERIES = [
     "text_token_count_bpe",
     "dedup_substring_spans",
     "sample_cluster_balanced",
+    # r13 second-half additions
+    "text_perplexity_kneser_ney",
+    "dedup_threshold_curve",
+    "graph_label_propagation",
 ]
 
 

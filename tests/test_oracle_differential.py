@@ -194,3 +194,17 @@ def test_oracle_less_queries_hostile_config(spark):
         assert hostile.schema == base.schema, name
         n_b, n_h = base.count(), hostile.count()
         assert n_h == n_b > 0, f"{name}: {n_b} rows default, {n_h} hostile"
+
+
+def test_bench_lists_name_registered_queries():
+    """A typo'd or renamed query in a bench list would silently drop
+    the measurement (bench.py filters `n in qs`) — pin both standing
+    lists to the registry instead."""
+    import bench
+    import bench_sf1
+
+    names = set(registry.queries().keys())
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, f"bench.HEADLINE names not registered: {missing}"
+    missing = [n for n in bench_sf1.SF1_QUERIES if n not in names]
+    assert not missing, f"SF1_QUERIES names not registered: {missing}"
