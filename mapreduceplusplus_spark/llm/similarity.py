@@ -1349,3 +1349,115 @@ def sim_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("rnk"),
         )
     )
+
+
+#: triplet mining: hard negatives per anchor (nearest WRONG-label) and
+#: the nearest positive (same label) for the margin readout
+TRIPLET_NEG_K = 5
+
+
+@query(
+    "sim_search_triplet_mining",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS probe_id, label AS a_label,
+             CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} = 0
+    ),
+    corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} <> 0
+    ),
+    scored AS (
+      SELECT a.probe_id, a.a_label, c.vec_id, c.label,
+             list_cosine_similarity(c.v, a.pv) AS s
+      FROM anchors a CROSS JOIN corpus c
+    ),
+    pos AS (
+      SELECT probe_id, vec_id AS pos_vec_id, s AS pos_s FROM (
+        SELECT probe_id, vec_id, s,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY s DESC, vec_id) AS rn
+        FROM scored WHERE label = a_label
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT probe_id, vec_id, label, s, rnk FROM (
+        SELECT probe_id, vec_id, label, s,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY s DESC, vec_id) AS rnk
+        FROM scored WHERE label <> a_label
+      ) WHERE rnk <= {TRIPLET_NEG_K}
+    )
+    SELECT n.probe_id, p.pos_vec_id,
+           n.vec_id AS neg_vec_id,
+           CAST(n.label AS BIGINT) AS neg_label,
+           CAST(n.rnk AS BIGINT) AS rnk,
+           round(p.pos_s, 3) + 0 AS pos_cosine,
+           round(n.s, 3) + 0 AS neg_cosine,
+           round(p.pos_s - n.s, 3) + 0 AS margin
+    FROM neg n JOIN pos p USING (probe_id)
+    """,
+)
+def sim_search_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET MINING for contrastive/metric training — per anchor the
+    {TRIPLET_NEG_K} HARDEST negatives (highest-cosine vectors of a
+    DIFFERENT label) paired with the nearest positive (same label) and
+    the anchor→positive−negative margin: exactly the (anchor,
+    positive, hard-negative) batches a triplet/InfoNCE fine-tune run
+    mines from its corpus, and the readout that tells you whether the
+    embedding space still separates labels (negative margins = label
+    bleed).  Deterministic throughout: both rankings order by the raw
+    cosine (the shared ``sim_search_knn_join`` device) with vec_id
+    tiebreak; only REPORTED values are rounded.
+
+    Plan: one corpus scan against the broadcast anchor set; positives
+    and negatives are label-filtered branches of the SAME scored frame
+    (no second scan, no second shuffle of the corpus); per-anchor
+    top-k via WindowGroupLimit on each branch; the k-row negative and
+    1-row positive relations join on the anchor id.  At 100 TB the
+    anchor set is bounded by the broadcast contract (≤ ~10k — beyond
+    that, LSH-bucket both sides, ``sim_search_lsh``'s layout); the
+    corpus side stays a single scan.  Reference heritage: none
+    (SURVEY §2 charter extension, similarity family)."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("a_label"),
+        _as_double("embedding").alias("pv"),
+    )
+    corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    # broadcast-safe: anchors is the documented bounded probe set
+    scored = corpus.join(F.broadcast(anchors)).withColumn(
+        "s",
+        _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv"))),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), F.col("vec_id"))
+    pos = (
+        scored.where(F.col("label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("pos_vec_id"),
+            F.col("s").alias("pos_s"),
+        )
+    )
+    neg = (
+        scored.where(F.col("label") != F.col("a_label"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TRIPLET_NEG_K)
+    )
+    return neg.join(pos, "probe_id").select(
+        "probe_id",
+        "pos_vec_id",
+        F.col("vec_id").alias("neg_vec_id"),
+        F.col("label").cast("bigint").alias("neg_label"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        (F.round("pos_s", 3) + F.lit(0.0)).alias("pos_cosine"),
+        (F.round("s", 3) + F.lit(0.0)).alias("neg_cosine"),
+        (F.round(F.col("pos_s") - F.col("s"), 3) + F.lit(0.0)).alias("margin"),
+    )

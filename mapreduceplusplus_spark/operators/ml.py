@@ -687,3 +687,221 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(pr == 1, F.lit(0)).otherwise(F.col("pos_r"))
         ).cast("bigint").alias("false_neg"),
     )
+
+
+def _stump_cte(r: int, pts: str) -> str:
+    """One weighted-stump training round as oracle CTEs: weighted
+    per-value pre-binning over ``{pts}`` (columns x, y, w), cumulative
+    split counts, HUGEINT quantized-Gini argmin, and the 1-row
+    ``best{r}`` carrying the split + weighted error."""
+    return f"""vals{r} AS (
+      SELECT x, CAST(sum(w) AS HUGEINT) AS cnt,
+             CAST(sum(w * y) AS HUGEINT) AS pos_cnt
+      FROM {pts} GROUP BY x),
+    tot{r} AS (SELECT CAST(sum(w) AS HUGEINT) AS n,
+                      CAST(sum(w * y) AS HUGEINT) AS pos FROM {pts}),
+    cum{r} AS (
+      SELECT x, sum(cnt) OVER (ORDER BY x) AS n_l,
+             sum(pos_cnt) OVER (ORDER BY x) AS pos_l
+      FROM vals{r}),
+    best{r} AS (
+      SELECT x AS threshold, n_l, pos_l, n - n_l AS n_r,
+             pos - pos_l AS pos_r, n AS tot_w,
+             2 * pos_l > n_l                     AS pl,
+             2 * (pos - pos_l) > (n - n_l)       AS pr
+      FROM cum{r} CROSS JOIN tot{r}
+      WHERE n - n_l > 0
+      ORDER BY 1000000 * pos_l * (n_l - pos_l) // n_l
+               + 1000000 * (pos - pos_l) * ((n - n_l) - (pos - pos_l))
+                 // (n - n_l),
+               x
+      LIMIT 1),
+    err{r} AS (
+      SELECT threshold, pl, pr, tot_w,
+             (CASE WHEN pl THEN n_l - pos_l ELSE pos_l END)
+             + (CASE WHEN pr THEN n_r - pos_r ELSE pos_r END) AS err_w
+      FROM best{r})"""
+
+
+@query(
+    "ml_adaboost_stumps",
+    oracle=f"""
+    WITH pts1 AS (
+      SELECT n_chars AS x, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(1 AS HUGEINT) AS w
+      FROM documents
+    ),
+    {_stump_cte(1, "pts1")},
+    pts2 AS (
+      SELECT x, y,
+             CASE WHEN (SELECT err_w FROM err1) = 0
+                    OR (SELECT err_w FROM err1) = (SELECT tot_w FROM err1)
+                  THEN w
+                  WHEN (CASE WHEN x <= (SELECT threshold FROM err1)
+                             THEN (SELECT pl FROM err1)
+                             ELSE (SELECT pr FROM err1) END)
+                       = (y = 1)
+                  THEN w * (SELECT err_w FROM err1)
+                  ELSE w * (SELECT tot_w FROM err1)
+                         - w * (SELECT err_w FROM err1) END AS w
+      FROM pts1
+    ),
+    {_stump_cte(2, "pts2")},
+    rounds AS (
+      SELECT 1 AS round, * FROM err1
+      UNION ALL
+      SELECT 2 AS round, * FROM err2
+    )
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(threshold AS BIGINT) AS threshold,
+           CAST(pl AS BIGINT) AS pred_left,
+           CAST(pr AS BIGINT) AS pred_right,
+           CAST(err_w AS BIGINT) AS err_w,
+           CAST(tot_w AS BIGINT) AS tot_w,
+           CASE WHEN err_w > 0 AND err_w < tot_w THEN
+             CAST((CAST(floor(ln(CAST(tot_w - err_w AS DOUBLE)) * 1000000)
+                        AS BIGINT)
+                   - CAST(floor(ln(CAST(err_w AS DOUBLE)) * 1000000)
+                          AS BIGINT)) // 2 AS BIGINT)
+           END AS alpha_micro
+    FROM rounds
+    """,
+)
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost (Freund & Schapire 1997), TWO unrolled boosting rounds
+    over decision stumps — boosting as pure relational algebra, the
+    iterative-ML row beyond single-model training (Lloyd, NB, stump):
+    round 1 trains the ``ml_decision_stump`` split under unit weights;
+    misclassified rows are then up-weighted and round 2 trains a
+    second stump on the REWEIGHTED distribution.  Output: per round
+    the split, its weighted error, and the ensemble vote weight
+    α = ½·ln((1−ε)/ε) in quantized micro-nats (the shared qln device;
+    NULL at the ε ∈ {{0, 1}} degeneracies on both engines).
+
+    Exactness device — INTEGER boosting weights: the textbook update
+    ``w·e^{{±α}}`` is irrational, but AdaBoost is scale-invariant per
+    round, so multiplying EVERY weight by ε (in integer mass units)
+    turns the update into ``correct → w·err_w, wrong → w·(tot_w −
+    err_w)`` — exact integers forever (HUGEINT oracle-side,
+    DECIMAL(38,0) Spark-side), and the round-2 argmin compares exact
+    quantized impurities.  The quantized impurity scales with total
+    weight mass; the ARGMIN is unaffected (all thresholds share the
+    round's total).  Weight growth is geometric in the round count —
+    fine for the small fixed round counts boosting uses here (2), the
+    same bounded-unrolling contract as ``ml_kmeans_lloyd``.
+
+    Plan per round: the weighted stump is the ``ml_decision_stump``
+    shape (value-domain-bounded pre-bin agg → window cumsum over the
+    value relation → 1-row TakeOrdered); the reweighting is one
+    map-side CASE against the broadcast 1-row round result — no extra
+    shuffle, no driver collect.  Reference heritage: none (SURVEY §2
+    charter extension, ML family)."""
+    ensure_utc(spark)
+    pts = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.lit(1).cast("decimal(38,0)").alias("w"),
+    )
+
+    def weighted_stump(p: DataFrame) -> DataFrame:
+        tot = p.agg(
+            F.sum("w").alias("n"), F.sum(F.col("w") * F.col("y")).alias("pos")
+        )
+        vals = p.groupBy("x").agg(
+            F.sum("w").alias("cnt"),
+            F.sum(F.col("w") * F.col("y")).alias("pos_cnt"),
+        )
+        wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+        cum = vals.select(
+            "x",
+            F.sum("cnt").over(wcum).alias("n_l"),
+            F.sum("pos_cnt").over(wcum).alias("pos_l"),
+        )
+        # broadcast-safe: tot is a 1-row weighted-total aggregate
+        best = (
+            cum.crossJoin(F.broadcast(tot))
+            .where(F.col("n") - F.col("n_l") > 0)
+            .orderBy(
+                F.expr(
+                    "CAST(1000000 AS DECIMAL(38,0)) * pos_l * (n_l - pos_l)"
+                    " div n_l"
+                    " + CAST(1000000 AS DECIMAL(38,0)) * (pos - pos_l)"
+                    "   * ((n - n_l) - (pos - pos_l)) div (n - n_l)"
+                ),
+                "x",
+            )
+            .limit(1)
+        )
+        pl = 2 * F.col("pos_l") > F.col("n_l")
+        pr = 2 * (F.col("pos") - F.col("pos_l")) > (F.col("n") - F.col("n_l"))
+        return best.select(
+            F.col("x").alias("threshold"),
+            pl.alias("pl"),
+            pr.alias("pr"),
+            F.col("n").alias("tot_w"),
+            (
+                F.when(pl, F.col("n_l") - F.col("pos_l")).otherwise(
+                    F.col("pos_l")
+                )
+                + F.when(
+                    pr,
+                    (F.col("n") - F.col("n_l"))
+                    - (F.col("pos") - F.col("pos_l")),
+                ).otherwise(F.col("pos") - F.col("pos_l"))
+            ).alias("err_w"),
+        )
+
+    from mapreduceplusplus_spark.session import qln_micro as _qln
+
+    rounds = []
+    cur = pts
+    for r in (1, 2):
+        best = weighted_stump(cur).localCheckpoint(eager=True)
+        rounds.append(best.select(F.lit(r).cast("bigint").alias("round"), "*"))
+        if r == 1:
+            # broadcast-safe: best is the 1-row round result
+            b = best.select(
+                F.col("threshold").alias("b_thr"),
+                F.col("pl").alias("b_pl"),
+                F.col("pr").alias("b_pr"),
+                F.col("err_w").alias("b_err"),
+                F.col("tot_w").alias("b_tot"),
+            )
+            cur = cur.crossJoin(F.broadcast(b)).select(
+                "x",
+                "y",
+                F.when(
+                    (F.col("b_err") == 0) | (F.col("b_err") == F.col("b_tot")),
+                    F.col("w"),
+                )
+                .when(
+                    F.when(F.col("x") <= F.col("b_thr"), F.col("b_pl")).otherwise(
+                        F.col("b_pr")
+                    )
+                    == (F.col("y") == 1),
+                    F.col("w") * F.col("b_err"),
+                )
+                .otherwise(
+                    F.col("w") * F.col("b_tot") - F.col("w") * F.col("b_err")
+                )
+                .cast("decimal(38,0)")
+                .alias("w"),
+            )
+    out = rounds[0].unionAll(rounds[1])
+    alpha = F.when(
+        (F.col("err_w") > 0) & (F.col("err_w") < F.col("tot_w")),
+        F.expr(
+            "(CAST(floor(ln(CAST(tot_w - err_w AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - CAST(floor(ln(CAST(err_w AS DOUBLE)) * 1000000) AS BIGINT))"
+            " div 2"
+        ),
+    )
+    return out.select(
+        "round",
+        F.col("threshold").cast("bigint").alias("threshold"),
+        F.col("pl").cast("bigint").alias("pred_left"),
+        F.col("pr").cast("bigint").alias("pred_right"),
+        F.col("err_w").cast("bigint").alias("err_w"),
+        F.col("tot_w").cast("bigint").alias("tot_w"),
+        alpha.cast("bigint").alias("alpha_micro"),
+    )

@@ -2272,3 +2272,82 @@ def events_ab_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_mean_milli"
         ),
     )
+
+
+#: path mining: each user's first PATH_LEN events, top PATH_TOPK paths
+_PATH_LEN = 4
+_PATH_TOPK = 20
+
+
+@query(
+    "events_common_paths",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path,
+             count(*) AS path_len
+      FROM ranked WHERE rn <= {_PATH_LEN}
+      GROUP BY user_id
+    )
+    SELECT path,
+           CAST(path_len AS BIGINT) AS path_len,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path, path_len
+    ORDER BY n_users DESC, path
+    LIMIT {_PATH_TOPK}
+    """,
+)
+def events_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream PATH MINING — the most common opening sequences
+    (each user's first {_PATH_LEN} events joined into a path string),
+    the onboarding-funnel readout that sits one level above
+    ``events_top_transitions``' pairwise Markov matrix: transitions
+    say what follows X; paths say which whole openings dominate.
+
+    Determinism: the per-user ordering is (ts, event_id) — the
+    module's standard total order — and the path string is assembled
+    from a ``sort_array`` of (rn, type) structs, NOT from
+    ``collect_list``'s arrival order (which is partitioning-dependent;
+    the one wrong way to write this).  Top-{_PATH_TOPK} with the full
+    (count, path) tiebreak.
+
+    Plan: one user_id window (the single data-sized shuffle, shared
+    shape with every sessionize row) → WindowGroupLimit keeps ≤
+    {_PATH_LEN} rows per user before the exchange → per-user hash agg
+    assembles the path → |paths|-sized count agg → TakeOrdered.  At
+    100 TB the path-count relation is tiny (|types|^{_PATH_LEN} keys
+    max, Zipf-concentrated in practice).  Reference heritage: none
+    (SURVEY §2 charter extension, events family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _PATH_LEN
+    )
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("path_len"),
+    )
+    return (
+        paths.groupBy("path", F.col("path_len").cast("bigint").alias("path_len"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOPK)
+    )
