@@ -1780,7 +1780,15 @@ def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    c2 = grp.groupBy("bg", "w1", "w2").agg(F.sum("cnt").alias("c2"))
+    # c2 is ALSO materialized: unlike doc_nll (2 consumers), the KN
+    # model chain reads it four times (c1, cont, ntypes, the scoring
+    # join) — without this the corpus-sized grp is re-aggregated per
+    # consumer (plan audit r13: 4 redundant hash aggs of grp)
+    c2 = (
+        grp.groupBy("bg", "w1", "w2")
+        .agg(F.sum("cnt").alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c2.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count("*").alias("n1fwd")
     )

@@ -867,6 +867,7 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("err_w").alias("b_err"),
                 F.col("tot_w").alias("b_tot"),
             )
+            # broadcast-safe: b is the 1-row round-1 result
             cur = cur.crossJoin(F.broadcast(b)).select(
                 "x",
                 "y",
