@@ -956,3 +956,120 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common_neighbors").desc(), "a", "b")
         .limit(25)
     )
+
+
+from mapreduceplusplus_spark.session import floor_div_sql  # noqa: E402
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    E2 AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL
+      SELECT b AS src, a AS dst FROM e
+    ),
+    L0 AS (SELECT DISTINCT src AS v, src AS lbl FROM E2),
+    {_lpa_iter_sql("L0", "L1")},
+    {_lpa_iter_sql("L1", "L2")},
+    {_lpa_iter_sql("L2", "L3")},
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+    intra AS (
+      SELECT CAST(count(CASE WHEN la.lbl = lb.lbl THEN 1 END) AS HUGEINT)
+               AS e_in
+      FROM e JOIN L3 la ON la.v = e.a JOIN L3 lb ON lb.v = e.b
+    ),
+    deg AS (SELECT src AS v, count(*) AS d FROM E2 GROUP BY src),
+    dc AS (
+      SELECT l.lbl, CAST(sum(deg.d) AS HUGEINT) AS d_c
+      FROM deg JOIN L3 l ON l.v = deg.v GROUP BY l.lbl
+    ),
+    dsq AS (SELECT CAST(sum(d_c * d_c) AS HUGEINT) AS d2,
+                   count(*) AS n_comm FROM dc),
+    q AS (
+      SELECT n_comm, m, e_in,
+             4 * m * e_in - d2 AS num,
+             4 * m * m         AS den
+      FROM m CROSS JOIN intra CROSS JOIN dsq
+      WHERE m > 0
+    )
+    SELECT CAST(n_comm AS BIGINT) AS n_communities,
+           CAST(m AS BIGINT) AS m_edges,
+           CAST(e_in AS BIGINT) AS intra_edges,
+           CAST({floor_div_sql("1000000 * num", "den", "duckdb")} AS BIGINT)
+             AS q_micro
+    FROM q
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the label-propagation partition — the
+    standard "is this community structure real?" score (Q ≈ 0: no
+    better than random given the degree sequence; Q ≳ 0.3: strong
+    structure), composed on top of ``lpa_rounds`` exactly as a
+    curation run consumes it: detect communities, then SCORE the
+    partition before acting on it.  ``Q = Σ_c[e_c/m − (d_c/2m)²]``
+    computed as ONE exact rational ``(4m·Σe_c − Σd_c²) / 4m²`` —
+    HUGEINT oracle-side / DECIMAL(38,0) Spark-side (4m² overflows
+    BIGINT at ~3·10⁹ edges), floored to micro-units through the
+    SHARED ``floor_div_sql`` device because the numerator is legally
+    negative (anti-community partitions) and bare ``div``/``//``
+    truncate toward zero.
+
+    Plan: the three LPA rounds (shared code), then one edge-relation
+    join against the final labels (intra-community census), one
+    vertex-sized degree/community rollup, and three 1-row aggregates
+    cross-joined — nothing beyond the LPA cost itself.  Empty graph →
+    0 rows on both engines (m > 0 guard).  Reference heritage: none
+    (SURVEY §2 charter extension, graph family)."""
+    ensure_utc(spark)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e2 = _symmetrize(edges).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    lbl = lpa_rounds(e2, _LPA_ITERS)
+    la = lbl.select(F.col("v").alias("a"), F.col("lbl").alias("la"))
+    lb = lbl.select(F.col("v").alias("b"), F.col("lbl").alias("lb"))
+    intra = (
+        edges.join(la, "a")
+        .join(lb, "b")
+        .agg(
+            F.count(F.when(F.col("la") == F.col("lb"), 1))
+            .cast("decimal(38,0)")
+            .alias("e_in")
+        )
+    )
+    m = edges.agg(F.count("*").cast("decimal(38,0)").alias("m"))
+    deg = e2.groupBy("src").agg(F.count("*").alias("d"))
+    dc = (
+        deg.join(lbl, deg["src"] == lbl["v"])
+        .groupBy("lbl")
+        .agg(F.sum("d").cast("decimal(38,0)").alias("d_c"))
+    )
+    dsq = dc.agg(
+        F.sum(F.col("d_c") * F.col("d_c")).cast("decimal(38,0)").alias("d2"),
+        F.count("*").alias("n_comm"),
+    )
+    # broadcast-safe: m / intra / dsq are 1-row aggregates
+    q = (
+        m.crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(dsq))
+        .where(F.col("m") > 0)
+        .select(
+            "n_comm",
+            "m",
+            "e_in",
+            F.expr("CAST(4 AS DECIMAL(38,0)) * m * e_in - d2").alias("num"),
+            F.expr("CAST(4 AS DECIMAL(38,0)) * m * m").alias("den"),
+        )
+    )
+    return q.select(
+        F.col("n_comm").cast("bigint").alias("n_communities"),
+        F.col("m").cast("bigint").alias("m_edges"),
+        F.col("e_in").cast("bigint").alias("intra_edges"),
+        F.expr(
+            "CAST("
+            + floor_div_sql("CAST(1000000 AS DECIMAL(38,0)) * num", "den", "spark")
+            + " AS BIGINT)"
+        ).alias("q_micro"),
+    )
