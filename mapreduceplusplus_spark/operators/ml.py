@@ -906,3 +906,150 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot_w").cast("bigint").alias("tot_w"),
         alpha.cast("bigint").alias("alpha_micro"),
     )
+
+
+#: greedy k-center coreset picks — small and fixed so the oracle
+#: unrolls the SAME rounds (the MMR/kmeans bounded-unrolling contract)
+KCENTER_PICKS = 4
+
+#: the quantized embedding long-form (vec_id, dim, q) as oracle SQL —
+#: the E CTE of KMEANS_A2_SQL, restated standalone for the coreset
+_KCENTER_E_SQL = f"""E AS (
+      SELECT vec_id, ord AS dim,
+             CAST(round(1000000 * CAST(u AS DOUBLE)) AS BIGINT) + {_SHIFT} AS q
+      FROM (SELECT vec_id,
+                   unnest(embedding) AS u,
+                   generate_subscripts(embedding, 1) AS ord
+            FROM embeddings)
+    )"""
+
+
+def _kcenter_ctes(n: int) -> str:
+    """Rounds 2..n of the greedy farthest-point traversal as CTEs:
+    ``M{r}`` holds min-dist-to-selected after r picks, ``P{r+1}`` the
+    argmax (dist DESC, vec_id ASC) among unselected vectors."""
+    parts = [
+        f"""D1 AS (
+      SELECT e.vec_id, CAST(sum((e.q - c.q) * (e.q - c.q)) AS BIGINT) AS d
+      FROM E e JOIN (SELECT dim, q FROM E
+                     WHERE vec_id = (SELECT min(vec_id) FROM E)) c
+        ON c.dim = e.dim
+      GROUP BY e.vec_id),
+    P1 AS (SELECT (SELECT min(vec_id) FROM E) AS v, CAST(0 AS BIGINT) AS d
+           WHERE (SELECT min(vec_id) FROM E) IS NOT NULL),
+    M1 AS (SELECT vec_id, d FROM D1)"""
+    ]
+    for r in range(2, n + 1):
+        parts.append(
+            f"""P{r} AS (
+      SELECT vec_id AS v, d FROM M{r - 1}
+      WHERE vec_id NOT IN ({", ".join(f"(SELECT v FROM P{i})" for i in range(1, r))})
+      ORDER BY d DESC, vec_id LIMIT 1),
+    D{r} AS (
+      SELECT e.vec_id, CAST(sum((e.q - c.q) * (e.q - c.q)) AS BIGINT) AS d
+      FROM E e JOIN (SELECT dim, q FROM E
+                     WHERE vec_id = (SELECT v FROM P{r})) c
+        ON c.dim = e.dim
+      GROUP BY e.vec_id),
+    M{r} AS (
+      SELECT m.vec_id, least(m.d, d.d) AS d
+      FROM M{r - 1} m JOIN D{r} d USING (vec_id))"""
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "sample_kcenter_coreset",
+    oracle=f"""
+    WITH {_KCENTER_E_SQL},
+    {_kcenter_ctes(KCENTER_PICKS)}
+    {" UNION ALL ".join(f"SELECT {r} AS pick_rank, v AS vec_id, d AS gain_dist FROM P{r}" for r in range(1, KCENTER_PICKS + 1))}
+    """,
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-CENTER coreset selection (farthest-point traversal —
+    Gonzalez 1985; the active-learning/data-selection coreset of Sener
+    & Savarese ICLR'18): pick the seed (minimum vec_id — deterministic
+    anchor), then {KCENTER_PICKS - 1} times the vector FARTHEST from
+    everything already selected (max-min distance, vec_id tiebreak) —
+    the diversity-maximizing complement of `sample_cluster_balanced`'s
+    quota sampling: quotas flatten a known clustering, k-center finds
+    the points no cluster represents.  2-approximation of the optimal
+    k-cover by the classic bound.
+
+    Determinism device: distances are integer Σ(q−c)² over the SHARED
+    kmeans micro-quantization (module docstring), so every argmax
+    compares exact BIGINTs — the same reason the Lloyd/MMR unrolled
+    iterations are differential-checkable.  ``gain_dist`` reports each
+    pick's covering radius contribution (distance to the previously
+    selected set at pick time; 0 for the seed).
+
+    Plan per round: ONE broadcast of the new pick's d-row quantized
+    vector, one map-side squared-distance aggregate over the quantized
+    long-form (localCheckpointed once), one vector-sized ``least``
+    merge into the running min-dist frame, one 1-row TakeOrdered
+    argmax — no pairwise matrix, no driver-side loop state beyond the
+    fixed {KCENTER_PICKS} rounds.  At 100 TB: k rounds × one corpus
+    scan each, the honest cost every k-center implementation pays;
+    sub-sample first (hash reservoir) when k·scan is too dear.
+    Reference heritage: none (SURVEY §2 charter extension, sampling
+    family)."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "u"))
+        .select(
+            "vec_id",
+            "dim",
+            (
+                F.round(F.lit(1000000) * F.col("u").cast("double")).cast(
+                    "bigint"
+                )
+                + _SHIFT
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed = e.agg(F.min("vec_id")).collect()[0][0]
+    if seed is None:
+        return spark.createDataFrame(
+            [], "pick_rank BIGINT, vec_id BIGINT, gain_dist BIGINT"
+        )
+    picks = [(1, int(seed), 0)]
+    mind = None
+    cur_pick = int(seed)
+    for r in range(2, KCENTER_PICKS + 1):
+        c = e.where(F.col("vec_id") == cur_pick).select(
+            "dim", F.col("q").alias("c")
+        )
+        # broadcast-safe: c is the d-row quantized vector of ONE pick
+        d = (
+            e.join(F.broadcast(c), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+                .cast("bigint")
+                .alias("d")
+            )
+        )
+        mind = (
+            d
+            if mind is None
+            else mind.select("vec_id", F.col("d").alias("pd"))
+            .join(d, "vec_id")
+            .select("vec_id", F.least("pd", "d").alias("d"))
+        ).localCheckpoint(eager=True)
+        chosen = [p[1] for p in picks]
+        top = (
+            mind.where(~F.col("vec_id").isin(chosen))
+            .orderBy(F.col("d").desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        cur_pick = int(top[0]["vec_id"])
+        picks.append((r, cur_pick, int(top[0]["d"])))
+    return spark.createDataFrame(
+        picks, "pick_rank BIGINT, vec_id BIGINT, gain_dist BIGINT"
+    )

@@ -84,3 +84,24 @@ def test_pca_projection_matches_independent_recompute(spark):
     assert got.var() >= X.var(axis=0).max()
     assert abs(got.mean()) < 1e-3          # centered projection
     assert rows == embedding_pca_project(spark, SF_DIR_ORACLE).collect()
+
+
+def test_kcenter_greedy_gain_monotone_and_distinct(spark):
+    """Greedy farthest-point invariants at oracle scale: the covering
+    gain is non-increasing from pick 2 on (min-dist to a GROWING set
+    can only shrink), picks are distinct, seed is min vec_id with
+    gain 0."""
+    from mapreduceplusplus_spark import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.queries()["sample_kcenter_coreset"](
+            spark, SF_DIR_ORACLE
+        ).collect(),
+        key=lambda r: r["pick_rank"],
+    )
+    assert rows[0]["pick_rank"] == 1 and rows[0]["gain_dist"] == 0
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    gains = [r["gain_dist"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(gains, gains[1:])), gains
