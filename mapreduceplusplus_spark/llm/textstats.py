@@ -1823,3 +1823,71 @@ def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nll_micro_nats"),
         )
     )
+
+
+#: feature-hashing dimensionality (2^3 buckets — small enough that the
+#: oracle states every bucket column explicitly)
+_FHASH_DIM = 8
+
+_FHASH_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) % 8"
+)
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, {_FHASH_BUCKET_SQL} AS bucket FROM occ
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           {", ".join(f"CAST(count(CASE WHEN bucket = {i} THEN 1 END) AS BIGINT) AS b{i}" for i in range(_FHASH_DIM))}
+    FROM b GROUP BY doc_id
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK (Weinberger et al. ICML'09) — fixed-
+    {_FHASH_DIM}-dimensional bag-of-words features with no vocabulary
+    table at all: each token maps to ``hash(token) mod {_FHASH_DIM}``
+    and the document's feature vector is the per-bucket count.  The
+    vectorizer every large-scale linear/logistic text model uses when
+    the vocabulary is unbounded or adversarial (new tokens can never
+    grow the feature space, so the model relation is fixed-width by
+    construction — the property that matters at 100 TB).
+
+    Portability device: the bucket is the first NIBBLE of ``md5(token)``
+    mod {_FHASH_DIM} via an ``instr``-on-hex-alphabet lookup — md5 is
+    the one keyed hash both engines compute identically on strings
+    (``xxhash64`` is Spark-only, DuckDB ``hash()`` is DuckDB-only; the
+    md5-rank reservoir rows already rely on this).  Buckets are then
+    exact integer counts — no float, no rounding.
+
+    Plan: one scan → explode → map-side bucket expression → ONE
+    per-doc hash aggregate with {_FHASH_DIM} conditional counts (no
+    pivot shuffle, no per-bucket pass).  Columnar output (b0..b{_FHASH_DIM - 1})
+    keeps the frame joinable as a feature table.  Reference heritage:
+    none (SURVEY §2 charter extension, text/ML-features family)."""
+    ensure_utc(spark)
+    occ = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("w")
+    )
+    b = occ.select(
+        "doc_id",
+        F.expr(
+            "(instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) % 8"
+        ).alias("bucket"),
+    )
+    return b.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok"),
+        *[
+            F.count(F.when(F.col("bucket") == i, 1))
+            .cast("bigint")
+            .alias(f"b{i}")
+            for i in range(_FHASH_DIM)
+        ],
+    )

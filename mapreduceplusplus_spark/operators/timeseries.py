@@ -2351,3 +2351,98 @@ def events_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+@query(
+    "dq_outlier_mad",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x_c
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(2 * quantile_cont(x_c, 0.5) AS BIGINT) AS med2
+      FROM x GROUP BY event_type
+    ),
+    dev AS (
+      SELECT x.event_type, x_c, med2,
+             abs(2 * x_c - med2) AS dev2
+      FROM x JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(d.med2) AS BIGINT) AS med2_cents,
+           CAST(max(m.mad4) AS BIGINT) AS mad4_cents,
+           CAST(count(CASE WHEN 2 * d.dev2 > 3 * m.mad4 THEN 1 END)
+                AS BIGINT) AS n_outliers,
+           CAST(count(CASE WHEN 2 * d.dev2 > 3 * m.mad4 THEN 1 END)
+                * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier accounting by median absolute deviation — the
+    data-quality complement of ``window_anomaly_zscore``: mean/stddev
+    are themselves dragged by the outliers they are supposed to find
+    (masking), while median/MAD have a 50% breakdown point, so this is
+    the gate a billing/metrics pipeline actually wants on heavy-tailed
+    value columns.  Flags ``|x − median| > 3·MAD`` per event type.
+
+    Exactness device — DOUBLED integer units: values quantize to cents
+    (``floor(100x + 0.5)``, identical on both engines), and every
+    interpolated median of integers lands on .0/.5, so TWICE the
+    median is an exact integer (the interpolation arithmetic
+    ``(a+b)/2`` is bit-exact in doubles below 2⁵³).  Reporting
+    ``med2 = 2·median`` and ``mad4 = 2·MAD(2·dev)`` keeps every
+    comparison (``2·dev2 > 3·mad4``) pure BIGINT — no float threshold
+    anywhere, which is what makes a two-stage nested median
+    differential-checkable at all.
+
+    Plan: per-type median (one sort-based agg per group — the exact
+    path; at 100 TB swap ``percentile_approx``/KLL, same shape as
+    ``agg_median`` documents) → deviations via broadcast-sized
+    |types|-row join → per-type MAD → one conditional rollup.  The
+    ``dev`` frame feeds both the MAD agg and the final census —
+    localCheckpointed once.  Reference heritage: none (SURVEY §2
+    charter extension, dq family)."""
+    ensure_utc(spark)
+    x = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("x_c"),
+    )
+    med = x.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(x_c, 0.5) AS BIGINT)").alias("med2")
+    )
+    # broadcast-safe: med is |event types| rows (domain-bounded)
+    dev = (
+        x.join(F.broadcast(med), "event_type")
+        .withColumn("dev2", F.abs(2 * F.col("x_c") - F.col("med2")))
+        .localCheckpoint(eager=True)
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(dev2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    # broadcast-safe: mad is |event types| rows (domain-bounded)
+    out = F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("med2").cast("bigint").alias("med2_cents"),
+            F.max("mad4").cast("bigint").alias("mad4_cents"),
+            F.count(out).cast("bigint").alias("n_outliers"),
+            F.expr(
+                "CAST(count(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("outlier_ppm"),
+        )
+    )
