@@ -2446,3 +2446,126 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_ppm"),
         )
     )
+
+
+#: DiD pre/post cutover — mid-span of the fixture's event month
+_DID_CUTOFF = "2024-01-16"
+
+
+@query(
+    "events_did_estimator",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id % 2 AS treat,
+             CASE WHEN CAST(ts AS DATE) >= DATE '{_DID_CUTOFF}'
+                  THEN 1 ELSE 0 END AS post,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cells AS (
+      SELECT treat, post,
+             count(*) AS n,
+             CAST((1000000 * sum(cents)) // count(*) AS BIGINT) AS mean_micro
+      FROM x GROUP BY treat, post
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t_pre,
+        max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_t_post,
+        max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c_pre,
+        max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_c_post,
+        max(CASE WHEN treat = 1 AND post = 0 THEN mean_micro END) AS m_t_pre,
+        max(CASE WHEN treat = 1 AND post = 1 THEN mean_micro END) AS m_t_post,
+        max(CASE WHEN treat = 0 AND post = 0 THEN mean_micro END) AS m_c_pre,
+        max(CASE WHEN treat = 0 AND post = 1 THEN mean_micro END) AS m_c_post
+      FROM cells
+    )
+    SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+           CAST(n_t_post AS BIGINT) AS n_t_post,
+           CAST(n_c_pre AS BIGINT) AS n_c_pre,
+           CAST(n_c_post AS BIGINT) AS n_c_post,
+           m_t_pre, m_t_post, m_c_pre, m_c_post,
+           (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_micro_cents
+    FROM wide
+    WHERE n_t_pre IS NOT NULL AND n_t_post IS NOT NULL
+      AND n_c_pre IS NOT NULL AND n_c_post IS NOT NULL
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
+    for when you could NOT randomize (feature rollouts by geography,
+    pricing changes, infra migrations): compare the treated group's
+    pre→post outcome change against the control group's, so any shared
+    time trend cancels and what remains is the treatment effect under
+    the parallel-trends assumption.  Completes the experimentation
+    family next to the randomized-ab rows (lift/CUPED/SRM): same arms
+    (``user_id mod 2``), pre/post split at {_DID_CUTOFF} (fixture
+    mid-span).
+
+    Exactness: outcomes quantize to cents (the ``events_ab_ks_test``
+    device); each of the four cell means is ``⌊10⁶·Σcents/n⌋``
+    (positive operands — truncation = floor on both engines) and the
+    DiD estimate is pure BIGINT subtraction of the quantized means —
+    the quantized-mean contract IS the operator spec, ±1 µ-cent
+    per-cell quantization documented.  All-four-cells-present guard →
+    0 rows on an empty/one-sided corpus, identically on both engines.
+
+    Plan: ONE scan → map-side (treat, post, cents) → 4-group hash agg
+    → 1-row conditional pivot.  Nothing shuffles but the 4-row cell
+    relation; at 100 TB this is a pure scan-bound estimator.
+    Reference heritage: none (SURVEY §2 charter extension, events/
+    experimentation family)."""
+    ensure_utc(spark)
+    x = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("treat"),
+        F.when(
+            F.col("ts").cast("date") >= F.lit(_DID_CUTOFF).cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    cells = x.groupBy("treat", "post").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST((1000000 * sum(cents)) div count(*) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+    )
+
+    def cell(t: int, p: int, col: str):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell(1, 0, "n").alias("n_t_pre"),
+        cell(1, 1, "n").alias("n_t_post"),
+        cell(0, 0, "n").alias("n_c_pre"),
+        cell(0, 1, "n").alias("n_c_post"),
+        cell(1, 0, "mean_micro").alias("m_t_pre"),
+        cell(1, 1, "mean_micro").alias("m_t_post"),
+        cell(0, 0, "mean_micro").alias("m_c_pre"),
+        cell(0, 1, "mean_micro").alias("m_c_post"),
+    )
+    return (
+        wide.where(
+            F.col("n_t_pre").isNotNull()
+            & F.col("n_t_post").isNotNull()
+            & F.col("n_c_pre").isNotNull()
+            & F.col("n_c_post").isNotNull()
+        )
+        .select(
+            F.col("n_t_pre").cast("bigint").alias("n_t_pre"),
+            F.col("n_t_post").cast("bigint").alias("n_t_post"),
+            F.col("n_c_pre").cast("bigint").alias("n_c_pre"),
+            F.col("n_c_post").cast("bigint").alias("n_c_post"),
+            "m_t_pre",
+            "m_t_post",
+            "m_c_pre",
+            "m_c_post",
+            (
+                (F.col("m_t_post") - F.col("m_t_pre"))
+                - (F.col("m_c_post") - F.col("m_c_pre"))
+            ).alias("did_micro_cents"),
+        )
+    )

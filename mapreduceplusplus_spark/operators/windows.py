@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceplusplus_spark.registry import query
-from mapreduceplusplus_spark.session import ensure_utc
+from mapreduceplusplus_spark.session import ensure_utc, floor_div_sql
 from mapreduceplusplus_spark.sources.tables import load_table
 
 
@@ -961,4 +961,105 @@ def window_decay_time_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         (big / F.lit(100.0 * float(2 ** _TDECAY_CLAMP))).alias("decayed_sum"),
+    )
+
+
+#: rolling-regression window width (trailing events per user)
+_RSLOPE_WIN = 5
+
+#: the slope's quantized numerator/denominator, shared verbatim by
+#: both dialects' floor division below
+_RSLOPE_NUM = "(1000000 * (n * sxy - sx * sy))"
+_RSLOPE_DEN = "(n * sxx - sx * sx)"
+
+
+@query(
+    "window_rolling_slope",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, rn,
+             count(*)        OVER w AS n,
+             sum(rn)         OVER w AS sx,
+             sum(cents)      OVER w AS sy,
+             sum(rn * cents) OVER w AS sxy,
+             sum(rn * rn)    OVER w AS sxx
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN {_RSLOPE_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(rn AS BIGINT) AS rn,
+           CAST(n AS BIGINT) AS n_win,
+           CASE WHEN {_RSLOPE_DEN} > 0 THEN
+             CAST({floor_div_sql(_RSLOPE_NUM, _RSLOPE_DEN, "duckdb")} AS BIGINT)
+           END AS slope_micro
+    FROM s
+    """,
+)
+def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING regression slope — per user, the OLS slope of spend
+    (cents) against event index over the trailing {_RSLOPE_WIN}
+    events: the windowed form of ``agg_linear_trend`` and the standard
+    "is this account accelerating or decaying" feature for churn /
+    fraud models (a global trend can't see a user whose last five
+    events reverse course).
+
+    Exactness: within a ≤{_RSLOPE_WIN}-row frame the closed-form slope
+    ``(nΣxy − ΣxΣy)/(nΣxx − (Σx)²)`` has every moment an exact BIGINT
+    (x = the per-user event index, y = cents), and the quantized
+    ``⌊10⁶·num/den⌋`` goes through the shared floor-division CASE
+    (numerator legally negative — decaying users; ``div``/``//``
+    truncate toward zero).  Zero x-variance frames (n = 1) → NULL on
+    both engines.
+
+    Plan: one user_id window (single data-sized shuffle) computes the
+    index and all four rolling moments in the SAME frame pass — five
+    window aggregates over one WindowExec, no self-join, no second
+    shuffle.  At 100 TB this is the sessionize shape: hash-partition
+    by user, sort once per partition.  Reference heritage: none
+    (SURVEY §2 charter extension, window family)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.withColumn("rn", F.row_number().over(wo))
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-(_RSLOPE_WIN - 1), 0)
+    )
+    s = x.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.count("*").over(wf).alias("n"),
+        F.sum("rn").over(wf).alias("sx"),
+        F.sum("cents").over(wf).alias("sy"),
+        F.sum(F.col("rn") * F.col("cents")).over(wf).alias("sxy"),
+        F.sum(F.col("rn") * F.col("rn")).over(wf).alias("sxx"),
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        F.col("rn").cast("bigint").alias("rn"),
+        F.col("n").cast("bigint").alias("n_win"),
+        F.when(
+            F.expr(_RSLOPE_DEN) > 0,
+            F.expr(
+                "CAST("
+                + floor_div_sql(_RSLOPE_NUM, _RSLOPE_DEN, "spark")
+                + " AS BIGINT)"
+            ),
+        ).alias("slope_micro"),
     )
