@@ -482,12 +482,14 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     device) — with the vec_id tiebreak; overlap counting is then pure
     integer arithmetic, so no rounding enters the result at all.
 
-    Plan: ONE corpus scan scores both similarities side by side
-    (the truncated dot is a ``slice`` before the same ``zip_with``
-    fold — no second pass, no second shuffle); per-probe top-k twice
-    via WindowGroupLimit (each task keeps ≤ k rows per probe before
-    the exchange); the two k-row-per-probe relations equi-join on
-    (probe, vec).  At 100 TB this is the honest brute-force
+    Plan: the scored definition (scan + 1-row-per-anchor broadcast +
+    both similarities in one projection) executes once PER RANKING —
+    two WindowGroupLimit-pruned passes whose exchanges carry only
+    ≤ tasks×probes×k rows; the two k-row relations equi-join on
+    (probe, vec).  The r13 audit measured both single-pass
+    alternatives slower (see inline comment): for this operator the
+    scan is cheap and the per-task top-k heap is the cost, so
+    re-scanning per ranking is the measured optimum.  At 100 TB this is the honest brute-force
     evaluation harness — run over a probe SAMPLE by construction
     (bounded broadcast set), not the full corpus as queries.
     Reference heritage: none (SURVEY §2 charter extension,
@@ -517,6 +519,16 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * _norm(F.slice("pv", 1, _MRL_DIM)))).alias("s_trunc"),
         )
     )
+    # TWO ranking passes, each WindowGroupLimit-pruned (simple
+    # `rnk <= k` per branch): the r13 audit tried both single-pass
+    # forms — OR-of-two-windows (blocks the GroupLimit rewrite,
+    # full-sorts the pair relation) and mode-explosion (generator +
+    # eager-checkpoint overhead) — and BOTH measured slower at 1× and
+    # 25× than re-running the scan+broadcast subplan per ranking: the
+    # scan is the cheap part of this operator, the per-task k-row heap
+    # is the expensive one, and the group-limit rewrite only fires on
+    # the simple per-branch filter.  Two corpus scans is the honest,
+    # measured optimum here (probes bounded by contract).
     wf = Window.partitionBy("probe_id").orderBy(
         F.col("s_full").desc(), F.col("vec_id")
     )
