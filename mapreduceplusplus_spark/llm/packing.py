@@ -910,8 +910,14 @@ def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     from mapreduceplusplus_spark.llm.textstats import doc_nll
 
-    x = doc_nll(spark, sf_dir).select(
-        "doc_id", "n_bigrams", F.col("nll_micro_nats").alias("x")
+    # materialized once: the doc-sized score frame feeds BOTH the
+    # 1-row moment aggregate and the banding pass inside
+    # curriculum_stage_of — without it the doc_nll scoring join
+    # (corpus-sized) re-executes per consumer (plan audit r13)
+    x = (
+        doc_nll(spark, sf_dir)
+        .select("doc_id", "n_bigrams", F.col("nll_micro_nats").alias("x"))
+        .localCheckpoint(eager=True)
     )
     return (
         curriculum_stage_of(x)
