@@ -1891,3 +1891,101 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_FHASH_DIM)
         ],
     )
+
+
+#: vocabulary coverage grid — "how much of the corpus do the top-k
+#: types cover": the vocab-sizing readout every tokenizer design doc
+#: opens with
+_COVER_KS = [5, 10, 20]
+
+
+@query(
+    "corpus_vocab_coverage",
+    oracle=f"""
+    WITH tf AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM tf
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+                   count(*) AS n_types FROM tf),
+    grid AS (SELECT unnest({_COVER_KS}) AS k)
+    SELECT CAST(g.k AS BIGINT) AS top_k,
+           CAST(count(r.rn) AS BIGINT) AS n_types_used,
+           CAST(coalesce(sum(r.c), 0) AS BIGINT) AS covered_tokens,
+           CAST(coalesce(sum(r.c), 0) * 1000000 // t.t AS BIGINT)
+             AS covered_ppm
+    FROM grid g
+    CROSS JOIN tot t
+    LEFT JOIN ranked r ON r.rn <= g.k
+    GROUP BY g.k, t.t
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE curve — what fraction of all token
+    occurrences the top-k most frequent types cover, at k ∈
+    {_COVER_KS}: the Zipf-complement readout (``text_zipf_slope``
+    fits the law; this reports its consequence) that sizes
+    tokenizer vocabularies and stopword lists — if the top 500 types
+    cover 90% of the corpus, a 500-entry embedding table serves 90%
+    of lookups.
+
+    Exactness: type frequencies are exact integers; the rank is the
+    deterministic (count DESC, term ASC) total order; coverage is
+    integer ppm floor division.  Empty corpus → total = NULL guard on
+    both engines (grid × empty tot = 0 rows).
+
+    Plan: one corpus-scale explode + hash agg (the word-count shape,
+    map-side combined) → ONE window over the VOCABULARY relation
+    (Zipf-bounded, the ``text_bpe_train`` argument — this is not a
+    data-sized sort) → a {len(_COVER_KS)}-row literal grid
+    range-joined against the ranked relation and rolled up.
+    Reference heritage: the ranked word-count readout is the closest
+    cousin of the reference demo's sorted word counts
+    (``mr/word_count.h``), upgraded to a coverage integral."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_toks(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = tf.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "w"))
+        .alias("rn"),
+    ).localCheckpoint(eager=True)
+    tot = ranked.agg(
+        F.sum("c").cast("bigint").alias("t"), F.count("*").alias("n_types")
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _COVER_KS])).alias("k")
+    )
+    # broadcast-safe: grid is the literal 3-row k grid; tot is 1 row
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ranked), F.col("rn") <= F.col("k"), "left")
+        .groupBy("k", "t")
+        .agg(
+            F.count("rn").cast("bigint").alias("n_types_used"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+            F.expr("CAST(coalesce(sum(c), 0) * 1000000 div t AS BIGINT)").alias(
+                "covered_ppm"
+            ),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("top_k"),
+            "n_types_used",
+            "covered_tokens",
+            "covered_ppm",
+        )
+    )
