@@ -197,20 +197,27 @@ _PRIORITY_ORDER = [
     # BM25+cosine reciprocal-rank-fusion retriever, the point-in-time
     # SCD2 feature join with label embargo, and the exact-ppm
     # cosine-to-own-centroid outlier scorer.
-    # Remaining never-checked oracle-bearing candidates for r14+
-    # (verdict queue first): events_ab_ks_test, events_ab_mannwhitney,
-    # events_ab_winsorized_means, events_ab_chi2_conversion,
-    # stream_stream_join_full, dq_duplication_report,
-    # corpus_token_budget_plan, mixture_temperature_weights; then
+    # r13 rotated dedup_semdedup_incremental, sim_search_hybrid_rrf,
+    # join_pit_scd2_embargo, embedding_outlier_centroid — all
+    # hash-green in CORRECTNESS_r13.  r14 rotates in the four rows the
+    # r13 verdict named (the experimentation quartet — all
+    # oracle-bearing, none with any prior CORRECTNESS_r1..r13 row):
+    # the two-sample Kolmogorov-Smirnov test, the Mann-Whitney U rank
+    # test, the winsorized-means A/B comparison, and the chi-squared
+    # conversion test.
+    # Remaining never-checked oracle-bearing candidates for r15+
+    # (verdict queue first): tpch_q21_waiting_suppliers,
+    # dq_duplication_report, corpus_token_budget_plan,
+    # mixture_temperature_weights; then stream_stream_join_full,
     # text_winnowing_matches, mixture_sample_apply, text_bm25_search,
-    # text_heavy_hitters, graph_pagerank, tpch_q21_waiting_suppliers,
-    # agg_weighted_median, agg_trimmed_mean, sql_passthrough_q1,
-    # pack_concat_chunks, scd2_build_validity, window_gaps_islands,
-    # text_char_entropy, agg_listagg_within_group.
-    "dedup_semdedup_incremental",
-    "sim_search_hybrid_rrf",
-    "join_pit_scd2_embargo",
-    "embedding_outlier_centroid",
+    # text_heavy_hitters, graph_pagerank, agg_weighted_median,
+    # agg_trimmed_mean, sql_passthrough_q1, pack_concat_chunks,
+    # scd2_build_validity, window_gaps_islands, text_char_entropy,
+    # agg_listagg_within_group, dedup_url_canonical.
+    "events_ab_ks_test",
+    "events_ab_mannwhitney",
+    "events_ab_winsorized_means",
+    "events_ab_chi2_conversion",
 ]
 
 _loaded = False
