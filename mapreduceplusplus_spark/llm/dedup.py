@@ -46,6 +46,24 @@ JACCARD_T = 0.8
 #: guaranteed candidates, background pairs essentially never are.
 MINHASH_K, MINHASH_BANDS, MINHASH_R = 64, 16, 4
 
+#: universal-hash family constants (r14 portable family — see
+#: ``_minhash_bands``): g_i(s) = (a_i·h(s) + b_i) mod P over the
+#: 40-bit md5-prefix base hash.  P = 2^40 + 15 is prime; a_i / b_i are
+#: themselves md5-derived (hashlib here ≡ Spark ``md5`` ≡ DuckDB
+#: ``md5`` — one definition, three evaluators), a_i 20-bit nonzero so
+#: a·h + b < 2^61 stays BIGINT-exact in every engine.
+_MINHASH_P = (1 << 40) + 15
+
+
+def _md5_int(s: str, nibbles: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:nibbles], 16)
+
+
+_MINHASH_A = [1 + _md5_int(f"a:{i}", 5) for i in range(MINHASH_K)]
+_MINHASH_B = [_md5_int(f"b:{i}", 10) for i in range(MINHASH_K)]
+
 #: Jaccard threshold as an exact integer ratio (t = T_NUM/T_DEN = 0.8).
 #: The prefix-filter arithmetic below must round EXACTLY (a float
 #: ``ceil(0.8*n)`` computes ceil(36.00000000000001) = 37 for n = 45,
@@ -482,28 +500,62 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, bkey) MinHash-LSH band table over a ``(doc_id,
     sh)`` shingle frame — the shared signature/banding core behind
     ``dedup_minhash_near`` (self-join form) and
-    ``dedup_incremental_ingest_near`` (persisted-index form).  Moved
-    verbatim out of ``dedup_minhash_near`` (r11): same expressions,
-    same fixed seeds, bit-identical band keys.
+    ``dedup_incremental_ingest_near`` (persisted-index form).
 
-    The 64 signature values are computed in a SINGLE ``aggregate()``
-    higher-order pass over each row's shingle array (accumulator =
-    array of 64 running minima, one ``zip_with``/``least``/``xxhash64``
-    step per shingle) — shuffle-FREE and ~40% faster than the explode +
-    64×min hash-agg formulation (measured r7, BASELINE.md).
-    ``sequence(0, 63)`` yields INT elements, so the xxhash64 values
-    (and therefore every band key) are bit-identical to the historical
-    ``F.lit(i)`` seed formulation."""
+    Hash family (r14, ENGINE-PORTABLE — VERDICT r13 #2): the k=64
+    functions are the textbook universal family over ONE md5 per
+    shingle — ``g_i(s) = (a_i·h(s) + b_i) mod P`` with ``h(s)`` the
+    first 10 hex nibbles of ``md5(s)`` as a 40-bit int
+    (``conv(hex,16,10)`` on Spark ≡ ``('0x'||hex)::BIGINT`` in DuckDB
+    — the same cross-engine md5 device as ``text_feature_hashing``),
+    ``P = 2⁴⁰+15`` (prime) and the per-function constants themselves
+    md5-derived: ``a_i = 1 + md5('a:i')[:5 nibbles]`` (20-bit,
+    nonzero), ``b_i = md5('b:i')[:10 nibbles]`` — so BOTH engines (and
+    the driver-side Python that inlines them as literals) reproduce
+    the family from nothing but md5.  ``a·h + b < 2⁶¹``: BIGINT-safe.
+    The multiply-mod wrap is what decorrelates the 64 orderings — a
+    plain ``h1 + i·step`` double-hash family keeps shingle ORDER nearly
+    invariant across i, so one unshared min-shingle kills all 16 bands
+    at once (measured: a planted 0.955-Jaccard pair missed; miss
+    probability collapses from the nominal (1−j⁴)¹⁶ ≈ 4·10⁻¹³ to
+    ≈ 1−j).  Band key = the first 15 nibbles (60 bits) of ``md5`` over
+    the band's 4 signature values colon-joined — BIGINT, so the
+    incremental index's ``pk = band·NB + (bkey mod NB)`` partition
+    layout is unchanged.  Replacing the r1–r13 xxhash64 family
+    (Spark-only) makes the ENTIRE pipeline — signatures, banding,
+    candidate join, exact-Jaccard verify — one DuckDB-expressible
+    statement: ``dedup_minhash_near`` now carries a real SQL oracle
+    instead of a permanent ``no_oracle`` driver row.
+
+    Physical shape is unchanged: the 64 signature values are computed
+    in a SINGLE ``aggregate()`` higher-order pass over each row's
+    shingle array (accumulator = array of 64 running minima; the
+    per-shingle base hash is precomputed by one nested ``transform``
+    so md5 runs ONCE per shingle, not 64×) — shuffle-FREE, same plan
+    class as the r7 measurement in BASELINE.md."""
     init = F.array_repeat(F.lit(9223372036854775807).cast("long"), MINHASH_K)
+    a_arr = F.array(*[F.lit(a) for a in _MINHASH_A])
+    b_arr = F.array(*[F.lit(b) for b in _MINHASH_B])
+    hs = F.transform(
+        "sh",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("long"),
+    )
     sig = docs.select(
         "doc_id",
         F.aggregate(
-            "sh",
+            hs,
             init,
-            lambda acc, s: F.zip_with(
+            lambda acc, h: F.zip_with(
                 acc,
                 F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-                lambda m, i: F.least(m, F.xxhash64(i, s)),
+                lambda m, i: F.least(
+                    m,
+                    (
+                        F.element_at(a_arr, i + 1) * h
+                        + F.element_at(b_arr, i + 1)
+                    )
+                    % F.lit(_MINHASH_P),
+                ),
             ),
         ).alias("mhs"),
     )
@@ -514,12 +566,27 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        *[
-                            F.element_at(F.col("mhs"), b * MINHASH_R + j + 1)
-                            for j in range(MINHASH_R)
-                        ]
-                    ).alias("bkey"),
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    *[
+                                        F.element_at(
+                                            F.col("mhs"), b * MINHASH_R + j + 1
+                                        ).cast("string")
+                                        for j in range(MINHASH_R)
+                                    ],
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("bkey"),
                 ),
             )
         ).alias("bb"),
@@ -528,19 +595,70 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_minhash_near")  # no SQL oracle: LSH banding isn't SQL-expressible;
-# correctness is pinned by tests/test_llm_ops.py comparing against the
-# exact dedup_ngram_jaccard result (deterministic fixed-seed hashes)
+@query(
+    "dedup_minhash_near",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                for i in range(1, len(ws) - 1)])) AS s
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents)
+    ),
+    consts AS (
+      SELECT r.i AS i,
+             1 + ('0x' || substr(md5('a:' || r.i), 1, 5))::BIGINT AS a,
+             ('0x' || substr(md5('b:' || r.i), 1, 10))::BIGINT AS b
+      FROM range({MINHASH_K}) r(i)
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 10))::BIGINT AS h
+      FROM sh
+    ),
+    g AS (
+      SELECT doc_id, c.i AS i, min((c.a * h.h + c.b) % {_MINHASH_P}) AS mh
+      FROM h CROSS JOIN consts c
+      GROUP BY doc_id, c.i
+    ),
+    band AS (
+      SELECT doc_id, CAST(i // {MINHASH_R} AS INTEGER) AS band,
+             ('0x' || substr(md5(string_agg(CAST(mh AS VARCHAR), ':'
+                                            ORDER BY i)), 1, 15))::BIGINT
+               AS bkey
+      FROM g GROUP BY doc_id, i // {MINHASH_R}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.da, c.db, count(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.da
+      JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+      GROUP BY c.da, c.db
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           round(i * 1.0 / (ca.n + cb.n - i), 3) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = da
+    JOIN cnt cb ON cb.doc_id = db
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= {JACCARD_T}
+    """,
+)
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection — the SCALE path for what
     `dedup_ngram_jaccard` computes exactly.
 
     Pipeline (all Catalyst expressions, fixed seeds, deterministic):
-    1. signature: k=64 minhashes per doc — ``array_min(transform(sh,
-       s -> xxhash64(i, s)))`` for i in 0..63 (xxhash64 with a distinct
-       integer first-argument per hash function);
-    2. banding: 16 bands × 4 rows; band key = xxhash64 of the band's
-       4 signature values;
+    1. signature: k=64 minhashes per doc via the md5-based
+       Kirsch–Mitzenmacher family (see ``_minhash_bands`` — one md5
+       per shingle, ``g_i = h1 + i·(2·h2+1)``);
+    2. banding: 16 bands × 4 rows; band key = 60-bit md5-derived int
+       of the band's 4 signature values;
     3. candidates: equi-join docs on (band_id, band_key) — only
        signature-colliding docs meet; candidate count ~ #true pairs,
        not n²;
@@ -550,18 +668,25 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the only shuffles are the band-key join and the final
     pair dedup; per-doc state is O(#shingles) ≤ O(doc length).
 
+    ORACLE (r14, VERDICT r13 #2): because every stage of the md5
+    family is engine-portable, the full pipeline — signature minima,
+    banding, candidate self-join, exact-Jaccard verify — is stated as
+    one DuckDB SQL statement, replayed hash-exactly: the one
+    historically ``no_oracle`` row in the driver contract head is now
+    differential-checked like everything else.  (The oracle replays
+    the LSH BANDING, not the ideal all-pairs spec — candidate
+    generation artifacts are part of the contract; the recall-vs-exact
+    property is pinned separately by tests/test_llm_ops.py against
+    ``dedup_ngram_jaccard``.)
+
     Physical note: the 64 signature values are computed in a SINGLE
     ``aggregate()`` higher-order pass over each row's shingle array
     (accumulator = array of 64 running minima, one ``zip_with``/
-    ``least``/``xxhash64`` step per shingle).  The round-2 explode +
-    ``64 × min(xxhash64(i, s))`` hash-aggregation formulation produced
-    identical values but paid a full shuffle of the exploded posting
-    list; the per-row pass keeps the signature stage shuffle-FREE and
-    measures ~40% faster cold at sf0.1 (1.22 s vs 1.99 s best-of-4).
-    ``sequence(0, 63)`` yields INT elements — the same type as the old
-    ``F.lit(i)`` seed argument — so the xxhash64 values (and therefore
-    every band key and candidate pair) are bit-identical to previous
-    rounds'."""
+    ``least`` step per shingle; md5 runs once per shingle in a
+    preceding ``transform``).  The explode + 64×min hash-aggregation
+    formulation produced identical values but paid a full shuffle of
+    the exploded posting list; the per-row pass keeps the signature
+    stage shuffle-FREE (~40% faster cold at sf0.1, r7 measurement)."""
     ensure_utc(spark)
     docs = _doc_shingles(spark, sf_dir)
     # persisted: the band table feeds both self-join sides — see _AUX_CACHE
