@@ -449,14 +449,16 @@ _MRL_PROBE_MOD = 100
       SELECT probe_id, vec_id FROM (
         SELECT probe_id, vec_id,
                row_number() OVER (PARTITION BY probe_id
-                                  ORDER BY s_full DESC, vec_id) AS rnk
+                                  ORDER BY CAST(round(1000000 * s_full)
+                                                AS BIGINT) DESC, vec_id) AS rnk
         FROM scored) WHERE rnk <= {_MRL_K}
     ),
     trunck AS (
       SELECT probe_id, vec_id FROM (
         SELECT probe_id, vec_id,
                row_number() OVER (PARTITION BY probe_id
-                                  ORDER BY s_trunc DESC, vec_id) AS rnk
+                                  ORDER BY CAST(round(1000000 * s_trunc)
+                                                AS BIGINT) DESC, vec_id) AS rnk
         FROM scored) WHERE rnk <= {_MRL_K}
     )
     SELECT f.probe_id,
@@ -477,10 +479,12 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-{_MRL_DIM} cosine is compared against full-dimension ground
     truth and the overlap reported in exact integer ppm.
 
-    Determinism: both rankings order by the raw cosine — the same
-    fixed expression shape on both engines (the ``sim_search_topk``
-    device) — with the vec_id tiebreak; overlap counting is then pure
-    integer arithmetic, so no rounding enters the result at all.
+    Determinism: both rankings order by the integer micro-cosine
+    ``round(10⁶·cos)`` (the ``mmr_rerank`` device, ADVICE r13 —
+    raw-double ranking left a latent cross-engine ULP tie-sensitivity
+    between Spark's fold and DuckDB's ``list_cosine_similarity``)
+    with the vec_id tiebreak; overlap counting is then pure integer
+    arithmetic, so no float comparison decides any output value.
 
     Plan: the scored definition (scan + 1-row-per-anchor broadcast +
     both similarities in one projection) executes once PER RANKING —
@@ -530,10 +534,12 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the simple per-branch filter.  Two corpus scans is the honest,
     # measured optimum here (probes bounded by contract).
     wf = Window.partitionBy("probe_id").orderBy(
-        F.col("s_full").desc(), F.col("vec_id")
+        F.round(F.lit(1000000) * F.col("s_full")).cast("bigint").desc(),
+        F.col("vec_id"),
     )
     wt = Window.partitionBy("probe_id").orderBy(
-        F.col("s_trunc").desc(), F.col("vec_id")
+        F.round(F.lit(1000000) * F.col("s_trunc")).cast("bigint").desc(),
+        F.col("vec_id"),
     )
     fullk = (
         scored.withColumn("rnk", F.row_number().over(wf))

@@ -1377,7 +1377,8 @@ TRIPLET_NEG_K = 5
       SELECT probe_id, vec_id AS pos_vec_id, s AS pos_s FROM (
         SELECT probe_id, vec_id, s,
                row_number() OVER (PARTITION BY probe_id
-                                  ORDER BY s DESC, vec_id) AS rn
+                                  ORDER BY CAST(round(1000000 * s) AS BIGINT)
+                                             DESC, vec_id) AS rn
         FROM scored WHERE label = a_label
       ) WHERE rn = 1
     ),
@@ -1385,7 +1386,8 @@ TRIPLET_NEG_K = 5
       SELECT probe_id, vec_id, label, s, rnk FROM (
         SELECT probe_id, vec_id, label, s,
                row_number() OVER (PARTITION BY probe_id
-                                  ORDER BY s DESC, vec_id) AS rnk
+                                  ORDER BY CAST(round(1000000 * s) AS BIGINT)
+                                             DESC, vec_id) AS rnk
         FROM scored WHERE label <> a_label
       ) WHERE rnk <= {TRIPLET_NEG_K}
     )
@@ -1407,9 +1409,12 @@ def sim_search_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive, hard-negative) batches a triplet/InfoNCE fine-tune run
     mines from its corpus, and the readout that tells you whether the
     embedding space still separates labels (negative margins = label
-    bleed).  Deterministic throughout: both rankings order by the raw
-    cosine (the shared ``sim_search_knn_join`` device) with vec_id
-    tiebreak; only REPORTED values are rounded.
+    bleed).  Deterministic throughout: both rankings order by the
+    integer micro-cosine ``round(10⁶·cos)`` (the ``mmr_rerank``
+    device, ADVICE r13 — raw-double ranking left a latent
+    cross-engine ULP tie-sensitivity between Spark's fold and
+    DuckDB's ``list_cosine_similarity``) with vec_id tiebreak;
+    REPORTED cosines stay raw, rounded to 3 decimals.
 
     Plan: one corpus scan against the broadcast anchor set; ONE window
     partitioned by (anchor, polarity) ranks positives and negatives in
@@ -1449,7 +1454,8 @@ def sim_search_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # → 2); the surviving ≤ (1 + K) rows per anchor are materialized
     # once and both sides of the triplet join read from that tiny frame
     w = Window.partitionBy("probe_id", "is_pos").orderBy(
-        F.col("s").desc(), F.col("vec_id")
+        F.round(F.lit(1000000) * F.col("s")).cast("bigint").desc(),
+        F.col("vec_id"),
     )
     ranked = (
         scored.withColumn("rnk", F.row_number().over(w))

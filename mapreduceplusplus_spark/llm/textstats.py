@@ -1922,6 +1922,7 @@ _COVER_KS = [5, 10, 20]
     FROM grid g
     CROSS JOIN tot t
     LEFT JOIN ranked r ON r.rn <= g.k
+    WHERE t.t > 0
     GROUP BY g.k, t.t
     """,
 )
@@ -1936,8 +1937,10 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: type frequencies are exact integers; the rank is the
     deterministic (count DESC, term ASC) total order; coverage is
-    integer ppm floor division.  Empty corpus → total = NULL guard on
-    both engines (grid × empty tot = 0 rows).
+    integer ppm floor division.  Empty corpus: the 1-row global ``tot``
+    aggregate emits t = NULL even over zero types, so both sides guard
+    ``WHERE t > 0`` — 0 output rows, not 3 NULL-ppm rows (ADVICE r13:
+    the guard was previously claimed but not stated).
 
     Plan: one corpus-scale explode + hash agg (the word-count shape,
     map-side combined) → ONE window over the VOCABULARY relation
@@ -1968,9 +1971,12 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.range(1).select(
         F.explode(F.array(*[F.lit(k) for k in _COVER_KS])).alias("k")
     )
-    # broadcast-safe: grid is the literal 3-row k grid; tot is 1 row
+    # broadcast-safe: grid is the literal 3-row k grid; tot is 1 row.
+    # t > 0 guard: tot emits one t=NULL row even over an empty corpus
+    # (ADVICE r13) — the guard makes both engines emit 0 rows there
     return (
         grid.crossJoin(F.broadcast(tot))
+        .where(F.col("t") > 0)
         .join(F.broadcast(ranked), F.col("rn") <= F.col("k"), "left")
         .groupBy("k", "t")
         .agg(

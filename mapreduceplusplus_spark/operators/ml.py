@@ -473,7 +473,8 @@ KNN_CLS_K = 7
         SELECT p.probe_id, p.true_label, c.label,
                row_number() OVER (
                  PARTITION BY p.probe_id
-                 ORDER BY list_cosine_similarity(c.v, p.pv) DESC,
+                 ORDER BY CAST(round(1000000 * list_cosine_similarity(
+                            c.v, p.pv)) AS BIGINT) DESC,
                           c.vec_id) AS rnk
         FROM probes p CROSS JOIN corpus c
       ) WHERE rnk <= {KNN_CLS_K}
@@ -500,9 +501,13 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold out a probe set, classify each probe by the majority label of
     its k nearest corpus neighbors, report prediction vs true label.
     Votes tie-break deterministically (count DESC, label ASC); the
-    neighbor sets themselves are deterministic because the cosine is
-    the same fixed expression shape on both engines (the
-    ``sim_search_knn_join`` device) with a vec_id tiebreak.
+    neighbor RANKING is on the integer micro-cosine
+    ``round(10⁶·cos)`` (the ``sim_search_mmr_rerank`` device, ADVICE
+    r13: ranking raw doubles left a latent cross-engine ULP
+    tie-sensitivity — Spark folds dot/(norm·norm) while DuckDB's
+    ``list_cosine_similarity`` is a different expression tree; after
+    quantization a mathematical tie lands on the SAME micro value in
+    both engines and the vec_id tiebreak decides identically).
 
     Plan: identical physical shape to ``sim_search_knn_join`` —
     broadcast nested-loop of the bounded probe set over one corpus
@@ -526,8 +531,18 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", _as_double("embedding").alias("v")
     )
     # broadcast-safe: probes is the documented bounded probe set
+    # micro-cosine EXACTLY as mmr_rerank's `mc` device: cosine first,
+    # then ×10⁶ — `(10⁶·dot)/norms` associates differently and can
+    # differ by 1 ULP from the oracle's 10⁶·list_cosine_similarity
     scored = corpus.join(F.broadcast(probes)).withColumn(
-        "s", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
+        "s",
+        F.round(
+            F.lit(1000000)
+            * (
+                _dot(F.col("v"), F.col("pv"))
+                / (_norm(F.col("v")) * _norm(F.col("pv")))
+            )
+        ).cast("bigint"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("s").desc(), F.col("vec_id")
@@ -653,10 +668,15 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_l",
             (F.col("n") - F.col("n_l")).alias("n_r"),
             (F.col("pos") - F.col("pos_l")).alias("pos_r"),
+            # products through DECIMAL(38,0) (the ml_adaboost_stumps /
+            # agg_linear_trend overflow discipline): BIGINT
+            # 10⁶·pos_l·neg_l silently wraps beyond ~6M rows while the
+            # DuckDB oracle's window sums are HUGEINT (ADVICE r13)
             F.expr(
-                "(1000000 * pos_l * (n_l - pos_l)) div n_l"
-                " + (1000000 * (pos - pos_l) * ((n - n_l) - (pos - pos_l)))"
-                "   div (n - n_l)"
+                "(CAST(1000000 AS DECIMAL(38,0)) * pos_l * (n_l - pos_l))"
+                " div n_l"
+                " + (CAST(1000000 AS DECIMAL(38,0)) * (pos - pos_l)"
+                "    * ((n - n_l) - (pos - pos_l))) div (n - n_l)"
             ).alias("imp_micro"),
         )
     )

@@ -2465,7 +2465,7 @@ _DID_CUTOFF = "2024-01-16"
     cells AS (
       SELECT treat, post,
              count(*) AS n,
-             CAST((1000000 * sum(cents)) // count(*) AS BIGINT) AS mean_micro
+             CAST({floor_div_sql('1000000 * sum(cents)', 'count(*)', 'duckdb')} AS BIGINT) AS mean_micro
       FROM x GROUP BY treat, post
     ),
     wide AS (
@@ -2503,8 +2503,10 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid-span).
 
     Exactness: outcomes quantize to cents (the ``events_ab_ks_test``
-    device); each of the four cell means is ``⌊10⁶·Σcents/n⌋``
-    (positive operands — truncation = floor on both engines) and the
+    device); each of the four cell means is ``⌊10⁶·Σcents/n⌋`` via the
+    SHARED ``floor_div_sql`` device (a legally-negative Σcents floors,
+    not truncates — ADVICE r13), products through DECIMAL(38,0) /
+    HUGEINT, and the
     DiD estimate is pure BIGINT subtraction of the quantized means —
     the quantized-mean contract IS the operator spec, ±1 µ-cent
     per-cell quantization documented.  All-four-cells-present guard →
@@ -2527,9 +2529,21 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = x.groupBy("treat", "post").agg(
         F.count("*").alias("n"),
-        F.expr("CAST((1000000 * sum(cents)) div count(*) AS BIGINT)").alias(
-            "mean_micro"
-        ),
+        # floor contract + width discipline (ADVICE r13): the quotient
+        # goes through the SHARED floor_div_sql device (negative event
+        # values would otherwise truncate toward zero on both engines,
+        # silently violating the documented floor), and the 10⁶·Σcents
+        # product through DECIMAL(38,0) — Spark's BIGINT product wraps
+        # at extreme scale while DuckDB's sum is already HUGEINT
+        F.expr(
+            "CAST("
+            + floor_div_sql(
+                "CAST(1000000 AS DECIMAL(38,0)) * sum(cents)",
+                "count(*)",
+                "spark",
+            )
+            + " AS BIGINT)"
+        ).alias("mean_micro"),
     )
 
     def cell(t: int, p: int, col: str):
