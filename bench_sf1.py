@@ -49,6 +49,12 @@ SF1_QUERIES = [
     "text_perplexity_kneser_ney",
     "dedup_threshold_curve",
     "graph_label_propagation",
+    # r14 additions (VERDICT r13 #6: replication fixtures can't see
+    # vocab/probe growth — these three carry probe-set / coreset /
+    # partition-census costs that only genuine cardinality exposes)
+    "sim_search_triplet_mining",
+    "sample_kcenter_coreset",
+    "graph_modularity",
 ]
 
 
