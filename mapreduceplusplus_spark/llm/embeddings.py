@@ -507,8 +507,23 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.where(F.col("vec_id") % _MRL_PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),
         _as_double("embedding").alias("pv"),
+    ).select(
+        "probe_id",
+        "pv",
+        F.slice("pv", 1, _MRL_DIM).alias("pvt"),
+        _norm(F.col("pv")).alias("npv"),
+        _norm(F.slice("pv", 1, _MRL_DIM)).alias("npvt"),
     )
-    corpus = emb.select("vec_id", _as_double("embedding").alias("v"))
+    # norms (and the truncated prefix) hoisted per VECTOR — four folds
+    # per row on each SIDE instead of four per PAIR (r14, bit-identical
+    # — the sim_search_knn_join note)
+    corpus = emb.select("vec_id", _as_double("embedding").alias("v")).select(
+        "vec_id",
+        "v",
+        F.slice("v", 1, _MRL_DIM).alias("vt"),
+        _norm(F.col("v")).alias("nv"),
+        _norm(F.slice("v", 1, _MRL_DIM)).alias("nvt"),
+    )
     # broadcast-safe: probes is the documented bounded probe sample
     scored = (
         corpus.join(F.broadcast(probes))
@@ -517,10 +532,9 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             "vec_id",
             (_dot(F.col("v"), F.col("pv"))
-             / (_norm(F.col("v")) * _norm(F.col("pv")))).alias("s_full"),
-            (_dot(F.slice("v", 1, _MRL_DIM), F.slice("pv", 1, _MRL_DIM))
-             / (_norm(F.slice("v", 1, _MRL_DIM))
-                * _norm(F.slice("pv", 1, _MRL_DIM)))).alias("s_trunc"),
+             / (F.col("nv") * F.col("npv"))).alias("s_full"),
+            (_dot(F.col("vt"), F.col("pvt"))
+             / (F.col("nvt") * F.col("npvt"))).alias("s_trunc"),
         )
     )
     # TWO ranking passes, each WindowGroupLimit-pruned (simple

@@ -54,6 +54,8 @@ def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+
+
 #: sim_search_topk's oracle, shared verbatim with the hybrid-RRF
 #: fusion oracle (which nests it as a CTE body)
 _TOPK_ORACLE = f"""
@@ -551,15 +553,22 @@ def sim_search_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("probe_id"),
             _as_double("embedding").alias("pv"),
         )
+        .withColumn("npv", _norm(F.col("pv")))
     )
+    # norms hoisted to the per-VECTOR projections (r14): the norm is a
+    # pure function of its vector, so precomputing it on each side and
+    # multiplying the stored doubles is bit-identical to the per-pair
+    # form — but the 64-element fold runs |corpus| + |probes| times
+    # instead of 2·|pairs| (the interpreted HOF fold is the whole cost
+    # of the brute-force family; sf1 measured ~3× on triplet mining)
     corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
         "vec_id", "label", _as_double("embedding").alias("v")
-    )
+    ).withColumn("nv", _norm(F.col("v")))
     # broadcast-safe: probes is the documented bounded probe set (<=
     # ~10k vectors per the operator contract; LSH-bucket fallback
     # documented beyond)
     scored = corpus.join(F.broadcast(probes)).withColumn(
-        "s", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
+        "s", _dot(F.col("v"), F.col("pv")) / (F.col("nv") * F.col("npv"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), F.col("vec_id"))
     return (
@@ -611,7 +620,9 @@ def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast-safe: probe is a single query vector (1 row)
         .crossJoin(F.broadcast(probe))
         .withColumn(
-            "c", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
+            "c",
+            _dot(F.col("v"), F.col("pv"))
+            / (_norm(F.col("v")) * _norm(F.col("pv"))),
         )
     )
     return scored.where(F.col("c") >= 0.25).select(
@@ -839,12 +850,17 @@ def _lsh_batch_topk(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
         probe_bucket.alias("pbucket"),
+        _norm(F.col("v")).alias("npv"),
     )
-    corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0)
+    # corpus-side norm hoisted per vector (bit-identical — see
+    # sim_search_knn_join's r14 note)
+    corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0).withColumn(
+        "nv", _norm(F.col("v"))
+    )
     cand = (
         corpus.join(probes, F.col("bucket") == F.col("pbucket"))
         .withColumn(
-            "c", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
+            "c", _dot(F.col("v"), F.col("pv")) / (F.col("nv") * F.col("npv"))
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("vec_id"))
@@ -1434,17 +1450,20 @@ def sim_search_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("a_label"),
         _as_double("embedding").alias("pv"),
-    )
+    ).withColumn("npv", _norm(F.col("pv")))
+    # norms hoisted per VECTOR, not per pair (r14 — bit-identical, see
+    # sim_search_knn_join): at sf1's genuine cardinality (500 anchors ×
+    # 50k corpus) the per-pair 3-fold form measured 80.7 s; one fold
+    # per pair brings the brute-force mining back to scan+dot cost
     corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
         "vec_id", "label", _as_double("embedding").alias("v")
-    )
+    ).withColumn("nv", _norm(F.col("v")))
     # broadcast-safe: anchors is the documented bounded probe set
     scored = (
         corpus.join(F.broadcast(anchors))
         .withColumn(
             "s",
-            _dot(F.col("v"), F.col("pv"))
-            / (_norm(F.col("v")) * _norm(F.col("pv"))),
+            _dot(F.col("v"), F.col("pv")) / (F.col("nv") * F.col("npv")),
         )
         .withColumn("is_pos", F.col("label") == F.col("a_label"))
     )

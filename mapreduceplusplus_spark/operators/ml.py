@@ -526,10 +526,14 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("true_label"),
         _as_double("embedding").alias("pv"),
-    )
+    ).withColumn("npv", _norm(F.col("pv")))
+    # norms hoisted per VECTOR (r14, bit-identical — the
+    # sim_search_knn_join note): the interpreted fold runs
+    # |corpus| + |probes| times instead of 2·|pairs|, and mod-25
+    # probes make this the family's largest pair relation
     corpus = emb.where(F.col("vec_id") % KNN_CLS_MOD != 0).select(
         "vec_id", "label", _as_double("embedding").alias("v")
-    )
+    ).withColumn("nv", _norm(F.col("v")))
     # broadcast-safe: probes is the documented bounded probe set
     # micro-cosine EXACTLY as mmr_rerank's `mc` device: cosine first,
     # then ×10⁶ — `(10⁶·dot)/norms` associates differently and can
@@ -540,7 +544,7 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000000)
             * (
                 _dot(F.col("v"), F.col("pv"))
-                / (_norm(F.col("v")) * _norm(F.col("pv")))
+                / (F.col("nv") * F.col("npv"))
             )
         ).cast("bigint"),
     )
