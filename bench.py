@@ -83,6 +83,7 @@ HEADLINE = [
     "graph_label_propagation",  # 3 synchronous LPA rounds (argmax aggs)
     "text_perplexity_kneser_ney",  # KN bigram LM, integer-ratio smoothing
     "dedup_threshold_curve",   # J>=1/2 prefix pass + 5-point integer sweep
+    "dedup_url_canonical",     # URL canonicalize + domain dup governance (r14)
 ]
 
 
