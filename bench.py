@@ -84,6 +84,7 @@ HEADLINE = [
     "text_perplexity_kneser_ney",  # KN bigram LM, integer-ratio smoothing
     "dedup_threshold_curve",   # J>=1/2 prefix pass + 5-point integer sweep
     "dedup_url_canonical",     # URL canonicalize + domain dup governance (r14)
+    "dedup_mirror_domains",    # cross-domain mirror clusters by content fp (r14)
 ]
 
 

@@ -3374,3 +3374,91 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("dup_ppm"),
     )
+
+
+#: mirror detection requires non-trivial content: fingerprints over
+#: fewer than this many distinct tokens (empty pages, boilerplate
+#: stubs) are excluded BEFORE grouping — at web scale the degenerate
+#: fingerprint class would otherwise collect arbitrarily many domains
+#: into one row
+_MIRROR_MIN_TYPES = 5
+
+
+@query(
+    "dedup_mirror_domains",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source || '.example.com' AS domain,
+             md5(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(lower(text), '[a-z]+'))), ' ')) AS fp
+      FROM documents
+      WHERE len(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+            >= {_MIRROR_MIN_TYPES}
+    )
+    SELECT fp,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(count(DISTINCT domain) AS BIGINT)   AS n_domains,
+           CAST(min(doc_id) AS BIGINT)              AS keeper_doc_id,
+           list_sort(list(DISTINCT domain))         AS domains
+    FROM f GROUP BY fp
+    HAVING count(DISTINCT domain) >= 2
+    """,
+)
+def dedup_mirror_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain MIRROR detection — the CommonCrawl curation twin of
+    ``dedup_url_canonical``: the same content served from MULTIPLE
+    hosts (mirror sites, syndicated boilerplate, scraper re-hosts) is
+    the dominant inter-domain duplication mode a crawl-scale corpus has
+    to collapse BEFORE per-domain quality statistics mean anything.
+    Content identity is the bag-of-words fingerprint ``md5(sorted
+    distinct tokens)`` — robust to reflowing/reordering (the mirror
+    transform) while cheap enough to be a pure projection; clusters
+    spanning ≥ 2 distinct domains are reported with their doc count,
+    domain census, keeper (min doc_id) and the SORTED domain list.
+    Domain derives from ``source`` at the same grain as
+    ``dedup_url_canonical``'s canonical host.
+
+    Exactness: the fingerprint string is identical on both engines
+    (distinct → lexicographic sort → space-join → md5, all
+    order-insensitive by construction), the domain list compares as a
+    sorted array (``array_sort(collect_set())`` ≡ ``list_sort(list(
+    DISTINCT))``), counts are BIGINT.  Fingerprints over fewer than
+    {_MIRROR_MIN_TYPES} distinct types are dropped BEFORE grouping —
+    the degenerate empty/boilerplate class that would otherwise
+    collect unboundedly many domains into one output row at web scale.
+
+    Plan: one scan → per-doc fingerprint projection (HOF sort over the
+    doc's own distinct tokens — per-row bounded) → ONE fp-grain hash
+    agg (count + domain census + bounded collect_set) → HAVING filter.
+    The shuffle key is the content fingerprint: mirror clusters are
+    small by the min-types gate, so the agg is the word-count shape.
+    Reference heritage: none (SURVEY §2 charter extension, dedup
+    family)."""
+    ensure_utc(spark)
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    )
+    f = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+            toks.alias("ts"),
+        )
+        .where(F.size("ts") >= _MIRROR_MIN_TYPES)
+        .select(
+            "doc_id",
+            "domain",
+            F.md5(F.array_join(F.array_sort("ts"), " ")).alias("fp"),
+        )
+    )
+    return (
+        f.groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("domain").cast("bigint").alias("n_domains"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.array_sort(F.collect_set("domain")).alias("domains"),
+        )
+        .where(F.col("n_domains") >= 2)
+    )
