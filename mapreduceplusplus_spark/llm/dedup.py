@@ -3276,7 +3276,12 @@ def _url_canon_sql(dialect: str) -> dict[str, str]:
       ':(443|80)$', '')"""
     path = ("regexp_replace(regexp_replace(split_part(u, '?', 1),"
             " '^[^/]*', ''), '/$', '')")
-    cq = f"""{join_fn}(array_sort(filter(split(split_part(u, '?', 2), '&'),
+    # query = everything after the FIRST '?' (a literal '?' may recur
+    # inside the query per RFC 3986; split_part(u,'?',2) would truncate
+    # there — caught by the Python-reference spec test)
+    qsrc = ("CASE WHEN instr(u, '?') > 0"
+            " THEN substr(u, instr(u, '?') + 1) ELSE '' END")
+    cq = f"""{join_fn}(array_sort(filter(split({qsrc}, '&'),
       p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
        AND substr(p, 1, 7) <> 'fbclid=' AND substr(p, 1, 6) <> 'gclid=')),
       '&')"""

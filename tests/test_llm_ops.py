@@ -1863,3 +1863,81 @@ def test_incremental_indexes_cold_start_recovery(spark):
         assert snapshot(sem_dir) == snap_sem
     finally:
         D.release_shingles()
+
+
+def test_url_canonicalization_matches_python_reference(spark):
+    """The dedup_url_canonical string surgery against a THIRD,
+    independent implementation (pure Python) on adversarial raw URLs
+    the fixture derivation never produces — multiple '?', params that
+    are all tracking, a www host carrying a port, uppercase scheme
+    remnants, '#' before '?' (fragment must win), repeated trailing
+    slashes.  The Spark and DuckDB sides are already pinned equal by
+    the oracle; this pins them to the SPEC."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mapreduceplusplus_spark.llm.dedup import _url_canon_sql
+
+    def py_canon(raw: str) -> str:
+        import re
+
+        u = re.sub(r"^https?://", "", raw)
+        u = re.sub(r"#.*$", "", u)
+        hostpath, _, q = u.partition("?")
+        host = hostpath.split("/", 1)[0].lower()
+        if host.startswith("www."):
+            host = host[4:]
+        host = re.sub(r":(443|80)$", "", host)
+        path = re.sub(r"^[^/]*", "", hostpath)
+        path = re.sub(r"/$", "", path)
+        keep = sorted(
+            p
+            for p in q.split("&")
+            if p != ""
+            and p[:4] != "utm_"
+            and p[:7] != "fbclid="
+            and p[:6] != "gclid="
+        )
+        cq = "&".join(keep)
+        return host + path + ("?" + cq if cq else "")
+
+    cases = [
+        "https://WWW.Ex.COM:443/a/b/?utm_source=x&z=1&a=2#frag",
+        "http://ex.com/a?b=1?c=2",          # second '?' is part of the value
+        "https://www.ex.com:80/",            # www + non-default-for-scheme port
+        "http://EX.com/a//b///",             # case + repeated trailing slashes
+        "https://ex.com/?utm_a=1&utm_b=2",   # all params tracking -> no query
+        "http://ex.com#f?notquery=1",        # fragment BEFORE '?': all dropped
+        "https://ex.com:443",                # bare host, port, no path
+        "http://wwwx.ex.com/p",              # 'www' prefix only with the dot
+        "https://ex.com/p?fbclid=abc&gclid=x&page=2&b=1",
+    ]
+    e = _url_canon_sql("spark")
+    df = (
+        spark.createDataFrame([(c,) for c in cases], "raw_url string")
+        .withColumn("u", F.expr(e["strip"]))
+        .select(
+            "raw_url",
+            F.expr(e["host"]).alias("host"),
+            F.expr(e["path"]).alias("path"),
+            F.expr(e["cq"]).alias("cq"),
+        )
+        .select("raw_url", F.expr(e["curl"]).alias("curl"))
+    )
+    got_spark = {r.raw_url: r.curl for r in df.collect()}
+    d = _url_canon_sql("duckdb")
+    con = duckdb.connect()
+    got_duck = {}
+    for c in cases:
+        [(curl,)] = con.execute(
+            f"""WITH raw AS (SELECT ? AS raw_url),
+            u AS (SELECT {d["strip"]} AS u FROM raw),
+            hp AS (SELECT {d["host"]} AS host, {d["path"]} AS path,
+                          {d["cq"]} AS cq FROM u)
+            SELECT {d["curl"]} FROM hp""",
+            [c],
+        ).fetchall()
+        got_duck[c] = curl
+    for c in cases:
+        assert got_spark[c] == py_canon(c), (c, got_spark[c], py_canon(c))
+        assert got_duck[c] == py_canon(c), (c, got_duck[c], py_canon(c))
