@@ -367,9 +367,23 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_merge")  # no SQL oracle: Datasketches HLL binary
-# sketches aren't reproducible in DuckDB; exactness bound pinned in
-# tests/test_operator_edges.py against the exact distinct counts
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(ts, '%Y-%m') AS month,
+             count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY month
+    ),
+    tot AS (SELECT count(DISTINCT user_id) AS exact_total FROM events)
+    SELECT CAST(t.exact_total AS BIGINT)      AS exact_total_users,
+           CAST(sum(m.exact_users) AS BIGINT) AS sum_monthly_exact,
+           CAST(count(*) AS BIGINT)           AS n_months,
+           TRUE                               AS est_within_tol
+    FROM monthly m CROSS JOIN tot t
+    GROUP BY t.exact_total
+    """,
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches — the pattern that makes
     count-distinct tractable at 100 TB: build one HLL sketch per
@@ -380,20 +394,45 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregated cube serves without ever rescanning raw data
     (sketches are the only aggregate state that supports this for
     count-distinct; exact counts don't compose across overlapping
-    sets)."""
+    sets).
+
+    Hash-checkable contract (r14, the ``agg_approx_distinct`` device —
+    VERDICT r13 #3 applied to the whole sketch family): deterministic
+    columns (exact total distinct, sum of per-month exacts, month
+    count) plus ``est_within_tol`` asserting the UNIONED-sketch
+    estimate sits within 5× the sketch's ~1.6% rsd of the exact total;
+    the oracle states the exact values and literal TRUE.  The
+    build-merge-estimate path still runs end-to-end — a broken union
+    flips the boolean and hash-mismatches.  The n_months > 0 guard
+    makes both engines emit zero rows over an empty corpus (Spark's
+    global aggregate would otherwise emit its 1 NULL-estimate row
+    where the oracle's join-through-months emits none)."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events")
     monthly = ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct("user_id").cast("bigint").alias("exact_users"),
     )
+    wide = monthly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+            "est"
+        ),
+        F.sum("exact_users").cast("bigint").alias("sum_monthly_exact"),
+        F.count("*").cast("bigint").alias("n_months"),
+    )
+    tot = ev.agg(F.count_distinct("user_id").cast("bigint").alias("exact_total"))
+    # broadcast-safe: tot is a 1-row global aggregate
     return (
-        monthly.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
-                "est_total_users"
-            ),
-            F.sum("exact_users").cast("bigint").alias("sum_monthly_exact"),
-            F.count("*").cast("bigint").alias("n_months"),
+        wide.crossJoin(F.broadcast(tot))
+        .where(F.col("n_months") > 0)
+        .select(
+            F.col("exact_total").alias("exact_total_users"),
+            "sum_monthly_exact",
+            "n_months",
+            (
+                F.abs(F.col("est") - F.col("exact_total")) * 100
+                <= 8 * F.col("exact_total")
+            ).alias("est_within_tol"),
         )
     )
 
@@ -444,22 +483,75 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile")  # no SQL oracle: Spark's percentile_approx
-# (Greenwald-Khanna) and DuckDB's approx_quantile (t-digest) are
-# different sketches; pinned in tests/test_operator_edges.py within
-# the GK accuracy bound of the exact percentiles
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok, TRUE AS p99_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles per group — ``percentile_approx`` runs the
     Greenwald-Khanna sketch as a single-pass mergeable aggregate: at
     100 TB each partition keeps an ε-summary (size O(1/ε log εn), NOT
     O(n)) and summaries merge associatively — same scale contract as
-    the HLL sketch, for order statistics.  accuracy=10000 ⇒ ε=1e-4."""
+    the HLL sketch, for order statistics.  accuracy=10000 ⇒ ε=1e-4.
+
+    Hash-checkable contract (r14, the ``agg_approx_distinct`` device;
+    Spark's GK and DuckDB's t-digest are different sketches, so the
+    VALUES can never hash-match): the output asserts the GK RANK
+    guarantee instead — for each percentile p, the returned element's
+    rank interval ``[count(<v)+1, count(≤v)]`` must intersect
+    ``⌈p·n⌉ ± (⌊n·ε⌋+1)`` — as per-group booleans next to the exact
+    group count; the oracle states the counts and literal TRUE.  The
+    target rank is computed in INTEGER arithmetic ((p_num·n + 99) div
+    100), never ``ceil(0.95·n)`` (the float product exceeds the exact
+    integer for multiples and would shift the ceiling).  The sketch
+    path still runs end-to-end; a broken summary merge lands outside
+    the rank window and flips a boolean."""
     ensure_utc(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile_approx("l_extendedprice", 0.5, 10000), 2).alias("p50"),
-        F.round(F.percentile_approx("l_extendedprice", 0.95, 10000), 2).alias("p95"),
-        F.round(F.percentile_approx("l_extendedprice", 0.99, 10000), 2).alias("p99"),
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    pcts = [("p50", 0.5, 50), ("p95", 0.95, 95), ("p99", 0.99, 99)]
+    est = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        *[
+            F.percentile_approx("l_extendedprice", p, 10000).alias(f"e{num}")
+            for _, p, num in pcts
+        ],
+    )
+    # broadcast-safe: est is |returnflag groups| rows (3)
+    j = li.join(F.broadcast(est), "l_returnflag")
+    ranks = j.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        *[
+            c
+            for _, _, num in pcts
+            for c in (
+                F.count(
+                    F.when(F.col("l_extendedprice") < F.col(f"e{num}"), 1)
+                ).alias(f"lt{num}"),
+                F.count(
+                    F.when(F.col("l_extendedprice") <= F.col(f"e{num}"), 1)
+                ).alias(f"le{num}"),
+            )
+        ],
+    )
+    slack = F.expr("n div 10000") + 1
+    target = lambda num: F.expr(f"({num} * n + 99) div 100")  # noqa: E731
+    return ranks.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        *[
+            (
+                (F.col(f"lt{num}") + 1 <= target(num) + slack)
+                & (F.col(f"le{num}") >= target(num) - slack)
+            ).alias(f"{name}_rank_ok")
+            for name, _, num in pcts
+        ],
     )
 
 
@@ -1503,11 +1595,25 @@ CMS_SEED = 42
 CMS_PROBE_KEYS = list(range(1, 9))
 
 
-@query("agg_count_min_sketch")  # no SQL oracle: the CMS binary is a
-# Spark-internal sketch DuckDB can't reproduce; the estimate bounds
-# (exact <= est <= exact + eps*N, deterministic under fixed seed) are
-# pinned in tests/test_operator_edges.py and by the returned
-# within_bound column itself
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH probes AS (SELECT unnest({CMS_PROBE_KEYS}) AS l_suppkey),
+    exact AS (
+      SELECT l_suppkey, count(*) AS exact_raw
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT count(*) AS n FROM lineitem)
+    SELECT CAST(p.l_suppkey AS BIGINT)             AS l_suppkey,
+           CAST(coalesce(e.exact_raw, 0) AS BIGINT) AS exact_cnt,
+           CAST(t.n AS BIGINT)                      AS n_total,
+           TRUE                                     AS within_bound
+    FROM probes p
+    LEFT JOIN exact e ON e.l_suppkey = p.l_suppkey
+    CROSS JOIN tot t
+    WHERE t.n > 0
+    """,
+)
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-frequency estimation via Count-Min Sketch (Cormode &
     Muthukrishnan '05) — the last corner of the mergeable-sketch
@@ -1528,7 +1634,17 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the JVM sketch API (the sketch is the driver-sized
     artifact by design) and joined against exact per-key counts from
     the same scan.  Reference heritage: none (SURVEY §2 charter
-    extension, sketch family)."""
+    extension, sketch family).
+
+    Hash-checkable contract (r14, the ``agg_approx_distinct`` device):
+    the output carries the probe key, its EXACT count, the corpus
+    total, and the one-sided CMS bound as a boolean
+    (``exact ≤ est ≤ exact + eps·N``) — the oracle states the exact
+    columns and literal TRUE.  The raw estimate column is dropped from
+    the result (deterministic under the fixed seed but not
+    DuckDB-computable); a broken sketch or merge flips the boolean and
+    hash-mismatches.  Empty corpus: both engines emit zero rows (the
+    oracle's ``t.n > 0`` guard ≡ the Spark side's early return)."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
     row = li.agg(
@@ -1541,7 +1657,7 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     if row.sk is None or n_total == 0:  # empty corpus: nothing to probe
         return spark.createDataFrame(
             [],
-            "l_suppkey bigint, exact_cnt bigint, est_cnt bigint, "
+            "l_suppkey bigint, exact_cnt bigint, "
             "n_total bigint, within_bound boolean",
         )
     jvm = spark.sparkContext._jvm
@@ -1572,7 +1688,6 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_raw", F.lit(0))
             .cast("bigint")
             .alias("exact_cnt"),
-            "est_cnt",
             F.lit(n_total).cast("bigint").alias("n_total"),
             (
                 (F.col("est_cnt") >= F.coalesce("exact_raw", F.lit(0)))
