@@ -108,25 +108,87 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LSH hyperplane sign matrix (r14 ENGINE-PORTABLE family — the
+#: ``dedup_minhash_near`` md5 device applied to random hyperplanes):
+#: hyperplane i's dimension-d sign is +1 when the first hex nibble of
+#: ``md5('h:i:d')`` ≥ 8, else −1 — reproducible from nothing but md5
+#: by driver Python (literals below), Spark, and the DuckDB oracle.
+#: Signs cover dims 0..LSH_DIM_MAX-1 (the embeddings table's fixed
+#: width; a NARROWER vector zip_with-pads NULL and nulls the
+#: projection — the affected bit degrades to 0, same on both engines).
+LSH_DIM_MAX = 64
+
+
+def _lsh_sign(i: int, d: int) -> int:
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"h:{i}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1
+
+
+_LSH_SIGNS = [
+    [_lsh_sign(i, d) for d in range(LSH_DIM_MAX)] for i in range(LSH_BITS)
+]
+
+#: the same sign matrix as an oracle-side SQL fragment: per-(i, d)
+#: sign from md5, the exact expression the Python above evaluates
+LSH_SIGN_SQL = (
+    "CASE WHEN ('0x' || substr(md5('h:' || {i} || ':' || {d}), 1, 1))::BIGINT"
+    " >= 8 THEN 1 ELSE -1 END"
+)
+
+
+#: shared oracle CTE chain computing (vec_id, bucket) for every
+#: embedding — the EXACT integer formulation lsh_signature evaluates
+#: (micro-quantized Rademacher projections, md5-derived signs), so the
+#: four LSH queries' oracles replay the bucketing bit-for-bit
+LSH_BUCKET_CTE = f"""signs AS (
+      SELECT t.i AS i, r.d AS d,
+             {LSH_SIGN_SQL.format(i="t.i", d="r.d")} AS s
+      FROM range({LSH_BITS}) t(i) CROSS JOIN range({LSH_DIM_MAX}) r(d)
+    ),
+    vm AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(round(1000000 * CAST(unnest(embedding) AS DOUBLE))
+                  AS BIGINT) AS xm
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vm.vec_id, s.i, sum(vm.xm * s.s) AS pr
+      FROM vm JOIN signs s ON s.d = vm.d
+      GROUP BY vm.vec_id, s.i
+    ),
+    bucket AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN pr > 0 THEN 1 << i ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    )"""
+
+
+def lsh_micro(v: Column) -> Column:
+    """Micro-quantized integer copy of a double vector —
+    ``round(10⁶·x)`` per element as BIGINT, the exact projection
+    domain of the portable LSH signature."""
+    return F.transform(v, lambda x: F.round(F.lit(1000000) * x).cast("long"))
+
+
 def lsh_signature(v: Column, bits: int = LSH_BITS) -> Column:
     """Random-hyperplane signature as an integer bucket id in
-    [0, 2^bits).  Hyperplane ``i`` is the deterministic ±1 vector whose
-    dimension-``d`` sign is a bit of ``xxhash64(i, d)``; the two-arg
-    transform lambda receives (element, index) — the index IS the
-    dimension, so no positional explode is needed."""
-    def _signed(i: int):
-        # factory keeps the lambda exactly TWO-argument — pyspark
-        # dispatches on lambda arity, so a default-arg closure would
-        # change the semantics (see dedup._minhash)
-        return lambda x, d: F.when(
-            F.xxhash64(F.lit(i), d).bitwiseAND(F.lit(1)) == 1, x
-        ).otherwise(-x)
-
+    [0, 2^bits).  Hyperplane ``i`` is the deterministic ±1 Rademacher
+    vector of ``_LSH_SIGNS`` (md5-derived — see ``LSH_DIM_MAX`` note);
+    the projection is the INTEGER sum Σ_d ±round(10⁶·x_d), exact under
+    any accumulation order and identical in DuckDB SQL — which is what
+    makes the whole LSH family oracle-checkable (r1–r13 used
+    xxhash64-signed FLOAT sums: Spark-only, and order-sensitive in the
+    last ulp).  |Σ| ≤ 64·10⁶·max|x| — far inside BIGINT."""
+    vm = lsh_micro(v)
     bucket = F.lit(0).cast("long")
     for i in range(bits):
+        signs = F.array(*[F.lit(s) for s in _LSH_SIGNS[i]])
         proj = F.aggregate(
-            F.transform(v, _signed(i)),
-            F.lit(0.0),
+            F.zip_with(vm, signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bucket = bucket.bitwiseOR(
@@ -162,6 +224,10 @@ def _lsh_topk(
         emb.where(F.col("vec_id") == PROBE_ID)
         .select(F.col("v").alias("pv"), probe_buckets.alias("pbuckets"))
     )
+    # rank by the integer micro-cosine (the mmr_rerank device) with a
+    # vec_id tiebreak — raw-double ranking would leave the r14 oracles
+    # exposed to cross-engine ULP rank flips (ADVICE r13)
+    mc = F.round(F.lit(1000000) * F.col("c")).cast("bigint")
     cand = (
         emb.where(F.col("vec_id") != PROBE_ID)
         # broadcast-safe: probe is a single query vector (1 row)
@@ -169,8 +235,8 @@ def _lsh_topk(
         .where(F.array_contains(F.col("pbuckets"), F.col("bucket")))
         .withColumn("c", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv"))))
     )
-    topk = cand.orderBy(F.col("c").desc(), F.col("vec_id")).limit(TOP_K)
-    w = Window.orderBy(F.col("c").desc(), F.col("vec_id"))
+    topk = cand.orderBy(mc.desc(), F.col("vec_id")).limit(TOP_K)
+    w = Window.orderBy(mc.desc(), F.col("vec_id"))
     return topk.select(
         "vec_id",
         "label",
@@ -179,9 +245,39 @@ def _lsh_topk(
     )
 
 
-@query("sim_search_lsh")  # no SQL oracle: LSH bucketing isn't
-# SQL-expressible; pinned by tests/test_llm_ops.py (determinism +
-# candidates verified against the exact scorer)
+_LSH_TOPK_ORACLE_BODY = f"""
+    probe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings
+      WHERE vec_id = {{pid}}
+    ),
+    pb AS (SELECT bucket AS pb FROM bucket WHERE vec_id = {{pid}}),
+    cand AS (
+      SELECT e.vec_id, e.label,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) AS c
+      FROM embeddings e
+      JOIN bucket b ON b.vec_id = e.vec_id
+      CROSS JOIN pb CROSS JOIN probe p
+      WHERE e.vec_id <> {{pid}} AND b.bucket IN ({{bset}})
+    )
+    SELECT vec_id, label, round(c, 3) + 0 AS cosine,
+           CAST(row_number() OVER (
+             ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id)
+             AS BIGINT) AS rnk
+    FROM cand
+    ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query(
+    "sim_search_lsh",
+    oracle=f"""
+    WITH {{cte}},{{body}}
+    """.format(
+        cte=LSH_BUCKET_CTE,
+        body=_LSH_TOPK_ORACLE_BODY.format(pid=PROBE_ID, bset="pb.pb"),
+    ),
+)
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: score ONLY the vectors in
     the probe's bucket (~1/2^bits of the table), exact cosine within
@@ -191,9 +287,15 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_topk(spark, sf_dir, multiprobe=False)
 
 
-@query("sim_search_lsh_multiprobe")  # no SQL oracle: LSH bucketing
-# isn't SQL-expressible; pinned by tests/test_llm_ops.py (scores equal
-# the exact scorer; recall ≥ single-probe recall; plan shape unchanged)
+@query(
+    "sim_search_lsh_multiprobe",
+    oracle="""
+    WITH {cte},{body}
+    """.format(
+        cte=LSH_BUCKET_CTE,
+        body=_LSH_TOPK_ORACLE_BODY.format(pid=PROBE_ID, bset="pb.pb, xor(pb.pb, 1), xor(pb.pb, 2), xor(pb.pb, 4), xor(pb.pb, 8)"),
+    ),
+)
 def sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-1 multi-probe LSH (VERDICT r7 item 4): the probe visits
     its own bucket PLUS the ``LSH_BITS`` buckets one hyperplane-flip
@@ -863,7 +965,11 @@ def _lsh_batch_topk(
             "c", _dot(F.col("v"), F.col("pv")) / (F.col("nv") * F.col("npv"))
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("vec_id"))
+    # micro-quantized rank (see _lsh_topk's r14 note)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.round(F.lit(1000000) * F.col("c")).cast("bigint").desc(),
+        F.col("vec_id"),
+    )
     return (
         cand.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= KNN_K)
@@ -877,10 +983,43 @@ def _lsh_batch_topk(
     )
 
 
-@query("sim_search_lsh_batch")  # no SQL oracle: LSH bucketing isn't
-# SQL-expressible; pinned by tests/test_llm_ops.py (equi-join plan — no
-# cartesian/broadcast-NL node, bucket agreement, exact scores, per-probe
-# rank contiguity, determinism)
+_LSH_BATCH_ORACLE_BODY = f"""
+    probes AS (
+      SELECT e.vec_id AS probe_id, CAST(e.embedding AS DOUBLE[]) AS pv,
+             b.bucket AS pbucket
+      FROM embeddings e JOIN bucket b ON b.vec_id = e.vec_id
+      WHERE e.vec_id % {KNN_PROBE_MOD} = 0
+    ),
+    pexp AS ({{pexp}}),
+    cand AS (
+      SELECT p.probe_id, e.vec_id, e.label,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) AS c
+      FROM embeddings e
+      JOIN bucket b ON b.vec_id = e.vec_id
+      JOIN pexp p ON b.bucket = p.pbucket
+      WHERE e.vec_id % {KNN_PROBE_MOD} <> 0
+    )
+    SELECT probe_id, vec_id, label, round(c, 3) + 0 AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY probe_id
+            ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id) AS rnk
+          FROM cand)
+    WHERE rnk <= {KNN_K}
+    """
+
+
+@query(
+    "sim_search_lsh_batch",
+    oracle="""
+    WITH {cte},{body}
+    """.format(
+        cte=LSH_BUCKET_CTE,
+        body=_LSH_BATCH_ORACLE_BODY.format(
+            pexp="SELECT probe_id, pv, pbucket FROM probes"
+        ),
+    ),
+)
 def sim_search_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCHED LSH ANN as a pure EQUI-JOIN — the scale path
     ``sim_search_lsh``'s docstring documents for many probes: both
@@ -898,10 +1037,17 @@ def sim_search_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_batch_topk(spark, sf_dir, multiprobe=False)
 
 
-@query("sim_search_lsh_batch_multiprobe")  # no SQL oracle: LSH
-# bucketing isn't SQL-expressible; pinned by tests/test_llm_ops.py
-# (per-probe result-set superset of the single-probe batch form,
-# exact scores, equi-join plan, determinism)
+@query(
+    "sim_search_lsh_batch_multiprobe",
+    oracle="""
+    WITH {cte},{body}
+    """.format(
+        cte=LSH_BUCKET_CTE,
+        body=_LSH_BATCH_ORACLE_BODY.format(
+            pexp="SELECT p.probe_id, p.pv, u.b AS pbucket FROM probes p, unnest([p.pbucket, xor(p.pbucket, 1), xor(p.pbucket, 2), xor(p.pbucket, 4), xor(p.pbucket, 8)]) AS u(b)"
+        ),
+    ),
+)
 def sim_search_lsh_batch_multiprobe(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
