@@ -721,14 +721,66 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # no SQL oracle: 64-bit SimHash needs xxhash64
-# bit arithmetic DuckDB doesn't replicate; pinned by tests/test_llm_ops.py
-# (recall vs the exact Jaccard pairs + hamming-bound property)
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    wt AS (SELECT doc_id, tok, count(*) AS w FROM occ GROUP BY doc_id, tok),
+    bitsig AS (
+      SELECT w.doc_id, r.j,
+             CASE WHEN ((('0x' || substr(md5(w.tok), (r.j // 4) + 1, 1))::BIGINT
+                         >> CAST(r.j % 4 AS INTEGER)) & 1) = 1
+                  THEN w.w ELSE -w.w END AS vote
+      FROM wt w CROSS JOIN range(64) r(j)
+    ),
+    votes AS (SELECT doc_id, j, sum(vote) AS v FROM bitsig GROUP BY doc_id, j),
+    fps AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN
+                        CASE WHEN j = 63
+                             THEN (-9223372036854775808)::HUGEINT
+                             ELSE (1::BIGINT << CAST(j AS INTEGER))::HUGEINT
+                        END
+                      ELSE 0 END) AS BIGINT) AS fp
+      FROM votes GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT f.doc_id, f.fp, r.i AS band,
+             (f.fp >> CAST(16 * r.i AS INTEGER)) & 65535 AS bval
+      FROM fps f CROSS JOIN range(4) r(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.fp AS fa, b.fp AS fb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit fingerprint per document
     (Charikar random-hyperplane sketch over term-frequency-weighted
     token hashes), candidates = fingerprints sharing one of four 16-bit
     bands, kept when Hamming distance ≤ 6.
+
+    Hash family (r14, ENGINE-PORTABLE — the minhash/LSH md5 device):
+    token bit j is bit ``j mod 4`` of hex nibble ``j div 4`` of
+    ``md5(token)`` (the full 128-bit digest supplies all 64 bits), so
+    the weighted votes, the fingerprint, the 16-bit band keys, and the
+    Hamming verify are ONE DuckDB statement and the query carries a
+    real oracle (was rows-only under xxhash64 r1–r13).  The
+    fingerprint's BIT 63 cannot be built by ``1 << 63`` (DuckDB raises
+    on the signed overflow): both engines assemble bits 0–62 and ADD
+    ``−2⁶³`` when vote 63 is positive — the exact two's-complement
+    value, portable.  Band extraction ``(fp >> 16·i) & 0xFFFF`` is
+    arithmetic-shift-safe (the mask keeps the low 16 regardless of
+    sign fill; probed identical on both engines).
 
     All JVM expressions: one groupBy(doc_id, token) for weights, one
     64-expression groupBy(doc_id) for the bit votes, an OR-fold into
@@ -747,14 +799,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = (
         toks.groupBy("doc_id", "tok")
         .agg(F.count("*").alias("w"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("hx", F.md5("tok"))
     )
-    votes = weighted.groupBy("doc_id").agg(
+    nibs = weighted.select(
+        "doc_id",
+        "w",
+        *[
+            F.conv(F.substring("hx", k + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"nib{k}")
+            for k in range(16)
+        ],
+    )
+    votes = nibs.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
-                    -F.col("w")
-                )
+                F.when(
+                    F.shiftright(F.col(f"nib{j // 4}"), j % 4)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    F.col("w"),
+                ).otherwise(-F.col("w"))
             ).alias(f"v{j}")
             for j in range(64)
         ]
@@ -763,9 +828,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         Column.bitwiseOR,
         [
             F.shiftleft(F.when(F.col(f"v{j}") > 0, 1).otherwise(0).cast("long"), j)
-            for j in range(64)
+            for j in range(63)
         ],
-    )
+    ) + F.when(F.col("v63") > 0, F.lit(-9223372036854775808)).otherwise(F.lit(0))
     fps = votes.select("doc_id", fp.alias("fp"))
     bands = fps.select(
         "doc_id",
