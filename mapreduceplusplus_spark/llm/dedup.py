@@ -595,10 +595,11 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_near",
-    oracle=f"""
-    WITH sh AS (
+#: shared oracle CTE chain computing the (doc_id, band, bkey) MinHash
+#: band table for every document — the exact md5 universal family
+#: ``_minhash_bands`` evaluates; reused by the ``dedup_minhash_near``
+#: and ``dedup_incremental_ingest_near`` oracles
+MINHASH_BAND_CTE = f"""sh AS (
       SELECT doc_id,
              unnest(list_distinct(
                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -627,7 +628,13 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
                                             ORDER BY i)), 1, 15))::BIGINT
                AS bkey
       FROM g GROUP BY doc_id, i // {MINHASH_R}
-    ),
+    )"""
+
+
+@query(
+    "dedup_minhash_near",
+    oracle=f"""
+    WITH {MINHASH_BAND_CTE},
     cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM band a JOIN band b
@@ -2077,11 +2084,57 @@ def _recoverable_index_dir(prefix: str, sf_dir: str, fp: tuple, build) -> str:
     raise RuntimeError(f"could not install index store at {final}")
 
 
-@query("dedup_incremental_ingest_near")  # no SQL oracle: MinHash-LSH
-# banding isn't SQL-expressible (same exemption as dedup_minhash_near);
-# pinned by tests/test_llm_ops.py: keep/drop verdicts EQUAL to the
-# full-corpus dedup_minhash_near recompute restricted to the batch,
-# plus the PartitionFilters prune pin on the index probe scan.
+@query(
+    "dedup_incremental_ingest_near",
+    oracle=f"""
+    WITH {{cte}},
+    bb AS (SELECT * FROM band WHERE doc_id % {INGEST_NEAR_MOD} = 0),
+    cb AS (SELECT * FROM band WHERE doc_id % {INGEST_NEAR_MOD} <> 0),
+    cand_c AS (
+      SELECT DISTINCT b.doc_id AS db, c.doc_id AS dc
+      FROM bb b JOIN cb c ON b.band = c.band AND b.bkey = c.bkey
+    ),
+    cand_b AS (
+      SELECT DISTINCT b.doc_id AS db, a.doc_id AS dc
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter_c AS (
+      SELECT c.db, c.dc, count(*) AS i
+      FROM cand_c c
+      JOIN sh x ON x.doc_id = c.db
+      JOIN sh y ON y.doc_id = c.dc AND y.s = x.s
+      GROUP BY c.db, c.dc
+    ),
+    inter_b AS (
+      SELECT c.db, c.dc, count(*) AS i
+      FROM cand_b c
+      JOIN sh x ON x.doc_id = c.db
+      JOIN sh y ON y.doc_id = c.dc AND y.s = x.s
+      GROUP BY c.db, c.dc
+    ),
+    ver_c AS (
+      SELECT DISTINCT i.db FROM inter_c i
+      JOIN cnt a ON a.doc_id = i.db JOIN cnt b ON b.doc_id = i.dc
+      WHERE i.i * 1.0 / (a.n + b.n - i.i) >= {JACCARD_T}
+    ),
+    ver_b AS (
+      SELECT DISTINCT i.db FROM inter_b i
+      JOIN cnt a ON a.doc_id = i.db JOIN cnt b ON b.doc_id = i.dc
+      WHERE i.i * 1.0 / (a.n + b.n - i.i) >= {JACCARD_T}
+    )
+    SELECT d.doc_id,
+           (vc.db IS NOT NULL) AS dup_vs_corpus,
+           (vb.db IS NOT NULL) AS dup_in_batch,
+           CASE WHEN vc.db IS NOT NULL OR vb.db IS NOT NULL
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {INGEST_NEAR_MOD} = 0) d
+    LEFT JOIN ver_c vc ON vc.db = d.doc_id
+    LEFT JOIN ver_b vb ON vb.db = d.doc_id
+    """.format(cte=MINHASH_BAND_CTE),
+)
 def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup ingest — the production shape of continuous
     100 TB dedup, marrying ``dedup_incremental_ingest``'s stored-index
@@ -2127,7 +2180,13 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
     local and deterministic) and the keep/drop ``verdict``.  Verdicts
     are pinned EQUAL to the full-corpus ``dedup_minhash_near``
     recompute restricted to the batch (banding is per-document, so the
-    split cannot change which pairs collide).  Reference heritage:
+    split cannot change which pairs collide) — and, since the r14 md5
+    hash family made the banding engine-portable, the WHOLE verdict
+    flow (bands on both sides, corpus and in-batch candidate joins,
+    exact-Jaccard verify, keeper rule) is ALSO a DuckDB oracle: the
+    oracle replays the semantics directly over the tables; the
+    Spark side's persisted-index/partition-prune machinery is the
+    physical strategy under the same contract.  Reference heritage:
     none (SURVEY §2 charter extension, dedup family)."""
     import os as _os
 
