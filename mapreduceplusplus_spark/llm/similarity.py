@@ -340,10 +340,72 @@ def _py_cos(a: list[float], b: list[float]) -> float:
     return d / (na * nb) if na and nb else 0.0
 
 
-@query("sim_search_ivf")  # no SQL oracle: the centroid table is collected
-# from data at runtime, so the equivalent SQL isn't a static string;
-# pinned by tests/test_llm_ops.py (scores equal the exact scorer,
-# recall bound vs sim_search_topk, determinism)
+def _py_mc(c: float) -> int:
+    """round(10⁶·c) with HALF-AWAY-FROM-ZERO ties — the exact Spark
+    ``F.round`` / DuckDB ``round`` semantics (Python's builtin round is
+    banker's and would disagree at .5 boundaries); driver-side twin of
+    the micro-cosine quantization device."""
+    import math
+
+    x = 1000000 * c
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+#: shared oracle for the seed-centroid IVF variants: replays the
+#: micro-quantized assignment argmax, the probe's nprobe-list pick,
+#: and the exact-cosine re-rank — ``sim_search_ivf`` (in-plan filter)
+#: and ``sim_search_ivf_partitioned`` (cid-partitioned parquet index,
+#: partition-pruned probe) share SEMANTICS; the parquet layout is the
+#: physical strategy under the same contract, so one oracle serves both
+_IVF_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    probe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings
+      WHERE vec_id = {PROBE_ID}
+    ),
+    ac AS (
+      SELECT e.vec_id, c.cid,
+             CAST(round(1000000 * list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), c.cv)) AS BIGINT) AS mc
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY mc DESC, cid) AS rn
+        FROM ac) WHERE rn = 1
+    ),
+    pc AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY CAST(round(1000000 * list_cosine_similarity(
+                   c.cv, p.pv)) AS BIGINT) DESC, c.cid) AS rn
+        FROM cents c CROSS JOIN probe p) WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) AS c
+      FROM embeddings e
+      JOIN asg a ON a.vec_id = e.vec_id
+      CROSS JOIN probe p
+      WHERE a.cid IN (SELECT cid FROM pc) AND e.vec_id <> {PROBE_ID}
+    )
+    SELECT vec_id, label, round(c, 3) + 0 AS cosine,
+           CAST(row_number() OVER (
+             ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id)
+             AS BIGINT) AS rnk
+    FROM cand
+    ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query("sim_search_ivf", oracle=_IVF_ORACLE)
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization — the
     third ANN tier next to brute-force and LSH, and the one real
@@ -410,11 +472,13 @@ def _ivf_seed_lists(
             f"IVF probe: no row with vec_id == {PROBE_ID} in {sf_dir!r}"
         )
     probe_v = [float(x) for x in probe_rows[0].v]
+    # micro-quantized probe ranking (matches the oracle's integer
+    # ORDER BY and the assignment argmax above)
     probe_cids = [
         cid
-        for cid, cv in sorted(cents, key=lambda t: (-_py_cos(t[1], probe_v), t[0]))[
-            :IVF_NPROBE
-        ]
+        for cid, cv in sorted(
+            cents, key=lambda t: (-_py_mc(_py_cos(t[1], probe_v)), t[0])
+        )[:IVF_NPROBE]
     ]
 
     import math
@@ -424,13 +488,18 @@ def _ivf_seed_lists(
         lit = F.array(*[F.lit(x) for x in cvec])
         return _dot(vcol, lit) / (_norm(vcol) * F.lit(cn))
 
-    # argmax over (score, -cid): struct max picks highest score, ties
+    # argmax over (micro-score, -cid): struct max picks the highest
+    # INTEGER micro-cosine (round(10⁶·cos) — the mmr_rerank device;
+    # r14: raw-double argmax left the assignment exposed to
+    # cross-engine ULP flips now that the IVF oracle replays it), ties
     # break to the LOWEST centroid id — deterministic assignment
     best = F.array_max(
         F.array(
             *[
                 F.struct(
-                    _cos_lit(F.col("v"), cv).alias("s"),
+                    F.round(F.lit(1000000) * _cos_lit(F.col("v"), cv))
+                    .cast("bigint")
+                    .alias("s"),
                     F.lit(-cid).alias("negid"),
                 )
                 for cid, cv in cents
@@ -477,7 +546,10 @@ def _ivf_score_topk(
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown IVF metric: {metric!r}")
     scored = cand.withColumn("c", score)
-    order = [F.col("c").asc() if asc else F.col("c").desc(), F.col("vec_id")]
+    # micro-quantized rank (the mmr_rerank device — r14): ULP-stable
+    # ordering for the oracle-replayed variants; ASC for distances
+    mc = F.round(F.lit(1000000) * F.col("c")).cast("bigint")
+    order = [mc.asc() if asc else mc.desc(), F.col("vec_id")]
     topk = scored.orderBy(*order).limit(TOP_K)
     w = Window.orderBy(*order)
     return topk.select(
@@ -532,10 +604,7 @@ import atexit  # noqa: E402
 atexit.register(_sweep_ivf_indexes)
 
 
-@query("sim_search_ivf_partitioned")  # no SQL oracle: the centroid table
-# and the on-disk index layout are runtime artifacts; pinned by
-# tests/test_llm_ops.py (row-identical to sim_search_ivf, PartitionFilters
-# on cid in the probe scan's plan, pruned partition count)
+@query("sim_search_ivf_partitioned", oracle=_IVF_ORACLE)
 def sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the inverted lists MATERIALIZED as a
     cid-PARTITIONED parquet index — the on-disk layout a 100 TB vector

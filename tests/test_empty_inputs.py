@@ -36,6 +36,17 @@ EMPTY_DIVERGENT = {
     "agg_grouping_id",  # ROLLUP — same divergence class
 }
 
+#: queries whose documented empty-corpus contract is a LOUD raise, not
+#: a zero-row result (ADVICE r9: an IVF index cannot be quantized over
+#: zero seed vectors; the raise-with-message beats an opaque crash or
+#: a silently-empty index).  They gained SQL oracles in r14, which put
+#: them in this sweep's parametrization — the raise behavior itself is
+#: pinned by tests/test_llm_ops.py's loud-empty tests.
+EMPTY_RAISES = {
+    "sim_search_ivf",
+    "sim_search_ivf_partitioned",
+}
+
 #: queries the first empty-input sweep caught real bugs in (fixed) —
 #: re-checked on every pytest run
 FIXED_REGRESSIONS = [
@@ -73,10 +84,21 @@ def test_empty_input_fixed_regressions(spark, empty_sf_dir, name):
 
 @pytest.mark.empty
 @pytest.mark.parametrize(
-    "name", sorted(set(registry.oracles()) - EMPTY_DIVERGENT)
+    "name", sorted(set(registry.oracles()) - EMPTY_DIVERGENT - EMPTY_RAISES)
 )
 def test_empty_input_sweep(spark, empty_sf_dir, name):
     ok, msg = run_compare(
         spark, empty_sf_dir, registry.queries()[name], registry.oracles()[name]
     )
     assert ok, f"{name} on empty input: {msg}"
+
+
+@pytest.mark.empty
+@pytest.mark.parametrize("name", sorted(EMPTY_RAISES))
+def test_empty_input_loud_raisers(spark, empty_sf_dir, name):
+    """The EMPTY_RAISES queries' documented empty-corpus contract is a
+    LOUD ValueError (an IVF index cannot be quantized over zero seed
+    vectors) — pin the raise and its message here, next to the sweep
+    exemption that depends on it."""
+    with pytest.raises(ValueError, match="no centroid seed vectors"):
+        registry.queries()[name](spark, empty_sf_dir).collect()
