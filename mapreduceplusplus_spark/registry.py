@@ -213,7 +213,15 @@ _PRIORITY_ORDER = [
     # text_heavy_hitters, graph_pagerank, agg_weighted_median,
     # agg_trimmed_mean, sql_passthrough_q1, pack_concat_chunks,
     # scd2_build_validity, window_gaps_islands, text_char_entropy,
-    # agg_listagg_within_group, dedup_url_canonical.
+    # agg_listagg_within_group, dedup_url_canonical,
+    # dedup_mirror_domains; plus the r14 rows-only→oracle conversions
+    # (none has any driver row): dedup_simhash, sim_search_lsh,
+    # sim_search_lsh_batch, sim_search_ivf, sim_search_ivf_partitioned,
+    # dedup_incremental_ingest_near, agg_hll_sketch_merge,
+    # agg_count_min_sketch, agg_approx_quantile.
+    # (dedup_minhash_near and agg_approx_distinct sit in the fixed
+    # contract head — their first driver hashes arrive automatically
+    # with CORRECTNESS_r14.)
     "events_ab_ks_test",
     "events_ab_mannwhitney",
     "events_ab_winsorized_means",
