@@ -473,10 +473,47 @@ def kcore_subgraph(edges: DataFrame, k: int = _KCORE_K) -> tuple[DataFrame, int]
     ), rounds
 
 
-@query("graph_kcore")  # no SQL oracle: k-core is a GREATEST fixpoint
-# (monotone row REMOVAL), which recursive SQL cannot express; pinned by
-# tests/test_operator_edges.py (constructed cascade fixture with known
-# core, self-consistency degree>=k, determinism)
+@query(
+    "graph_kcore",
+    oracle=f"""
+    WITH RECURSIVE e AS ({{edges}}),
+    sym AS (
+      SELECT a AS u, b AS v FROM e
+      UNION ALL
+      SELECT b AS u, a AS v FROM e
+    ),
+    peel(removed) AS (
+      SELECT CAST([] AS BIGINT[])
+      UNION
+      SELECT list_sort(list_distinct(
+        p.removed
+        || coalesce((
+             SELECT list(u) FROM (
+               SELECT s.u AS u, count(*) AS deg
+               FROM sym s
+               WHERE NOT list_contains(p.removed, s.u)
+                 AND NOT list_contains(p.removed, s.v)
+               GROUP BY s.u
+               HAVING count(*) < {{k}}
+             )), [])
+        || coalesce((
+             SELECT list(u) FROM (
+               SELECT u FROM (SELECT DISTINCT u FROM sym)
+               WHERE NOT list_contains(p.removed, u)
+                 AND NOT EXISTS (
+                   SELECT 1 FROM sym s2 WHERE s2.u = u
+                   AND NOT list_contains(p.removed, s2.v))
+             )), [])))
+      FROM peel p
+    ),
+    final AS (SELECT removed FROM peel ORDER BY len(removed) DESC LIMIT 1)
+    SELECT s.u AS v, CAST(count(*) AS BIGINT) AS degree
+    FROM sym s CROSS JOIN final f
+    WHERE NOT list_contains(f.removed, s.u)
+      AND NOT list_contains(f.removed, s.v)
+    GROUP BY s.u
+    """.format(edges=_EDGES_SQL, k=_KCORE_K),
+)
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertices of the 15-core of the co-purchase graph (the
     ``graph_degree_distribution`` edge definition — UNthresholded, so
@@ -488,7 +525,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each peel round is one hash aggregate plus two semi-joins,
     all equi-keyed on vertex ids — no hot key beyond the graph's own
     degree skew, and the edge relation only SHRINKS round over round.
-    See ``kcore_subgraph`` for the algorithm and round-cap contract."""
+    See ``kcore_subgraph`` for the algorithm and round-cap contract.
+
+    ORACLE (r14): the greatest fixpoint IS expressible in recursive
+    SQL by accumulating the REMOVED set as a growing list carried in a
+    single working row — each recursive step recomputes surviving
+    degrees against the current list and appends the under-k and
+    newly-isolated vertices; UNION dedup terminates the recursion at
+    the fixpoint (the step is deterministic, so the first repeated row
+    stops it).  O(|V|) list cells in one row is fine at oracle scale
+    (VMAX-gated graph); the Spark side keeps the distributed
+    shrinking-edge-relation peel — same contract, different physical
+    strategy.  This retires the r1–r13 "recursive SQL cannot express
+    row removal" exemption; the cascade/self-consistency pins stay."""
     ensure_utc(spark)
     sym = _symmetrize(_copurchase_edges(spark, sf_dir))
     core, _rounds = kcore_subgraph(sym, _KCORE_K)
