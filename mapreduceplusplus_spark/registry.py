@@ -218,7 +218,7 @@ _PRIORITY_ORDER = [
     # (none has any driver row): dedup_simhash, sim_search_lsh,
     # sim_search_lsh_batch, sim_search_ivf, sim_search_ivf_partitioned,
     # dedup_incremental_ingest_near, agg_hll_sketch_merge,
-    # agg_count_min_sketch, agg_approx_quantile.
+    # agg_count_min_sketch, agg_approx_quantile, graph_kcore.
     # (dedup_minhash_near and agg_approx_distinct sit in the fixed
     # contract head — their first driver hashes arrive automatically
     # with CORRECTNESS_r14.)
