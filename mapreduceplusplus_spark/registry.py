@@ -205,27 +205,34 @@ _PRIORITY_ORDER = [
     # the two-sample Kolmogorov-Smirnov test, the Mann-Whitney U rank
     # test, the winsorized-means A/B comparison, and the chi-squared
     # conversion test.
-    # Remaining never-checked oracle-bearing candidates for r15+
-    # (verdict queue first): tpch_q21_waiting_suppliers,
-    # dq_duplication_report, corpus_token_budget_plan,
-    # mixture_temperature_weights; then stream_stream_join_full,
-    # text_winnowing_matches, mixture_sample_apply, text_bm25_search,
-    # text_heavy_hitters, graph_pagerank, agg_weighted_median,
-    # agg_trimmed_mean, sql_passthrough_q1, pack_concat_chunks,
-    # scd2_build_validity, window_gaps_islands, text_char_entropy,
-    # agg_listagg_within_group, dedup_url_canonical,
-    # dedup_mirror_domains; plus the r14 rows-only→oracle conversions
-    # (none has any driver row): dedup_simhash, sim_search_lsh,
-    # sim_search_lsh_batch, sim_search_ivf, sim_search_ivf_partitioned,
-    # dedup_incremental_ingest_near, agg_hll_sketch_merge,
-    # agg_count_min_sketch, agg_approx_quantile, graph_kcore.
-    # (dedup_minhash_near and agg_approx_distinct sit in the fixed
-    # contract head — their first driver hashes arrive automatically
-    # with CORRECTNESS_r14.)
-    "events_ab_ks_test",
-    "events_ab_mannwhitney",
-    "events_ab_winsorized_means",
-    "events_ab_chi2_conversion",
+    # r14 rotated events_ab_ks_test, events_ab_mannwhitney,
+    # events_ab_winsorized_means, events_ab_chi2_conversion — all
+    # hash-green in CORRECTNESS_r14 (the first 50/50 all-green driver
+    # file).  r15 rotates in the four rows the r14 verdict named
+    # (all oracle-bearing, none with any prior CORRECTNESS_r1..r14
+    # row): the TPC-H q21 waiting-suppliers multi-correlated-exists
+    # shape, the duplication governance report, the token-budget
+    # corpus planner, and the mixture temperature-weights sampler.
+    #
+    # Rotation plan for r16/r17 (VERDICT r14 #2 — get driver rows onto
+    # the r14 rows-only→oracle conversions, most load-bearing first):
+    #   r16: dedup_simhash, sim_search_lsh_batch,
+    #        sim_search_ivf_partitioned, graph_kcore
+    #   r17: dedup_incremental_ingest_near, agg_hll_sketch_merge,
+    #        agg_approx_quantile, agg_count_min_sketch
+    # Remaining never-checked oracle-bearing candidates after that:
+    # sim_search_lsh, sim_search_lsh_multiprobe, sim_search_ivf,
+    # dedup_url_canonical, dedup_mirror_domains,
+    # stream_stream_join_full, text_winnowing_matches,
+    # mixture_sample_apply, text_bm25_search, text_heavy_hitters,
+    # graph_pagerank, agg_weighted_median, agg_trimmed_mean,
+    # sql_passthrough_q1, pack_concat_chunks, scd2_build_validity,
+    # window_gaps_islands, text_char_entropy,
+    # agg_listagg_within_group; plus any r15 additions.
+    "tpch_q21_waiting_suppliers",
+    "dq_duplication_report",
+    "corpus_token_budget_plan",
+    "mixture_temperature_weights",
 ]
 
 _loaded = False

@@ -48,19 +48,38 @@ def test_rotation_slots_are_fresh_oracle_bearing():
     was previously enforced only by convention: slots 47-50 of
     ``_PRIORITY_ORDER`` must name ORACLE-BEARING queries (a no-oracle
     query there can only ever produce a rows-only row — wasted window)
-    with NO row in any committed ``CORRECTNESS_r*.json``.  The driver
-    commits round N's CORRECTNESS file together with the verdict at the
-    round boundary, so during round N+1's build (and its judging) the
-    repo carries files only up to round N — the moment last round's
-    slots gain their driver rows, this test goes red until the new
-    round rotates fresh picks in."""
+    with NO row in any *committed* ``CORRECTNESS_r*.json``.
+
+    "Committed" is load-bearing (VERDICT r14 #1): the driver drops the
+    current round's CORRECTNESS file into the worktree *untracked*
+    after the builder's final commit, so a plain directory glob made
+    this test red by construction at every judging point (it failed in
+    the judged tree in r13 AND r14).  Read only git-TRACKED files —
+    those are what the builder saw when it picked the rotation — so
+    the test still forces a fresh rotation at round open (the previous
+    round's file gets committed at the boundary) without failing the
+    judged tree.  Fall back to the glob if git is unavailable."""
     import json
     import pathlib
+    import subprocess
 
     repo = pathlib.Path(__file__).parent.parent
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout
+        files = [repo / line for line in out.splitlines() if line.strip()]
+    except (OSError, subprocess.SubprocessError):
+        files = sorted(repo.glob("CORRECTNESS_r*.json"))
     recorded: set[str] = set()
-    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
-        recorded |= set(json.loads(p.read_text()).keys())
+    for p in files:
+        if p.exists():
+            recorded |= set(json.loads(p.read_text()).keys())
     assert recorded, "no CORRECTNESS_r*.json committed — driver contract changed?"
     slots = registry._PRIORITY_ORDER[46:50]
     assert len(slots) == 4, f"rotation slots missing: {slots}"
