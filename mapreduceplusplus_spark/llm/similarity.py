@@ -805,6 +805,11 @@ def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Lloyd refinement iterations for the k-means IVF variant
 IVF_KMEANS_ITERS = 2
+#: positive shift for the integer-mean Lloyd update (the
+#: ``ml_kmeans_lloyd`` device): |xq| ≤ 10⁶ < 2²¹, so xq + SHIFT > 0
+#: and DuckDB's truncating ``//`` equals Python's floor division on
+#: the shifted values — the mean stays exact-integer in both engines
+_IVF_SHIFT = 1 << 21
 
 
 def _explode_micro(emb: DataFrame) -> DataFrame:
@@ -840,7 +845,11 @@ def _ivf_assign_join(
 
     rows = []
     for cid, cv in cents:
-        cq = [int(round(x * 1_000_000)) for x in cv]
+        # half-away-from-zero micro quantization (_py_mc) — the same
+        # rule as Spark F.round / DuckDB round, so the oracle's
+        # seed-centroid quantization replays this bit-for-bit (Python's
+        # builtin round is banker's and would disagree at .5 ties)
+        cq = [_py_mc(x) for x in cv]
         cnorm = math.sqrt(sum(q * q for q in cq)) or 1.0
         rows.extend((cid, dim, q, cnorm) for dim, q in enumerate(cq))
     cent_tbl = spark.createDataFrame(
@@ -883,7 +892,13 @@ def _lloyd_refine(
     computes the new means — summed in integer MICRO-UNITS (BIGINT)
     like ``embedding_label_centroids``, so the result is
     bit-deterministic under any partitioning (a double sum would vary
-    with partition order and break the determinism pin).  Only k·d
+    with partition order and break the determinism pin).  The mean
+    itself is the INTEGER half-up division ``(2·Σq + n) // (2n)`` over
+    the shifted-positive micro units (the ``ml_kmeans_lloyd`` update
+    device, r15) — no float mean anywhere, so the DuckDB oracle
+    replays the whole refinement in exact BIGINT arithmetic and the
+    refined float centroid is just ``cq / 10⁶`` (losslessly
+    re-quantized by ``_ivf_assign_join``'s ``_py_mc``).  Only k·d
     cells ever reach the driver per iteration — the same bounded
     driver-side-literal pattern as ``sort_global``'s quantile
     boundaries.  Empty clusters keep their previous centroid (standard
@@ -904,12 +919,12 @@ def _lloyd_refine(
         )
         acc: dict[int, dict[int, float]] = {}
         for r in upd:
-            # exact integer inputs -> a deterministic float division
-            # chain (same operands in the same order on every run, so
-            # the refined centroids are partition-order-independent)
-            acc.setdefault(int(r.cid), {})[int(r.dim)] = (
-                int(r.s_micro) / int(r.n)
-            ) / 1_000_000.0
+            # integer half-up mean over the shifted-positive micro
+            # units — exact BIGINT in, exact BIGINT out, replayed
+            # verbatim by the SQL oracle's `//` on the same operands
+            s, n = int(r.s_micro), int(r.n)
+            cq = (2 * (s + n * _IVF_SHIFT) + n) // (2 * n) - _IVF_SHIFT
+            acc.setdefault(int(r.cid), {})[int(r.dim)] = cq / 1_000_000.0
         cents = [
             (cid, [acc[cid].get(i, 0.0) for i in range(d)])
             if cid in acc
@@ -919,10 +934,110 @@ def _lloyd_refine(
     return cents
 
 
-@query("sim_search_ivf_kmeans")  # no SQL oracle: centroids are derived
-# from data via an iterative refinement at runtime; pinned by
-# tests/test_llm_ops.py (scores equal the exact scorer, determinism,
-# recall floor, refinement actually moves the centroids)
+def _ivfk_assign_sql(cents: str, asg: str) -> str:
+    """One oracle Lloyd ASSIGNMENT step — the SQL twin of
+    ``_ivf_assign_join``: dq = Σ xq·cq is an exact BIGINT dot (≤ d·10¹²
+    ≪ 2⁵³, so its DOUBLE cast is exact), cnorm = IEEE sqrt of the exact
+    BIGINT Σcq² (``or 1.0`` zero guard), and the nearest-centroid pick
+    is the (score DESC, cid) row_number — both engines compute the
+    identical doubles from identical integers, so the argmax replays
+    bit-for-bit."""
+    return f"""{asg} AS (
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, d.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY CAST(d.dq AS DOUBLE) / n.cnorm DESC, d.cid) AS rn
+        FROM (SELECT e.vec_id, c.cid,
+                     CAST(sum(e.xq * c.cq) AS BIGINT) AS dq
+              FROM E e JOIN {cents} c ON c.dim = e.dim
+              GROUP BY e.vec_id, c.cid) d
+        JOIN (SELECT cid,
+                     CASE WHEN sum(cq * cq) = 0 THEN 1.0
+                          ELSE sqrt(CAST(sum(cq * cq) AS DOUBLE)) END AS cnorm
+              FROM {cents} GROUP BY cid) n ON n.cid = d.cid
+      ) WHERE rn = 1
+    )"""
+
+
+def _ivfk_update_sql(prev: str, asg: str, new: str) -> str:
+    """One oracle Lloyd UPDATE step — the SQL twin of
+    ``_lloyd_refine``'s integer mean: half-up division over the
+    shifted-positive micro units (``//`` truncation == floor because
+    every operand is positive), empty clusters COALESCE back to the
+    previous centroid."""
+    return f"""{new} AS (
+      SELECT p.cid, p.dim, COALESCE(u.cq, p.cq) AS cq
+      FROM {prev} p LEFT JOIN (
+        SELECT a.cid, e.dim,
+               CAST((2 * sum(e.xq + {_IVF_SHIFT}) + count(*))
+                    // (2 * count(*)) AS BIGINT) - {_IVF_SHIFT} AS cq
+        FROM E e JOIN {asg} a ON a.vec_id = e.vec_id
+        GROUP BY a.cid, e.dim) u
+      ON u.cid = p.cid AND u.dim = p.dim
+    )"""
+
+
+#: the k-means IVF oracle: the full 2-iteration integer Lloyd
+#: refinement (seed → assign → mean → assign → mean), the final
+#: assignment, the probe's nprobe pick (same integer-cosine argmax —
+#: the probe's own norm is rank-constant so dq/cnorm suffices), then
+#: the exact-cosine re-rank tail shared with ``_IVF_ORACLE``
+_IVF_KMEANS_ORACLE = f"""
+    WITH E AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(round(1000000 * CAST(unnest(embedding) AS DOUBLE))
+                  AS BIGINT) AS xq
+      FROM embeddings
+    ),
+    C0 AS (
+      SELECT DISTINCT vec_id AS cid, dim, xq AS cq
+      FROM E WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    {_ivfk_assign_sql('C0', 'A1')},
+    {_ivfk_update_sql('C0', 'A1', 'C1')},
+    {_ivfk_assign_sql('C1', 'A2')},
+    {_ivfk_update_sql('C1', 'A2', 'C2')},
+    {_ivfk_assign_sql('C2', 'A3')},
+    probe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings
+      WHERE vec_id = {PROBE_ID}
+    ),
+    pc AS (
+      SELECT cid FROM (
+        SELECT d.cid,
+               row_number() OVER (
+                 ORDER BY CAST(d.dq AS DOUBLE) / n.cnorm DESC, d.cid) AS rn
+        FROM (SELECT c.cid, CAST(sum(e.xq * c.cq) AS BIGINT) AS dq
+              FROM E e JOIN C2 c ON c.dim = e.dim
+              WHERE e.vec_id = {PROBE_ID}
+              GROUP BY c.cid) d
+        JOIN (SELECT cid,
+                     CASE WHEN sum(cq * cq) = 0 THEN 1.0
+                          ELSE sqrt(CAST(sum(cq * cq) AS DOUBLE)) END AS cnorm
+              FROM C2 GROUP BY cid) n ON n.cid = d.cid
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) AS c
+      FROM embeddings e
+      JOIN A3 a ON a.vec_id = e.vec_id
+      CROSS JOIN probe p
+      WHERE a.cid IN (SELECT cid FROM pc) AND e.vec_id <> {PROBE_ID}
+    )
+    SELECT vec_id, label, round(c, 3) + 0 AS cosine,
+           CAST(row_number() OVER (
+             ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id)
+             AS BIGINT) AS rnk
+    FROM cand
+    ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query("sim_search_ivf_kmeans", oracle=_IVF_KMEANS_ORACLE)
 def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a K-MEANS-refined coarse quantizer — the path
     ``sim_search_ivf``'s docstring documents as what production vector
@@ -943,8 +1058,16 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the classic train-once/assign-everywhere split:
     training shuffles k·d cells per iteration, assignment is one join
     of the cell relation against a broadcast table, and only the
-    nprobe-pruned candidates pay the exact-cosine scoring.  Reference
-    heritage: none (SURVEY §2 charter extension, similarity family)."""
+    nprobe-pruned candidates pay the exact-cosine scoring.
+
+    ORACLE (r15 — VERDICT r14 #3): the whole refinement is now
+    exact-integer micro-unit arithmetic (quantized seeds, BIGINT dots,
+    integer half-up means — see ``_lloyd_refine``), so the DuckDB
+    oracle replays seed → assign → mean → assign → mean → final assign
+    bit-for-bit as five unrolled CTEs (``ml_kmeans_lloyd``'s device),
+    then the probe's nprobe pick and the exact-cosine re-rank tail
+    shared with ``_IVF_ORACLE``.  Reference heritage: none (SURVEY §2
+    charter extension, similarity family)."""
     import math
 
     ensure_utc(spark)
@@ -960,36 +1083,42 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     seeds = _dedupe_seed_rows(seed_rows)
+    if not seeds:
+        raise ValueError(
+            f"IVF index build: no centroid seed vectors (vec_id < "
+            f"{IVF_CENTROIDS}) in {sf_dir!r} — cannot quantize an empty corpus"
+        )
+    probe_rows = emb.where(F.col("vec_id") == PROBE_ID).collect()
+    if not probe_rows:
+        raise ValueError(
+            f"IVF probe: no row with vec_id == {PROBE_ID} in {sf_dir!r}"
+        )
     cents = _lloyd_refine(spark, eq, seeds, IVF_KMEANS_ITERS)
-    probe_v = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == PROBE_ID).collect()[0].v
-    ]
+    probe_v = [float(x) for x in probe_rows[0].v]
+    # nprobe pick replayed in the oracle's integer space: quantized
+    # centroid dot over the quantized probe / centroid norm (the
+    # probe's own norm is rank-constant and omitted) — exact-int
+    # numerators, IEEE sqrt/divide, identical doubles in both engines
+    pq = [_py_mc(x) for x in probe_v]
+
+    def _micro_rank(cv: list[float]) -> float:
+        cq = [_py_mc(x) for x in cv]
+        cn2 = sum(q * q for q in cq)
+        dot = sum(p * q for p, q in zip(pq, cq))
+        return dot / (math.sqrt(cn2) if cn2 else 1.0)
+
     probe_cids = [
         cid
         for cid, cv in sorted(
-            cents, key=lambda t: (-_py_cos(t[1], probe_v), t[0])
+            cents, key=lambda t: (-_micro_rank(t[1]), t[0])
         )[:IVF_NPROBE]
     ]
 
     assigned = _ivf_assign_join(spark, eq, cents)
-    pv_lit = F.lit([float(x) for x in probe_v])
-    pn = math.sqrt(sum(x * x for x in probe_v))
-    cand = (
-        emb.join(assigned, "vec_id")
-        .where(F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID))
-        .withColumn(
-            "c", _dot(F.col("v"), pv_lit) / (_norm(F.col("v")) * F.lit(pn))
-        )
+    cand = emb.join(assigned, "vec_id").where(
+        F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
     )
-    topk = cand.orderBy(F.col("c").desc(), F.col("vec_id")).limit(TOP_K)
-    w = Window.orderBy(F.col("c").desc(), F.col("vec_id"))
-    return topk.select(
-        "vec_id",
-        "label",
-        (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
-        F.row_number().over(w).cast("bigint").alias("rnk"),
-    )
+    return _ivf_score_topk(cand, probe_v)
 
 
 def _probe_bucket_set(pbucket: Column) -> list[Column]:

@@ -45,6 +45,7 @@ EMPTY_DIVERGENT = {
 EMPTY_RAISES = {
     "sim_search_ivf",
     "sim_search_ivf_partitioned",
+    "sim_search_ivf_kmeans",  # oracle since r15 (integer Lloyd replay)
 }
 
 #: queries the first empty-input sweep caught real bugs in (fixed) —
