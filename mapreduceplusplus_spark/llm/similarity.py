@@ -1270,9 +1270,144 @@ PQ_K = 16
 PQ_RERANK = 4 * TOP_K
 
 
-@query("sim_search_ivfpq")  # no SQL oracle: codebooks/centroids are
-# runtime artifacts; pinned by tests/test_llm_ops.py (exact re-ranked
-# scores, determinism, recall floor, code-range/compression invariants)
+def _ivfpq_oracle(metric: str) -> str:
+    """Shared IVF-PQ oracle (r15 — the VERDICT r14 #3 stretch): the
+    whole PQ pipeline is integer micro-unit arithmetic (quantized
+    codebooks, BIGINT subspace L2² encode, BIGINT ADC lookup sums), so
+    DuckDB replays codebook build → encode argmin → ADC pool →
+    exact-metric re-rank bit-for-bit.  The coarse gate reuses
+    ``_IVF_ORACLE``'s asg/pc device verbatim; only the ADC ranking key,
+    the exact re-rank functional, and the sort direction vary by
+    ``metric``.  The subspace geometry (m = (dim-1)//sub,
+    i = (dim-1)%sub) is derived from the probe's own dimensionality:
+    sub = d / PQ_M with d read off the probe vector via len()."""
+    if metric == "cosine":
+        adc_key = (
+            "CAST(adot AS DOUBLE) / (CASE WHEN ansq = 0 THEN 1.0 "
+            "ELSE sqrt(CAST(ansq AS DOUBLE)) END) DESC"
+        )
+        exact = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv)"
+        col, rankdir = "cosine", "DESC"
+    elif metric == "dot":
+        adc_key = "adot DESC"
+        exact = "list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv)"
+        col, rankdir = "dot", "DESC"
+    else:  # l2
+        adc_key = "pn.pnq2 - 2 * adot + ansq ASC"
+        exact = "list_distance(CAST(e.embedding AS DOUBLE[]), p.pv)"
+        col, rankdir = "l2_dist", "ASC"
+    pn_join = ", PN pn" if metric == "l2" else ""
+    return f"""
+    WITH E AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(round(1000000 * CAST(unnest(embedding) AS DOUBLE))
+                  AS BIGINT) AS xq
+      FROM embeddings
+    ),
+    DGEOM AS (
+      SELECT len(embedding) // {PQ_M} AS sub FROM embeddings
+      WHERE vec_id = {PROBE_ID}
+    ),
+    cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    probe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings
+      WHERE vec_id = {PROBE_ID}
+    ),
+    ac AS (
+      SELECT e.vec_id, c.cid,
+             CAST(round(1000000 * list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), c.cv)) AS BIGINT) AS mc
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY mc DESC, cid) AS rn
+        FROM ac) WHERE rn = 1
+    ),
+    pc AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY CAST(round(1000000 * list_cosine_similarity(
+                   c.cv, p.pv)) AS BIGINT) DESC, c.cid) AS rn
+        FROM cents c CROSS JOIN probe p) WHERE rn <= {IVF_NPROBE}
+    ),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS BIGINT) AS k
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            WHERE vec_id >= {IVF_CENTROIDS}
+              AND vec_id < {IVF_CENTROIDS + PQ_K})
+    ),
+    CB AS (
+      SELECT s.k, (e.dim - 1) // g.sub AS m, (e.dim - 1) % g.sub AS i,
+             e.xq AS cq
+      FROM E e JOIN seeds s ON s.vec_id = e.vec_id CROSS JOIN DGEOM g
+    ),
+    PE AS (
+      SELECT (dim - 1) // g.sub AS m, (dim - 1) % g.sub AS i, xq
+      FROM E CROSS JOIN DGEOM g WHERE vec_id = {PROBE_ID}
+    ),
+    LUT AS (
+      SELECT cb.m, cb.k,
+             CAST(sum(p.xq * cb.cq) AS BIGINT) AS ldot,
+             CAST(sum(cb.cq * cb.cq) AS BIGINT) AS lnsq
+      FROM CB cb JOIN PE p ON p.m = cb.m AND p.i = cb.i
+      GROUP BY cb.m, cb.k
+    ),
+    PN AS (SELECT CAST(sum(xq * xq) AS BIGINT) AS pnq2 FROM PE),
+    CANDV AS (
+      SELECT e.vec_id, (e.dim - 1) // g.sub AS m,
+             (e.dim - 1) % g.sub AS i, e.xq
+      FROM E e JOIN asg a ON a.vec_id = e.vec_id CROSS JOIN DGEOM g
+      WHERE a.cid IN (SELECT cid FROM pc) AND e.vec_id <> {PROBE_ID}
+    ),
+    DIST AS (
+      SELECT cv.vec_id, cv.m, cb.k,
+             CAST(sum((cv.xq - cb.cq) * (cv.xq - cb.cq)) AS BIGINT) AS d2
+      FROM CANDV cv JOIN CB cb ON cb.m = cv.m AND cb.i = cv.i
+      GROUP BY cv.vec_id, cv.m, cb.k
+    ),
+    CODE AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, k) AS rn
+        FROM DIST) WHERE rn = 1
+    ),
+    ADC AS (
+      SELECT c.vec_id,
+             CAST(sum(l.ldot) AS BIGINT) AS adot,
+             CAST(sum(l.lnsq) AS BIGINT) AS ansq
+      FROM CODE c JOIN LUT l ON l.m = c.m AND l.k = c.k
+      GROUP BY c.vec_id
+    ),
+    POOL AS (
+      SELECT vec_id FROM ADC{pn_join}
+      ORDER BY {adc_key}, vec_id LIMIT {PQ_RERANK}
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label, {exact} AS c
+      FROM embeddings e JOIN POOL po ON po.vec_id = e.vec_id
+      CROSS JOIN probe p
+    )
+    SELECT vec_id, label, round(c, 3) + 0 AS {col},
+           CAST(row_number() OVER (
+             ORDER BY CAST(round(1000000 * c) AS BIGINT) {rankdir}, vec_id)
+             AS BIGINT) AS rnk
+    FROM cand
+    ORDER BY CAST(round(1000000 * c) AS BIGINT) {rankdir}, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query("sim_search_ivfpq", oracle=_ivfpq_oracle("cosine"))
 def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN — the memory layout actual 100 TB vector stores run
     (Jégou, Douze & Schmid, "Product Quantization for Nearest
@@ -1312,9 +1447,7 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_search(spark, sf_dir, metric="cosine")
 
 
-@query("sim_search_ivfpq_dot")  # no SQL oracle: codebooks/centroids are
-# runtime artifacts; pinned by tests/test_llm_ops.py (exact re-ranked
-# dot scores, determinism, recall floor vs the exact dot-metric top-k)
+@query("sim_search_ivfpq_dot", oracle=_ivfpq_oracle("dot"))
 def sim_search_ivfpq_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ under the INNER-PRODUCT metric (VERDICT r9 item 3) — the
     ADC table a recommendation / MIPS retrieval stack runs (FAISS
@@ -1331,9 +1464,7 @@ def sim_search_ivfpq_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_search(spark, sf_dir, metric="dot")
 
 
-@query("sim_search_ivfpq_l2")  # no SQL oracle: codebooks/centroids are
-# runtime artifacts; pinned by tests/test_llm_ops.py (exact re-ranked
-# L2 distances, determinism, recall floor vs the exact L2-metric top-k)
+@query("sim_search_ivfpq_l2", oracle=_ivfpq_oracle("l2"))
 def sim_search_ivfpq_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ under the EUCLIDEAN metric (VERDICT r9 item 3) — the
     FAISS default (``METRIC_L2``): ADC distance² decomposes exactly as
@@ -1351,9 +1482,16 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
     ADC scan → exact re-rank (see ``sim_search_ivfpq`` for the full
     algorithm notes; ``metric`` ∈ cosine | dot | l2 selects the ADC
     functional, the pool sort direction, and the exact re-rank
-    scorer)."""
-    import math
+    scorer).
 
+    ORACLE (r15): codebooks, probe, and candidates are all quantized
+    to integer micro-units (``_py_mc`` — half-away, the repo-wide
+    rule), so the encode argmin (BIGINT subspace L2²), the ADC lookup
+    sums (BIGINT), and the l2/dot pool keys are exact integers and the
+    cosine pool key is a double derived from exact integers (IEEE
+    sqrt/divide) — the whole index path replays bit-for-bit in DuckDB
+    (``_ivfpq_oracle``); returned scores stay exact full-precision
+    (the repo-wide ANN contract: recall is the only degrading axis)."""
     ensure_utc(spark)
     assigned, probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
     d = len(probe_v)
@@ -1370,13 +1508,16 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
         return _ivf_score_topk(
             assigned.where(F.col("vec_id") != PROBE_ID), probe_v, metric
         )
+    # integer micro-unit codebooks / probe (oracle-replayable)
+    sq = [[_py_mc(x) for x in v] for v in seeds]
+    pq = [_py_mc(x) for x in probe_v]
     cb = [
-        [seeds[k][m * sub : (m + 1) * sub] for k in range(PQ_K)]
+        [sq[k][m * sub : (m + 1) * sub] for k in range(PQ_K)]
         for m in range(PQ_M)
     ]
     lut_dot = [
         [
-            sum(probe_v[m * sub + i] * cb[m][k][i] for i in range(sub))
+            sum(pq[m * sub + i] * cb[m][k][i] for i in range(sub))
             for k in range(PQ_K)
         ]
         for m in range(PQ_M)
@@ -1385,23 +1526,29 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
         [sum(x * x for x in cb[m][k]) for k in range(PQ_K)]
         for m in range(PQ_M)
     ]
-    pn = math.sqrt(sum(x * x for x in probe_v))
+    pnq2 = sum(x * x for x in pq)
 
-    def _l2sq_lit(subv: Column, cvec: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in cvec])
+    # candidate micro vector once per row; subspace slices of it feed
+    # every (m, k) integer L2² fold
+    vq = F.transform(
+        F.col("v"), lambda x: F.round(F.lit(1000000) * x).cast("long")
+    )
+
+    def _l2sq_int(subv: Column, cvec: list[int]) -> Column:
+        lit = F.array(*[F.lit(x).cast("long") for x in cvec])
         return F.aggregate(
             F.zip_with(subv, lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
 
     def _code(m: int) -> Column:
-        subv = F.slice("v", m * sub + 1, sub)
+        subv = F.slice("vq", m * sub + 1, sub)
         return F.array_min(
             F.array(
                 *[
                     F.struct(
-                        _l2sq_lit(subv, cb[m][k]).alias("d"),
+                        _l2sq_int(subv, cb[m][k]).alias("d"),
                         F.lit(k).alias("k"),
                     )
                     for k in range(PQ_K)
@@ -1409,35 +1556,47 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
             )
         )["k"]
 
-    coded = assigned.where(
-        F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
-    ).withColumn("codes", F.array(*[_code(m) for m in range(PQ_M)]))
+    coded = (
+        assigned.where(
+            F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
+        )
+        .withColumn("vq", vq)
+        .withColumn("codes", F.array(*[_code(m) for m in range(PQ_M)]))
+    )
     adc_dot = sum(
         (
             F.element_at(
-                F.array(*[F.lit(x) for x in lut_dot[m]]),
+                F.array(*[F.lit(x).cast("long") for x in lut_dot[m]]),
                 F.col("codes")[m] + 1,
             )
             for m in range(PQ_M)
         ),
-        start=F.lit(0.0),
+        start=F.lit(0).cast("long"),
     )
     adc_nsq = sum(
         (
             F.element_at(
-                F.array(*[F.lit(x) for x in cb_nsq[m]]),
+                F.array(*[F.lit(x).cast("long") for x in cb_nsq[m]]),
                 F.col("codes")[m] + 1,
             )
             for m in range(PQ_M)
         ),
-        start=F.lit(0.0),
+        start=F.lit(0).cast("long"),
     )
     if metric == "cosine":
-        adc, asc = adc_dot / (F.lit(pn) * F.sqrt(adc_nsq)), False
+        # probe norm is rank-constant and omitted; zero-norm guard
+        # matches the oracle's CASE
+        adc, asc = (
+            adc_dot.cast("double")
+            / F.when(adc_nsq == 0, F.lit(1.0)).otherwise(
+                F.sqrt(adc_nsq.cast("double"))
+            ),
+            False,
+        )
     elif metric == "dot":
         adc, asc = adc_dot, False
     elif metric == "l2":
-        adc, asc = F.lit(pn * pn) - 2.0 * adc_dot + adc_nsq, True
+        adc, asc = F.lit(pnq2) - 2 * adc_dot + adc_nsq, True
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown IVF-PQ metric: {metric!r}")
     scored = coded.withColumn("adc", adc)

@@ -46,6 +46,10 @@ EMPTY_RAISES = {
     "sim_search_ivf",
     "sim_search_ivf_partitioned",
     "sim_search_ivf_kmeans",  # oracle since r15 (integer Lloyd replay)
+    # oracle since r15 (integer PQ replay); _ivf_seed_lists raises first
+    "sim_search_ivfpq",
+    "sim_search_ivfpq_dot",
+    "sim_search_ivfpq_l2",
 }
 
 #: queries the first empty-input sweep caught real bugs in (fixed) —
