@@ -2008,3 +2008,130 @@ def sim_search_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("s", 3) + F.lit(0.0)).alias("neg_cosine"),
         (F.round(F.col("pos_s") - F.col("s"), 3) + F.lit(0.0)).alias("margin"),
     )
+
+
+@query(
+    "sim_search_triplet_mining_lsh",
+    oracle="""
+    WITH {cte},
+    anchors AS (
+      SELECT e.vec_id AS probe_id, e.label AS a_label,
+             CAST(e.embedding AS DOUBLE[]) AS pv, b.bucket AS pbucket
+      FROM embeddings e JOIN bucket b ON b.vec_id = e.vec_id
+      WHERE e.vec_id % {mod} = 0
+    ),
+    pexp AS (
+      SELECT a.probe_id, a.a_label, a.pv, u.b AS pbucket
+      FROM anchors a,
+           unnest([a.pbucket, xor(a.pbucket, 1), xor(a.pbucket, 2),
+                   xor(a.pbucket, 4), xor(a.pbucket, 8)]) AS u(b)
+    ),
+    scored AS (
+      SELECT p.probe_id, p.a_label, e.vec_id, e.label,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) AS s
+      FROM embeddings e
+      JOIN bucket b ON b.vec_id = e.vec_id
+      JOIN pexp p ON b.bucket = p.pbucket
+      WHERE e.vec_id % {mod} <> 0
+    ),
+    pos AS (
+      SELECT probe_id, vec_id AS pos_vec_id, s AS pos_s FROM (
+        SELECT probe_id, vec_id, s,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY CAST(round(1000000 * s) AS BIGINT)
+                                             DESC, vec_id) AS rn
+        FROM scored WHERE label = a_label
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT probe_id, vec_id, label, s, rnk FROM (
+        SELECT probe_id, vec_id, label, s,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY CAST(round(1000000 * s) AS BIGINT)
+                                             DESC, vec_id) AS rnk
+        FROM scored WHERE label <> a_label
+      ) WHERE rnk <= {k}
+    )
+    SELECT n.probe_id, p.pos_vec_id,
+           n.vec_id AS neg_vec_id,
+           CAST(n.label AS BIGINT) AS neg_label,
+           CAST(n.rnk AS BIGINT) AS rnk,
+           round(p.pos_s, 3) + 0 AS pos_cosine,
+           round(n.s, 3) + 0 AS neg_cosine,
+           round(p.pos_s - n.s, 3) + 0 AS margin
+    FROM neg n JOIN pos p USING (probe_id)
+    """.format(cte=LSH_BUCKET_CTE, mod=KNN_PROBE_MOD, k=TRIPLET_NEG_K),
+)
+def sim_search_triplet_mining_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN-GATED triplet mining (VERDICT r14 #4) — the scale path the
+    exact form's docstring promises ("beyond ~10k anchors, LSH-bucket
+    both sides"): candidate (anchor, corpus) pairs come from the
+    ``sim_search_lsh_batch_multiprobe`` bucket EQUI-JOIN — each anchor
+    explodes into its Hamming-1 bucket set (bits+1 probe rows) and
+    meets only corpus vectors whose hyperplane signature falls in one
+    of those buckets (~(bits+1)/2^bits of the corpus ≈ 31% at 4 bits,
+    vs 100% for the exact form) — then the surviving pairs pay the
+    IDENTICAL exact-cosine scoring, single (probe, polarity) window,
+    and nearest-positive / hardest-negative join as the exact miner.
+
+    ANN semantics: scores are exact for every emitted pair; recall is
+    the degrading axis — a hard negative (or THE positive) hiding in a
+    non-probed bucket is missed, and an anchor whose buckets hold no
+    same-label vector emits NO triplets (inner positive join; the
+    recall pin measures both against the exact form).  At 100 TB both
+    sides shuffle ONCE on the bucket key (no broadcast dependence on
+    the anchor count), candidate volume scales with bucket occupancy,
+    and the mining cost tracks the engine's own ANN layout instead of
+    |anchors|·|corpus|.  Reference heritage: none (SURVEY §2 charter
+    extension, similarity family)."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).withColumn("bucket", lsh_signature(F.col("v")))
+    anchors = emb.where(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("pv"),
+        F.explode(F.array(*_probe_bucket_set(F.col("bucket")))).alias(
+            "pbucket"
+        ),
+        _norm(F.col("v")).alias("npv"),
+    )
+    corpus = emb.where(F.col("vec_id") % KNN_PROBE_MOD != 0).withColumn(
+        "nv", _norm(F.col("v"))
+    )
+    scored = (
+        corpus.join(anchors, F.col("bucket") == F.col("pbucket"))
+        .withColumn(
+            "s", _dot(F.col("v"), F.col("pv")) / (F.col("nv") * F.col("npv"))
+        )
+        .withColumn("is_pos", F.col("label") == F.col("a_label"))
+    )
+    w = Window.partitionBy("probe_id", "is_pos").orderBy(
+        F.round(F.lit(1000000) * F.col("s")).cast("bigint").desc(),
+        F.col("vec_id"),
+    )
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TRIPLET_NEG_K)
+        .select("probe_id", "vec_id", "label", "s", "is_pos", "rnk")
+        .localCheckpoint(eager=True)
+    )
+    pos = ranked.where(F.col("is_pos") & (F.col("rnk") == 1)).select(
+        "probe_id",
+        F.col("vec_id").alias("pos_vec_id"),
+        F.col("s").alias("pos_s"),
+    )
+    neg = ranked.where(~F.col("is_pos"))
+    return neg.join(pos, "probe_id").select(
+        "probe_id",
+        "pos_vec_id",
+        F.col("vec_id").alias("neg_vec_id"),
+        F.col("label").cast("bigint").alias("neg_label"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        (F.round("pos_s", 3) + F.lit(0.0)).alias("pos_cosine"),
+        (F.round("s", 3) + F.lit(0.0)).alias("neg_cosine"),
+        (F.round(F.col("pos_s") - F.col("s"), 3) + F.lit(0.0)).alias("margin"),
+    )

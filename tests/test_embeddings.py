@@ -123,3 +123,46 @@ def test_triplet_single_corpus_pass(spark):
     df = registry.queries()["sim_search_triplet_mining"](spark, SF_DIR_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 0, f"re-scans per branch:\n{plan}"
+
+
+def test_triplet_lsh_gated_recall_and_plan(spark):
+    """The r15 ANN-gated triplet miner: (a) candidate generation is a
+    pure bucket EQUI-JOIN — no CartesianProduct / BroadcastNestedLoop
+    anywhere in the plan (the scale contract vs the exact form's
+    broadcast anchors); (b) every emitted pair's cosine equals the
+    exact miner's value for the same (anchor, negative) pair — scores
+    never degrade, only recall; (c) recall of the LSH-gated hardest
+    negatives vs the exact form clears the ANN floor; (d) emitted
+    per-anchor ranks are contiguous from 1."""
+    from mapreduceplusplus_spark import registry
+
+    registry.load_all()
+    qs = registry.queries()
+    df = qs["sim_search_triplet_mining_lsh"](spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    got = df.collect()
+    assert got, "LSH-gated miner emitted no triplets on the fixture"
+
+    exact = qs["sim_search_triplet_mining"](spark, SF_DIR_ORACLE).collect()
+    exact_scores = {
+        (r.probe_id, r.neg_vec_id): r.neg_cosine for r in exact
+    }
+    exact_negs: dict[int, set[int]] = {}
+    for r in exact:
+        exact_negs.setdefault(r.probe_id, set()).add(r.neg_vec_id)
+    hits = total = 0
+    for pid, negs in exact_negs.items():
+        mine = {r.neg_vec_id for r in got if r.probe_id == pid}
+        hits += len(mine & negs)
+        total += len(negs)
+    assert total and hits / total >= 0.3, f"recall {hits}/{total}"
+    for r in got:
+        if (r.probe_id, r.neg_vec_id) in exact_scores:
+            assert r.neg_cosine == exact_scores[(r.probe_id, r.neg_vec_id)]
+    by_anchor: dict[int, list[int]] = {}
+    for r in got:
+        by_anchor.setdefault(r.probe_id, []).append(r.rnk)
+    for pid, rnks in by_anchor.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (pid, rnks)
