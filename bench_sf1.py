@@ -55,6 +55,16 @@ SF1_QUERIES = [
     "sim_search_triplet_mining",
     "sample_kcenter_coreset",
     "graph_modularity",
+    # r15 additions (VERDICT r14 #7: the r14 md5-family conversions
+    # have new SQL oracles but no genuine-cardinality point —
+    # replication fixtures can't see vocabulary/bucket-occupancy
+    # growth; dedup_incremental_ingest_near is already above) + the
+    # two r15 ops (the ANN-gated miner must show <= ~1/3 of the exact
+    # miner's sf1 wall — VERDICT r14 #4's done-criterion)
+    "dedup_minhash_near",
+    "sim_search_lsh_batch",
+    "sim_search_triplet_mining_lsh",
+    "dedup_boilerplate_lines",
 ]
 
 
