@@ -85,6 +85,8 @@ HEADLINE = [
     "dedup_threshold_curve",   # J>=1/2 prefix pass + 5-point integer sweep
     "dedup_url_canonical",     # URL canonicalize + domain dup governance (r14)
     "dedup_mirror_domains",    # cross-domain mirror clusters by content fp (r14)
+    "dedup_boilerplate_lines",  # per-domain CCNet boilerplate df gate (r15)
+    "sim_search_triplet_mining_lsh",  # ANN-gated hard-negative mining (r15)
 ]
 
 
