@@ -2135,3 +2135,114 @@ def sim_search_triplet_mining_lsh(
         (F.round("s", 3) + F.lit(0.0)).alias("neg_cosine"),
         (F.round(F.col("pos_s") - F.col("s"), 3) + F.lit(0.0)).alias("margin"),
     )
+
+
+#: binary-sketch ANN: Hamming pool depth before the exact re-rank —
+#: the same 4·k pool contract as the IVF-PQ ADC pool
+HAMMING_POOL = 4 * TOP_K
+
+
+@query(
+    "sim_search_hamming_rerank",
+    oracle=f"""
+    WITH probe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings
+      WHERE vec_id = {PROBE_ID}
+    ),
+    pe AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE vec_id = {PROBE_ID}
+    ),
+    ve AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE vec_id <> {PROBE_ID}
+    ),
+    ham AS (
+      SELECT e.vec_id,
+             CAST(count(*) FILTER (WHERE (e.x > 0) <> (p.x > 0))
+                  AS BIGINT) AS hamming
+      FROM ve e JOIN pe p USING (dim)
+      GROUP BY e.vec_id
+    ),
+    pool AS (
+      SELECT vec_id, hamming FROM ham
+      ORDER BY hamming, vec_id LIMIT {HAMMING_POOL}
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label, po.hamming,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) AS c
+      FROM embeddings e JOIN pool po USING (vec_id)
+      CROSS JOIN probe p
+    )
+    SELECT vec_id, label, hamming, round(c, 3) + 0 AS cosine,
+           CAST(row_number() OVER (
+             ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id)
+             AS BIGINT) AS rnk
+    FROM cand
+    ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_search_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-SKETCH ANN — the 1-bit tier of the ANN ladder (exact →
+    Hamming → LSH buckets → IVF lists → IVF-PQ codes): every vector
+    quantizes to its SIGN BITS (x_d > 0, one bit per dimension — 64
+    bits ≈ 8 B per vector vs 256 B of float32, the memory-minimal
+    layout binary-embedding retrieval stacks scan when even PQ codes
+    don't fit), candidates rank by Hamming distance to the probe's
+    sign pattern, and the top-{HAMMING_POOL} pool is re-scored with
+    EXACT full-precision cosine (the repo-wide ANN contract: recall is
+    the only degrading axis, never score fidelity).
+
+    Determinism is structural: the sign test compares the SAME parquet
+    double against zero on both engines (no arithmetic at all before
+    the comparison), the Hamming count is an integer, ties break on
+    vec_id, and the re-rank uses the shared micro-quantized rank.  The
+    logical form here counts per-dimension sign disagreements via one
+    ``zip_with`` fold over the probe broadcast; the physical 100 TB
+    form packs the bits into BIGINT words at ingest and scans
+    ``bit_count(a XOR b)`` per word — a pure storage-layout choice
+    under the identical contract (same pool, same re-rank).  One scan,
+    1-row broadcast, TakeOrderedAndProject pool, {HAMMING_POOL}-row
+    exact re-rank: the cheapest-per-candidate full-corpus scan in the
+    family.  Reference heritage: none (SURVEY §2 charter extension,
+    similarity family)."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    probe = emb.where(F.col("vec_id") == PROBE_ID).select(
+        F.col("v").alias("pv")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("pv"),
+            lambda x, y: ((x > 0) != (y > 0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        emb.where(F.col("vec_id") != PROBE_ID)
+        # broadcast-safe: probe is a single query vector (1 row)
+        .crossJoin(F.broadcast(probe))
+        .withColumn("hamming", ham)
+        .orderBy(F.col("hamming").asc(), F.col("vec_id"))
+        .limit(HAMMING_POOL)
+    )
+    scored = pool.withColumn(
+        "c", _dot(F.col("v"), F.col("pv")) / (_norm(F.col("v")) * _norm(F.col("pv")))
+    )
+    mc = F.round(F.lit(1000000) * F.col("c")).cast("bigint")
+    topk = scored.orderBy(mc.desc(), F.col("vec_id")).limit(TOP_K)
+    w = Window.orderBy(mc.desc(), F.col("vec_id"))
+    return topk.select(
+        "vec_id",
+        "label",
+        F.col("hamming").cast("bigint").alias("hamming"),
+        (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
