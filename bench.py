@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_mirror_domains",    # cross-domain mirror clusters by content fp (r14)
     "dedup_boilerplate_lines",  # per-domain CCNet boilerplate df gate (r15)
     "sim_search_triplet_mining_lsh",  # ANN-gated hard-negative mining (r15)
+    "sim_search_hamming_rerank",  # 1-bit binary-sketch pool + exact rerank (r15)
 ]
 
 
