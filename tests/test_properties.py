@@ -521,3 +521,90 @@ def test_incremental_diff_matches_full_recompute_model(spark, old, log_raw):
         for r in incremental_diff(old_df, log_df).collect()
     }
     assert got == expect
+
+
+@st.composite
+def _boiler_docs(draw):
+    vocab = ["agg", "scan", "join", "key"]
+    n = draw(st.integers(min_value=1, max_value=10))
+    docs = []
+    for i in range(n):
+        words = draw(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=25)
+        )
+        src = draw(st.sampled_from(["s0", "s1"]))
+        docs.append((i, " ".join(words), src))
+    return docs
+
+
+@given(_boiler_docs())
+@settings(**_SETTINGS)
+def test_boilerplate_lines_matches_python_model(spark, tmp_path_factory, docs):
+    """``dedup_boilerplate_lines`` == the pure-Python CCNet model on
+    random tiny-vocabulary corpora (the 4-word vocabulary maximizes
+    repeated 10-token windows, the boilerplate trigger; empty texts
+    exercise the zero-token explode_outer path and the ppm guard):
+    per-domain segment document frequency, boiler at df >= 2 DISTINCT
+    docs, per-doc retained-token rollup with floor-div ppm."""
+    import math
+    import shutil
+    import tempfile
+
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.llm.dedup import (
+        BOILER_MIN_DF,
+        BOILER_SEG_TOKENS,
+    )
+
+    registry.load_all()
+    out = tempfile.mkdtemp(prefix="boiler_prop_")
+    try:
+        spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, t, s in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(out + "/documents.parquet")
+
+        W = BOILER_SEG_TOKENS
+        segs_by_doc: dict[int, list[tuple]] = {}
+        df_count: dict[tuple, set] = {}
+        for i, t, s in docs:
+            import re
+
+            toks = re.findall(r"[a-z]+", t.lower())
+            segs = [
+                tuple(toks[j * W : (j + 1) * W])
+                for j in range(math.ceil(len(toks) / W))
+            ]
+            segs_by_doc[i] = (s + ".example.com", toks, segs)
+            for seg in segs:
+                df_count.setdefault((s + ".example.com", seg), set()).add(i)
+        want = {}
+        for i, (dom, toks, segs) in segs_by_doc.items():
+            boiler = [
+                seg for seg in segs if len(df_count[(dom, seg)]) >= BOILER_MIN_DF
+            ]
+            ret = sum(
+                len(seg)
+                for seg in segs
+                if len(df_count[(dom, seg)]) < BOILER_MIN_DF
+            )
+            nt = len(toks)
+            ppm = 1000000 if nt == 0 else (1000000 * ret) // nt
+            want[i] = (dom, nt, len(segs), len(boiler), ret, ppm)
+
+        got = {
+            r.doc_id: (
+                r.domain,
+                r.n_tokens,
+                r.n_segments,
+                r.n_boiler_segments,
+                r.n_retained_tokens,
+                r.retained_ppm,
+            )
+            for r in registry.queries()["dedup_boilerplate_lines"](
+                spark, out
+            ).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
