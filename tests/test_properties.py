@@ -539,7 +539,7 @@ def _boiler_docs(draw):
 
 @given(_boiler_docs())
 @settings(**_SETTINGS)
-def test_boilerplate_lines_matches_python_model(spark, tmp_path_factory, docs):
+def test_boilerplate_lines_matches_python_model(spark, docs):
     """``dedup_boilerplate_lines`` == the pure-Python CCNet model on
     random tiny-vocabulary corpora (the 4-word vocabulary maximizes
     repeated 10-token windows, the boilerplate trigger; empty texts
