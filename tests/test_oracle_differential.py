@@ -244,3 +244,33 @@ def test_every_registered_query_has_a_survey_row():
             rows.update(re.findall(r"`([a-z0-9_]+)`", ln.split("|")[1]))
     missing = sorted(set(registry.queries()) - rows)
     assert not missing, f"registered queries without a SURVEY §2 row: {missing}"
+
+
+def test_readme_evidence_audit_is_fresh():
+    """The README's evidence-audit block is generated by
+    ``evidence_audit.py`` from the registry + git-TRACKED CORRECTNESS
+    files.  Pin that it matches a fresh build, so (a) registering a
+    query without regenerating the block fails here immediately, and
+    (b) at round open — when the previous round's CORRECTNESS file
+    gets committed — this goes red until the block is regenerated,
+    the same forcing function as the rotation-slot test (and, like it,
+    green at judging time: the current round's untracked file doesn't
+    change the build)."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    sys.path.insert(0, str(repo))
+    import evidence_audit
+
+    want = evidence_audit.build()
+    text = (repo / "README.md").read_text()
+    assert evidence_audit.START in text and evidence_audit.END in text
+    got = (
+        evidence_audit.START
+        + text.split(evidence_audit.START, 1)[1].split(evidence_audit.END, 1)[0]
+        + evidence_audit.END
+    )
+    assert got.strip() == want.strip(), (
+        "README evidence-audit block is stale — run `python evidence_audit.py`"
+    )
