@@ -3772,3 +3772,146 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retained_ppm"),
         )
     )
+
+
+@query(
+    "dedup_boilerplate_scrub",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source || '.example.com' AS domain,
+             regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, domain, len(w) AS nw, CAST(t.i AS BIGINT) AS i,
+             array_to_string(
+               w[i*{BOILER_SEG_TOKENS}+1 : i*{BOILER_SEG_TOKENS}+{BOILER_SEG_TOKENS}],
+               ' ') AS seg_txt
+      FROM docs, unnest(range((len(w) + {BOILER_SEG_TOKENS - 1})
+                              // {BOILER_SEG_TOKENS})) AS t(i)
+    ),
+    boiler AS (
+      SELECT domain, md5(seg_txt) AS seg FROM segs
+      GROUP BY domain, md5(seg_txt)
+      HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DF}
+    ),
+    keep AS (
+      SELECT s.doc_id, s.i, s.seg_txt,
+             least({BOILER_SEG_TOKENS}, s.nw - s.i * {BOILER_SEG_TOKENS})
+               AS ntok
+      FROM segs s LEFT JOIN boiler b
+        ON b.domain = s.domain AND b.seg = md5(s.seg_txt)
+      WHERE b.seg IS NULL
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(sum(ntok) AS BIGINT) AS n_retained_tokens,
+             md5(string_agg(seg_txt, ' ' ORDER BY i)) AS retained_fp
+      FROM keep GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.domain,
+           CAST(len(d.w) AS BIGINT) AS n_tokens,
+           coalesce(p.n_retained_tokens, 0) AS n_retained_tokens,
+           coalesce(p.retained_fp, md5('')) AS retained_fp
+    FROM docs d LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
+def dedup_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCRUB twin of ``dedup_boilerplate_lines`` (the family
+    convention ``dedup_substring_spans`` → ``dedup_substring_scrub``
+    sets): actually MATERIALIZE the post-removal document — boilerplate
+    segments dropped, surviving segments re-concatenated in original
+    order — and emit its fingerprint plus the retained token count per
+    document, so the downstream pipeline (packing, token budgeting,
+    training-shard writes) consumes the cleaned text, not just the
+    governance stats.  Same domain grain, same {BOILER_SEG_TOKENS}-token
+    windowed segmentation, same ≥ {BOILER_MIN_DF}-distinct-doc df gate.
+
+    The reassembly is order-exact on both engines: Spark sorts the
+    per-doc (ordinal, segment) structs and joins with single spaces;
+    DuckDB's ``string_agg(... ORDER BY i)`` produces the identical
+    string, so the md5 fingerprints hash-match.  A document whose every
+    segment is boilerplate (or with no tokens at all) scrubs to the
+    EMPTY document — ``md5('')``, the pinned all-removed contract.
+
+    Plan: identical to the stats twin (two bounded-key shuffles, the
+    join-back build side gated to repeated segments) plus one per-doc
+    collect_list of the doc's own surviving segments — per-row bounded
+    by document length, the same per-doc fold every fingerprint op in
+    the family runs.  Reference heritage: none (SURVEY §2 charter
+    extension, dedup family)."""
+    ensure_utc(spark)
+    W, MINDF = BOILER_SEG_TOKENS, BOILER_MIN_DF
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+            F.regexp_extract_all(
+                F.lower("text"), F.lit("[a-z]+"), 0
+            ).alias("w"),
+        )
+        .withColumn("nw", F.size("w").cast("bigint"))
+    )
+    seg_arr = F.when(
+        F.col("nw") == 0, F.expr("CAST(array() AS array<string>)")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, int((nw + {W - 1}) div {W}) - 1),"
+            f" i -> array_join(slice(w, i*{W}+1, {W}), ' '))"
+        )
+    )
+    segs = docs.select(
+        "doc_id",
+        "domain",
+        "nw",
+        F.posexplode_outer(seg_arr).alias("i", "seg_txt"),
+    ).withColumn("seg", F.md5("seg_txt"))
+    boiler = (
+        segs.where(F.col("seg").isNotNull())
+        .groupBy("domain", "seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= MINDF)
+        .select(
+            F.col("domain").alias("bdomain"), F.col("seg").alias("bseg")
+        )
+    )
+    keep = (
+        segs.join(
+            boiler,
+            (F.col("domain") == F.col("bdomain"))
+            & (F.col("seg") == F.col("bseg")),
+            "left",
+        )
+        .where(F.col("seg_txt").isNotNull() & F.col("bseg").isNull())
+        .select(
+            "doc_id",
+            "i",
+            "seg_txt",
+            F.least(
+                F.lit(W).cast("bigint"), F.col("nw") - F.col("i") * W
+            ).alias("ntok"),
+        )
+    )
+    perdoc = keep.groupBy("doc_id").agg(
+        F.sum("ntok").cast("bigint").alias("n_retained_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "seg_txt"))),
+                    lambda t: t.getField("seg_txt"),
+                ),
+                " ",
+            )
+        ).alias("retained_fp"),
+    )
+    empty_fp = F.md5(F.lit(""))
+    return docs.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        "domain",
+        F.col("nw").alias("n_tokens"),
+        F.coalesce("n_retained_tokens", F.lit(0).cast("bigint")).alias(
+            "n_retained_tokens"
+        ),
+        F.coalesce("retained_fp", empty_fp).alias("retained_fp"),
+    )
