@@ -1941,3 +1941,52 @@ def test_url_canonicalization_matches_python_reference(spark):
     for c in cases:
         assert got_spark[c] == py_canon(c), (c, got_spark[c], py_canon(c))
         assert got_duck[c] == py_canon(c), (c, got_duck[c], py_canon(c))
+
+
+def test_boilerplate_pair_plan_shape_and_consistency(spark):
+    """The r15 boilerplate pair's scale claims, pinned on the executed
+    plans: (a) no CartesianProduct / BroadcastNestedLoop anywhere; (b)
+    the join-back of segments to the df-gated boilerplate set is a
+    BroadcastHashJoin (the build side holds only REPEATED segments —
+    per-domain template vocabulary, not corpus size); and (c) the two
+    queries agree with each other: identical n_tokens and
+    n_retained_tokens per doc, and a document is scrubbed
+    (retained_fp ≠ md5(full-token join)) iff the stats twin reports
+    n_boiler_segments > 0."""
+    import hashlib
+    import re as _re
+
+    qs = registry.queries()
+    dfs = {
+        name: qs[name](spark, SF_DIR_ORACLE)
+        for name in ("dedup_boilerplate_lines", "dedup_boilerplate_scrub")
+    }
+    for name, df in dfs.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "BroadcastHashJoin" in plan, f"{name}: df-gate join not broadcast"
+    stats = {r.doc_id: r for r in dfs["dedup_boilerplate_lines"].collect()}
+    scrub = {r.doc_id: r for r in dfs["dedup_boilerplate_scrub"].collect()}
+    assert set(stats) == set(scrub)
+    from mapreduceplusplus_spark.sources.tables import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR_ORACLE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n_scrubbed = 0
+    for doc_id, s in stats.items():
+        c = scrub[doc_id]
+        assert s.n_tokens == c.n_tokens
+        assert s.n_retained_tokens == c.n_retained_tokens
+        full = " ".join(_re.findall(r"[a-z]+", texts[doc_id].lower()))
+        full_fp = hashlib.md5(full.encode()).hexdigest()
+        if s.n_boiler_segments > 0:
+            assert c.retained_fp != full_fp, doc_id
+            n_scrubbed += 1
+        else:
+            assert c.retained_fp == full_fp, doc_id
+    assert n_scrubbed > 0, "fixture produced no boilerplate — gate untested"
