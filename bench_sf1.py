@@ -65,6 +65,10 @@ SF1_QUERIES = [
     "sim_search_lsh_batch",
     "sim_search_triplet_mining_lsh",
     "dedup_boilerplate_lines",
+    # r15 late additions — first lane rows arrive with the r16 run
+    # (BENCH_SF1_r15 was recorded before these landed)
+    "dedup_boilerplate_scrub",
+    "sim_search_hamming_rerank",
 ]
 
 

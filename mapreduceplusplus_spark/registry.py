@@ -220,15 +220,20 @@ _PRIORITY_ORDER = [
     #        sim_search_ivf_partitioned, graph_kcore
     #   r17: dedup_incremental_ingest_near, agg_hll_sketch_merge,
     #        agg_approx_quantile, agg_count_min_sketch
-    # Remaining never-checked oracle-bearing candidates after that:
-    # sim_search_lsh, sim_search_lsh_multiprobe, sim_search_ivf,
+    # Remaining never-checked oracle-bearing candidates after that
+    # (r18+): the r15 additions and conversions first —
+    # dedup_boilerplate_lines, sim_search_triplet_mining_lsh,
+    # sim_search_ivf_kmeans, sim_search_hamming_rerank (then
+    # dedup_boilerplate_scrub, sim_search_ivfpq,
+    # sim_search_ivfpq_dot, sim_search_ivfpq_l2) — then the standing
+    # tail: sim_search_lsh, sim_search_lsh_multiprobe, sim_search_ivf,
     # dedup_url_canonical, dedup_mirror_domains,
     # stream_stream_join_full, text_winnowing_matches,
     # mixture_sample_apply, text_bm25_search, text_heavy_hitters,
     # graph_pagerank, agg_weighted_median, agg_trimmed_mean,
     # sql_passthrough_q1, pack_concat_chunks, scd2_build_validity,
     # window_gaps_islands, text_char_entropy,
-    # agg_listagg_within_group; plus any r15 additions.
+    # agg_listagg_within_group.
     "tpch_q21_waiting_suppliers",
     "dq_duplication_report",
     "corpus_token_budget_plan",
