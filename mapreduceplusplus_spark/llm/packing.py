@@ -961,3 +961,119 @@ def curriculum_stage_of(x: DataFrame) -> DataFrame:
         .otherwise(4)
     )
     return b.withColumn("stage", stage).drop("n", "s", "ss", "d", "v")
+
+
+from mapreduceplusplus_spark.llm.bpe import (  # noqa: E402
+    BPE_N_MERGES,
+    _bpe_sql_ctes,
+    _bpe_state,
+)
+
+
+@query(
+    "corpus_token_budget_plan_bpe",
+    oracle=f"""
+    WITH {_bpe_sql_ctes()},
+    pieces AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS np
+      FROM seg{BPE_N_MERGES} GROUP BY w),
+    tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents),
+    t AS (
+      SELECT tk.lang,
+             CAST(count(DISTINCT tk.doc_id) AS BIGINT) AS n_docs,
+             CAST(sum(p.np) AS BIGINT) AS avail_tokens
+      FROM tok tk JOIN pieces p ON p.w = tk.w
+      GROUP BY tk.lang
+    ),
+    tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens FROM t),
+    s AS (
+      SELECT lang, n_docs, avail_tokens, total_tokens,
+             CAST(round(1000000 * sqrt(CAST(n_docs AS DOUBLE)))
+                  AS BIGINT) AS s_micro
+      FROM t, tot
+    ),
+    ssum AS (SELECT CAST(sum(s_micro) AS BIGINT) AS s_total FROM s)
+    SELECT lang, n_docs, avail_tokens,
+           CAST((CAST({BUDGET_X} AS HUGEINT) * total_tokens * s_micro)
+                // s_total AS BIGINT)                     AS target_tokens,
+           CAST((CAST({BUDGET_X} AS HUGEINT) * total_tokens * s_micro * 1000)
+                // (CAST(s_total AS HUGEINT) * avail_tokens)
+                AS BIGINT)                                AS epochs_milli
+    FROM s, ssum
+    WHERE avail_tokens > 0
+    """,
+)
+def corpus_token_budget_plan_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_token_budget_plan`` in SUBWORD units — the same
+    temperature-share quota math over per-language BPE token mass
+    instead of whitespace counts, closing the realism gap the
+    whitespace planner's own docstring concedes ("overstates capacity
+    by the fertility ratio"): a language whose words fragment into
+    many pieces (fertility ≫ 1, `text_bpe_fertility`) consumes more of
+    the context budget per word, so its quota and epoch count must be
+    planned in the units the trainer actually spends.
+
+    Availability = the vocab-bounded pieces lookup of
+    ``text_token_count_bpe`` (word → |segmentation| derived once from
+    the trained merges; application is explode → hash join → per-lang
+    agg — no per-document BPE scan anywhere), over the alphabetic
+    token stream the vocabulary was trained on; ``n_docs`` counts
+    documents with ≥ 1 such token.  Shares/quotas are the planner's
+    exact-integer chain verbatim (quantized-√n micro shares, HUGEINT /
+    DECIMAL(38,0) floor divisions).  At 100 TB: one explode + one
+    vocab-key join + a #languages rollup; the merges relation is the
+    one-time training artifact.  Reference heritage: none (SURVEY §2
+    charter extension, mixture/packing family)."""
+    ensure_utc(spark)
+    from mapreduceplusplus_spark.llm.dedup import tokens
+
+    _merges, seg = _bpe_state(spark, sf_dir)
+    pieces = seg.groupBy("w").agg(F.count("*").cast("bigint").alias("np"))
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    t = (
+        tok.join(pieces, "w")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("np").cast("bigint").alias("avail_tokens"),
+        )
+    )
+    tot = t.agg(F.sum("avail_tokens").cast("bigint").alias("total_tokens"))
+    # broadcast-safe: 1-row global aggregates (same shape as the
+    # whitespace planner)
+    s = t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "avail_tokens",
+        "total_tokens",
+        F.round(F.lit(1000000) * F.sqrt(F.col("n_docs").cast("double")))
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    ssum = s.agg(F.sum("s_micro").cast("bigint").alias("s_total"))
+    return (
+        # broadcast-safe: ssum is a 1-row global aggregate
+        s.crossJoin(F.broadcast(ssum))
+        .where(F.col("avail_tokens") > 0)
+        .select(
+            "lang",
+            "n_docs",
+            "avail_tokens",
+            F.expr(
+                f"CAST((CAST({BUDGET_X} AS DECIMAL(38,0)) * total_tokens"
+                " * s_micro) div s_total AS BIGINT)"
+            ).alias("target_tokens"),
+            F.expr(
+                f"CAST((CAST({BUDGET_X} AS DECIMAL(38,0)) * total_tokens"
+                " * s_micro * 1000)"
+                " div (CAST(s_total AS DECIMAL(38,0)) * avail_tokens)"
+                " AS BIGINT)"
+            ).alias("epochs_milli"),
+        )
+    )
