@@ -2,7 +2,8 @@
 ``sim_search_topk`` + scale-path extension ``sim_search_lsh``).
 
 North-star mandate: approximate-nearest-neighbor over an
-``array<float>`` embedding column.  Two tiers:
+``array<float>`` embedding column.  The full ANN ladder (r15), cheapest
+index to richest:
 
 - ``sim_search_topk`` — EXACT brute-force cosine top-k: one scan, a
   per-row dot product via higher-order ``zip_with``/``aggregate``
@@ -11,12 +12,27 @@ North-star mandate: approximate-nearest-neighbor over an
   (per-task k-row heap + driver merge — no global sort, no shuffle of
   the full table).  At 100 TB this is the honest scan-bound baseline:
   cost = one pass over the vectors, perfectly parallel.
-- ``sim_search_lsh`` — the ANN scale path: random-hyperplane LSH
-  (Charikar) bucket index; the probe is compared only against vectors
-  whose signature falls in the probe's bucket.  Bucketing is an
-  equi-filter (at scale: an equi-JOIN on bucket id for batched probes,
-  or a bucketed/partitioned table so Catalyst prunes partitions), so
-  the quadratic never materializes and the scan shrinks by ~2^bits.
+- ``sim_search_hamming_rerank`` — the 1-BIT tier: sign-bit binary
+  sketches (8 B/vector), integer Hamming pool, exact re-rank — still a
+  full scan, but the cheapest per-candidate comparison in the family.
+- ``sim_search_lsh*`` — random-hyperplane LSH (Charikar) bucket index;
+  the probe is compared only against vectors whose signature falls in
+  the probe's bucket.  Bucketing is an equi-filter (at scale: an
+  equi-JOIN on bucket id for batched probes, or a bucketed/partitioned
+  table so Catalyst prunes partitions), so the quadratic never
+  materializes and the scan shrinks by ~2^bits; multi-probe Hamming-1
+  fan-out is the recall knob.
+- ``sim_search_ivf*`` — inverted-file coarse quantization (seed and
+  k-means-trained centroids; in-plan lists or a cid-partitioned
+  parquet index with PartitionFilters I/O pruning).
+- ``sim_search_ivfpq*`` — IVF + product quantization (8×16 codes, 32×
+  compression, ADC lookup scan, exact re-rank) under cosine / dot /
+  L2 metrics.
+
+Every tier returns EXACT full-precision scores for its survivors —
+recall is the only degrading axis (the repo-wide ANN contract) — and
+every index path is integer-exact, so the whole family is
+DuckDB-oracle-checked end to end (r14–r15).
 
 Deterministic throughout: hyperplanes are pseudo-random ±1 vectors
 derived from fixed-seed ``xxhash64(bit_index, dim_index)`` — no RNG
