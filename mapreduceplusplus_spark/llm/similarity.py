@@ -1026,8 +1026,16 @@ _IVF_KMEANS_ORACLE = f"""
                row_number() OVER (
                  ORDER BY CAST(d.dq AS DOUBLE) / n.cnorm DESC, d.cid) AS rn
         FROM (SELECT c.cid, CAST(sum(e.xq * c.cq) AS BIGINT) AS dq
-              FROM E e JOIN C2 c ON c.dim = e.dim
-              WHERE e.vec_id = {PROBE_ID}
+              -- DISTINCT: on a physically row-duplicated corpus
+              -- (replication fixtures) the probe's E rows repeat and
+              -- would scale dq by the replication factor, while the
+              -- Spark side ranks from the single deduped probe row —
+              -- uniform scaling preserves order except at ulp-level
+              -- ties, so rank from identical unscaled integers
+              -- (ADVICE r15)
+              FROM (SELECT DISTINCT dim, xq FROM E
+                    WHERE vec_id = {PROBE_ID}) e
+              JOIN C2 c ON c.dim = e.dim
               GROUP BY c.cid) d
         JOIN (SELECT cid,
                      CASE WHEN sum(cq * cq) = 0 THEN 1.0
@@ -1361,14 +1369,23 @@ def _ivfpq_oracle(metric: str) -> str:
             WHERE vec_id >= {IVF_CENTROIDS}
               AND vec_id < {IVF_CENTROIDS + PQ_K})
     ),
+    NSEED AS (SELECT count(*) AS n FROM seeds),
+    -- m < PQ_M clamp (ADVICE r15): when d is not a multiple of PQ_M
+    -- the Spark
+    -- encoder's F.slice covers only the first PQ_M*sub dims; without
+    -- the clamp the trailing dims would fold into an out-of-range
+    -- m = PQ_M subspace here and the two sides would compute
+    -- different ADC pools
     CB AS (
       SELECT s.k, (e.dim - 1) // g.sub AS m, (e.dim - 1) % g.sub AS i,
              e.xq AS cq
       FROM E e JOIN seeds s ON s.vec_id = e.vec_id CROSS JOIN DGEOM g
+      WHERE (e.dim - 1) // g.sub < {PQ_M}
     ),
     PE AS (
       SELECT (dim - 1) // g.sub AS m, (dim - 1) % g.sub AS i, xq
-      FROM E CROSS JOIN DGEOM g WHERE vec_id = {PROBE_ID}
+      FROM E CROSS JOIN DGEOM g
+      WHERE vec_id = {PROBE_ID} AND (dim - 1) // g.sub < {PQ_M}
     ),
     LUT AS (
       SELECT cb.m, cb.k,
@@ -1383,6 +1400,7 @@ def _ivfpq_oracle(metric: str) -> str:
              (e.dim - 1) % g.sub AS i, e.xq
       FROM E e JOIN asg a ON a.vec_id = e.vec_id CROSS JOIN DGEOM g
       WHERE a.cid IN (SELECT cid FROM pc) AND e.vec_id <> {PROBE_ID}
+        AND (e.dim - 1) // g.sub < {PQ_M}
     ),
     DIST AS (
       SELECT cv.vec_id, cv.m, cb.k,
@@ -1408,10 +1426,20 @@ def _ivfpq_oracle(metric: str) -> str:
       SELECT vec_id FROM ADC{pn_join}
       ORDER BY {adc_key}, vec_id LIMIT {PQ_RERANK}
     ),
+    -- degrade mirror (ADVICE r15): with fewer than PQ_K codebook
+    -- seeds the Spark engine falls back to an EXACT full scan
+    -- (_ivfpq_search's len(seeds) < PQ_K branch); gate on the same
+    -- seed-count scalar so both sides pick the same pool
     cand AS (
       SELECT e.vec_id, e.label, {exact} AS c
       FROM embeddings e JOIN POOL po ON po.vec_id = e.vec_id
       CROSS JOIN probe p
+      WHERE (SELECT n FROM NSEED) >= {PQ_K}
+      UNION ALL
+      SELECT e.vec_id, e.label, {exact} AS c
+      FROM embeddings e CROSS JOIN probe p
+      WHERE e.vec_id <> {PROBE_ID}
+        AND (SELECT n FROM NSEED) < {PQ_K}
     )
     SELECT vec_id, label, round(c, 3) + 0 AS {col},
            CAST(row_number() OVER (

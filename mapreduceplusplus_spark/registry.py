@@ -214,16 +214,27 @@ _PRIORITY_ORDER = [
     # shape, the duplication governance report, the token-budget
     # corpus planner, and the mixture temperature-weights sampler.
     #
-    # Rotation plan for r16/r17 (VERDICT r14 #2 — get driver rows onto
-    # the r14 rows-only→oracle conversions, most load-bearing first):
-    #   r16: dedup_simhash, sim_search_lsh_batch,
-    #        sim_search_ivf_partitioned, graph_kcore
+    # r15 rotated tpch_q21_waiting_suppliers, dq_duplication_report,
+    # corpus_token_budget_plan, mixture_temperature_weights — all
+    # hash-green in CORRECTNESS_r15 (second consecutive 50/50
+    # all-green driver file).  r16 rotates in the four rows the
+    # committed r16 plan (and the r15 verdict #3) named — the r14
+    # rows-only→oracle conversions, most load-bearing first:
+    # the SimHash near-dup banding, the batched LSH top-k, the
+    # partition-pruned persisted-IVF probe, and the iterative k-core
+    # decomposition.
+    #
+    # Rotation plan for r17/r18 (VERDICT r15 #3/#4):
     #   r17: dedup_incremental_ingest_near, agg_hll_sketch_merge,
-    #        agg_approx_quantile, agg_count_min_sketch
+    #        agg_approx_quantile, stream_session_window_dynamic_gap
+    #        (the last is the only §2.B CORE row never externally
+    #        hashed — VERDICT r15 Missing #2 — so it takes the fourth
+    #        slot ahead of agg_count_min_sketch)
+    #   r18: agg_count_min_sketch, then the r15/r16 additions and
+    #        conversions: dedup_boilerplate_lines,
+    #        sim_search_triplet_mining_lsh, sim_search_recall_curve
     # Remaining never-checked oracle-bearing candidates after that
-    # (r18+): the r15 additions and conversions first —
-    # dedup_boilerplate_lines, sim_search_triplet_mining_lsh,
-    # sim_search_ivf_kmeans, sim_search_hamming_rerank (then
+    # (r19+): sim_search_ivf_kmeans, sim_search_hamming_rerank (then
     # dedup_boilerplate_scrub, sim_search_ivfpq,
     # sim_search_ivfpq_dot, sim_search_ivfpq_l2) — then the standing
     # tail: sim_search_lsh, sim_search_lsh_multiprobe, sim_search_ivf,
@@ -234,10 +245,10 @@ _PRIORITY_ORDER = [
     # sql_passthrough_q1, pack_concat_chunks, scd2_build_validity,
     # window_gaps_islands, text_char_entropy,
     # agg_listagg_within_group.
-    "tpch_q21_waiting_suppliers",
-    "dq_duplication_report",
-    "corpus_token_budget_plan",
-    "mixture_temperature_weights",
+    "dedup_simhash",
+    "sim_search_lsh_batch",
+    "sim_search_ivf_partitioned",
+    "graph_kcore",
 ]
 
 _loaded = False
