@@ -69,6 +69,11 @@ SF1_QUERIES = [
     # (BENCH_SF1_r15 was recorded before these landed)
     "dedup_boilerplate_scrub",
     "sim_search_hamming_rerank",
+    # r16 additions (VERDICT r15 #7: the r15 □→○ conversions lacked a
+    # genuine-cardinality point — replication fixtures can't grow
+    # centroid/codebook occupancy, sf1's 10× corpus does)
+    "sim_search_ivf_kmeans",
+    "sim_search_ivfpq",
 ]
 
 

@@ -2240,19 +2240,164 @@ def sim_search_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT full-precision cosine (the repo-wide ANN contract: recall is
     the only degrading axis, never score fidelity).
 
+    EXECUTED PLAN (r16 — VERDICT r15 #5, the packed-BIGINT layout the
+    r15 docstring promised): the sign bits are PACKED into BIGINT
+    words — one per 64 dims — in a write-once persisted SKETCH STORE
+    (``_memo_index_dir`` protocol, same as the MinHash band index),
+    and each probe scans ONLY the store: ``bit_count(word XOR
+    probe_word)`` summed per row, TakeOrderedAndProject pool, then a
+    {HAMMING_POOL}-row broadcast join back to the full-precision
+    vectors for the exact re-rank.  At 100 TB that split is the whole
+    point: the recurring per-probe scan touches ~8 B/vector (the
+    sketch) instead of 256 B (the floats) — a ~30× I/O cut — and the
+    float table is read only for the bounded re-rank pool; the store
+    build is a one-time batch job.  ``_hamming_rerank_zipwith`` keeps
+    the storeless logical form (one zip_with fold over the float
+    scan); the pin suite asserts the two are row-identical and the
+    bench compares their per-candidate scan cost.
+
     Determinism is structural: the sign test compares the SAME parquet
-    double against zero on both engines (no arithmetic at all before
-    the comparison), the Hamming count is an integer, ties break on
-    vec_id, and the re-rank uses the shared micro-quantized rank.  The
-    logical form here counts per-dimension sign disagreements via one
-    ``zip_with`` fold over the probe broadcast; the physical 100 TB
-    form packs the bits into BIGINT words at ingest and scans
-    ``bit_count(a XOR b)`` per word — a pure storage-layout choice
-    under the identical contract (same pool, same re-rank).  One scan,
-    1-row broadcast, TakeOrderedAndProject pool, {HAMMING_POOL}-row
-    exact re-rank: the cheapest-per-candidate full-corpus scan in the
-    family.  Reference heritage: none (SURVEY §2 charter extension,
-    similarity family)."""
+    double against zero in the packer, the zip_with form, and the
+    DuckDB oracle (no arithmetic before the comparison); the Hamming
+    count is an integer; ties break on vec_id; and the re-rank uses
+    the shared micro-quantized rank.  Reference heritage: none (SURVEY
+    §2 charter extension, similarity family)."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    # bounded 1-row probe fetch: the probe's packed words become plan
+    # literals (at 100 TB this is an 8 B/word key lookup, not a scan)
+    probe_rows = (
+        emb.where(F.col("vec_id") == PROBE_ID).select("v").limit(1).collect()
+    )
+    if not probe_rows:
+        # no probe vector (empty corpus) — the storeless form returns
+        # the correctly-shaped empty frame without building a store
+        return _hamming_rerank_zipwith(spark, sf_dir)
+    pv = [float(x) for x in probe_rows[0][0]]
+    pwords = _pack_sign_words_py(pv)
+
+    from mapreduceplusplus_spark.llm.dedup import _memo_index_dir
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _embeddings_fingerprint(sf_dir),
+    )
+
+    def _build(d: str) -> None:
+        (
+            emb.select(
+                "vec_id", "label", _pack_sign_words(F.col("v")).alias("words")
+            )
+            # the sketch is ~8 B/vector — keep the file count small so
+            # the per-probe scan lists O(1) files at fixture scale (at
+            # 100 TB size the task count to healthy parquet splits)
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+
+    sketch_dir = _memo_index_dir(
+        _HAMMING_SKETCH_CACHE, key, "hamming_sketch", sf_dir, _build
+    )
+    sk = spark.read.schema(
+        "vec_id BIGINT, label INT, words ARRAY<BIGINT>"
+    ).parquet(sketch_dir)
+    pw_lit = F.array(*[F.lit(w).cast("long") for w in pwords])
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("words"),
+            pw_lit,
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        sk.where(F.col("vec_id") != PROBE_ID)
+        .select("vec_id", "label", ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id"))
+        .limit(HAMMING_POOL)
+    )
+    # exact re-rank: fetch full-precision vectors for the bounded pool
+    # (broadcast the ≤HAMMING_POOL-row pool into the float table)
+    pv_lit = F.array(*[F.lit(x) for x in pv])
+    scored = (
+        emb.select("vec_id", "v")
+        .join(F.broadcast(pool), "vec_id")
+        .withColumn("c", _dot(F.col("v"), pv_lit) / (_norm(F.col("v")) * _norm(pv_lit)))
+    )
+    mc = F.round(F.lit(1000000) * F.col("c")).cast("bigint")
+    topk = scored.orderBy(mc.desc(), F.col("vec_id")).limit(TOP_K)
+    w = Window.orderBy(mc.desc(), F.col("vec_id"))
+    return topk.select(
+        "vec_id",
+        "label",
+        F.col("hamming").cast("bigint").alias("hamming"),
+        (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+#: memoized on-disk packed-sign-bit sketch stores, keyed and
+#: lifecycle-managed exactly like the MinHash band index (atomic
+#: tmp+rename build, _COMPLETE marker, memo revalidation, TTL GC)
+_HAMMING_SKETCH_CACHE: dict[tuple[str, str, tuple], str] = {}
+
+#: powers of two for the sign-bit packer — entry i is the i-th bit of
+#: a 64-bit word as a SIGNED long (bit 63 is the long's sign bit; XOR
+#: and bit_count operate on the bit pattern, so the sign is harmless)
+_POW2_SIGNED = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def _pack_sign_words(v: Column) -> Column:
+    """``array<double>`` → ``array<bigint>``: one 64-bit word per 64
+    dims, bit i of word w set iff ``v[w*64 + i] > 0`` — the identical
+    sign test the zip_with form and the DuckDB oracle run (no
+    arithmetic before the comparison, so packing cannot diverge)."""
+    pow2 = F.array(*[F.lit(x).cast("long") for x in _POW2_SIGNED])
+    nwords = F.ceil(F.size(v) / F.lit(64.0)).cast("int")
+    packed = F.transform(
+        F.sequence(F.lit(0), nwords - F.lit(1)),
+        lambda w: F.aggregate(
+            F.transform(
+                F.slice(v, w * F.lit(64) + F.lit(1), 64),
+                lambda x, i: F.when(
+                    x > 0, F.element_at(pow2, i + F.lit(1))
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc.bitwiseOR(b),
+        ),
+    )
+    # guard zero-length vectors: sequence(0, -1) would DESCEND
+    return F.when(F.size(v) > 0, packed).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def _pack_sign_words_py(v: list[float]) -> list[int]:
+    """Driver-side twin of ``_pack_sign_words`` for the probe literal:
+    same sign test on the same IEEE doubles, signed-64 word values."""
+    words = []
+    for w in range(0, len(v), 64):
+        u = 0
+        for i, x in enumerate(v[w : w + 64]):
+            if x > 0:
+                u |= 1 << i
+        words.append(u - (1 << 64) if u >= (1 << 63) else u)
+    return words
+
+
+def _hamming_rerank_zipwith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORELESS logical form of ``sim_search_hamming_rerank`` —
+    per-dimension sign disagreements via one zip_with fold over the
+    float scan against a 1-row probe broadcast.  Kept (unregistered)
+    as the row-identity pin target for the packed-BIGINT executed
+    plan, as the empty-corpus fallback, and as the per-candidate cost
+    baseline the bench compares the sketch scan against."""
     ensure_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
@@ -2290,3 +2435,255 @@ def sim_search_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-ladder recall / scan-cost characterization (r16 — VERDICT r15 #6)
+# ---------------------------------------------------------------------------
+
+from mapreduceplusplus_spark.registry import ORACLES as _ORACLES_SO_FAR
+
+#: the multiprobe bucket-set SQL fragment (probe's own bucket + the
+#: LSH_BITS Hamming-1 flips) — same literal the multiprobe oracle uses
+_MP_BSET = ", ".join(
+    ["pb.pb"] + [f"xor(pb.pb, {1 << i})" for i in range(LSH_BITS)]
+)
+
+#: the IVF coarse gate (cents → probe → assignment argmax → nprobe
+#: pick) as a census subquery: the vec_ids whose list the probe scans.
+#: Same device as _IVF_ORACLE's asg/pc CTEs.
+_IVF_GATE_CENSUS_SQL = f"""
+      SELECT count(*) AS cand FROM (
+        WITH cents AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+        ),
+        probe AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings
+          WHERE vec_id = {PROBE_ID}
+        ),
+        ac AS (
+          SELECT e.vec_id, c.cid,
+                 CAST(round(1000000 * list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), c.cv)) AS BIGINT) AS mc
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY mc DESC, cid) AS rn
+            FROM ac) WHERE rn = 1
+        ),
+        pc AS (
+          SELECT cid FROM (
+            SELECT c.cid,
+                   row_number() OVER (
+                     ORDER BY CAST(round(1000000 * list_cosine_similarity(
+                       c.cv, p.pv)) AS BIGINT) DESC, c.cid) AS rn
+            FROM cents c CROSS JOIN probe p) WHERE rn <= {IVF_NPROBE}
+        )
+        SELECT a.vec_id FROM asg a
+        WHERE a.cid IN (SELECT cid FROM pc) AND a.vec_id <> {PROBE_ID}
+      ) ivf_gate
+"""
+
+_RECALL_CURVE_ORACLE = f"""
+    WITH exact_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_topk"]}) x),
+    ham_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_hamming_rerank"]}) x),
+    lsh_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_lsh"]}) x),
+    mp_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_lsh_multiprobe"]}) x),
+    ivf_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_ivf"]}) x),
+    pq_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_ivfpq"]}) x),
+    N AS (SELECT count(*) AS n FROM embeddings WHERE vec_id <> {PROBE_ID}),
+    LSHC AS (
+      SELECT count(*) AS cand FROM (
+        WITH {LSH_BUCKET_CTE},
+        pb AS (SELECT bucket AS pb FROM bucket WHERE vec_id = {PROBE_ID})
+        SELECT b.vec_id FROM bucket b CROSS JOIN pb
+        WHERE b.bucket = pb.pb AND b.vec_id <> {PROBE_ID}
+      ) lsh_gate
+    ),
+    MPC AS (
+      SELECT count(*) AS cand FROM (
+        WITH {LSH_BUCKET_CTE},
+        pb AS (SELECT bucket AS pb FROM bucket WHERE vec_id = {PROBE_ID})
+        SELECT b.vec_id FROM bucket b CROSS JOIN pb
+        WHERE b.bucket IN ({_MP_BSET}) AND b.vec_id <> {PROBE_ID}
+      ) mp_gate
+    ),
+    IVFC AS ({_IVF_GATE_CENSUS_SQL})
+    SELECT tier, hits,
+           round(hits / {TOP_K}.0, 3) + 0 AS recall_at_k,
+           cand_ranked,
+           round(cand_ranked / n, 4) + 0 AS frac_ranked,
+           cand_exact,
+           round(cand_exact / n, 4) + 0 AS frac_exact,
+           CAST(n AS BIGINT) AS corpus_n
+    FROM (
+      SELECT 'exact' AS tier,
+             (SELECT count(*) FROM exact_ids) AS hits,
+             n AS cand_ranked, n AS cand_exact, n FROM N
+      UNION ALL
+      SELECT 'hamming',
+             (SELECT count(*) FROM ham_ids JOIN exact_ids USING (vec_id)),
+             n, LEAST({HAMMING_POOL}, n), n FROM N
+      UNION ALL
+      SELECT 'lsh',
+             (SELECT count(*) FROM lsh_ids JOIN exact_ids USING (vec_id)),
+             (SELECT cand FROM LSHC), (SELECT cand FROM LSHC), n FROM N
+      UNION ALL
+      SELECT 'lsh_multiprobe',
+             (SELECT count(*) FROM mp_ids JOIN exact_ids USING (vec_id)),
+             (SELECT cand FROM MPC), (SELECT cand FROM MPC), n FROM N
+      UNION ALL
+      SELECT 'ivf',
+             (SELECT count(*) FROM ivf_ids JOIN exact_ids USING (vec_id)),
+             (SELECT cand FROM IVFC), (SELECT cand FROM IVFC), n FROM N
+      UNION ALL
+      SELECT 'ivfpq',
+             (SELECT count(*) FROM pq_ids JOIN exact_ids USING (vec_id)),
+             (SELECT cand FROM IVFC),
+             LEAST({PQ_RERANK}, (SELECT cand FROM IVFC)), n FROM N
+    ) tiers
+    ORDER BY tier
+    """
+
+
+@query("sim_search_recall_curve", oracle=_RECALL_CURVE_ORACLE)
+def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-ladder ANN recall/cost curve (VERDICT r15 #6) — ONE query
+    emitting, per ANN tier at its standing knobs, recall@{TOP_K}
+    against the exact top-k plus the tier's scanned-candidate census:
+    the in-engine readout BASELINE.md's hand-maintained
+    characterization table previously approximated.
+
+    One row per tier — exact, hamming (1-bit sketch), lsh
+    (single-probe), lsh_multiprobe (Hamming-1), ivf (seed-centroid,
+    nprobe {IVF_NPROBE}/{IVF_CENTROIDS}), ivfpq (8×16 codes, re-rank
+    {PQ_RERANK}) — with:
+
+    - ``hits`` / ``recall_at_k``: |tier top-k ∩ exact top-k| / k,
+      the standard recall@k over the SAME probe and corpus;
+    - ``cand_ranked`` / ``frac_ranked``: rows the tier's CHEAP ranking
+      stage touches (hamming scans every sketch; LSH scans its
+      bucket(s); IVF/PQ scan the probed lists — the ADC pass);
+    - ``cand_exact`` / ``frac_exact``: rows scored at FULL precision
+      (LSH/IVF exact-score every candidate; hamming and PQ re-rank a
+      bounded pool).
+
+    The tier top-ks are the REGISTERED tier plans composed as
+    sub-plans (not re-derivations), so the curve can never drift from
+    what the tiers actually return; censuses reuse each tier's own
+    gate device (bucket equality, multiprobe bucket set, IVF
+    assignment argmax + nprobe pick).  At 100 TB every component is
+    the tier's own bounded scan + a {TOP_K}-row join — the curve costs
+    one extra pass over the gates, no new shuffle.  This is the
+    recall-vs-cost governance readout an ANN deployment tunes its
+    knobs from (nprobe, bits, re-rank depth).  Reference heritage:
+    none (SURVEY §2 charter extension, similarity family)."""
+    from functools import reduce as _red
+
+    ensure_utc(spark)
+    # the IVF gate raises loudly on an empty/probe-less corpus — do it
+    # FIRST so the whole curve has one deterministic empty contract
+    assigned, _probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_df = emb.where(F.col("vec_id") != PROBE_ID).agg(
+        F.count("*").alias("n")
+    )
+    exact_ids = sim_search_topk(spark, sf_dir).select("vec_id")
+
+    # --- per-tier gate censuses (1-row aggregates) ---
+    embv = emb.select("vec_id", _as_double("embedding").alias("v"))
+    buck = embv.select(
+        "vec_id", lsh_signature(F.col("v")).alias("bucket")
+    )
+    pb1 = buck.where(F.col("vec_id") == PROBE_ID).select(
+        F.array(F.col("bucket")).alias("pbs")
+    )
+    pbm = buck.where(F.col("vec_id") == PROBE_ID).select(
+        F.array(*_probe_bucket_set(F.col("bucket"))).alias("pbs")
+    )
+
+    def _bucket_census(pb: DataFrame) -> DataFrame:
+        return (
+            buck.where(F.col("vec_id") != PROBE_ID)
+            # broadcast-safe: probe bucket set is a single row
+            .crossJoin(F.broadcast(pb))
+            .where(F.array_contains(F.col("pbs"), F.col("bucket")))
+            .agg(F.count("*").alias("cand"))
+        )
+
+    lsh_census = _bucket_census(pb1)
+    mp_census = _bucket_census(pbm)
+    ivf_census = assigned.where(
+        F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
+    ).agg(F.count("*").alias("cand"))
+    n_as_census = n_df.select(F.col("n").alias("cand"))
+
+    def _least(census: DataFrame, cap: int) -> DataFrame:
+        return census.select(
+            F.least(F.lit(cap).cast("long"), F.col("cand")).alias("cand")
+        )
+
+    tiers = [
+        ("exact", exact_ids, n_as_census, n_as_census),
+        (
+            "hamming",
+            sim_search_hamming_rerank(spark, sf_dir).select("vec_id"),
+            n_as_census,
+            _least(n_as_census, HAMMING_POOL),
+        ),
+        (
+            "lsh",
+            sim_search_lsh(spark, sf_dir).select("vec_id"),
+            lsh_census,
+            lsh_census,
+        ),
+        (
+            "lsh_multiprobe",
+            sim_search_lsh_multiprobe(spark, sf_dir).select("vec_id"),
+            mp_census,
+            mp_census,
+        ),
+        (
+            "ivf",
+            sim_search_ivf(spark, sf_dir).select("vec_id"),
+            ivf_census,
+            ivf_census,
+        ),
+        (
+            "ivfpq",
+            sim_search_ivfpq(spark, sf_dir).select("vec_id"),
+            ivf_census,
+            _least(ivf_census, PQ_RERANK),
+        ),
+    ]
+    rows = []
+    for name, ids, cr_df, ce_df in tiers:
+        hits = ids.join(exact_ids, "vec_id").agg(F.count("*").alias("hits"))
+        rows.append(
+            # all 1-row frames — pure literal-grid fuses, no data join
+            hits.crossJoin(cr_df.select(F.col("cand").alias("cr")))
+            .crossJoin(ce_df.select(F.col("cand").alias("ce")))
+            .crossJoin(n_df)
+            .select(
+                F.lit(name).alias("tier"),
+                F.col("hits").cast("bigint").alias("hits"),
+                (
+                    F.round(F.col("hits") / F.lit(float(TOP_K)), 3)
+                    + F.lit(0.0)
+                ).alias("recall_at_k"),
+                F.col("cr").cast("bigint").alias("cand_ranked"),
+                (F.round(F.col("cr") / F.col("n"), 4) + F.lit(0.0)).alias(
+                    "frac_ranked"
+                ),
+                F.col("ce").cast("bigint").alias("cand_exact"),
+                (F.round(F.col("ce") / F.col("n"), 4) + F.lit(0.0)).alias(
+                    "frac_exact"
+                ),
+                F.col("n").cast("bigint").alias("corpus_n"),
+            )
+        )
+    return _red(DataFrame.unionByName, rows).orderBy("tier")

@@ -50,6 +50,8 @@ EMPTY_RAISES = {
     "sim_search_ivfpq",
     "sim_search_ivfpq_dot",
     "sim_search_ivfpq_l2",
+    # r16 cross-ladder curve — calls _ivf_seed_lists first, by design
+    "sim_search_recall_curve",
 }
 
 #: queries the first empty-input sweep caught real bugs in (fixed) —

@@ -2025,6 +2025,94 @@ def test_ivfpq_small_corpus_degrade_matches_oracle(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_hamming_packed_plan_rowidentical_to_zipwith(spark):
+    """VERDICT r15 #5: the packed-BIGINT sketch form is now the
+    EXECUTED plan of sim_search_hamming_rerank.  Pins: (a) row-identity
+    against the storeless zip_with logical form — the sign test, pool,
+    and exact re-rank are the same math, so the layouts must agree
+    exactly; (b) the executed plan really scans the 8 B/vector sketch
+    store and ranks with bit_count(XOR), not the float fold; (c) the
+    driver-side probe packer agrees with the Spark packer bit for
+    bit."""
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.llm import similarity as S
+    from tests.conftest import SF_DIR_ORACLE
+
+    packed_df = registry.queries()["sim_search_hamming_rerank"](
+        spark, SF_DIR_ORACLE
+    )
+    packed = sorted(map(tuple, packed_df.collect()))
+    zipw = sorted(
+        map(tuple, S._hamming_rerank_zipwith(spark, SF_DIR_ORACLE).collect())
+    )
+    assert packed == zipw
+    assert len(packed) == S.TOP_K
+
+    plan = packed_df._jdf.queryExecution().executedPlan().toString()
+    assert "hamming_sketch" in plan, f"sketch store not scanned:\n{plan}"
+    assert "bit_count" in plan, f"ranking is not bit_count(XOR):\n{plan}"
+
+    # (c) packer parity: Spark words == driver words on every vector
+    rows = (
+        spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet")
+        .select(
+            "vec_id",
+            S._pack_sign_words(
+                S._as_double("embedding")
+            ).alias("words"),
+            S._as_double("embedding").alias("v"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert list(r.words) == S._pack_sign_words_py(
+            [float(x) for x in r.v]
+        ), r.vec_id
+
+
+def test_recall_curve_consistent_with_tiers(spark):
+    """sim_search_recall_curve (r16) composes the REGISTERED tier
+    plans, so its recall numbers must agree with recomputing the
+    overlap from the tier queries directly; structural pins: exact
+    tier recall 1.0 and full-corpus census, hamming exact pool capped
+    at HAMMING_POOL, every fraction in [0, 1], censuses within corpus
+    bounds."""
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.llm import similarity as S
+    from tests.conftest import SF_DIR_ORACLE
+
+    qs = registry.queries()
+    curve = {
+        r.tier: r for r in qs["sim_search_recall_curve"](
+            spark, SF_DIR_ORACLE
+        ).collect()
+    }
+    assert set(curve) == {
+        "exact", "hamming", "lsh", "lsh_multiprobe", "ivf", "ivfpq"
+    }
+    exact_ids = {
+        r.vec_id for r in qs["sim_search_topk"](spark, SF_DIR_ORACLE).collect()
+    }
+    n = curve["exact"].corpus_n
+    assert curve["exact"].hits == S.TOP_K
+    assert curve["exact"].recall_at_k == 1.0
+    assert curve["exact"].cand_ranked == curve["exact"].cand_exact == n
+    assert curve["hamming"].cand_exact == min(S.HAMMING_POOL, n)
+    for tier, qname in [
+        ("hamming", "sim_search_hamming_rerank"),
+        ("lsh", "sim_search_lsh"),
+        ("ivf", "sim_search_ivf"),
+        ("ivfpq", "sim_search_ivfpq"),
+    ]:
+        ids = {r.vec_id for r in qs[qname](spark, SF_DIR_ORACLE).collect()}
+        assert curve[tier].hits == len(ids & exact_ids), tier
+    for r in curve.values():
+        assert 0.0 <= r.recall_at_k <= 1.0, r
+        assert 0 <= r.cand_exact <= r.cand_ranked <= n, r
+        assert 0.0 <= r.frac_exact <= r.frac_ranked <= 1.0, r
+
+
 def test_url_canonicalization_matches_python_reference(spark):
     """The dedup_url_canonical string surgery against a THIRD,
     independent implementation (pure Python) on adversarial raw URLs
