@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_boilerplate_lines",  # per-domain CCNet boilerplate df gate (r15)
     "sim_search_triplet_mining_lsh",  # ANN-gated hard-negative mining (r15)
     "sim_search_hamming_rerank",  # 1-bit binary-sketch pool + exact rerank (r15)
+    "sim_search_recall_curve",  # cross-ladder recall/cost readout, 6 tiers (r16)
 ]
 
 
