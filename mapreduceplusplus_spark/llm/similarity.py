@@ -2326,6 +2326,9 @@ def sim_search_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv_lit = F.array(*[F.lit(x) for x in pv])
     scored = (
         emb.select("vec_id", "v")
+        # broadcast-safe: pool is LIMIT HAMMING_POOL (<=40 rows by
+        # construction) — a constant-bounded candidate set regardless
+        # of corpus size
         .join(F.broadcast(pool), "vec_id")
         .withColumn("c", _dot(F.col("v"), pv_lit) / (_norm(F.col("v")) * _norm(pv_lit)))
     )

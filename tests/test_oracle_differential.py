@@ -79,7 +79,14 @@ def test_rotation_slots_are_fresh_oracle_bearing():
     recorded: set[str] = set()
     for p in files:
         if p.exists():
-            recorded |= set(json.loads(p.read_text()).keys())
+            # a row only counts as driver evidence if the driver actually
+            # ran the oracle comparison — 'no_oracle' placeholders from
+            # rounds BEFORE a query's □→○ conversion (e.g. dedup_simhash's
+            # r2/r4 rows-only rows, oracle since r14) never checked the
+            # hash, which is exactly what a rotation slot exists to do
+            for name, row in json.loads(p.read_text()).items():
+                if row.get("err") != "no_oracle":
+                    recorded.add(name)
     assert recorded, "no CORRECTNESS_r*.json committed — driver contract changed?"
     slots = registry._PRIORITY_ORDER[46:50]
     assert len(slots) == 4, f"rotation slots missing: {slots}"
