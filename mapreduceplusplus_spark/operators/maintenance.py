@@ -145,3 +145,75 @@ def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_COMPACTION_SQL)
+
+
+def _skew_block(rel: str, key: str, tag: str) -> str:
+    """Per-(relation, key-column) skew-audit CTE chain: key counts →
+    1-row stats → deterministic heaviest key (smallest id on ties) →
+    one report row.  ``skew_ppm`` = max_cnt / mean_cnt in parts per
+    million and ``salt_factor`` = ceil(max_cnt / mean_cnt) — the
+    number of salt buckets that levels the heaviest key to the mean —
+    both exact in DOUBLE at any realistic cardinality (max_cnt·n_keys
+    ≤ n_rows² and the fixture/production ratios stay far inside
+    2^53)."""
+    return f"""
+    c{tag} AS (SELECT {key} AS k, count(*) AS cnt
+               FROM {rel} GROUP BY {key}),
+    s{tag} AS (SELECT count(*) AS nk, CAST(sum(cnt) AS BIGINT) AS nr,
+                      max(cnt) AS mx FROM c{tag}),
+    h{tag} AS (SELECT min(k) AS hk FROM c{tag} CROSS JOIN s{tag}
+               WHERE c{tag}.cnt = s{tag}.mx),
+    r{tag} AS (SELECT '{rel}' AS rel, '{key}' AS key_col,
+                      nr AS n_rows, nk AS n_keys, mx AS max_cnt,
+                      CAST(hk AS BIGINT) AS heavy_key,
+                      CAST(floor(mx * 1000000.0 * nk / nr) AS BIGINT)
+                        AS skew_ppm,
+                      CAST(ceil(mx * 1.0 * nk / nr) AS BIGINT)
+                        AS salt_factor
+               FROM s{tag} CROSS JOIN h{tag})"""
+
+
+#: the shuffle keys the engine's heavy joins/aggs actually hash on —
+#: the relations a skew audit must clear before a 100 TB run
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey", "a"),
+    ("lineitem", "l_suppkey", "b"),
+    ("orders", "o_custkey", "c"),
+    ("events", "user_id", "d"),
+]
+
+_SKEW_SQL = (
+    "WITH "
+    + ",".join(_skew_block(r, k, t) for r, k, t in _SKEW_KEYS)
+    + "\n    "
+    + "\n    UNION ALL ".join(f"SELECT * FROM r{t}" for _, _, t in _SKEW_KEYS)
+)
+
+
+@query("dq_skew_report", oracle=_SKEW_SQL)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit (r16) — the governance readout a 100 TB
+    job reads BEFORE picking its skew mitigations: for every key
+    column the engine's heavy joins/aggs hash-partition on, one row
+    with the key-space size, the heaviest key and its count, the
+    max/mean skew ratio in exact ppm, and the salt factor that would
+    level the heaviest key to the mean (``ceil(max_cnt/mean_cnt)`` —
+    1 means "no salting needed"; the AQE skew-join threshold and the
+    ``F.rand``-salt fan-out of ``join_skew_salted`` are both sized
+    from exactly this number).
+
+    Plan shape per audited key: ONE hash aggregation (map-side combine
+    absorbs the per-row count, the shuffle carries one partial row per
+    key per task), a 1-row stats reduce, and a 1-row CROSS JOIN fuse
+    to pick the deterministic heaviest key (min id on ties) — no
+    window over the key space, no driver loop, output = 4 rows.  The
+    audit costs one pass per relation regardless of skew; at 100 TB it
+    is the cheap precursor that decides whether the EXPENSIVE
+    mitigation (salting's 2nd shuffle) is worth paying anywhere.
+    Shared SQL text with the DuckDB oracle (dialect-intersection
+    arithmetic only).  Reference heritage: none (SURVEY §2 charter
+    extension, dq family)."""
+    ensure_utc(spark)
+    for rel in {r for r, _, _ in _SKEW_KEYS}:
+        load_table(spark, sf_dir, rel).createOrReplaceTempView(rel)
+    return spark.sql(_SKEW_SQL)

@@ -75,6 +75,7 @@ _QUERY_MODULES = [
     "mapreduceplusplus_spark.llm.packing",
     "mapreduceplusplus_spark.llm.embeddings",
     "mapreduceplusplus_spark.llm.bpe",
+    "mapreduceplusplus_spark.streaming.neardup",
 ]
 
 #: Explicit ordering for the driver-facing dicts.  The external

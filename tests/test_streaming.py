@@ -2137,3 +2137,126 @@ def test_stream_stream_full_outer_click_null_timing(spark, stream_dirs):
         ).alias("gap_sec"),
     )
     assert got == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_dedup_near_streaming_matches_batch(spark, stream_dirs):
+    """r16: the continuous-ingest near-dedup pipeline (foreachBatch
+    probe/append against the persisted band+shingle stores) produces
+    EXACTLY the registered ``stream_dedup_near`` batch replay — fed the
+    same documents in the same 3 micro-batches, the union of per-batch
+    reports equals the batch form row-for-row, including a near-pair
+    SPLIT ACROSS a micro-batch boundary (doc 425 vs doc 25) and the
+    greedy pairwise rule (doc 450 matches BOTH earlier T2 variants,
+    425's own 'drop' verdict notwithstanding)."""
+    import itertools
+    import os
+    import shutil
+    import tempfile
+
+    from mapreduceplusplus_spark.streaming.neardup import (
+        build_neardup_store,
+        stream_dedup_near,
+        streaming_neardup_pipeline,
+    )
+
+    words = ["".join(t) for t in itertools.product("abcdefghijkl", repeat=3)]
+
+    def chunk(k):
+        return words[k * 60 : (k + 1) * 60]
+
+    def variant(ws, repl):
+        v = list(ws)
+        v[-1] = repl
+        return v
+
+    T1, T2, T3 = chunk(0), chunk(1), chunk(2)
+    spare = words[-8:]
+    texts = {
+        # corpus (doc_id % 25 != 0)
+        1: chunk(3),
+        2: chunk(4),
+        3: T1,
+        4: chunk(5),
+        # stream (doc_id % 25 == 0); batch tiles of width 200
+        0: chunk(6),                # batch 0, unique -> keep
+        25: T2,                     # batch 0, first T2 -> keep
+        50: T3,                     # batch 0, first T3 -> keep
+        75: variant(T3, spare[0]),  # batch 0, in-batch dup vs 50
+        200: variant(T1, spare[1]),  # batch 1, dup vs CORPUS doc 3
+        425: variant(T2, spare[2]),  # batch 2, dup vs 25 (cross-boundary)
+        450: variant(T2, spare[3]),  # batch 2, dup vs 25 AND 425 (greedy)
+    }
+    rows = [
+        (i, " ".join(ws), "en", "synthetic", len(" ".join(ws)))
+        for i, ws in sorted(texts.items())
+    ]
+    doc_schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+    sf_tmp = tempfile.mkdtemp(prefix="neardup_sf_")
+    idx_tmp = tempfile.mkdtemp(prefix="neardup_idx_")
+    rep_tmp = os.path.join(tempfile.mkdtemp(prefix="neardup_rep_"), "report")
+    try:
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sf_tmp, "documents.parquet"))
+
+        # ---- registered batch replay (also oracle-checked by the
+        # differential suite on the standard fixture)
+        batch_rows = {
+            tuple(r) for r in stream_dedup_near(spark, sf_tmp).collect()
+        }
+        expected = {
+            (0, 0, 0, 0, "keep"),
+            (25, 0, 0, 0, "keep"),
+            (50, 0, 0, 0, "keep"),
+            (75, 0, 0, 1, "drop"),
+            (200, 1, 1, 0, "drop"),
+            (425, 2, 0, 1, "drop"),
+            (450, 2, 0, 2, "drop"),
+        }
+        assert batch_rows == expected
+
+        # ---- real streaming run: corpus store, then 3 micro-batches
+        corpus = spark.createDataFrame(
+            [(i, " ".join(texts[i])) for i in [1, 2, 3, 4]],
+            "doc_id BIGINT, text STRING",
+        )
+        build_neardup_store(spark, corpus, idx_tmp)
+
+        src, chk = stream_dirs
+        src = os.path.join(src, "neardup")
+        os.makedirs(src, exist_ok=True)
+        batches = [[0, 25, 50, 75], [200], [425, 450]]
+
+        def write_file(ids, n):
+            spark.createDataFrame(
+                [(i, " ".join(texts[i])) for i in ids],
+                "doc_id BIGINT, text STRING",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"b{n}")
+            )
+
+        write_file(batches[0], 0)
+        writer = streaming_neardup_pipeline(
+            spark, f"{src}/b*", "doc_id BIGINT, text STRING", idx_tmp, rep_tmp
+        )
+        q = writer.option(
+            "checkpointLocation", os.path.join(chk, "neardup")
+        ).start()
+        try:
+            q.processAllAvailable()
+            write_file(batches[1], 1)
+            q.processAllAvailable()
+            write_file(batches[2], 2)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        stream_rows = {
+            tuple(r) for r in spark.read.parquet(rep_tmp).collect()
+        }
+        assert stream_rows == batch_rows
+    finally:
+        shutil.rmtree(sf_tmp, ignore_errors=True)
+        shutil.rmtree(idx_tmp, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(rep_tmp), ignore_errors=True)
