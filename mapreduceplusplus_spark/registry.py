@@ -235,7 +235,9 @@ _PRIORITY_ORDER = [
     #        conversions: dedup_boilerplate_lines,
     #        sim_search_triplet_mining_lsh, sim_search_recall_curve
     # Remaining never-checked oracle-bearing candidates after that
-    # (r19+): sim_search_ivf_kmeans, sim_search_hamming_rerank (then
+    # (r19+): the late-r16 additions stream_dedup_near (the streaming
+    # family's only near-dup row) and dq_skew_report, then
+    # sim_search_ivf_kmeans, sim_search_hamming_rerank (then
     # dedup_boilerplate_scrub, sim_search_ivfpq,
     # sim_search_ivfpq_dot, sim_search_ivfpq_l2) — then the standing
     # tail: sim_search_lsh, sim_search_lsh_multiprobe, sim_search_ivf,
