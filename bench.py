@@ -89,6 +89,8 @@ HEADLINE = [
     "sim_search_triplet_mining_lsh",  # ANN-gated hard-negative mining (r15)
     "sim_search_hamming_rerank",  # 1-bit binary-sketch pool + exact rerank (r15)
     "sim_search_recall_curve",  # cross-ladder recall/cost readout, 6 tiers (r16)
+    "stream_dedup_near",  # continuous-ingest near-dedup, arrival-order semantic (r16)
+    "dq_skew_report",  # shuffle-key skew audit: heaviest key + salt factor (r16)
 ]
 
 

@@ -2260,3 +2260,34 @@ def test_stream_dedup_near_streaming_matches_batch(spark, stream_dirs):
         shutil.rmtree(sf_tmp, ignore_errors=True)
         shutil.rmtree(idx_tmp, ignore_errors=True)
         shutil.rmtree(os.path.dirname(rep_tmp), ignore_errors=True)
+
+
+def test_stream_dedup_near_plan_shape_and_ingest_consistency(spark):
+    """r16 plan + consistency pins for ``stream_dedup_near``: (a) the
+    executed plan has no CartesianProduct / BroadcastNestedLoop — every
+    pair materializes inside the (band, bkey) equi-join; and (b) on the
+    standard fixture the streaming twin agrees doc-for-doc with
+    ``dedup_incremental_ingest_near`` (same split, same banding, same
+    greedy rule): ``dup_vs_corpus == (matches_corpus > 0)``,
+    ``dup_in_batch == (matches_stream > 0)``, identical verdicts."""
+    from mapreduceplusplus_spark import registry
+    from tests.conftest import SF_DIR_ORACLE
+
+    qs = registry.queries()
+    sdf = qs["stream_dedup_near"](spark, SF_DIR_ORACLE)
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    stream_rows = {r.doc_id: r for r in sdf.collect()}
+    ingest_rows = {
+        r.doc_id: r
+        for r in qs["dedup_incremental_ingest_near"](
+            spark, SF_DIR_ORACLE
+        ).collect()
+    }
+    assert set(stream_rows) == set(ingest_rows)
+    for doc_id, s in stream_rows.items():
+        g = ingest_rows[doc_id]
+        assert g.dup_vs_corpus == (s.matches_corpus > 0), doc_id
+        assert g.dup_in_batch == (s.matches_stream > 0), doc_id
+        assert g.verdict == s.verdict, doc_id
