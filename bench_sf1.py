@@ -74,6 +74,12 @@ SF1_QUERIES = [
     # centroid/codebook occupancy, sf1's 10× corpus does)
     "sim_search_ivf_kmeans",
     "sim_search_ivfpq",
+    # r16 late additions — the continuous-ingest near-dedup twin (its
+    # candidate/verify volume tracks sf1's genuine 10× doc cardinality
+    # and 10× vocabulary, which replication fixtures can't show) and
+    # the skew audit (constant 4-row output at any scale)
+    "stream_dedup_near",
+    "dq_skew_report",
 ]
 
 
