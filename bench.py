@@ -91,6 +91,7 @@ HEADLINE = [
     "sim_search_recall_curve",  # cross-ladder recall/cost readout, 6 tiers (r16)
     "stream_dedup_near",  # continuous-ingest near-dedup, arrival-order semantic (r16)
     "dq_skew_report",  # shuffle-key skew audit: heaviest key + salt factor (r16)
+    "sim_search_sq8_rerank",  # int8 scalar-quantization ANN tier + exact re-rank (r16)
 ]
 
 

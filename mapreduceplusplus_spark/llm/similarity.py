@@ -15,6 +15,12 @@ index to richest:
 - ``sim_search_hamming_rerank`` — the 1-BIT tier: sign-bit binary
   sketches (8 B/vector), integer Hamming pool, exact re-rank — still a
   full scan, but the cheapest per-candidate comparison in the family.
+- ``sim_search_sq8_rerank`` — the INT8 tier (r16, FAISS
+  ``IndexScalarQuantizer(QT_8bit)``): per-vector scale + one int8 code
+  per dim (1 B/dim, 4-8× less I/O than floats), asymmetric
+  reconstructed-dot ranking with an exact-integer probe, bounded-pool
+  exact re-rank — the standard middle rung between sign bits and PQ
+  when codebook training isn't warranted.
 - ``sim_search_lsh*`` — random-hyperplane LSH (Charikar) bucket index;
   the probe is compared only against vectors whose signature falls in
   the probe's bucket.  Bucketing is an equi-filter (at scale: an
@@ -2441,6 +2447,178 @@ def _hamming_rerank_zipwith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQ8 (int8 scalar quantization) tier — between the 1-bit sketch and PQ
+# ---------------------------------------------------------------------------
+
+#: exact-re-rank pool for the SQ8 tier (same sizing rule as HAMMING_POOL)
+SQ8_POOL = 4 * TOP_K
+
+
+@query(
+    "sim_search_sq8_rerank",
+    oracle=f"""
+    WITH probe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id = {PROBE_ID}
+    ),
+    pe AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS pq
+      FROM embeddings WHERE vec_id = {PROBE_ID}
+    ),
+    sc AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings WHERE vec_id <> {PROBE_ID}
+    ),
+    ve AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE vec_id <> {PROBE_ID}
+    ),
+    s AS (
+      SELECT v.vec_id,
+             CAST(sum(p.pq * CASE WHEN sc.scale = 0 THEN 0
+                  ELSE CAST(floor(v.x / sc.scale * 127 + 0.5) AS BIGINT)
+                  END) AS BIGINT) AS s
+      FROM ve v JOIN pe p USING (dim) JOIN sc ON sc.vec_id = v.vec_id
+      GROUP BY v.vec_id
+    ),
+    pool AS (
+      SELECT s.vec_id, s.s, sc.scale
+      FROM s JOIN sc USING (vec_id)
+      ORDER BY CAST(s.s AS DOUBLE) * sc.scale DESC, vec_id
+      LIMIT {SQ8_POOL}
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label, po.s, po.scale,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) AS c
+      FROM embeddings e JOIN pool po USING (vec_id)
+      CROSS JOIN probe p
+    )
+    SELECT vec_id, label,
+           round(CAST(s AS DOUBLE) * scale / 127.0 / 1000000.0, 3) + 0 AS adc,
+           round(c, 3) + 0 AS cosine,
+           CAST(row_number() OVER (
+             ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id)
+             AS BIGINT) AS rnk
+    FROM cand
+    ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_search_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN — the int8 SCALAR-QUANTIZATION tier of the ladder
+    (exact → 1-bit Hamming → **SQ8** → LSH buckets → IVF lists →
+    IVF-PQ codes), FAISS's ``IndexScalarQuantizer(QT_8bit)`` shape:
+    every corpus vector stores ``scale = max|x_d|`` plus one int8 code
+    per dimension (the ``embedding_quantize_int8`` device verbatim —
+    same half-up ``floor(x/scale·127 + 0.5)``, same zero-scale guard),
+    candidates rank by the ASYMMETRIC reconstructed dot (the float
+    probe against quantized candidates: ``Σ pq_d·code_d · scale/127``
+    with the probe in exact 1e-6 micro-units, so the ranking key is a
+    single BIGINT·double product — bit-identical in both engines), and
+    the top-{SQ8_POOL} pool is re-scored with EXACT full-precision
+    cosine (the repo-wide ANN contract: recall is the only degrading
+    axis, never score fidelity).
+
+    Where it sits: 1 B/dim vs the floats' 4-8 B (4-8× less I/O per
+    scanned candidate) with FAR higher fidelity than the 1-bit sketch
+    (SQ8 keeps magnitudes; Hamming keeps only signs), and no codebook
+    training or nprobe tuning like IVF-PQ — the standard middle rung
+    when PQ's training pass isn't warranted.  At 100 TB the codes are
+    a persisted column (written once by ``embedding_quantize_int8``'s
+    projection, appended like any column) and the integer dot runs in
+    SIMD on 1/4 the bytes; the registered plan computes codes in-scan
+    — a projection — so its SEMANTICS are the stored-column plan's,
+    same argument as ``_hamming_rerank_zipwith`` vs the packed store.
+
+    Determinism is structural: probe micro-units and codes are exact
+    integers from the shared ``+0.5``-then-``floor`` device, the ADC
+    key is one IEEE multiply of exact operands, ties break on vec_id,
+    and the re-rank uses the shared micro-quantized rank.  Reference
+    heritage: none (SURVEY §2 charter extension, similarity family)."""
+    import math
+
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    # bounded 1-row probe fetch (plan literal, like every ladder tier)
+    probe_rows = (
+        emb.where(F.col("vec_id") == PROBE_ID).select("v").limit(1).collect()
+    )
+    out_schema = (
+        "vec_id BIGINT, label INT, adc DOUBLE, cosine DOUBLE, rnk BIGINT"
+    )
+    if not probe_rows:
+        return spark.createDataFrame([], out_schema)
+    pv = [float(x) for x in probe_rows[0][0]]
+    pq = [int(math.floor(x * 1000000.0 + 0.5)) for x in pv]
+    pq_lit = F.array(*[F.lit(q).cast("bigint") for q in pq])
+    pv_lit = F.array(*[F.lit(x) for x in pv])
+
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    codes = F.when(
+        F.col("scale") == 0,
+        F.transform("v", lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+    )
+    s = F.aggregate(
+        F.zip_with(F.col("codes"), pq_lit, lambda c, p: c * p),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        emb.where(F.col("vec_id") != PROBE_ID)
+        .withColumn("scale", scale.cast("double"))
+        .withColumn("codes", codes)
+        .withColumn("s", s)
+        .orderBy(
+            (F.col("s").cast("double") * F.col("scale")).desc(), "vec_id"
+        )
+        .limit(SQ8_POOL)
+        .select("vec_id", "s", "scale")
+    )
+    scored = (
+        emb.select("vec_id", "label", "v")
+        # broadcast-safe: pool is LIMIT SQ8_POOL (<=40 rows by
+        # construction) — constant-bounded regardless of corpus size
+        .join(F.broadcast(pool), "vec_id")
+        .withColumn(
+            "c", _dot(F.col("v"), pv_lit) / (_norm(F.col("v")) * _norm(pv_lit))
+        )
+    )
+    mc = F.round(F.lit(1000000) * F.col("c")).cast("bigint")
+    topk = scored.orderBy(mc.desc(), "vec_id").limit(TOP_K)
+    w = Window.orderBy(mc.desc(), F.col("vec_id"))
+    return topk.select(
+        "vec_id",
+        "label",
+        (
+            F.round(
+                F.col("s").cast("double")
+                * F.col("scale")
+                / F.lit(127.0)
+                / F.lit(1000000.0),
+                3,
+            )
+            + F.lit(0.0)
+        ).alias("adc"),
+        (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # cross-ladder recall / scan-cost characterization (r16 — VERDICT r15 #6)
 # ---------------------------------------------------------------------------
 
@@ -2494,6 +2672,7 @@ _IVF_GATE_CENSUS_SQL = f"""
 _RECALL_CURVE_ORACLE = f"""
     WITH exact_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_topk"]}) x),
     ham_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_hamming_rerank"]}) x),
+    sq8_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_sq8_rerank"]}) x),
     lsh_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_lsh"]}) x),
     mp_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_lsh_multiprobe"]}) x),
     ivf_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_ivf"]}) x),
@@ -2532,6 +2711,10 @@ _RECALL_CURVE_ORACLE = f"""
              (SELECT count(*) FROM ham_ids JOIN exact_ids USING (vec_id)),
              n, LEAST({HAMMING_POOL}, n), n FROM N
       UNION ALL
+      SELECT 'sq8',
+             (SELECT count(*) FROM sq8_ids JOIN exact_ids USING (vec_id)),
+             n, LEAST({SQ8_POOL}, n), n FROM N
+      UNION ALL
       SELECT 'lsh',
              (SELECT count(*) FROM lsh_ids JOIN exact_ids USING (vec_id)),
              (SELECT cand FROM LSHC), (SELECT cand FROM LSHC), n FROM N
@@ -2561,9 +2744,10 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the in-engine readout BASELINE.md's hand-maintained
     characterization table previously approximated.
 
-    One row per tier — exact, hamming (1-bit sketch), lsh
-    (single-probe), lsh_multiprobe (Hamming-1), ivf (seed-centroid,
-    nprobe {IVF_NPROBE}/{IVF_CENTROIDS}), ivfpq (8×16 codes, re-rank
+    One row per tier — exact, hamming (1-bit sketch), sq8 (int8
+    scalar quantization, {SQ8_POOL}-pool re-rank), lsh (single-probe),
+    lsh_multiprobe (Hamming-1), ivf (seed-centroid, nprobe
+    {IVF_NPROBE}/{IVF_CENTROIDS}), ivfpq (8×16 codes, re-rank
     {PQ_RERANK}) — with:
 
     - ``hits`` / ``recall_at_k``: |tier top-k ∩ exact top-k| / k,
@@ -2637,6 +2821,12 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim_search_hamming_rerank(spark, sf_dir).select("vec_id"),
             n_as_census,
             _least(n_as_census, HAMMING_POOL),
+        ),
+        (
+            "sq8",
+            sim_search_sq8_rerank(spark, sf_dir).select("vec_id"),
+            n_as_census,
+            _least(n_as_census, SQ8_POOL),
         ),
         (
             "lsh",

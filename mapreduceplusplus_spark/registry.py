@@ -236,7 +236,8 @@ _PRIORITY_ORDER = [
     #        sim_search_triplet_mining_lsh, sim_search_recall_curve
     # Remaining never-checked oracle-bearing candidates after that
     # (r19+): the late-r16 additions stream_dedup_near (the streaming
-    # family's only near-dup row) and dq_skew_report, then
+    # family's only near-dup row), dq_skew_report, and
+    # sim_search_sq8_rerank (the int8 ANN tier), then
     # sim_search_ivf_kmeans, sim_search_hamming_rerank (then
     # dedup_boilerplate_scrub, sim_search_ivfpq,
     # sim_search_ivfpq_dot, sim_search_ivfpq_l2) — then the standing
