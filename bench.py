@@ -88,10 +88,11 @@ HEADLINE = [
     "dedup_boilerplate_lines",  # per-domain CCNet boilerplate df gate (r15)
     "sim_search_triplet_mining_lsh",  # ANN-gated hard-negative mining (r15)
     "sim_search_hamming_rerank",  # 1-bit binary-sketch pool + exact rerank (r15)
-    "sim_search_recall_curve",  # cross-ladder recall/cost readout, 6 tiers (r16)
+    "sim_search_recall_curve",  # cross-ladder recall/cost readout, 8 tiers (r16)
     "stream_dedup_near",  # continuous-ingest near-dedup, arrival-order semantic (r16)
     "dq_skew_report",  # shuffle-key skew audit: heaviest key + salt factor (r16)
     "sim_search_sq8_rerank",  # int8 scalar-quantization ANN tier + exact re-rank (r16)
+    "sim_search_matryoshka_funnel",  # MRL 16-dim prefix funnel + exact re-rank (r16)
 ]
 
 
@@ -180,7 +181,10 @@ def main() -> None:
     # per-rep detail outgrew it.  Print ONLY the compact headline
     # (no spaces) and park the per-rep detail in BENCH_DETAIL.json
     # next to this script.
-    detail_path = os.path.join(
+    # BENCH_DETAIL_PATH lets wrapper lanes (bench_sf1.py) park their
+    # detail elsewhere — before r16 the sf1 lane clobbered the
+    # headline's sf0.1 detail file in place
+    detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:

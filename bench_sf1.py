@@ -141,6 +141,9 @@ def main() -> None:
         os.environ,
         SPARK_GRAFT_SF_DIR=out,
         BENCH_QUERIES=",".join(SF1_QUERIES),
+        # keep the sf1 per-rep detail out of the headline lane's
+        # BENCH_DETAIL.json (it clobbered the sf0.1 detail pre-r16)
+        BENCH_DETAIL_PATH=os.path.join(here, "BENCH_SF1_DETAIL.json"),
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],

@@ -21,6 +21,11 @@ index to richest:
   reconstructed-dot ranking with an exact-integer probe, bounded-pool
   exact re-rank — the standard middle rung between sign bits and PQ
   when codebook training isn't warranted.
+- ``sim_search_matryoshka_funnel`` — the DIMENSION axis (r16, Kusupati
+  MRL adaptive retrieval): coarse-rank on a persisted 16-dim prefix
+  store (4× less I/O per scanned candidate, zero quantization error in
+  the coarse key), bounded-pool exact full-width re-rank — orthogonal
+  to the per-dim precision tiers above.
 - ``sim_search_lsh*`` — random-hyperplane LSH (Charikar) bucket index;
   the probe is compared only against vectors whose signature falls in
   the probe's bucket.  Bucketing is an equi-filter (at scale: an
@@ -2619,6 +2624,214 @@ def sim_search_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Matryoshka funnel tier — adaptive-dimension retrieval (prefix → full)
+# ---------------------------------------------------------------------------
+
+#: coarse-stage prefix width (dims 1..16 of the 64-dim fixture — the
+#: MRL granularity one rung below full width)
+MRL_DIMS = 16
+#: exact-re-rank pool for the funnel (same sizing rule as HAMMING_POOL)
+MRL_POOL = 4 * TOP_K
+
+
+@query(
+    "sim_search_matryoshka_funnel",
+    oracle=f"""
+    WITH probe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id = {PROBE_ID}
+    ),
+    pool AS (
+      SELECT e.vec_id,
+             list_cosine_similarity(
+               (CAST(e.embedding AS DOUBLE[]))[1:{MRL_DIMS}],
+               p.pv[1:{MRL_DIMS}]) AS c16
+      FROM embeddings e CROSS JOIN probe p
+      WHERE e.vec_id <> {PROBE_ID}
+      ORDER BY CAST(round(1000000 * c16) AS BIGINT) DESC, vec_id
+      LIMIT {MRL_POOL}
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label, po.c16,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) AS c
+      FROM embeddings e JOIN pool po USING (vec_id)
+      CROSS JOIN probe p
+    )
+    SELECT vec_id, label,
+           round(c16, 3) + 0 AS coarse_cosine,
+           round(c, 3) + 0 AS cosine,
+           CAST(row_number() OVER (
+             ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id)
+             AS BIGINT) AS rnk
+    FROM cand
+    ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_search_matryoshka_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA FUNNEL ANN — adaptive-DIMENSION retrieval (Kusupati
+    et al., *Matryoshka Representation Learning*, NeurIPS'22 §4.3
+    "adaptive retrieval"): rank the whole corpus with only the FIRST
+    {MRL_DIMS} dimensions of each embedding (MRL-trained prefixes are
+    themselves valid low-dim embeddings), keep a {MRL_POOL}-row
+    shortlist, and re-score it with EXACT full-width cosine (the
+    repo-wide ANN contract: recall is the only degrading axis, never
+    score fidelity).  This is the ladder's DIMENSION axis — orthogonal
+    to the precision axis (1-bit Hamming / SQ8 / PQ shrink bits PER
+    dim; the funnel shrinks the NUMBER of dims) — and the standard
+    deployment shape for MRL embedding models.
+
+    EXECUTED PLAN: the {MRL_DIMS}-dim prefixes live in a write-once
+    persisted PREFIX STORE (``_memo_index_dir`` protocol — atomic
+    tmp+rename build, same lifecycle as the Hamming sketch store); each
+    probe scans ONLY the store (coarse cosine against the probe's
+    prefix literals, micro-quantized integer rank key, vec_id
+    tiebreak → TakeOrderedAndProject heap), then the ≤{MRL_POOL}-row
+    pool broadcast-joins back to the full-width floats for the exact
+    re-rank.  At 100 TB the recurring per-probe scan reads
+    {MRL_DIMS}/64 of the float bytes (4× less I/O; with float32
+    prefixes, 8×) and the full-width table is touched only for the
+    bounded pool — the same scan-vs-rerank split as the sketch tiers,
+    but with NO quantization error in the coarse key, which is why the
+    funnel's recall at equal pool size upper-bounds the 1-bit tier's.
+    ``_mrl_funnel_slice`` keeps the storeless logical form (prefix
+    sliced in-scan from the full table); the pin suite asserts the two
+    are row-identical.
+
+    Determinism is structural: the coarse key is the micro-quantized
+    (1e-6) integer cosine over the SAME parquet doubles both engines
+    slice, ties break on vec_id, and the re-rank uses the shared
+    micro-quantized rank — the proven ``sim_search_topk`` cosine
+    device applied to a prefix.  Reference heritage: none (SURVEY §2
+    charter extension, similarity family)."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    # bounded 1-row probe fetch (plan literal, like every ladder tier)
+    probe_rows = (
+        emb.where(F.col("vec_id") == PROBE_ID).select("v").limit(1).collect()
+    )
+    if not probe_rows:
+        # no probe vector (empty corpus) — the storeless form returns
+        # the correctly-shaped empty frame without building a store
+        return _mrl_funnel_slice(spark, sf_dir)
+    pv = [float(x) for x in probe_rows[0][0]]
+    p16 = pv[:MRL_DIMS]
+
+    from mapreduceplusplus_spark.llm.dedup import _memo_index_dir
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _embeddings_fingerprint(sf_dir),
+    )
+
+    def _build(d: str) -> None:
+        (
+            emb.select(
+                "vec_id",
+                "label",
+                F.slice(F.col("v"), 1, MRL_DIMS).alias("prefix"),
+            )
+            # the prefix store is {MRL_DIMS}/64 of the float bytes —
+            # keep the file count small at fixture scale (at 100 TB
+            # size the task count to healthy parquet splits)
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+
+    store_dir = _memo_index_dir(
+        _MRL_PREFIX_CACHE, key, "mrl_prefix", sf_dir, _build
+    )
+    pre = spark.read.schema(
+        "vec_id BIGINT, label INT, prefix ARRAY<DOUBLE>"
+    ).parquet(store_dir)
+    p16_lit = F.array(*[F.lit(x) for x in p16])
+    c16 = _dot(F.col("prefix"), p16_lit) / (
+        _norm(F.col("prefix")) * _norm(p16_lit)
+    )
+    mc16 = F.round(F.lit(1000000) * F.col("c16")).cast("bigint")
+    pool = (
+        pre.where(F.col("vec_id") != PROBE_ID)
+        .withColumn("c16", c16)
+        .orderBy(mc16.desc(), F.col("vec_id"))
+        .limit(MRL_POOL)
+        .select("vec_id", "c16")
+    )
+    pv_lit = F.array(*[F.lit(x) for x in pv])
+    scored = (
+        emb.select("vec_id", "label", "v")
+        # broadcast-safe: pool is LIMIT MRL_POOL (<=40 rows by
+        # construction) — constant-bounded regardless of corpus size
+        .join(F.broadcast(pool), "vec_id")
+        .withColumn(
+            "c", _dot(F.col("v"), pv_lit) / (_norm(F.col("v")) * _norm(pv_lit))
+        )
+    )
+    mc = F.round(F.lit(1000000) * F.col("c")).cast("bigint")
+    topk = scored.orderBy(mc.desc(), F.col("vec_id")).limit(TOP_K)
+    w = Window.orderBy(mc.desc(), F.col("vec_id"))
+    return topk.select(
+        "vec_id",
+        "label",
+        (F.round("c16", 3) + F.lit(0.0)).alias("coarse_cosine"),
+        (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+#: memoized on-disk prefix stores, keyed and lifecycle-managed exactly
+#: like the Hamming sketch store (atomic tmp+rename build, _COMPLETE
+#: marker, memo revalidation, TTL GC)
+_MRL_PREFIX_CACHE: dict[tuple[str, str, tuple], str] = {}
+
+
+def _mrl_funnel_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORELESS logical form of ``sim_search_matryoshka_funnel``
+    — the coarse prefix sliced in-scan from the full float table
+    against a 1-row probe broadcast.  Kept (unregistered) as the
+    row-identity pin target for the prefix-store executed plan, as the
+    empty-corpus fallback, and as the per-candidate cost baseline the
+    bench compares the store scan against."""
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    probe = emb.where(F.col("vec_id") == PROBE_ID).select(
+        F.col("v").alias("pv")
+    )
+    pre = F.slice(F.col("v"), 1, MRL_DIMS)
+    ppre = F.slice(F.col("pv"), 1, MRL_DIMS)
+    c16 = _dot(pre, ppre) / (_norm(pre) * _norm(ppre))
+    mc16 = F.round(F.lit(1000000) * F.col("c16")).cast("bigint")
+    pool = (
+        emb.where(F.col("vec_id") != PROBE_ID)
+        # broadcast-safe: probe is a single query vector (1 row)
+        .crossJoin(F.broadcast(probe))
+        .withColumn("c16", c16)
+        .orderBy(mc16.desc(), F.col("vec_id"))
+        .limit(MRL_POOL)
+    )
+    scored = pool.withColumn(
+        "c",
+        _dot(F.col("v"), F.col("pv"))
+        / (_norm(F.col("v")) * _norm(F.col("pv"))),
+    )
+    mc = F.round(F.lit(1000000) * F.col("c")).cast("bigint")
+    topk = scored.orderBy(mc.desc(), F.col("vec_id")).limit(TOP_K)
+    w = Window.orderBy(mc.desc(), F.col("vec_id"))
+    return topk.select(
+        "vec_id",
+        "label",
+        (F.round("c16", 3) + F.lit(0.0)).alias("coarse_cosine"),
+        (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # cross-ladder recall / scan-cost characterization (r16 — VERDICT r15 #6)
 # ---------------------------------------------------------------------------
 
@@ -2672,6 +2885,7 @@ _IVF_GATE_CENSUS_SQL = f"""
 _RECALL_CURVE_ORACLE = f"""
     WITH exact_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_topk"]}) x),
     ham_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_hamming_rerank"]}) x),
+    mrl_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_matryoshka_funnel"]}) x),
     sq8_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_sq8_rerank"]}) x),
     lsh_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_lsh"]}) x),
     mp_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_lsh_multiprobe"]}) x),
@@ -2711,6 +2925,10 @@ _RECALL_CURVE_ORACLE = f"""
              (SELECT count(*) FROM ham_ids JOIN exact_ids USING (vec_id)),
              n, LEAST({HAMMING_POOL}, n), n FROM N
       UNION ALL
+      SELECT 'mrl16',
+             (SELECT count(*) FROM mrl_ids JOIN exact_ids USING (vec_id)),
+             n, LEAST({MRL_POOL}, n), n FROM N
+      UNION ALL
       SELECT 'sq8',
              (SELECT count(*) FROM sq8_ids JOIN exact_ids USING (vec_id)),
              n, LEAST({SQ8_POOL}, n), n FROM N
@@ -2744,8 +2962,10 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the in-engine readout BASELINE.md's hand-maintained
     characterization table previously approximated.
 
-    One row per tier — exact, hamming (1-bit sketch), sq8 (int8
-    scalar quantization, {SQ8_POOL}-pool re-rank), lsh (single-probe),
+    One row per tier — exact, hamming (1-bit sketch), mrl16
+    (Matryoshka {MRL_DIMS}-dim prefix funnel, {MRL_POOL}-pool
+    re-rank), sq8 (int8 scalar quantization, {SQ8_POOL}-pool re-rank),
+    lsh (single-probe),
     lsh_multiprobe (Hamming-1), ivf (seed-centroid, nprobe
     {IVF_NPROBE}/{IVF_CENTROIDS}), ivfpq (8×16 codes, re-rank
     {PQ_RERANK}) — with:
@@ -2821,6 +3041,12 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim_search_hamming_rerank(spark, sf_dir).select("vec_id"),
             n_as_census,
             _least(n_as_census, HAMMING_POOL),
+        ),
+        (
+            "mrl16",
+            sim_search_matryoshka_funnel(spark, sf_dir).select("vec_id"),
+            n_as_census,
+            _least(n_as_census, MRL_POOL),
         ),
         (
             "sq8",

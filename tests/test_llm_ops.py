@@ -2071,6 +2071,36 @@ def test_hamming_packed_plan_rowidentical_to_zipwith(spark):
         ), r.vec_id
 
 
+def test_mrl_prefix_store_rowidentical_to_slice(spark):
+    """sim_search_matryoshka_funnel (r16) executes against the
+    persisted MRL_DIMS-dim prefix store.  Pins: (a) row-identity
+    against the storeless in-scan slice form — the coarse key, pool,
+    and exact re-rank are the same math, so the layouts must agree
+    exactly; (b) the executed plan really scans the prefix store, not
+    the full float table, for the coarse stage; (c) the coarse stage
+    is a genuine funnel — the coarse_cosine differs from the full
+    cosine (the prefix is not the whole vector)."""
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.llm import similarity as S
+    from tests.conftest import SF_DIR_ORACLE
+
+    store_df = registry.queries()["sim_search_matryoshka_funnel"](
+        spark, SF_DIR_ORACLE
+    )
+    stored = sorted(map(tuple, store_df.collect()))
+    sliced = sorted(
+        map(tuple, S._mrl_funnel_slice(spark, SF_DIR_ORACLE).collect())
+    )
+    assert stored == sliced
+    assert len(stored) == S.TOP_K
+
+    plan = store_df._jdf.queryExecution().executedPlan().toString()
+    assert "mrl_prefix" in plan, f"prefix store not scanned:\n{plan}"
+
+    # (c) the funnel's two stages are genuinely different keys
+    assert any(r[2] != r[3] for r in stored)
+
+
 def test_recall_curve_consistent_with_tiers(spark):
     """sim_search_recall_curve (r16) composes the REGISTERED tier
     plans, so its recall numbers must agree with recomputing the
@@ -2089,7 +2119,8 @@ def test_recall_curve_consistent_with_tiers(spark):
         ).collect()
     }
     assert set(curve) == {
-        "exact", "hamming", "lsh", "lsh_multiprobe", "ivf", "ivfpq"
+        "exact", "hamming", "mrl16", "sq8", "lsh", "lsh_multiprobe",
+        "ivf", "ivfpq",
     }
     exact_ids = {
         r.vec_id for r in qs["sim_search_topk"](spark, SF_DIR_ORACLE).collect()
@@ -2099,8 +2130,12 @@ def test_recall_curve_consistent_with_tiers(spark):
     assert curve["exact"].recall_at_k == 1.0
     assert curve["exact"].cand_ranked == curve["exact"].cand_exact == n
     assert curve["hamming"].cand_exact == min(S.HAMMING_POOL, n)
+    assert curve["mrl16"].cand_exact == min(S.MRL_POOL, n)
+    assert curve["sq8"].cand_exact == min(S.SQ8_POOL, n)
     for tier, qname in [
         ("hamming", "sim_search_hamming_rerank"),
+        ("mrl16", "sim_search_matryoshka_funnel"),
+        ("sq8", "sim_search_sq8_rerank"),
         ("lsh", "sim_search_lsh"),
         ("ivf", "sim_search_ivf"),
         ("ivfpq", "sim_search_ivfpq"),
