@@ -93,6 +93,7 @@ HEADLINE = [
     "dq_skew_report",  # shuffle-key skew audit: heaviest key + salt factor (r16)
     "sim_search_sq8_rerank",  # int8 scalar-quantization ANN tier + exact re-rank (r16)
     "sim_search_matryoshka_funnel",  # MRL 16-dim prefix funnel + exact re-rank (r16)
+    "text_quality_classifier_hashed",  # fastText-shape hashed linear quality gate (r16)
 ]
 
 

@@ -1995,3 +1995,151 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covered_ppm",
         )
     )
+
+
+#: hashed-classifier feature space (2^10 buckets — the hashing-trick
+#: model is a fixed D-row weight relation regardless of vocabulary)
+#: and the stand-in weight span (milli-units in [-1000, 1000])
+QCLS_D = 1024
+QCLS_WSPAN = 2001
+
+
+@query(
+    "text_quality_classifier_hashed",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+             generate_subscripts(
+               regexp_extract_all(lower(text), '[a-z]+'), 1) AS pos
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, w AS f FROM occ
+      UNION ALL
+      SELECT a.doc_id, a.w || ' ' || b.w AS f
+      FROM occ a JOIN occ b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    model AS (
+      SELECT g AS bucket,
+             CAST(('0x' || substr(md5('w:' || CAST(g AS VARCHAR)), 1, 10))
+                  AS BIGINT) % {QCLS_WSPAN} - 1000 AS w_milli
+      FROM generate_series(0, {QCLS_D - 1}) t(g)
+    ),
+    fb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('q:' || f), 1, 10)) AS BIGINT)
+               % {QCLS_D} AS bucket
+      FROM feats
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(m.w_milli) AS BIGINT) AS sum_w_milli,
+           round(CAST(sum(m.w_milli) AS DOUBLE) / count(*), 3) + 0
+             AS mean_w_milli,
+           (sum(m.w_milli) >= 0) AS keep
+    FROM fb JOIN model m USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def text_quality_classifier_hashed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HASHED LINEAR QUALITY CLASSIFIER — the fastText shape (Joulin
+    et al. 2016, *Bag of Tricks for Efficient Text Classification*)
+    that CCNet, RefinedWeb, and DCLM use as the model-based document
+    quality gate (distinct from ``text_quality_score``'s heuristic
+    ratio gate): features are unigrams PLUS adjacent word bigrams,
+    each hashed into a fixed {QCLS_D}-bucket space (the
+    ``text_feature_hashing`` trick — the model stays a {QCLS_D}-row
+    weight relation no matter how adversarial the vocabulary), the
+    document's logit is the mean bucket weight, and ``keep`` is the
+    sign test.
+
+    The weights here are a DETERMINISTIC STAND-IN (md5-derived
+    milli-unit integers — no trained artifact exists in this
+    environment); in production the relation is the trained fastText
+    linear head, loaded as a {QCLS_D}-row table.  Everything the
+    engine is responsible for is real and pinned: the feature
+    construction, the engine-portable bucket hash (the repo-wide
+    ``conv(md5,16,10)`` ≡ ``('0x'||hex)::BIGINT`` device), the
+    BROADCAST model join, and the exact-integer per-doc aggregation.
+
+    Plan: one scan → in-array bigram zip_with (no self-join — the
+    oracle's pos+1 self-join is the deliberately-naive form) → explode
+    → map-side bucket hash → broadcast {QCLS_D}-row model join → ONE
+    per-doc hash aggregate (map-side partial).  At 100 TB: features
+    are linear in corpus tokens, the model is an O(D) broadcast, the
+    only shuffle is the doc_id aggregation.  Integer-exact throughout
+    (milli-unit BIGINT sums; the mean is one IEEE division of exact
+    operands, the proven round(,3) device).  Docs with zero [a-z]
+    tokens have no features and emit no row, the
+    ``text_feature_hashing`` convention.  Reference heritage: none
+    (SURVEY §2 charter extension, text/LLM-pipeline family)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = _toks(F.col("text"))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        "doc_id", F.explode(F.concat(t, bigrams)).alias("f")
+    )
+    fb = feats.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("q:"), F.col("f"))), 1, 10
+                ),
+                16,
+                10,
+            ).cast("long")
+            % QCLS_D
+        ).alias("bucket"),
+    )
+    model = spark.range(QCLS_D).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("w:"), F.col("id").cast("string"))
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % QCLS_WSPAN
+            - 1000
+        ).alias("w_milli"),
+    )
+    # broadcast-safe: the model is the fixed QCLS_D-row weight relation
+    scored = fb.join(F.broadcast(model), "bucket")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("w_milli").cast("bigint").alias("sum_w_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "sum_w_milli",
+            (
+                F.round(
+                    F.col("sum_w_milli").cast("double") / F.col("n_feats"),
+                    3,
+                )
+                + F.lit(0.0)
+            ).alias("mean_w_milli"),
+            (F.col("sum_w_milli") >= 0).alias("keep"),
+        )
+    )

@@ -238,7 +238,8 @@ _PRIORITY_ORDER = [
     # (r19+): the late-r16 additions stream_dedup_near (the streaming
     # family's only near-dup row), dq_skew_report, and
     # sim_search_sq8_rerank (the int8 ANN tier),
-    # sim_search_matryoshka_funnel (the MRL prefix-funnel tier), then
+    # sim_search_matryoshka_funnel (the MRL prefix-funnel tier),
+    # text_quality_classifier_hashed (the fastText-shape gate), then
     # sim_search_ivf_kmeans, sim_search_hamming_rerank (then
     # dedup_boilerplate_scrub, sim_search_ivfpq,
     # sim_search_ivfpq_dot, sim_search_ivfpq_l2) — then the standing

@@ -608,3 +608,72 @@ def test_boilerplate_lines_matches_python_model(spark, docs):
         assert got == want
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@st.composite
+def _qcls_docs(draw):
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    n = draw(st.integers(min_value=1, max_value=8))
+    docs = []
+    for i in range(n):
+        words = draw(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=12)
+        )
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@given(_qcls_docs())
+@settings(**_SETTINGS)
+def test_quality_classifier_matches_python_model(spark, docs):
+    """``text_quality_classifier_hashed`` == the pure-Python fastText
+    model on random tiny-vocabulary corpora: unigram + adjacent-bigram
+    features, md5-derived bucket and stand-in weight, exact integer
+    milli-unit sums, sign-test keep; zero-token docs emit no row.  The
+    tiny vocabulary maximizes bucket collisions, so the hashing-trick
+    aggregation (not just the hash) is what's being pinned."""
+    import hashlib
+    import re
+    import shutil
+    import tempfile
+
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.llm.textstats import QCLS_D, QCLS_WSPAN
+
+    registry.load_all()
+
+    def h40(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+    def weight(bucket: int) -> int:
+        return h40(f"w:{bucket}") % QCLS_WSPAN - 1000
+
+    want = {}
+    for i, t in docs:
+        toks = re.findall(r"[a-z]+", t.lower())
+        feats = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        if not feats:
+            continue
+        s = sum(weight(h40(f"q:{f}") % QCLS_D) for f in feats)
+        want[i] = (len(feats), s, s >= 0)
+
+    out = tempfile.mkdtemp(prefix="qcls_prop_")
+    try:
+        spark.createDataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            out + "/documents.parquet"
+        )
+        got = {
+            r.doc_id: (r.n_feats, r.sum_w_milli, r.keep)
+            for r in registry.queries()["text_quality_classifier_hashed"](
+                spark, out
+            ).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
