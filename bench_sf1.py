@@ -80,6 +80,13 @@ SF1_QUERIES = [
     # the skew audit (constant 4-row output at any scale)
     "stream_dedup_near",
     "dq_skew_report",
+    # r16 second-half additions — the SQ8 and MRL-funnel ANN tiers
+    # (store/code occupancy grows with sf1's genuine 10× corpus) and
+    # the hashed quality classifier (10× vocabulary drives genuine
+    # bigram-feature and bucket-collision growth replication can't)
+    "sim_search_sq8_rerank",
+    "sim_search_matryoshka_funnel",
+    "text_quality_classifier_hashed",
 ]
 
 
