@@ -2832,6 +2832,203 @@ def _mrl_funnel_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF + SQ8 composite tier — cell pruning × int8 codes (FAISS "IVFx,SQ8")
+# ---------------------------------------------------------------------------
+
+#: the IVF,SQ8 oracle: the seed-centroid IVF gate (cents → assignment
+#: argmax → nprobe pick, verbatim from ``_IVF_ORACLE``) restricted to
+#: the probed cells, then the SQ8 asymmetric-ADC pool + exact-cosine
+#: re-rank tail (verbatim from ``sim_search_sq8_rerank``'s oracle) run
+#: over ONLY those cells' vectors
+_IVF_SQ8_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    probe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings
+      WHERE vec_id = {PROBE_ID}
+    ),
+    ac AS (
+      SELECT e.vec_id, c.cid,
+             CAST(round(1000000 * list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), c.cv)) AS BIGINT) AS mc
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY mc DESC, cid) AS rn
+        FROM ac) WHERE rn = 1
+    ),
+    pc AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY CAST(round(1000000 * list_cosine_similarity(
+                   c.cv, p.pv)) AS BIGINT) DESC, c.cid) AS rn
+        FROM cents c CROSS JOIN probe p) WHERE rn <= {IVF_NPROBE}
+    ),
+    cells AS (
+      SELECT vec_id FROM asg
+      WHERE cid IN (SELECT cid FROM pc) AND vec_id <> {PROBE_ID}
+    ),
+    pe AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS pq
+      FROM embeddings WHERE vec_id = {PROBE_ID}
+    ),
+    sc AS (
+      SELECT e.vec_id,
+             list_max(list_transform(e.embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings e JOIN cells USING (vec_id)
+    ),
+    ve AS (
+      SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS dim,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x
+      FROM embeddings e JOIN cells USING (vec_id)
+    ),
+    s AS (
+      SELECT v.vec_id,
+             CAST(sum(p.pq * CASE WHEN sc.scale = 0 THEN 0
+                  ELSE CAST(floor(v.x / sc.scale * 127 + 0.5) AS BIGINT)
+                  END) AS BIGINT) AS s
+      FROM ve v JOIN pe p USING (dim) JOIN sc ON sc.vec_id = v.vec_id
+      GROUP BY v.vec_id
+    ),
+    pool AS (
+      SELECT s.vec_id, s.s, sc.scale
+      FROM s JOIN sc USING (vec_id)
+      ORDER BY CAST(s.s AS DOUBLE) * sc.scale DESC, vec_id
+      LIMIT {SQ8_POOL}
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label, po.s, po.scale,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) AS c
+      FROM embeddings e JOIN pool po USING (vec_id)
+      CROSS JOIN probe p
+    )
+    SELECT vec_id, label,
+           round(CAST(s AS DOUBLE) * scale / 127.0 / 1000000.0, 3) + 0 AS adc,
+           round(c, 3) + 0 AS cosine,
+           CAST(row_number() OVER (
+             ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id)
+             AS BIGINT) AS rnk
+    FROM cand
+    ORDER BY CAST(round(1000000 * c) AS BIGINT) DESC, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query("sim_search_ivf_sq8", oracle=_IVF_SQ8_ORACLE)
+def sim_search_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF,SQ8 COMPOSITE ANN — the two pruning axes of the ladder
+    multiplied, FAISS's ``index_factory("IVFx,SQ8")`` shape and the
+    workhorse mid-tier of production vector stores: the seed-centroid
+    IVF gate prunes ROWS (only the probe's ``IVF_NPROBE``/
+    ``IVF_CENTROIDS`` cells are scanned — at 100 TB the lists are
+    cid-partitioned parquet and Catalyst skips the rest at the I/O
+    layer, the ``sim_search_ivf_partitioned`` device), and within the
+    surviving cells the SQ8 codes prune BYTES (1 B/dim asymmetric
+    reconstructed-dot ranking instead of 4-8 B floats — the
+    ``sim_search_sq8_rerank`` device verbatim, exact-integer probe ×
+    int8 codes, one BIGINT·double ranking key).  The bounded
+    top-{SQ8_POOL} pool is re-scored with EXACT full-precision cosine
+    (repo-wide ANN contract: recall is the only degrading axis).
+
+    Why the composite matters at 100 TB: IVF alone still reads full
+    floats inside the probed cells (~nprobe/C of the table × 4-8 B/dim);
+    SQ8 alone still scans every row (× 1 B/dim).  Composed, the probe
+    reads ~nprobe/C of the rows × 1 B/dim of the bytes — with the float
+    table touched only for the ≤{SQ8_POOL}-row pool join-back, the
+    recurring probe I/O drops ~16-32× vs the exact scan at the standing
+    knobs.  Recall is bounded above by the IVF gate's (the SQ8 stage
+    ranks within the gate); both knobs (nprobe, pool) stay independent.
+
+    Determinism is structural, inherited from the two parents: the cell
+    assignment and nprobe pick are the micro-integer argmaxes the IVF
+    oracle replays; the ADC key is one IEEE multiply of a BIGINT dot by
+    an exact double scale; ties break on vec_id everywhere; the re-rank
+    uses the shared micro-quantized rank.  Empty-corpus contract: LOUD
+    raise from ``_ivf_seed_lists`` (the EMPTY_RAISES family).
+    Reference heritage: none (SURVEY §2 charter extension, similarity
+    family)."""
+    import math
+
+    ensure_utc(spark)
+    assigned, probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
+    pq_lit = F.array(
+        *[
+            F.lit(int(math.floor(x * 1000000.0 + 0.5))).cast("bigint")
+            for x in probe_v
+        ]
+    )
+    pv_lit = F.array(*[F.lit(x) for x in probe_v])
+
+    cand = assigned.where(
+        F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
+    )
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    codes = F.when(
+        F.col("scale") == 0,
+        F.transform("v", lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+    )
+    s = F.aggregate(
+        F.zip_with(F.col("codes"), pq_lit, lambda c, p: c * p),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        cand.withColumn("scale", scale.cast("double"))
+        .withColumn("codes", codes)
+        .withColumn("s", s)
+        .orderBy(
+            (F.col("s").cast("double") * F.col("scale")).desc(), "vec_id"
+        )
+        .limit(SQ8_POOL)
+        .select("vec_id", "s", "scale")
+    )
+    scored = (
+        assigned.select("vec_id", "label", "v")
+        # broadcast-safe: pool is LIMIT SQ8_POOL (<=40 rows by
+        # construction) — constant-bounded regardless of corpus size
+        .join(F.broadcast(pool), "vec_id")
+        .withColumn(
+            "c", _dot(F.col("v"), pv_lit) / (_norm(F.col("v")) * _norm(pv_lit))
+        )
+    )
+    mc = F.round(F.lit(1000000) * F.col("c")).cast("bigint")
+    topk = scored.orderBy(mc.desc(), "vec_id").limit(TOP_K)
+    w = Window.orderBy(mc.desc(), F.col("vec_id"))
+    return topk.select(
+        "vec_id",
+        "label",
+        (
+            F.round(
+                F.col("s").cast("double")
+                * F.col("scale")
+                / F.lit(127.0)
+                / F.lit(1000000.0),
+                3,
+            )
+            + F.lit(0.0)
+        ).alias("adc"),
+        (F.round("c", 3) + F.lit(0.0)).alias("cosine"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # cross-ladder recall / scan-cost characterization (r16 — VERDICT r15 #6)
 # ---------------------------------------------------------------------------
 

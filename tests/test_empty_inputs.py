@@ -52,6 +52,7 @@ EMPTY_RAISES = {
     "sim_search_ivfpq_l2",
     # r16 cross-ladder curve — calls _ivf_seed_lists first, by design
     "sim_search_recall_curve",
+    "sim_search_ivf_sq8",  # r16 composite — same _ivf_seed_lists gate
 }
 
 #: queries the first empty-input sweep caught real bugs in (fixed) —

@@ -255,6 +255,58 @@ def test_ivf_topk_scores_and_recall(spark):
     assert recall >= 0.5, f"ivf recall {recall:.2f}"
 
 
+def test_ivf_sq8_composite_gate_subset_scores_and_recall_bound(spark):
+    """sim_search_ivf_sq8 (r16): the composite must (a) be
+    deterministic; (b) return only vectors the IVF gate admits (its
+    SQ8 stage ranks WITHIN the probed cells — recomputed here from
+    _ivf_seed_lists directly); (c) return EXACT cosines (equal to the
+    brute-force scorer's, the repo-wide ANN contract); (d) never beat
+    the plain-IVF tier's recall (the SQ8 pool is a subset of the gate,
+    so any exact-top-k member the composite finds is also in IVF's
+    exact-ranked top-k — a theorem, pinned); (e) keep adc within the
+    int8 quantization band of the true cosine for every survivor."""
+    from mapreduceplusplus_spark.llm import similarity as S
+
+    qs = registry.queries()
+    got = qs["sim_search_ivf_sq8"](spark, SF_DIR_ORACLE).collect()
+    assert 0 < len(got) <= S.TOP_K
+    again = qs["sim_search_ivf_sq8"](spark, SF_DIR_ORACLE).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    assert [r.rnk for r in sorted(got, key=lambda r: r.rnk)] == list(
+        range(1, len(got) + 1)
+    )
+
+    assigned, _, probe_cids = S._ivf_seed_lists(spark, SF_DIR_ORACLE)
+    gate = {
+        r.vec_id
+        for r in assigned.where(
+            F.col("cid").isin(*probe_cids)
+            & (F.col("vec_id") != S.PROBE_ID)
+        )
+        .select("vec_id")
+        .collect()
+    }
+    assert {r.vec_id for r in got} <= gate
+
+    exact_ids = {
+        r.vec_id: r.cosine
+        for r in qs["sim_search_topk"](spark, SF_DIR_ORACLE).collect()
+    }
+    for r in got:
+        if r.vec_id in exact_ids:
+            assert r.cosine == exact_ids[r.vec_id]
+        # int8 band: |adc - cosine| ≤ d·(1/254)·mean|pq| / (‖q‖‖x‖) —
+        # loose structural bound on the fixture: half a code step per
+        # dim never moves the reconstructed dot past ~0.05 cosine
+        assert abs(r.adc - r.cosine) < 0.05, r
+
+    ivf_hits = {
+        r.vec_id for r in qs["sim_search_ivf"](spark, SF_DIR_ORACLE).collect()
+    } & set(exact_ids)
+    sq8_hits = {r.vec_id for r in got} & set(exact_ids)
+    assert sq8_hits <= ivf_hits
+
+
 def test_frame_sample_real_container_walk(spark):
     """The frame sampler REALLY parses a concatenation of P6 frames:
     per-doc frame count, timestamps, and total bytes must match an
