@@ -88,12 +88,13 @@ HEADLINE = [
     "dedup_boilerplate_lines",  # per-domain CCNet boilerplate df gate (r15)
     "sim_search_triplet_mining_lsh",  # ANN-gated hard-negative mining (r15)
     "sim_search_hamming_rerank",  # 1-bit binary-sketch pool + exact rerank (r15)
-    "sim_search_recall_curve",  # cross-ladder recall/cost readout, 8 tiers (r16)
+    "sim_search_recall_curve",  # cross-ladder recall/cost readout, 9 tiers (r16)
     "stream_dedup_near",  # continuous-ingest near-dedup, arrival-order semantic (r16)
     "dq_skew_report",  # shuffle-key skew audit: heaviest key + salt factor (r16)
     "sim_search_sq8_rerank",  # int8 scalar-quantization ANN tier + exact re-rank (r16)
     "sim_search_matryoshka_funnel",  # MRL 16-dim prefix funnel + exact re-rank (r16)
     "text_quality_classifier_hashed",  # fastText-shape hashed linear quality gate (r16)
+    "sim_search_ivf_sq8",  # IVF,SQ8 composite: cell pruning x int8 codes (r16)
 ]
 
 

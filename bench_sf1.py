@@ -87,6 +87,9 @@ SF1_QUERIES = [
     "sim_search_sq8_rerank",
     "sim_search_matryoshka_funnel",
     "text_quality_classifier_hashed",
+    # IVF,SQ8 composite: genuine 10x corpus grows cell occupancy AND
+    # code mass — the two pruning axes the composite multiplies
+    "sim_search_ivf_sq8",
 ]
 
 

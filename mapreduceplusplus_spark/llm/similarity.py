@@ -3087,6 +3087,7 @@ _RECALL_CURVE_ORACLE = f"""
     lsh_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_lsh"]}) x),
     mp_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_lsh_multiprobe"]}) x),
     ivf_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_ivf"]}) x),
+    isq_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_ivf_sq8"]}) x),
     pq_ids AS (SELECT vec_id FROM ({_ORACLES_SO_FAR["sim_search_ivfpq"]}) x),
     N AS (SELECT count(*) AS n FROM embeddings WHERE vec_id <> {PROBE_ID}),
     LSHC AS (
@@ -3142,6 +3143,11 @@ _RECALL_CURVE_ORACLE = f"""
              (SELECT count(*) FROM ivf_ids JOIN exact_ids USING (vec_id)),
              (SELECT cand FROM IVFC), (SELECT cand FROM IVFC), n FROM N
       UNION ALL
+      SELECT 'ivf_sq8',
+             (SELECT count(*) FROM isq_ids JOIN exact_ids USING (vec_id)),
+             (SELECT cand FROM IVFC),
+             LEAST({SQ8_POOL}, (SELECT cand FROM IVFC)), n FROM N
+      UNION ALL
       SELECT 'ivfpq',
              (SELECT count(*) FROM pq_ids JOIN exact_ids USING (vec_id)),
              (SELECT cand FROM IVFC),
@@ -3164,7 +3170,8 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank), sq8 (int8 scalar quantization, {SQ8_POOL}-pool re-rank),
     lsh (single-probe),
     lsh_multiprobe (Hamming-1), ivf (seed-centroid, nprobe
-    {IVF_NPROBE}/{IVF_CENTROIDS}), ivfpq (8×16 codes, re-rank
+    {IVF_NPROBE}/{IVF_CENTROIDS}), ivf_sq8 (the IVF×int8 composite,
+    {SQ8_POOL}-pool re-rank), ivfpq (8×16 codes, re-rank
     {PQ_RERANK}) — with:
 
     - ``hits`` / ``recall_at_k``: |tier top-k ∩ exact top-k| / k,
@@ -3268,6 +3275,12 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim_search_ivf(spark, sf_dir).select("vec_id"),
             ivf_census,
             ivf_census,
+        ),
+        (
+            "ivf_sq8",
+            sim_search_ivf_sq8(spark, sf_dir).select("vec_id"),
+            ivf_census,
+            _least(ivf_census, SQ8_POOL),
         ),
         (
             "ivfpq",

@@ -2172,7 +2172,7 @@ def test_recall_curve_consistent_with_tiers(spark):
     }
     assert set(curve) == {
         "exact", "hamming", "mrl16", "sq8", "lsh", "lsh_multiprobe",
-        "ivf", "ivfpq",
+        "ivf", "ivf_sq8", "ivfpq",
     }
     exact_ids = {
         r.vec_id for r in qs["sim_search_topk"](spark, SF_DIR_ORACLE).collect()
@@ -2184,12 +2184,19 @@ def test_recall_curve_consistent_with_tiers(spark):
     assert curve["hamming"].cand_exact == min(S.HAMMING_POOL, n)
     assert curve["mrl16"].cand_exact == min(S.MRL_POOL, n)
     assert curve["sq8"].cand_exact == min(S.SQ8_POOL, n)
+    # the composite ranks within the IVF gate: same ranked census as
+    # ivf, exact pool capped at SQ8_POOL of the gate
+    assert curve["ivf_sq8"].cand_ranked == curve["ivf"].cand_ranked
+    assert curve["ivf_sq8"].cand_exact == min(
+        S.SQ8_POOL, curve["ivf"].cand_ranked
+    )
     for tier, qname in [
         ("hamming", "sim_search_hamming_rerank"),
         ("mrl16", "sim_search_matryoshka_funnel"),
         ("sq8", "sim_search_sq8_rerank"),
         ("lsh", "sim_search_lsh"),
         ("ivf", "sim_search_ivf"),
+        ("ivf_sq8", "sim_search_ivf_sq8"),
         ("ivfpq", "sim_search_ivfpq"),
     ]:
         ids = {r.vec_id for r in qs[qname](spark, SF_DIR_ORACLE).collect()}
