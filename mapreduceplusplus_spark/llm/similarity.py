@@ -36,6 +36,11 @@ index to richest:
 - ``sim_search_ivf*`` — inverted-file coarse quantization (seed and
   k-means-trained centroids; in-plan lists or a cid-partitioned
   parquet index with PartitionFilters I/O pruning).
+- ``sim_search_ivf_sq8`` — the IVF×SQ8 COMPOSITE (r16, FAISS
+  ``index_factory("IVFx,SQ8")``): the IVF gate prunes rows to
+  nprobe/C cells, int8 codes prune bytes within them — the two
+  pruning axes multiplied, the workhorse mid-tier of production
+  vector stores.
 - ``sim_search_ivfpq*`` — IVF + product quantization (8×16 codes, 32×
   compression, ADC lookup scan, exact re-rank) under cosine / dot /
   L2 metrics.
