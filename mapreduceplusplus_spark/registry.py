@@ -240,7 +240,8 @@ _PRIORITY_ORDER = [
     # sim_search_sq8_rerank (the int8 ANN tier),
     # sim_search_matryoshka_funnel (the MRL prefix-funnel tier),
     # text_quality_classifier_hashed (the fastText-shape gate),
-    # sim_search_ivf_sq8 (the IVF×int8 composite), then
+    # sim_search_ivf_sq8 (the IVF×int8 composite, then its
+    # partitioned on-disk twin sim_search_ivf_sq8_partitioned), then
     # sim_search_ivf_kmeans, sim_search_hamming_rerank (then
     # dedup_boilerplate_scrub, sim_search_ivfpq,
     # sim_search_ivfpq_dot, sim_search_ivfpq_l2) — then the standing

@@ -53,6 +53,7 @@ EMPTY_RAISES = {
     # r16 cross-ladder curve — calls _ivf_seed_lists first, by design
     "sim_search_recall_curve",
     "sim_search_ivf_sq8",  # r16 composite — same _ivf_seed_lists gate
+    "sim_search_ivf_sq8_partitioned",  # its on-disk twin — same gate
 }
 
 #: queries the first empty-input sweep caught real bugs in (fixed) —

@@ -307,6 +307,40 @@ def test_ivf_sq8_composite_gate_subset_scores_and_recall_bound(spark):
     assert sq8_hits <= ivf_hits
 
 
+def test_ivf_sq8_partitioned_rows_identical_and_code_scan_pruned(spark):
+    """sim_search_ivf_sq8_partitioned must (a) return ROW-IDENTICAL
+    results to the in-plan composite (same assignment, same codes,
+    same ranking keys — the variant is a physical strategy under one
+    oracle); (b) have its probe really served by the cid-partitioned
+    code index: the index FileScan must carry a cid PartitionFilters
+    entry (file-listing pruning, not a post-scan filter) and its
+    ReadSchema must be the 1 B/dim code columns — NOT the float
+    vector column (the bytes axis of the composite's contract)."""
+    import re
+
+    qs = registry.queries()
+    part_df = qs["sim_search_ivf_sq8_partitioned"](spark, SF_DIR_ORACLE)
+    part = sorted(map(tuple, part_df.collect()))
+    base = sorted(
+        map(tuple, qs["sim_search_ivf_sq8"](spark, SF_DIR_ORACLE).collect())
+    )
+    assert part == base
+    assert len(part) > 0
+
+    plan = part_df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.split("\n")
+        if "FileScan" in ln and "ivf_sq8_index_" in ln
+    ]
+    assert scans, f"code-index scan missing from plan:\n{plan}"
+    for ln in scans:
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", ln)
+        assert pf and "cid" in pf.group(1), f"no cid partition pruning: {ln}"
+        rs = re.search(r"ReadSchema: (\S+)", ln)
+        assert rs and "codes:array<tinyint>" in rs.group(1), ln
+        assert "v:array" not in rs.group(1), f"float column in code scan: {ln}"
+
+
 def test_frame_sample_real_container_walk(spark):
     """The frame sampler REALLY parses a concatenation of P6 frames:
     per-doc frame count, timestamps, and total bytes must match an
