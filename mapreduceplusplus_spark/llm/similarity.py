@@ -2464,6 +2464,50 @@ def _hamming_rerank_zipwith(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQ8_POOL = 4 * TOP_K
 
 
+def _sq8_scale() -> Column:
+    """Per-vector SQ8 scale = max|x_d| over the ``v`` column — ONE
+    definition for every SQ8 carrier (``sim_search_sq8_rerank``,
+    ``sim_search_ivf_sq8``, ``sim_search_ivf_sq8_partitioned``); the
+    ``embedding_quantize_int8`` device's scale rule."""
+    return F.array_max(F.transform("v", lambda x: F.abs(x)))
+
+
+def _sq8_codes(elem_type: str = "bigint") -> Column:
+    """Int8 code array over (``v``, ``scale``) columns — half-up
+    ``floor(x/scale·127 + 0.5)`` with the zero-scale guard, the shared
+    quantizer of the SQ8 family.  ``elem_type`` picks the carrier
+    width: ``bigint`` for in-plan arithmetic, ``tinyint`` for the
+    1 B/dim persisted code index (values ∈ [-127, 127] by
+    construction, so the narrow cast is lossless)."""
+    return F.when(
+        F.col("scale") == 0,
+        F.transform("v", lambda x: F.lit(0).cast(elem_type)),
+    ).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)).cast(
+                elem_type
+            ),
+        )
+    )
+
+
+def _py_sq8(v: list[float]) -> tuple[float, list[int]]:
+    """Pure-Python twin of (``_sq8_scale``, ``_sq8_codes``) — same
+    IEEE-double expression tree ``(x/scale)·127 + 0.5`` then floor, so
+    the codes agree bit-for-bit (the Hypothesis device pin's model,
+    and the documented cross-engine contract the DuckDB oracles
+    replay)."""
+    import math
+
+    scale = max((abs(float(x)) for x in v), default=0.0)
+    if scale == 0:
+        return 0.0, [0] * len(v)
+    return scale, [
+        int(math.floor(float(x) / scale * 127 + 0.5)) for x in v
+    ]
+
+
 @query(
     "sim_search_sq8_rerank",
     oracle=f"""
@@ -2570,18 +2614,6 @@ def sim_search_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_lit = F.array(*[F.lit(q).cast("bigint") for q in pq])
     pv_lit = F.array(*[F.lit(x) for x in pv])
 
-    scale = F.array_max(F.transform("v", lambda x: F.abs(x)))
-    codes = F.when(
-        F.col("scale") == 0,
-        F.transform("v", lambda x: F.lit(0).cast("bigint")),
-    ).otherwise(
-        F.transform(
-            "v",
-            lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)).cast(
-                "bigint"
-            ),
-        )
-    )
     s = F.aggregate(
         F.zip_with(F.col("codes"), pq_lit, lambda c, p: c * p),
         F.lit(0).cast("bigint"),
@@ -2589,8 +2621,8 @@ def sim_search_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = (
         emb.where(F.col("vec_id") != PROBE_ID)
-        .withColumn("scale", scale.cast("double"))
-        .withColumn("codes", codes)
+        .withColumn("scale", _sq8_scale().cast("double"))
+        .withColumn("codes", _sq8_codes())
         .withColumn("s", s)
         .orderBy(
             (F.col("s").cast("double") * F.col("scale")).desc(), "vec_id"
@@ -2976,26 +3008,14 @@ def sim_search_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assigned.where(
         F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
     )
-    scale = F.array_max(F.transform("v", lambda x: F.abs(x)))
-    codes = F.when(
-        F.col("scale") == 0,
-        F.transform("v", lambda x: F.lit(0).cast("bigint")),
-    ).otherwise(
-        F.transform(
-            "v",
-            lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)).cast(
-                "bigint"
-            ),
-        )
-    )
     s = F.aggregate(
         F.zip_with(F.col("codes"), pq_lit, lambda c, p: c * p),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
     pool = (
-        cand.withColumn("scale", scale.cast("double"))
-        .withColumn("codes", codes)
+        cand.withColumn("scale", _sq8_scale().cast("double"))
+        .withColumn("codes", _sq8_codes())
         .withColumn("s", s)
         .orderBy(
             (F.col("s").cast("double") * F.col("scale")).desc(), "vec_id"
@@ -3097,22 +3117,10 @@ def sim_search_ivf_sq8_partitioned(
     )
     index_dir = _IVF_SQ8_INDEX_CACHE.get(key)
     if index_dir is None:
-        scale = F.array_max(F.transform("v", lambda x: F.abs(x)))
-        codes = F.when(
-            F.col("scale") == 0,
-            F.transform("v", lambda x: F.lit(0).cast("tinyint")),
-        ).otherwise(
-            F.transform(
-                "v",
-                lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)).cast(
-                    "tinyint"
-                ),
-            )
-        )
         index_dir = tempfile.mkdtemp(prefix="ivf_sq8_index_")
         (
-            assigned.withColumn("scale", scale.cast("double"))
-            .withColumn("codes", codes)
+            assigned.withColumn("scale", _sq8_scale().cast("double"))
+            .withColumn("codes", _sq8_codes("tinyint"))
             .select("vec_id", "scale", "codes", "cid")
             .write.mode("overwrite")
             .partitionBy("cid")

@@ -677,3 +677,56 @@ def test_quality_classifier_matches_python_model(spark, docs):
         assert got == want
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+_sq8_floats = st.floats(
+    allow_nan=False,
+    allow_infinity=False,
+    width=64,
+    min_value=-1e6,
+    max_value=1e6,
+)
+
+
+@given(
+    st.lists(
+        st.lists(_sq8_floats, min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    ).filter(lambda vs: len({len(v) for v in vs}) == 1)
+)
+@settings(**_SETTINGS)
+def test_sq8_quantizer_matches_python_model(spark, vectors):
+    """The shared SQ8 quantization device (``_sq8_scale`` /
+    ``_sq8_codes`` — one definition under ``sim_search_sq8_rerank``,
+    ``sim_search_ivf_sq8``, and the persisted code index of
+    ``sim_search_ivf_sq8_partitioned``) == the pure-Python twin
+    ``_py_sq8`` on random vectors, including all-zero vectors (the
+    zero-scale guard), sign mixes, and magnitude extremes: same
+    IEEE-double expression tree ``floor((x/scale)·127 + 0.5)``, so
+    codes agree EXACTLY, and the tinyint carrier (the 1 B/dim index
+    layout) is pinned lossless against the bigint one."""
+    from pyspark.sql import functions as F
+
+    from mapreduceplusplus_spark.llm.similarity import (
+        _py_sq8,
+        _sq8_codes,
+        _sq8_scale,
+    )
+
+    df = (
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vectors)],
+            "vec_id long, v array<double>",
+        )
+        .withColumn("scale", _sq8_scale().cast("double"))
+        .withColumn("codes", _sq8_codes())
+        .withColumn("codes8", _sq8_codes("tinyint"))
+    )
+    got = {r.vec_id: (r.scale, list(r.codes), list(r.codes8)) for r in df.collect()}
+    for i, v in enumerate(vectors):
+        scale, codes = _py_sq8(v)
+        assert got[i][0] == scale, (i, v)
+        assert got[i][1] == codes, (i, v)
+        assert got[i][2] == codes, (i, v)  # tinyint carrier lossless
+        assert all(-127 <= c <= 127 for c in codes), (i, v)
