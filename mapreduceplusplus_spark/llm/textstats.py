@@ -2143,3 +2143,131 @@ def text_quality_classifier_hashed(
             (F.col("sum_w_milli") >= 0).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# encoding-damage audit — the ftfy/C4-shape mojibake gate (r16)
+# ---------------------------------------------------------------------------
+
+#: mojibake-signature pattern, built from LITERAL characters (not
+#: dialect escapes) so the SAME pattern text is valid Java regex and
+#: RE2: 'Ã'+continuation (UTF-8-as-Latin-1 damage for U+00C0-U+00FF,
+#: e.g. é→Ã©), 'â€' (smart-quote/dash damage â€™ â€œ â€”), and
+#: 'Â'+Latin-1-punctuation (Â° Â£ Â· — the stray-Â damage)
+_MOJI_PAT = (
+    "Ã[" + chr(0x80) + "-" + chr(0xBF) + "]"
+    "|â€"
+    "|Â[" + chr(0xA0) + "-" + chr(0xBF) + "]"
+)
+#: C0 controls except \t \n \r — the same \xNN class syntax is valid
+#: in Java regex and RE2, and SQL single-quoted strings pass the
+#: backslashes through untouched in both engines
+_CTRL_PAT = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+#: keep thresholds (ppm of characters): any U+FFFD is damage by
+#: definition; mojibake/control rates get a small allowance so a
+#: single stray artifact in a long document doesn't drop it
+MOJI_PPM_MAX = 2000
+CTRL_PPM_MAX = 500
+
+
+@query(
+    "text_encoding_quality",
+    oracle=f"""
+    SELECT doc_id, n_repl, n_moji, n_ctrl,
+           CASE WHEN n_chars > 0
+                THEN (2 * 1000000 * n_moji + n_chars) // (2 * n_chars)
+                ELSE 0 END AS moji_ppm,
+           CASE WHEN n_chars > 0
+                THEN (2 * 1000000 * n_ctrl + n_chars) // (2 * n_chars)
+                ELSE 0 END AS ctrl_ppm,
+           (n_repl = 0
+            AND CASE WHEN n_chars > 0
+                     THEN (2 * 1000000 * n_moji + n_chars) // (2 * n_chars)
+                     ELSE 0 END < {MOJI_PPM_MAX}
+            AND CASE WHEN n_chars > 0
+                     THEN (2 * 1000000 * n_ctrl + n_chars) // (2 * n_chars)
+                     ELSE 0 END < {CTRL_PPM_MAX}) AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(
+               text, chr(65533), '', 'g')) AS BIGINT) AS n_repl,
+             CAST(len(regexp_extract_all(text, '{_MOJI_PAT}'))
+                  AS BIGINT) AS n_moji,
+             CAST(len(regexp_extract_all(text, '{_CTRL_PAT}'))
+                  AS BIGINT) AS n_ctrl
+      FROM documents)
+    """,
+)
+def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODING-DAMAGE audit per document — the ftfy-shape gate the
+    C4/CCNet cleaning recipes apply before any content heuristic:
+    text that survived a broken decode pipeline carries machine-visible
+    scars, and each scar class gets an exact integer census:
+
+    - ``n_repl``: U+FFFD replacement characters — a decoder already
+      REPLACED bytes it could not interpret; any occurrence is damage
+      (counted as a length delta under single-char removal, no regex
+      dialect involved);
+    - ``n_moji``: classic UTF-8-read-as-Latin-1/Win-1252 signatures
+      (``Ã©``-class continuation pairs, ``â€``-class smart-quote
+      damage, stray-``Â`` punctuation) — the high-precision subset of
+      ftfy's detector, counted with ONE pattern string built from
+      literal characters so Java regex and RE2 parse it identically;
+    - ``n_ctrl``: C0 control characters other than tab/newline/CR —
+      binary junk embedded in "text".
+
+    Rates are exact half-up integer ppm over the document's character
+    count (positive operands, so Spark ``div`` == DuckDB ``//`` ==
+    floor — no float division anywhere, the output hashes are
+    integer-stable), and ``keep`` applies the documented thresholds
+    (zero tolerance for U+FFFD, {MOJI_PPM_MAX}/{CTRL_PPM_MAX} ppm
+    allowances for the rate classes).  At 100 TB this is one
+    stateless map-side projection per document — no shuffle, no
+    joins; it composes with ``pipeline_clean_corpus``'s gate family
+    the way the quality classifier does.  The synthetic fixture is
+    clean by construction (every census 0, every doc kept) — the
+    OPERATOR is exercised by the Hypothesis corpus in
+    ``tests/test_properties.py``, which synthesizes damaged documents
+    and pins all three censuses against an independent pure-Python
+    ``re`` model (a third regex dialect, so the pattern SEMANTICS are
+    pinned, not just cross-engine agreement).  Reference heritage:
+    none (SURVEY §2 charter extension, text-analysis family)."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("bigint")
+    n_repl = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "�", ""))
+    ).cast("bigint")
+    n_moji = F.regexp_count("text", F.lit(_MOJI_PAT)).cast("bigint")
+    n_ctrl = F.regexp_count("text", F.lit(_CTRL_PAT)).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_repl"),
+        n_moji.alias("n_moji"),
+        n_ctrl.alias("n_ctrl"),
+    )
+
+    def _ppm(n: str) -> Column:
+        return F.when(
+            F.col("n_chars") > 0,
+            F.expr(
+                f"(2 * 1000000 * {n} + n_chars) div (2 * n_chars)"
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    return d.select(
+        "doc_id",
+        "n_repl",
+        "n_moji",
+        "n_ctrl",
+        _ppm("n_moji").alias("moji_ppm"),
+        _ppm("n_ctrl").alias("ctrl_ppm"),
+        (
+            (F.col("n_repl") == 0)
+            & (_ppm("n_moji") < MOJI_PPM_MAX)
+            & (_ppm("n_ctrl") < CTRL_PPM_MAX)
+        ).alias("keep"),
+    )

@@ -240,6 +240,7 @@ _PRIORITY_ORDER = [
     # sim_search_sq8_rerank (the int8 ANN tier),
     # sim_search_matryoshka_funnel (the MRL prefix-funnel tier),
     # text_quality_classifier_hashed (the fastText-shape gate),
+    # text_encoding_quality (the ftfy-shape mojibake gate),
     # sim_search_ivf_sq8 (the IVF×int8 composite, then its
     # partitioned on-disk twin sim_search_ivf_sq8_partitioned), then
     # sim_search_ivf_kmeans, sim_search_hamming_rerank (then

@@ -730,3 +730,94 @@ def test_sq8_quantizer_matches_python_model(spark, vectors):
         assert got[i][1] == codes, (i, v)
         assert got[i][2] == codes, (i, v)  # tinyint carrier lossless
         assert all(-127 <= c <= 127 for c in codes), (i, v)
+
+
+_enc_frag = st.sampled_from(
+    [
+        "plain words",
+        "\u00e2\u20ac\u2122",          # \u00e2\u20ac\u2122 smart-quote damage
+        "\u00c3\u00a9",                 # Ã© continuation pair
+        "\u00c3\u0081",                 # Ã + C1-range continuation
+        "\u00c2\u00b0",                 # Â° stray-Â punctuation
+        "\ufffd",                        # replacement char
+        "\x01", "\x0b", "\x1f",        # C0 controls (counted)
+        "\t\nok\r",                    # whitelisted controls (NOT counted)
+        "\u00c3Z",                       # Ã before ASCII — NOT mojibake
+        "\u00c2z",                       # Â before ASCII — NOT mojibake
+        "",
+    ]
+)
+
+
+@given(
+    st.lists(
+        st.lists(_enc_frag, min_size=0, max_size=6).map("".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_encoding_quality_matches_python_model(spark, texts):
+    """``text_encoding_quality`` == an independent pure-Python ``re``
+    model (a THIRD regex dialect next to Java regex and RE2, so the
+    pattern SEMANTICS are pinned, not just cross-engine agreement) on
+    corpora assembled from damage fragments: every census, both exact
+    half-up ppm rates, and the keep verdict — including the negative
+    space (tab/newline/CR whitelisted, Ã/Â before ASCII not counted)."""
+    import re
+    import shutil
+    import tempfile
+
+    from mapreduceplusplus_spark import registry
+    from mapreduceplusplus_spark.llm.textstats import (
+        CTRL_PPM_MAX,
+        MOJI_PPM_MAX,
+        _CTRL_PAT,
+        _MOJI_PAT,
+    )
+
+    registry.load_all()
+    moji = re.compile(_MOJI_PAT)
+    ctrl = re.compile(_CTRL_PAT)
+
+    def ppm(n: int, nc: int) -> int:
+        return (2 * 1000000 * n + nc) // (2 * nc) if nc else 0
+
+    want = {}
+    for i, t in enumerate(texts):
+        nc = len(t)
+        n_repl = t.count("\ufffd")
+        n_moji = len(moji.findall(t))
+        n_ctrl = len(ctrl.findall(t))
+        want[i] = (
+            n_repl,
+            n_moji,
+            n_ctrl,
+            ppm(n_moji, nc),
+            ppm(n_ctrl, nc),
+            n_repl == 0
+            and ppm(n_moji, nc) < MOJI_PPM_MAX
+            and ppm(n_ctrl, nc) < CTRL_PPM_MAX,
+        )
+
+    out = tempfile.mkdtemp(prefix="encq_prop_")
+    try:
+        spark.createDataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            out + "/documents.parquet"
+        )
+        got = {
+            r.doc_id: (
+                r.n_repl, r.n_moji, r.n_ctrl,
+                r.moji_ppm, r.ctrl_ppm, r.keep,
+            )
+            for r in registry.queries()["text_encoding_quality"](
+                spark, out
+            ).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
