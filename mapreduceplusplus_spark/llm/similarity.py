@@ -2210,9 +2210,14 @@ HAMMING_POOL = 4 * TOP_K
       WHERE vec_id = {PROBE_ID}
     ),
     pe AS (
-      SELECT generate_subscripts(embedding, 1) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings WHERE vec_id = {PROBE_ID}
+      -- DISTINCT (the _IVF_KMEANS_ORACLE probe device, ADVICE r15):
+      -- on a physically row-duplicated corpus the probe's exploded
+      -- rows repeat and the joined hamming census would scale by the
+      -- replication factor, while Spark reads one sketch row
+      SELECT DISTINCT dim, x FROM (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id = {PROBE_ID})
     ),
     ve AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -2516,10 +2521,15 @@ def _py_sq8(v: list[float]) -> tuple[float, list[int]]:
       FROM embeddings WHERE vec_id = {PROBE_ID}
     ),
     pe AS (
-      SELECT generate_subscripts(embedding, 1) AS dim,
-             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
-                  AS BIGINT) AS pq
-      FROM embeddings WHERE vec_id = {PROBE_ID}
+      -- DISTINCT (the _IVF_KMEANS_ORACLE probe device, ADVICE r15):
+      -- duplicated probe rows would scale every candidate's ADC sum
+      -- by the replication factor while Spark reads ONE probe row
+      -- (limit 1) — rank from identical unscaled integers instead
+      SELECT DISTINCT dim, pq FROM (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS pq
+        FROM embeddings WHERE vec_id = {PROBE_ID})
     ),
     sc AS (
       SELECT vec_id,
@@ -2912,10 +2922,12 @@ _IVF_SQ8_ORACLE = f"""
       WHERE cid IN (SELECT cid FROM pc) AND vec_id <> {PROBE_ID}
     ),
     pe AS (
-      SELECT generate_subscripts(embedding, 1) AS dim,
-             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
-                  AS BIGINT) AS pq
-      FROM embeddings WHERE vec_id = {PROBE_ID}
+      -- DISTINCT: same duplicated-probe guard as the sq8 oracle
+      SELECT DISTINCT dim, pq FROM (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS pq
+        FROM embeddings WHERE vec_id = {PROBE_ID})
     ),
     sc AS (
       SELECT e.vec_id,
