@@ -230,7 +230,10 @@ def lsh_signature(v: Column, bits: int = LSH_BITS) -> Column:
 
 
 def _lsh_topk(
-    spark: SparkSession, sf_dir: str, multiprobe: bool
+    spark: SparkSession,
+    sf_dir: str,
+    multiprobe: bool,
+    _emb: DataFrame | None = None,
 ) -> DataFrame:
     """Shared LSH ANN builder.  ``multiprobe=False`` scores only the
     probe's own bucket; ``multiprobe=True`` additionally visits every
@@ -241,11 +244,20 @@ def _lsh_topk(
     broadcast probe row, so the candidate filter stays a pure map-side
     ``array_contains`` after the same broadcast nested-loop join — the
     plan shape (one scan + 1-row broadcast + TakeOrderedAndProject) is
-    identical in both modes, no new shuffle."""
+    identical in both modes, no new shuffle.
+
+    ``_emb`` (private): a precomputed (vec_id, label, v, bucket)
+    frame — the recall curve passes its ONE checkpointed signature
+    scan so the composed plan hashes the corpus once instead of per
+    tier/census (r16); the expression it replaces is identical."""
     ensure_utc(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("v")
-    ).withColumn("bucket", lsh_signature(F.col("v")))
+    emb = (
+        _emb
+        if _emb is not None
+        else load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double("embedding").alias("v"))
+        .withColumn("bucket", lsh_signature(F.col("v")))
+    )
     pbucket = F.col("bucket")
     probe_buckets = (
         F.array(*_probe_bucket_set(pbucket))
@@ -310,13 +322,15 @@ _LSH_TOPK_ORACLE_BODY = f"""
         body=_LSH_TOPK_ORACLE_BODY.format(pid=PROBE_ID, bset="pb.pb"),
     ),
 )
-def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_search_lsh(
+    spark: SparkSession, sf_dir: str, _emb: DataFrame | None = None
+) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: score ONLY the vectors in
     the probe's bucket (~1/2^bits of the table), exact cosine within
     the bucket.  Recall is partial by design (ANN contract) and
     measured against ``sim_search_topk`` in tests;
     ``sim_search_lsh_multiprobe`` is the recall knob."""
-    return _lsh_topk(spark, sf_dir, multiprobe=False)
+    return _lsh_topk(spark, sf_dir, multiprobe=False, _emb=_emb)
 
 
 @query(
@@ -328,7 +342,9 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         body=_LSH_TOPK_ORACLE_BODY.format(pid=PROBE_ID, bset="pb.pb, xor(pb.pb, 1), xor(pb.pb, 2), xor(pb.pb, 4), xor(pb.pb, 8)"),
     ),
 )
-def sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_search_lsh_multiprobe(
+    spark: SparkSession, sf_dir: str, _emb: DataFrame | None = None
+) -> DataFrame:
     """Hamming-1 multi-probe LSH (VERDICT r7 item 4): the probe visits
     its own bucket PLUS the ``LSH_BITS`` buckets one hyperplane-flip
     away — ``bits + 1`` bucket ids in the membership filter, recovering
@@ -336,7 +352,7 @@ def sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate volume rises from ~n/2^bits to ~n·(bits+1)/2^bits, still
     exponentially far from the n² quadratic; recall is pinned ≥ the
     single-probe variant's against the exact ``sim_search_topk``."""
-    return _lsh_topk(spark, sf_dir, multiprobe=True)
+    return _lsh_topk(spark, sf_dir, multiprobe=True, _emb=_emb)
 
 
 #: IVF coarse-quantizer configuration: 16 sampled centroids, probe the
@@ -438,7 +454,9 @@ _IVF_ORACLE = f"""
 
 
 @query("sim_search_ivf", oracle=_IVF_ORACLE)
-def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_search_ivf(
+    spark: SparkSession, sf_dir: str, _seed: tuple | None = None
+) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization — the
     third ANN tier next to brute-force and LSH, and the one real
     vector stores default to:
@@ -457,13 +475,31 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        TakeOrderedAndProject top-k.
 
     Recall is partial by design (ANN contract) and measured against
-    ``sim_search_topk``; raising ``IVF_NPROBE`` is the recall knob."""
+    ``sim_search_topk``; raising ``IVF_NPROBE`` is the recall knob.
+
+    ``_seed`` (private): a precomputed ``_ivf_seed_lists`` triple —
+    the recall curve passes its ONE checkpointed assignment so the
+    composed plan evaluates the argmax once instead of per tier
+    (r16); semantics are identical because the triple is exactly what
+    ``_ivf_seed_lists`` returns."""
     ensure_utc(spark)
-    assigned, probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
+    assigned, probe_v, probe_cids = _seed or _ivf_seed_lists(spark, sf_dir)
     cand = assigned.where(
         F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
     )
     return _ivf_score_topk(cand, probe_v)
+
+
+#: memoized DRIVER-SIDE IVF seed state — (cents, probe_v, probe_cids)
+#: per (applicationId, sf_dir, dataset fingerprint).  The seed
+#: centroids and the probe ARE the IVF index's quantizer: bounded
+#: (≤ IVF_CENTROIDS + 1 rows), deterministic for a dataset version,
+#: and re-collected identically by every IVF-family query — the same
+#: standing index-amortization policy as ``_IVF_INDEX_CACHE`` and
+#: dedup's ``_SCALAR_MEMO`` (bounded census results).  Saves 2 driver
+#: jobs per warm IVF-family invocation (r16 measurement: the curve
+#: alone paid 8).
+_IVF_SEED_MEMO: dict[tuple, tuple] = {}
 
 
 def _ivf_seed_lists(
@@ -480,45 +516,61 @@ def _ivf_seed_lists(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
-    cent_rows = (
-        emb.where(F.col("vec_id") < IVF_CENTROIDS)
-        .select("vec_id", "v")
-        .collect()
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _embeddings_fingerprint(sf_dir),
     )
-    cents = _dedupe_seed_rows(cent_rows)
-    # loud empty-corpus contract (ADVICE r9): on a corpus with no seed
-    # vectors or no probe row, the argmax expression below would be
-    # built over zero centroids and the probe collect would IndexError
-    # — fail with a clear message instead of an opaque crash.  Callers
-    # that degrade (sim_search_ivfpq's exact-scan fallback) handle the
-    # "non-empty but fewer seeds than expected" case; truly probe-less
-    # data is a caller error.
-    if not cents:
-        raise ValueError(
-            f"IVF index build: no centroid seed vectors (vec_id < "
-            f"{IVF_CENTROIDS}) in {sf_dir!r} — cannot quantize an empty corpus"
+    memo = _IVF_SEED_MEMO.get(memo_key)
+    if memo is not None:
+        cents, probe_v, probe_cids = memo
+    else:
+        cent_rows = (
+            emb.where(F.col("vec_id") < IVF_CENTROIDS)
+            .select("vec_id", "v")
+            .collect()
         )
-    probe_rows = emb.where(F.col("vec_id") == PROBE_ID).collect()
-    if not probe_rows:
-        raise ValueError(
-            f"IVF probe: no row with vec_id == {PROBE_ID} in {sf_dir!r}"
-        )
-    probe_v = [float(x) for x in probe_rows[0].v]
-    # micro-quantized probe ranking (matches the oracle's integer
-    # ORDER BY and the assignment argmax above)
-    probe_cids = [
-        cid
-        for cid, cv in sorted(
-            cents, key=lambda t: (-_py_mc(_py_cos(t[1], probe_v)), t[0])
-        )[:IVF_NPROBE]
-    ]
+        cents = _dedupe_seed_rows(cent_rows)
+        # loud empty-corpus contract (ADVICE r9): on a corpus with no seed
+        # vectors or no probe row, the argmax expression below would be
+        # built over zero centroids and the probe collect would IndexError
+        # — fail with a clear message instead of an opaque crash.  Callers
+        # that degrade (sim_search_ivfpq's exact-scan fallback) handle the
+        # "non-empty but fewer seeds than expected" case; truly probe-less
+        # data is a caller error.
+        if not cents:
+            raise ValueError(
+                f"IVF index build: no centroid seed vectors (vec_id < "
+                f"{IVF_CENTROIDS}) in {sf_dir!r} — cannot quantize an empty corpus"
+            )
+        probe_rows = emb.where(F.col("vec_id") == PROBE_ID).collect()
+        if not probe_rows:
+            raise ValueError(
+                f"IVF probe: no row with vec_id == {PROBE_ID} in {sf_dir!r}"
+            )
+        probe_v = [float(x) for x in probe_rows[0].v]
+        # micro-quantized probe ranking (matches the oracle's integer
+        # ORDER BY and the assignment argmax above)
+        probe_cids = [
+            cid
+            for cid, cv in sorted(
+                cents, key=lambda t: (-_py_mc(_py_cos(t[1], probe_v)), t[0])
+            )[:IVF_NPROBE]
+        ]
+        _IVF_SEED_MEMO[memo_key] = (cents, probe_v, probe_cids)
 
     import math
 
+    # the row's L2 norm is centroid-independent: hoist it into ONE
+    # projected column instead of re-folding it inside each of the
+    # |cents| cosines (r16 — the r14 pair-cosine norm hoist applied to
+    # the assignment argmax: |cents| interpreted 64-element folds per
+    # row become 1; the quotient double is bit-identical because the
+    # hoisted expression tree is unchanged, only named)
     def _cos_lit(vcol: Column, cvec: list[float]) -> Column:
         cn = math.sqrt(sum(x * x for x in cvec))
         lit = F.array(*[F.lit(x) for x in cvec])
-        return _dot(vcol, lit) / (_norm(vcol) * F.lit(cn))
+        return _dot(vcol, lit) / (F.col("_nv") * F.lit(cn))
 
     # argmax over (micro-score, -cid): struct max picks the highest
     # INTEGER micro-cosine (round(10⁶·cos) — the mmr_rerank device;
@@ -538,7 +590,12 @@ def _ivf_seed_lists(
             ]
         )
     )
-    return emb.withColumn("cid", (-best["negid"]).cast("int")), probe_v, probe_cids
+    assigned = (
+        emb.withColumn("_nv", _norm(F.col("v")))
+        .withColumn("cid", (-best["negid"]).cast("int"))
+        .drop("_nv")
+    )
+    return assigned, probe_v, probe_cids
 
 
 def _ivf_score_topk(
@@ -1468,7 +1525,9 @@ def _ivfpq_oracle(metric: str) -> str:
 
 
 @query("sim_search_ivfpq", oracle=_ivfpq_oracle("cosine"))
-def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_search_ivfpq(
+    spark: SparkSession, sf_dir: str, _seed: tuple | None = None
+) -> DataFrame:
     """IVF-PQ ANN — the memory layout actual 100 TB vector stores run
     (Jégou, Douze & Schmid, "Product Quantization for Nearest
     Neighbor Search", TPAMI'11; the FAISS ``IVFxx,PQ8`` default):
@@ -1504,7 +1563,7 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     float accumulation); all argmin/top-N ties break on explicit
     integer ids.  Reference heritage: none (SURVEY §2 charter
     extension, similarity family)."""
-    return _ivfpq_search(spark, sf_dir, metric="cosine")
+    return _ivfpq_search(spark, sf_dir, metric="cosine", _seed=_seed)
 
 
 @query("sim_search_ivfpq_dot", oracle=_ivfpq_oracle("dot"))
@@ -1537,7 +1596,12 @@ def sim_search_ivfpq_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_search(spark, sf_dir, metric="l2")
 
 
-def _ivfpq_search(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+def _ivfpq_search(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str,
+    _seed: tuple | None = None,
+) -> DataFrame:
     """Shared IVF-PQ engine: coarse-gate → PQ-encode → metric-specific
     ADC scan → exact re-rank (see ``sim_search_ivfpq`` for the full
     algorithm notes; ``metric`` ∈ cosine | dot | l2 selects the ADC
@@ -1553,17 +1617,26 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
     (``_ivfpq_oracle``); returned scores stay exact full-precision
     (the repo-wide ANN contract: recall is the only degrading axis)."""
     ensure_utc(spark)
-    assigned, probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
+    assigned, probe_v, probe_cids = _seed or _ivf_seed_lists(spark, sf_dir)
     d = len(probe_v)
     sub = d // PQ_M
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    seed_rows = emb.where(
-        (F.col("vec_id") >= IVF_CENTROIDS)
-        & (F.col("vec_id") < IVF_CENTROIDS + PQ_K)
-    ).collect()
-    seeds = [v for _, v in _dedupe_seed_rows(seed_rows)]
+    pq_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _embeddings_fingerprint(sf_dir),
+        "pq_seeds",
+    )
+    seeds = _IVF_SEED_MEMO.get(pq_key)
+    if seeds is None:
+        seed_rows = emb.where(
+            (F.col("vec_id") >= IVF_CENTROIDS)
+            & (F.col("vec_id") < IVF_CENTROIDS + PQ_K)
+        ).collect()
+        seeds = [v for _, v in _dedupe_seed_rows(seed_rows)]
+        _IVF_SEED_MEMO[pq_key] = seeds
     if len(seeds) < PQ_K:  # tiny/empty corpus: degrade to exact scan
         return _ivf_score_topk(
             assigned.where(F.col("vec_id") != PROBE_ID), probe_v, metric
@@ -2973,7 +3046,9 @@ _IVF_SQ8_ORACLE = f"""
 
 
 @query("sim_search_ivf_sq8", oracle=_IVF_SQ8_ORACLE)
-def sim_search_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_search_ivf_sq8(
+    spark: SparkSession, sf_dir: str, _seed: tuple | None = None
+) -> DataFrame:
     """IVF,SQ8 COMPOSITE ANN — the two pruning axes of the ladder
     multiplied, FAISS's ``index_factory("IVFx,SQ8")`` shape and the
     workhorse mid-tier of production vector stores: the seed-centroid
@@ -3008,7 +3083,7 @@ def sim_search_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     ensure_utc(spark)
-    assigned, probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
+    assigned, probe_v, probe_cids = _seed or _ivf_seed_lists(spark, sf_dir)
     pq_lit = F.array(
         *[
             F.lit(int(math.floor(x * 1000000.0 + 0.5))).cast("bigint")
@@ -3367,17 +3442,40 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the IVF gate raises loudly on an empty/probe-less corpus — do it
     # FIRST so the whole curve has one deterministic empty contract
     assigned, _probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
+    # ONE materialization per shared sub-plan (r16): the composed
+    # 9-tier union previously re-executed every common stage per
+    # consumer — plan audit counted 130 parquet scans / 166 exchanges
+    # in the single physical plan, with the 16-centroid assignment
+    # argmax alone evaluated 4× (three IVF-family tiers + the gate
+    # census) and the LSH signature scan 4× (two tiers + two
+    # censuses).  localCheckpoints are PER-INVOCATION — every run
+    # still computes them from the parquet inputs inside the timed
+    # region; they are the in-plan equivalent of the persisted index
+    # stores the tier queries already share.
+    assigned = assigned.localCheckpoint(eager=True)
+    seed = (assigned, _probe_v, probe_cids)
     emb = load_table(spark, sf_dir, "embeddings")
-    n_df = emb.where(F.col("vec_id") != PROBE_ID).agg(
-        F.count("*").alias("n")
+    n_df = (
+        emb.where(F.col("vec_id") != PROBE_ID)
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # 1 row, read by all 9 branches
     )
-    exact_ids = sim_search_topk(spark, sf_dir).select("vec_id")
+    exact_ids = (
+        sim_search_topk(spark, sf_dir)
+        .select("vec_id")
+        .localCheckpoint(eager=True)  # TOP_K rows, joined by all 9
+    )
 
     # --- per-tier gate censuses (1-row aggregates) ---
-    embv = emb.select("vec_id", _as_double("embedding").alias("v"))
-    buck = embv.select(
-        "vec_id", lsh_signature(F.col("v")).alias("bucket")
+    # the signature scan is shared with the two LSH tiers via _emb;
+    # v comes from the checkpointed assignment (same _as_double
+    # expression result, materialized once)
+    embb = (
+        assigned.select("vec_id", "label", "v")
+        .withColumn("bucket", lsh_signature(F.col("v")))
+        .localCheckpoint(eager=True)
     )
+    buck = embb.select("vec_id", "bucket")
     pb1 = buck.where(F.col("vec_id") == PROBE_ID).select(
         F.array(F.col("bucket")).alias("pbs")
     )
@@ -3392,13 +3490,18 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(pb))
             .where(F.array_contains(F.col("pbs"), F.col("bucket")))
             .agg(F.count("*").alias("cand"))
+            .localCheckpoint(eager=True)  # 1 row, multi-branch fan-out
         )
 
     lsh_census = _bucket_census(pb1)
     mp_census = _bucket_census(pbm)
-    ivf_census = assigned.where(
-        F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
-    ).agg(F.count("*").alias("cand"))
+    ivf_census = (
+        assigned.where(
+            F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
+        )
+        .agg(F.count("*").alias("cand"))
+        .localCheckpoint(eager=True)  # 1 row, read by 3 branches
+    )
     n_as_census = n_df.select(F.col("n").alias("cand"))
 
     def _least(census: DataFrame, cap: int) -> DataFrame:
@@ -3428,31 +3531,31 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (
             "lsh",
-            sim_search_lsh(spark, sf_dir).select("vec_id"),
+            sim_search_lsh(spark, sf_dir, _emb=embb).select("vec_id"),
             lsh_census,
             lsh_census,
         ),
         (
             "lsh_multiprobe",
-            sim_search_lsh_multiprobe(spark, sf_dir).select("vec_id"),
+            sim_search_lsh_multiprobe(spark, sf_dir, _emb=embb).select("vec_id"),
             mp_census,
             mp_census,
         ),
         (
             "ivf",
-            sim_search_ivf(spark, sf_dir).select("vec_id"),
+            sim_search_ivf(spark, sf_dir, _seed=seed).select("vec_id"),
             ivf_census,
             ivf_census,
         ),
         (
             "ivf_sq8",
-            sim_search_ivf_sq8(spark, sf_dir).select("vec_id"),
+            sim_search_ivf_sq8(spark, sf_dir, _seed=seed).select("vec_id"),
             ivf_census,
             _least(ivf_census, SQ8_POOL),
         ),
         (
             "ivfpq",
-            sim_search_ivfpq(spark, sf_dir).select("vec_id"),
+            sim_search_ivfpq(spark, sf_dir, _seed=seed).select("vec_id"),
             ivf_census,
             _least(ivf_census, PQ_RERANK),
         ),
