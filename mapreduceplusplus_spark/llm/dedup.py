@@ -186,14 +186,21 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     docs = _spread(spark, load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
-    sh = (
-        toks.select("doc_id", shingles_of_tokens(F.col("ws")).alias("sh"))
-        .where(F.size("sh") > 0)
-        .persist()
-    )
+    sh = _shingle_frame(docs).persist()
     _SHINGLE_CACHE[key] = sh
     return sh
+
+
+def _shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) distinct-shingle frame over a ``(doc_id, text)``
+    input — THE shingle expression, factored so the full-corpus cache
+    and row-restricted consumers share one definition (r16: the
+    incremental-ingest probe shingles only its batch; shingling is
+    per-document, so restriction commutes with the expression)."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    return toks.select(
+        "doc_id", shingles_of_tokens(F.col("ws")).alias("sh")
+    ).where(F.size("sh") > 0)
 
 
 #: memoized persisted INTERMEDIATE tables (rare posting lists, MinHash
@@ -2308,16 +2315,20 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
     global _last_ingest_probe_parts, _last_ingest_total_parts
     global _last_ingest_shingle_probe_parts, _last_ingest_shingle_total_parts
     ensure_utc(spark)
-    docs = _doc_shingles(spark, sf_dir)
-    bands = _persisted_aux(
-        _docs_key(spark, sf_dir) + ("mh_bands",), lambda: _minhash_bands(docs)
-    )
     pk = (F.col("band") * _INGEST_NB + F.pmod(F.col("bkey"), F.lit(_INGEST_NB))).cast(
         "int"
     )
     is_batch = F.col("doc_id") % INGEST_NEAR_MOD == 0
 
     # ---- 1. index build (memoized write-once, like _IVF_INDEX_CACHE)
+    # Full-corpus shingles/bands are needed ONLY here (r16): before,
+    # the probe derived its batch frames by FILTERING the persisted
+    # full-corpus shingle/band caches, so a warm-index invocation
+    # still tokenized + 64-way-minhashed the whole corpus per batch —
+    # the exact full-text pass the stores exist to avoid (at 100 TB
+    # that is the difference between scanning the crawl increment and
+    # scanning the corpus).  Shingling and banding are per-document,
+    # so restriction commutes and the verdicts are unchanged.
     from mapreduceplusplus_spark.sources.tables import dataset_fingerprint
 
     key = (
@@ -2326,6 +2337,11 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
         dataset_fingerprint(sf_dir, "documents"),
     )
     def _build_stores(d: str) -> None:
+        docs = _doc_shingles(spark, sf_dir)
+        bands = _persisted_aux(
+            _docs_key(spark, sf_dir) + ("mh_bands",),
+            lambda: _minhash_bands(docs),
+        )
         (
             bands.where(~is_batch)
             .withColumn("pk", pk)
@@ -2366,10 +2382,22 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
         _NEARDUP_INDEX_CACHE, key, "neardup_index", sf_dir, _build_stores
     )
 
-    # ---- 2. probe
+    # ---- 2. probe — batch-only text pass: shingle + band ONLY
+    # today's crawl (the 1/INGEST_NEAR_MOD slice), never the corpus
+    batch_sh = _persisted_aux(
+        _docs_key(spark, sf_dir) + ("ingest_batch_shingles",),
+        lambda: _shingle_frame(
+            _spread(
+                spark,
+                load_table(spark, sf_dir, "documents")
+                .where(is_batch)
+                .select("doc_id", "text"),
+            )
+        ),
+    )
     batch_bands = _persisted_aux(
         _docs_key(spark, sf_dir) + ("ingest_batch_bands",),
-        lambda: bands.where(is_batch).withColumn("pk", pk),
+        lambda: _minhash_bands(batch_sh).withColumn("pk", pk),
     )
     # bounded census collect: ≤ MINHASH_BANDS·NB = 512 ints — memoized
     # per dataset version alongside the persisted frame it reads, so a
@@ -2466,7 +2494,6 @@ def dedup_incremental_ingest_near(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(shingle_dir)
         .where(F.col("sk").isin(probe_sks))
     )
-    batch_sh = docs.where(is_batch)
 
     def _verified(cand: DataFrame, dc_sh: DataFrame) -> DataFrame:
         pairs = cand.join(
