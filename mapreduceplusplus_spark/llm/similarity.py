@@ -1848,65 +1848,52 @@ def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel"),
         )
     )
-    pool = (
+    # ONE corpus pass + ONE bounded collect (≤ MMR_POOL rows with
+    # their vectors): the greedy itself is integer arithmetic over a
+    # constant-bounded pool, so it runs DRIVER-SIDE — the
+    # sort_global-boundary / IVF-probe driver-literal device (r16:
+    # the previous unrolled in-plan greedy spent ~8 eager-checkpoint
+    # jobs on ≤20-row frames; the corpus-sized work is identical).
+    # Pairwise micro-cosines come from _py_mc(_py_cos(...)) — the
+    # same sequential fold + half-away rounding as the Spark
+    # expressions, and test_mmr_micro_cosine_boundary_margin pins
+    # every pool cosine ≥ 1e-4 micro-units from a rounding boundary,
+    # 10⁴× any fold-order deviation.
+    pool_rows = (
         scored.orderBy(F.col("rel").desc(), "vec_id")
         .limit(MMR_POOL)
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    a, b = pool.alias("a"), pool.alias("b")
-    sims = (
-        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("cu"),
-            F.col("b.vec_id").alias("cv"),
-            mc(
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
-            ).alias("s"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    pool = pool.select("vec_id", "rel")
-    pick = (
-        pool.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(1)
-        .select("vec_id", "rel", (7 * F.col("rel")).alias("mmr"))
-        .localCheckpoint(eager=True)
-    )
-    picks = [pick.withColumn("pick", F.lit(1))]
-    selected = pick.select("vec_id")
-    for t in range(2, MMR_K + 1):
-        sel_sims = sims.join(
-            selected.select(F.col("vec_id").alias("cv")), "cv"
-        )
-        cand = (
-            pool.join(selected, "vec_id", "left_anti")
-            .join(sel_sims, pool["vec_id"] == sel_sims["cu"])
-            .groupBy(pool["vec_id"].alias("vec_id"), "rel")
-            .agg(F.max("s").alias("ms"))
-            .select(
-                "vec_id",
-                "rel",
-                (7 * F.col("rel") - 3 * F.col("ms")).alias("mmr"),
-            )
-        )
-        pick = (
-            cand.orderBy(F.col("mmr").desc(), "vec_id")
-            .limit(1)
-            .localCheckpoint(eager=True)  # 1-row eager: keeps the
-            # unrolled lineage flat (selected is referenced twice per
-            # step — uncheckpointed, the plan doubles each iteration)
-        )
-        picks.append(pick.withColumn("pick", F.lit(t)))
-        selected = selected.unionByName(pick.select("vec_id"))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        F.col("pick").cast("bigint").alias("pick"),
-        "vec_id",
-        F.col("rel").cast("bigint").alias("rel"),
-        F.col("mmr").cast("bigint").alias("mmr"),
+    pool_py = [
+        (int(r.vec_id), int(r.rel), [float(x) for x in r.v])
+        for r in pool_rows
+    ]
+    sims_py: dict[tuple[int, int], int] = {}
+    for uid, _, uv in pool_py:
+        for vid, _, vv in pool_py:
+            if uid != vid:
+                sims_py[(uid, vid)] = _py_mc(_py_cos(uv, vv))
+    out_rows: list[tuple[int, int, int, int]] = []
+    selected: list[int] = []
+    for t in range(1, MMR_K + 1):
+        best = None
+        for vid, rel, _ in pool_py:
+            if vid in selected:
+                continue
+            if t == 1:
+                mmr_score = 7 * rel
+            else:
+                ms = max(sims_py[(vid, s)] for s in selected)
+                mmr_score = 7 * rel - 3 * ms
+            # argmax with min-vec_id tiebreak (mmr DESC, vec_id ASC)
+            if best is None or (-mmr_score, vid) < (-best[2], best[0]):
+                best = (vid, rel, mmr_score)
+        if best is None:  # pool exhausted (tiny corpus)
+            break
+        out_rows.append((t, best[0], best[1], best[2]))
+        selected.append(best[0])
+    return spark.createDataFrame(
+        out_rows, "pick BIGINT, vec_id BIGINT, rel BIGINT, mmr BIGINT"
     )
 
 
