@@ -565,31 +565,32 @@ def _ivf_seed_lists(
     # projected column instead of re-folding it inside each of the
     # |cents| cosines (r16 — the r14 pair-cosine norm hoist applied to
     # the assignment argmax: |cents| interpreted 64-element folds per
-    # row become 1; the quotient double is bit-identical because the
-    # hoisted expression tree is unchanged, only named)
-    def _cos_lit(vcol: Column, cvec: list[float]) -> Column:
-        cn = math.sqrt(sum(x * x for x in cvec))
-        lit = F.array(*[F.lit(x) for x in cvec])
-        return _dot(vcol, lit) / (F.col("_nv") * F.lit(cn))
-
+    # row become 1 wherever the projection materializes; the quotient
+    # double is bit-identical because the hoisted expression tree is
+    # unchanged, only named).  The struct array is built as ONE SQL
+    # string parsed JVM-side (r16): the Column-API form issued
+    # thousands of py4j calls (|cents| structs × 64-element literal
+    # arrays), several hundred ms of pure driver time per invocation;
+    # repr(float) + the D suffix round-trips every double bit-exactly
+    # (probe-verified incl. -0.0, denormals, 1e300).
+    #
     # argmax over (micro-score, -cid): struct max picks the highest
     # INTEGER micro-cosine (round(10⁶·cos) — the mmr_rerank device;
     # r14: raw-double argmax left the assignment exposed to
     # cross-engine ULP flips now that the IVF oracle replays it), ties
     # break to the LOWEST centroid id — deterministic assignment
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    F.round(F.lit(1000000) * _cos_lit(F.col("v"), cv))
-                    .cast("bigint")
-                    .alias("s"),
-                    F.lit(-cid).alias("negid"),
-                )
-                for cid, cv in cents
-            ]
-        )
+    def _arr_d(vec: list[float]) -> str:
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+
+    structs = ", ".join(
+        "named_struct('s', CAST(round(1000000 * ("
+        f"aggregate(zip_with(v, {_arr_d(cv)}, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+        f" / (_nv * {math.sqrt(sum(x * x for x in cv))!r}D))) AS BIGINT),"
+        f" 'negid', {-cid})"
+        for cid, cv in cents
     )
+    best = F.array_max(F.expr(f"array({structs})"))
     assigned = (
         emb.withColumn("_nv", _norm(F.col("v")))
         .withColumn("cid", (-best["negid"]).cast("int"))
@@ -1667,54 +1668,64 @@ def _ivfpq_search(
         F.col("v"), lambda x: F.round(F.lit(1000000) * x).cast("long")
     )
 
-    def _l2sq_int(subv: Column, cvec: list[int]) -> Column:
-        lit = F.array(*[F.lit(x).cast("long") for x in cvec])
-        return F.aggregate(
-            F.zip_with(subv, lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    # the PQ_M·PQ_K subspace-L2² folds are built as ONE SQL string per
+    # subspace and parsed JVM-side (r16): the Column-API form issued
+    # ~10⁴ py4j calls and dominated the query at ~8 s of pure DRIVER
+    # time per invocation (executor time: ~0.1 s); the parsed
+    # expression tree is identical (same zip_with/aggregate/slice
+    # nodes, same BIGINT literals)
+    def _arr_l(vec: list[int]) -> str:
+        return "array(" + ", ".join(f"{int(x)}L" for x in vec) + ")"
 
     def _code(m: int) -> Column:
-        subv = F.slice("vq", m * sub + 1, sub)
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _l2sq_int(subv, cb[m][k]).alias("d"),
-                        F.lit(k).alias("k"),
-                    )
-                    for k in range(PQ_K)
-                ]
-            )
-        )["k"]
+        subv = f"slice(vq, {m * sub + 1}, {sub})"
+        structs = ", ".join(
+            "named_struct('d', aggregate(zip_with("
+            f"{subv}, {_arr_l(cb[m][k])}, (x, y) -> (x - y) * (x - y)),"
+            f" 0L, (acc, x) -> acc + x), 'k', {k})"
+            for k in range(PQ_K)
+        )
+        return F.array_min(F.expr(f"array({structs})"))["k"]
 
+    # materialization barrier between the gate and the PQ encode
+    # (r16): without it CollapseProject inlines ``vq`` into every one
+    # of the PQ_M·PQ_K = 128 subspace-L2² folds (each then re-runs the
+    # 64-element micro-quantize transform) AND filter pushdown
+    # substitutes the full 16-centroid assignment argmax into the scan
+    # filter — measured 10.0 s warm at sf0.1 for ~1.3k gated rows.
+    # The checkpoint pins the gate+vq evaluation to once per row
+    # (2.3 s warm, same rows: the values are a deterministic
+    # projection, materialized instead of re-derived).  At 100 TB this
+    # materialized (vec_id, vq, cid) relation IS the PQ index build
+    # the docstring describes — the in-plan twin just keeps it
+    # invocation-local.
     coded = (
         assigned.where(
             F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
         )
         .withColumn("vq", vq)
+        .localCheckpoint(eager=True)
         .withColumn("codes", F.array(*[_code(m) for m in range(PQ_M)]))
+        # second barrier: the ADC sums reference codes[m] 2·PQ_M
+        # times, and CollapseProject would inline the whole
+        # PQ_M·PQ_K-fold encode into each reference (16× the encode
+        # per row — the dominant cost pre-r16)
+        .localCheckpoint(eager=True)
     )
-    adc_dot = sum(
-        (
-            F.element_at(
-                F.array(*[F.lit(x).cast("long") for x in lut_dot[m]]),
-                F.col("codes")[m] + 1,
-            )
+    # LUT sums as single parsed strings too (same py4j-call argument);
+    # exact BIGINT adds — dropping the redundant leading 0L start
+    # value cannot change an integer sum
+    adc_dot = F.expr(
+        " + ".join(
+            f"element_at({_arr_l(lut_dot[m])}, codes[{m}] + 1)"
             for m in range(PQ_M)
-        ),
-        start=F.lit(0).cast("long"),
+        )
     )
-    adc_nsq = sum(
-        (
-            F.element_at(
-                F.array(*[F.lit(x).cast("long") for x in cb_nsq[m]]),
-                F.col("codes")[m] + 1,
-            )
+    adc_nsq = F.expr(
+        " + ".join(
+            f"element_at({_arr_l(cb_nsq[m])}, codes[{m}] + 1)"
             for m in range(PQ_M)
-        ),
-        start=F.lit(0).cast("long"),
+        )
     )
     if metric == "cosine":
         # probe norm is rank-constant and omitted; zero-norm guard
