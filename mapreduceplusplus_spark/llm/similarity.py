@@ -205,7 +205,7 @@ def lsh_micro(v: Column) -> Column:
     return F.transform(v, lambda x: F.round(F.lit(1000000) * x).cast("long"))
 
 
-def lsh_signature(v: Column, bits: int = LSH_BITS) -> Column:
+def lsh_signature(v: Column | str, bits: int = LSH_BITS) -> Column:
     """Random-hyperplane signature as an integer bucket id in
     [0, 2^bits).  Hyperplane ``i`` is the deterministic ±1 Rademacher
     vector of ``_LSH_SIGNS`` (md5-derived — see ``LSH_DIM_MAX`` note);
@@ -213,7 +213,27 @@ def lsh_signature(v: Column, bits: int = LSH_BITS) -> Column:
     any accumulation order and identical in DuckDB SQL — which is what
     makes the whole LSH family oracle-checkable (r1–r13 used
     xxhash64-signed FLOAT sums: Spark-only, and order-sensitive in the
-    last ulp).  |Σ| ≤ 64·10⁶·max|x| — far inside BIGINT."""
+    last ulp).  |Σ| ≤ 64·10⁶·max|x| — far inside BIGINT.
+
+    When ``v`` is a column NAME the whole signature is rendered as one
+    SQL string and parsed JVM-side (r16): the Column-API form issues
+    bits × 64 literal py4j calls per invocation (~0.3 s of driver
+    time); the parsed tree is identical (integer ops — bit-exact by
+    construction) and the oracle's ``LSH_BUCKET_CTE`` replays it."""
+    if isinstance(v, str):
+        vm = f"transform({v}, x -> CAST(round(1000000 * x) AS BIGINT))"
+        parts = []
+        for i in range(bits):
+            signs = "array(" + ", ".join(f"{s}L" for s in _LSH_SIGNS[i]) + ")"
+            proj = (
+                f"aggregate(zip_with({vm}, {signs}, (x, s) -> x * s),"
+                " 0L, (acc, x) -> acc + x)"
+            )
+            parts.append(
+                f"shiftleft(CAST(CASE WHEN {proj} > 0"
+                f" THEN 1 ELSE 0 END AS BIGINT), {i})"
+            )
+        return F.expr("0L | " + " | ".join(parts))
     vm = lsh_micro(v)
     bucket = F.lit(0).cast("long")
     for i in range(bits):
@@ -256,7 +276,7 @@ def _lsh_topk(
         if _emb is not None
         else load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "label", _as_double("embedding").alias("v"))
-        .withColumn("bucket", lsh_signature(F.col("v")))
+        .withColumn("bucket", lsh_signature("v"))
     )
     pbucket = F.col("bucket")
     probe_buckets = (
@@ -1237,7 +1257,7 @@ def _lsh_batch_topk(
     ensure_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
-    ).withColumn("bucket", lsh_signature(F.col("v")))
+    ).withColumn("bucket", lsh_signature("v"))
     pbucket = F.col("bucket")
     probe_bucket = (
         F.explode(F.array(*_probe_bucket_set(pbucket)))
@@ -2220,7 +2240,7 @@ def sim_search_triplet_mining_lsh(
     ensure_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
-    ).withColumn("bucket", lsh_signature(F.col("v")))
+    ).withColumn("bucket", lsh_signature("v"))
     anchors = emb.where(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("a_label"),
@@ -3470,7 +3490,7 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression result, materialized once)
     embb = (
         assigned.select("vec_id", "label", "v")
-        .withColumn("bucket", lsh_signature(F.col("v")))
+        .withColumn("bucket", lsh_signature("v"))
         .localCheckpoint(eager=True)
     )
     buck = embb.select("vec_id", "bucket")
