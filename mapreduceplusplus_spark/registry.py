@@ -225,12 +225,18 @@ _PRIORITY_ORDER = [
     # partition-pruned persisted-IVF probe, and the iterative k-core
     # decomposition.
     #
-    # Rotation plan for r17/r18 (VERDICT r15 #3/#4):
-    #   r17: dedup_incremental_ingest_near, agg_hll_sketch_merge,
-    #        agg_approx_quantile, stream_session_window_dynamic_gap
-    #        (the last is the only §2.B CORE row never externally
-    #        hashed — VERDICT r15 Missing #2 — so it takes the fourth
-    #        slot ahead of agg_count_min_sketch)
+    # r16 rotated dedup_simhash, sim_search_lsh_batch,
+    # sim_search_ivf_partitioned, graph_kcore — all hash-green in
+    # CORRECTNESS_r16 (fourth consecutive 50/50 all-green driver
+    # file).  r17 rotates in the four rows VERDICT r16 #10 named
+    # (continuing the r15 #3/#4 plan): the persisted-band-index
+    # incremental near-dedup probe, the mergeable HLL sketch, the
+    # KLL/GK approximate quantiles, and the dynamic-gap session
+    # window (the only §2.B CORE row never externally hashed —
+    # VERDICT r15 Missing #2 — so it takes the fourth slot ahead of
+    # agg_count_min_sketch).
+    #
+    # Rotation plan for r18:
     #   r18: agg_count_min_sketch, then the r15/r16 additions and
     #        conversions: dedup_boilerplate_lines,
     #        sim_search_triplet_mining_lsh, sim_search_recall_curve
@@ -254,10 +260,10 @@ _PRIORITY_ORDER = [
     # sql_passthrough_q1, pack_concat_chunks, scd2_build_validity,
     # window_gaps_islands, text_char_entropy,
     # agg_listagg_within_group.
-    "dedup_simhash",
-    "sim_search_lsh_batch",
-    "sim_search_ivf_partitioned",
-    "graph_kcore",
+    "dedup_incremental_ingest_near",
+    "agg_hll_sketch_merge",
+    "agg_approx_quantile",
+    "stream_session_window_dynamic_gap",
 ]
 
 _loaded = False
