@@ -157,12 +157,30 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("dist")
             )
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        a = d.select(
-            "vec_id", "cid", "dist", F.row_number().over(w).alias("rn")
-        ).where(F.col("rn") == 1)
-        return a.select("vec_id", "cid", "dist") if with_dist else a.select(
-            "vec_id", "cid"
+        # argmin as a PACKED-BIGINT min AGGREGATE, not a row_number
+        # window (r17): dist is an exact BIGINT (micro-unit L2²) and
+        # cid < _K, so min(dist·_K + cid) is the identical
+        # (dist ASC, cid ASC) lexicographic order packed into one
+        # hash-aggregable integer — the window form paid a full
+        # per-partition SORT of the N·k distance rows on both sides
+        # of its exchange, and a min(struct) falls back to
+        # SortAggregate; the packed form is a plain HashAggregate
+        # with map-side partial application (guide §2.4: same key,
+        # no ordered pass anywhere).  No overflow under ANSI: dist ≤
+        # 64·(2·10⁶·|u|max)² ≈ 10¹⁵ for unit-scale embeddings, and
+        # ·4 stays far under 2⁶³ (an adversarial corpus would RAISE
+        # loudly under ANSI, never mis-assign).
+        a = d.groupBy("vec_id").agg(
+            F.min(F.col("dist") * _K + F.col("cid")).alias("m")
+        )
+        return (
+            a.select(
+                "vec_id",
+                (F.col("m") % _K).alias("cid"),
+                F.expr(f"m div {_K}").alias("dist"),
+            )
+            if with_dist
+            else a.select("vec_id", (F.col("m") % _K).alias("cid"))
         )
 
     c0 = e.where(F.col("vec_id") < _K).select(
