@@ -572,9 +572,23 @@ def sssp_frontier(edges_sym: DataFrame, source: int) -> tuple[DataFrame, int]:
     Each round costs ONE equi-join of the current frontier against the
     edge list (hash-partitioned on the vertex key, co-shuffle-able
     with a pre-partitioned edge relation at scale) plus one anti-join
-    against the settled set; the frontier only ever holds the NEWLY
-    reached vertices, so total work over the whole run is O(Σ degree
-    of reached vertices) — each edge relaxes at most twice.  Only each
+    — against the LAST TWO frontier levels only (r17, VERDICT r16 #4):
+    on a SYMMETRIC edge relation (this helper's input contract — every
+    caller passes ``_symmetrize``d or both-ways edges) a neighbor of a
+    depth-d vertex has depth ∈ {d−1, d, d+1} (if dist(v) < d−1 then
+    its frontier neighbor u would have dist ≤ dist(v)+1 < d,
+    contradicting u ∈ F_d), so candidates can only collide with
+    F_d ∪ F_{d−1} and the anti-join side is BOUNDED by two level
+    sizes instead of the GROWING settled union the pre-r17 form
+    re-shuffled every round — at scale that was O(|V|) anti-join
+    bytes per round, now O(|frontier|).  The per-round ``distinct``
+    is keyed on ``v`` alone: each round's candidates share ONE depth,
+    so the old (v, dist) key carried a constant through the exchange
+    and the depth is attached as a literal after the anti-join
+    (narrower shuffle rows, guide §2.3).  The frontier only ever
+    holds the NEWLY reached vertices, so total work over the whole
+    run is O(Σ degree of reached vertices) — each edge relaxes at
+    most twice.  Only each
     round's NEW frontier is localCheckpointed; the settled set stays a
     LAZY union over those materialized leaves (r10 review: eagerly
     re-checkpointing the whole settled set copied O(|V|·depth) rows
@@ -589,28 +603,34 @@ def sssp_frontier(edges_sym: DataFrame, source: int) -> tuple[DataFrame, int]:
     absent (the BFS semantics — callers wanting ∞ rows can left-join
     the vertex set)."""
     spark = edges_sym.sparkSession
-    settled = spark.createDataFrame(
+    level0 = spark.createDataFrame(
         [(source, 0)], "v BIGINT, dist BIGINT"
     ).localCheckpoint(eager=True)
-    frontier = settled
+    levels = [level0]  # per-depth checkpointed leaves
+    frontier = level0.select("v")
+    prev = None  # F_{d-1}, v column only
     rounds = 0
-    for _ in range(_SSSP_MAX_ROUNDS):
+    for depth in range(1, _SSSP_MAX_ROUNDS + 1):
         rounds += 1
         cand = (
             frontier.join(edges_sym, frontier["v"] == edges_sym["u"])
-            .select(
-                edges_sym["v"].cast("bigint").alias("v"),
-                (frontier["dist"] + 1).alias("dist"),
-            )
+            .select(edges_sym["v"].cast("bigint").alias("v"))
             .distinct()
         )
-        new = cand.join(settled.select("v"), "v", "left_anti").localCheckpoint(
-            eager=True
+        seen = frontier if prev is None else frontier.unionByName(prev)
+        new = (
+            cand.join(seen, "v", "left_anti")
+            .select("v", F.lit(depth).cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
         )
         if new.isEmpty():
+            settled = levels[0]
+            for lv in levels[1:]:  # lazy over checkpointed leaves
+                settled = settled.unionByName(lv)
             return settled, rounds
-        settled = settled.unionByName(new)  # lazy over checkpointed leaves
-        frontier = new
+        levels.append(new)
+        prev = frontier
+        frontier = new.select("v")
     raise RuntimeError(
         f"BFS did not exhaust its frontier in {_SSSP_MAX_ROUNDS} rounds — "
         f"refusing to return partial shortest-path distances"
@@ -723,9 +743,19 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bellman_ford`` for the per-round cost shape and the loud-cap
     contract."""
     ensure_utc(spark)
-    e2 = _symmetrize(
-        _copurchase_edges(spark, sf_dir, min_cooc=_CC_MIN_COOC, weighted=True)
-    ).localCheckpoint(eager=True)
+    # persisted pre-partitioned on the relaxation join key (r17) — the
+    # same one-edge-shuffle-per-run device as ``graph_sssp``; the
+    # per-round dist⋈edges join reuses this partitioning instead of
+    # re-exchanging the edge list every Bellman-Ford round
+    e2 = (
+        _symmetrize(
+            _copurchase_edges(
+                spark, sf_dir, min_cooc=_CC_MIN_COOC, weighted=True
+            )
+        )
+        .repartition("u")
+        .persist()
+    )
     sources = (
         e2.select("u").distinct().where(F.col("u") % 7 == 0)
         .select(F.col("u").alias("source"))
@@ -783,8 +813,21 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential.  See ``sssp_frontier`` for the per-round cost
     argument and the loud round-cap contract."""
     ensure_utc(spark)
-    sym = _symmetrize(_copurchase_edges(spark, sf_dir)).localCheckpoint(
-        eager=True
+    # r17 (guide §2.4): the edge relation is PERSISTED pre-partitioned
+    # on the join key instead of localCheckpointed — an
+    # InMemoryRelation KEEPS its outputPartitioning visible to
+    # Catalyst (a checkpoint leaf reads back as UnknownPartitioning),
+    # so the per-round frontier⋈edges join stops re-exchanging the
+    # FULL edge list every round: one edge shuffle for the whole run
+    # instead of one per eccentricity level, and the cache keeps its
+    # lineage (fault-tolerant, unlike a localCheckpoint leaf).  The
+    # derive plan is two joins deep, so the lineage-growth argument
+    # for checkpointing does not apply; the source collect below
+    # materializes the cache eagerly.
+    sym = (
+        _symmetrize(_copurchase_edges(spark, sf_dir))
+        .repartition("u")
+        .persist()
     )
     # the source is the graph's minimum vertex id — a 1-value collect
     # (the bounded driver-side-literal pattern shared by sort_global's
