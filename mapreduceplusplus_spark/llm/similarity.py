@@ -109,16 +109,29 @@ _TOPK_ORACLE = f"""
 
 
 @query("sim_search_topk", oracle=_TOPK_ORACLE)
-def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_search_topk(
+    spark: SparkSession, sf_dir: str, _emb: DataFrame | None = None
+) -> DataFrame:
     """Exact brute-force cosine top-k vs one probe vector.  The probe
     row is a 1-row broadcast (no shuffle of the big side); scoring is a
     map-side zip_with; ``orderBy.limit(k)`` → TakeOrderedAndProject.
     vec_id tiebreaker keeps ties deterministic; the achieved rank is
     materialized (``rnk``) so the order-insensitive hash still checks
-    ordering."""
+    ordering.
+
+    ``_emb`` (private): a precomputed ``(vec_id, label, v)`` frame —
+    the recall curve passes its ONE checkpointed corpus materialization
+    so the composed plan scans the corpus once instead of per tier
+    (r17, the ``_lsh_topk`` ``_emb`` device); the expression it
+    replaces is identical, so the scored doubles — and therefore the
+    raw-double ranking — are bit-identical."""
     ensure_utc(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("v")
+    emb = (
+        _emb.select("vec_id", "label", "v")
+        if _emb is not None
+        else load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _as_double("embedding").alias("v")
+        )
     )
     probe = (
         emb.where(F.col("vec_id") == PROBE_ID)
@@ -3517,75 +3530,67 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the IVF gate raises loudly on an empty/probe-less corpus — do it
     # FIRST so the whole curve has one deterministic empty contract
     assigned, _probe_v, probe_cids = _ivf_seed_lists(spark, sf_dir)
-    # ONE materialization per shared sub-plan (r16): the composed
-    # 9-tier union previously re-executed every common stage per
-    # consumer — plan audit counted 130 parquet scans / 166 exchanges
-    # in the single physical plan, with the 16-centroid assignment
-    # argmax alone evaluated 4× (three IVF-family tiers + the gate
-    # census) and the LSH signature scan 4× (two tiers + two
-    # censuses).  localCheckpoints are PER-INVOCATION — every run
-    # still computes them from the parquet inputs inside the timed
-    # region; they are the in-plan equivalent of the persisted index
-    # stores the tier queries already share.
-    assigned = assigned.localCheckpoint(eager=True)
-    seed = (assigned, _probe_v, probe_cids)
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_df = (
-        emb.where(F.col("vec_id") != PROBE_ID)
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)  # 1 row, read by all 9 branches
+    # ONE corpus materialization for the WHOLE curve (r17, tightening
+    # the r16 one-checkpoint-per-shared-sub-plan form): cid (the IVF
+    # assignment argmax) and bucket (the LSH signature) are computed
+    # in the SAME pass — the r16 form checkpointed ``assigned`` and
+    # then the signature frame separately.  localCheckpoints are
+    # PER-INVOCATION — every run still computes them from the parquet
+    # inputs inside the timed region; they are the in-plan equivalent
+    # of the persisted index stores the tier queries already share.
+    base = assigned.withColumn("bucket", lsh_signature("v")).localCheckpoint(
+        eager=True
     )
-    exact_ids = (
-        sim_search_topk(spark, sf_dir)
-        .select("vec_id")
-        .localCheckpoint(eager=True)  # TOP_K rows, joined by all 9
-    )
+    seed = (base, _probe_v, probe_cids)
 
-    # --- per-tier gate censuses (1-row aggregates) ---
-    # the signature scan is shared with the two LSH tiers via _emb;
-    # v comes from the checkpointed assignment (same _as_double
-    # expression result, materialized once)
-    embb = (
-        assigned.select("vec_id", "label", "v")
-        .withColumn("bucket", lsh_signature("v"))
-        .localCheckpoint(eager=True)
-    )
-    buck = embb.select("vec_id", "bucket")
-    pb1 = buck.where(F.col("vec_id") == PROBE_ID).select(
-        F.array(F.col("bucket")).alias("pbs")
-    )
-    pbm = buck.where(F.col("vec_id") == PROBE_ID).select(
-        F.array(*_probe_bucket_set(F.col("bucket"))).alias("pbs")
-    )
+    # --- gate censuses as BOUNDED DRIVER-SIDE LITERALS (r17) ---
+    # the r16 form materialized FIVE 1-row frames (n, exact ids, two
+    # bucket censuses, the IVF census) as separate checkpoint jobs and
+    # cross-joined them into all 9 branches; every census is a bounded
+    # scalar (a count) or a ≤TOP_K id list, i.e. exactly the
+    # driver-side-literal pattern of sort_global's boundaries and the
+    # MMR greedy — TWO bounded collects over the cached base replace
+    # all five jobs, and the branch grid becomes pure literals (the
+    # censuses are still computed per invocation from the same data,
+    # by the same predicates: values unchanged, the oracle replays
+    # them independently).
+    not_probe = F.col("vec_id") != PROBE_ID
+    row1 = base.agg(
+        F.sum(F.when(not_probe, 1).otherwise(0)).alias("n"),
+        F.sum(
+            F.when(F.col("cid").isin(*probe_cids) & not_probe, 1).otherwise(0)
+        ).alias("ivfc"),
+        F.max(F.when(~not_probe, F.col("bucket"))).alias("pb"),
+    ).collect()[0]
+    n, ivfc = int(row1.n or 0), int(row1.ivfc or 0)
+    pb = int(row1.pb)  # probe row exists — _ivf_seed_lists raised if not
+    pbs = [pb, *[pb ^ (1 << i) for i in range(LSH_BITS)]]
+    row2 = base.where(not_probe).agg(
+        F.sum(F.when(F.col("bucket") == pb, 1).otherwise(0)).alias("lshc"),
+        F.sum(F.when(F.col("bucket").isin(pbs), 1).otherwise(0)).alias("mpc"),
+    ).collect()[0]
+    lsh_census, mp_census = int(row2.lshc or 0), int(row2.mpc or 0)
+    ivf_census, n_as_census = ivfc, n
 
-    def _bucket_census(pb: DataFrame) -> DataFrame:
-        return (
-            buck.where(F.col("vec_id") != PROBE_ID)
-            # broadcast-safe: probe bucket set is a single row
-            .crossJoin(F.broadcast(pb))
-            .where(F.array_contains(F.col("pbs"), F.col("bucket")))
-            .agg(F.count("*").alias("cand"))
-            .localCheckpoint(eager=True)  # 1 row, multi-branch fan-out
-        )
-
-    lsh_census = _bucket_census(pb1)
-    mp_census = _bucket_census(pbm)
-    ivf_census = (
-        assigned.where(
-            F.col("cid").isin(*probe_cids) & (F.col("vec_id") != PROBE_ID)
-        )
-        .agg(F.count("*").alias("cand"))
-        .localCheckpoint(eager=True)  # 1 row, read by 3 branches
+    # exact top-k ids: the registered exact tier composed over the SAME
+    # materialized corpus (``_emb`` pass-through — identical expression,
+    # identical doubles, identical raw-double ranking); the ≤TOP_K ids
+    # become an isin literal instead of a 9-branch broadcast join
+    exact_id_rows = (
+        sim_search_topk(spark, sf_dir, _emb=base).select("vec_id").collect()
     )
-    n_as_census = n_df.select(F.col("n").alias("cand"))
+    exact_id_list = sorted(int(r.vec_id) for r in exact_id_rows)
 
-    def _least(census: DataFrame, cap: int) -> DataFrame:
-        return census.select(
-            F.least(F.lit(cap).cast("long"), F.col("cand")).alias("cand")
-        )
+    def _least(census: int, cap: int) -> int:
+        return min(census, cap)
 
     tiers = [
-        ("exact", exact_ids, n_as_census, n_as_census),
+        (
+            "exact",
+            sim_search_topk(spark, sf_dir, _emb=base).select("vec_id"),
+            n_as_census,
+            n_as_census,
+        ),
         (
             "hamming",
             sim_search_hamming_rerank(spark, sf_dir).select("vec_id"),
@@ -3606,13 +3611,13 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (
             "lsh",
-            sim_search_lsh(spark, sf_dir, _emb=embb).select("vec_id"),
+            sim_search_lsh(spark, sf_dir, _emb=base).select("vec_id"),
             lsh_census,
             lsh_census,
         ),
         (
             "lsh_multiprobe",
-            sim_search_lsh_multiprobe(spark, sf_dir, _emb=embb).select("vec_id"),
+            sim_search_lsh_multiprobe(spark, sf_dir, _emb=base).select("vec_id"),
             mp_census,
             mp_census,
         ),
@@ -3636,29 +3641,36 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     rows = []
-    for name, ids, cr_df, ce_df in tiers:
-        hits = ids.join(exact_ids, "vec_id").agg(F.count("*").alias("hits"))
+    in_exact = (
+        F.col("vec_id").isin(*exact_id_list)
+        if exact_id_list
+        else F.lit(False)
+    )
+    for name, ids, cr, ce in tiers:
+        # hits = |tier ids ∩ exact ids| via the ≤TOP_K isin literal;
+        # cr/ce/n are literal ints, but every derived ratio stays a
+        # SPARK expression (F.round half-up) so the rounding semantics
+        # match the oracle exactly as before
+        hits = ids.where(in_exact).agg(F.count("*").alias("hits"))
         rows.append(
-            # all 1-row frames — pure literal-grid fuses, no data join
-            hits.crossJoin(cr_df.select(F.col("cand").alias("cr")))
-            .crossJoin(ce_df.select(F.col("cand").alias("ce")))
-            .crossJoin(n_df)
-            .select(
+            hits.select(
                 F.lit(name).alias("tier"),
                 F.col("hits").cast("bigint").alias("hits"),
                 (
                     F.round(F.col("hits") / F.lit(float(TOP_K)), 3)
                     + F.lit(0.0)
                 ).alias("recall_at_k"),
-                F.col("cr").cast("bigint").alias("cand_ranked"),
-                (F.round(F.col("cr") / F.col("n"), 4) + F.lit(0.0)).alias(
-                    "frac_ranked"
-                ),
-                F.col("ce").cast("bigint").alias("cand_exact"),
-                (F.round(F.col("ce") / F.col("n"), 4) + F.lit(0.0)).alias(
-                    "frac_exact"
-                ),
-                F.col("n").cast("bigint").alias("corpus_n"),
+                F.lit(cr).cast("bigint").alias("cand_ranked"),
+                (
+                    F.round(F.lit(cr) / F.lit(n).cast("double"), 4)
+                    + F.lit(0.0)
+                ).alias("frac_ranked"),
+                F.lit(ce).cast("bigint").alias("cand_exact"),
+                (
+                    F.round(F.lit(ce) / F.lit(n).cast("double"), 4)
+                    + F.lit(0.0)
+                ).alias("frac_exact"),
+                F.lit(n).cast("bigint").alias("corpus_n"),
             )
         )
     return _red(DataFrame.unionByName, rows).orderBy("tier")
