@@ -535,6 +535,23 @@ def sim_search_ivf(
 _IVF_SEED_MEMO: dict[tuple, tuple] = {}
 
 
+def _evict_stale_seeds(memo_key: tuple) -> None:
+    """Drop seed-memo entries for SUPERSEDED dataset fingerprints of
+    the same (applicationId, sf_dir) (ADVICE r16): a long-lived session
+    that rewrites the embeddings under one directory changes the
+    fingerprint component of the key, and without eviction the stale
+    quantizer inputs would accumulate for the life of the context.
+    Called on every memo MISS — the keys share their first two
+    components and differ in the third (the ``pq_seeds``-tagged keys
+    carry a fourth marker component and the same layout)."""
+    for k in [
+        k
+        for k in _IVF_SEED_MEMO
+        if k[:2] == memo_key[:2] and k[2] != memo_key[2]
+    ]:
+        del _IVF_SEED_MEMO[k]
+
+
 def _ivf_seed_lists(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[float], list[int]]:
@@ -558,6 +575,7 @@ def _ivf_seed_lists(
     if memo is not None:
         cents, probe_v, probe_cids = memo
     else:
+        _evict_stale_seeds(memo_key)
         cent_rows = (
             emb.where(F.col("vec_id") < IVF_CENTROIDS)
             .select("vec_id", "v")
@@ -613,6 +631,15 @@ def _ivf_seed_lists(
     # cross-engine ULP flips now that the IVF oracle replays it), ties
     # break to the LOWEST centroid id — deterministic assignment
     def _arr_d(vec: list[float]) -> str:
+        # loud contract (ADVICE r16): a non-finite centroid component
+        # would render as 'nanD'/'infD' and fail SQL parsing with an
+        # opaque error (the replaced F.lit path built valid
+        # NaN/Infinity literals) — name the corrupt input instead
+        if not all(math.isfinite(float(x)) for x in vec):
+            raise ValueError(
+                "IVF centroid has a non-finite component — refusing to "
+                "render a non-finite literal into the assignment SQL"
+            )
         return "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
 
     structs = ", ".join(
@@ -1685,6 +1712,7 @@ def _ivfpq_search(
     )
     seeds = _IVF_SEED_MEMO.get(pq_key)
     if seeds is None:
+        _evict_stale_seeds(pq_key)
         seed_rows = emb.where(
             (F.col("vec_id") >= IVF_CENTROIDS)
             & (F.col("vec_id") < IVF_CENTROIDS + PQ_K)
@@ -1959,7 +1987,15 @@ def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same sequential fold + half-away rounding as the Spark
     # expressions, and test_mmr_micro_cosine_boundary_margin pins
     # every pool cosine ≥ 1e-4 micro-units from a rounding boundary,
-    # 10⁴× any fold-order deviation.
+    # 10⁴× any fold-order deviation.  ONE disclosed divergence on
+    # DEGENERATE input (ADVICE r16): a zero-norm pool vector scores
+    # _py_cos = 0.0 here, while the replaced in-plan double division
+    # produced NaN/NULL — micro-score 0 vs a NULL that sorted LAST
+    # under rel DESC.  No fixture or replication fixture contains a
+    # zero-norm vector (the boundary-margin pin would fail first), and
+    # the oracle's list_cosine_similarity likewise NaNs, so the
+    # divergence is unreachable in any checked configuration; on real
+    # corpora a zero embedding is corrupt input either way.
     pool_rows = (
         scored.orderBy(F.col("rel").desc(), "vec_id")
         .limit(MMR_POOL)

@@ -97,10 +97,13 @@ def test_ingest_near_batch_restricted_frames_match_full_filter(spark):
         ).collect()
     )
     assert full_restricted == batch_only
-    bands_full = sorted(
+    # ADVICE r16: names say what each side IS — bands of the
+    # batch-restricted shingle frame vs the full band table filtered
+    # down to the batch (the assertion itself was always correct)
+    bands_of_restricted = sorted(
         map(tuple, D._minhash_bands(docs_full.where(is_batch)).collect())
     )
-    bands_batch = sorted(
+    bands_filtered = sorted(
         map(tuple, D._minhash_bands(docs_full).where(is_batch).collect())
     )
-    assert bands_full == bands_batch
+    assert bands_of_restricted == bands_filtered

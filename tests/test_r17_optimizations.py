@@ -1,0 +1,153 @@
+"""Focused pins for the r17 optimization-round internals: every change
+was value-preserving by construction — these tests pin that property
+directly (the oracle differentials pin it end-to-end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduceplusplus_spark import registry
+from mapreduceplusplus_spark.sources.tables import load_table
+from tests.conftest import SF_DIR_ORACLE
+
+registry.load_all()
+
+
+def test_ivf_seed_memo_holds_only_bounded_quantizer_inputs(spark):
+    """VERDICT r16 "What's wrong" #2: ``_IVF_SEED_MEMO`` is the one
+    cross-rep cache without a bench release hook — its standing
+    amortization policy is legitimate ONLY while it stores bounded
+    quantizer INPUTS (seed centroids, probe vector, probe cids), never
+    DataFrames or query results.  Pin that invariant so a future edit
+    cannot silently turn the memo into result caching."""
+    from pyspark.sql import DataFrame
+
+    import mapreduceplusplus_spark.llm.similarity as S
+
+    S._ivf_seed_lists(spark, SF_DIR_ORACLE)
+    qs = registry.queries()
+    qs["sim_search_ivfpq"](spark, SF_DIR_ORACLE)  # populates pq_seeds
+    assert S._IVF_SEED_MEMO, "memo unexpectedly empty"
+
+    def flat(x):
+        if isinstance(x, (list, tuple)):
+            for y in x:
+                yield from flat(y)
+        else:
+            yield x
+
+    for key, val in S._IVF_SEED_MEMO.items():
+        # keys: (applicationId, sf_dir, fingerprint[, marker]) — all
+        # bounded plain values
+        for leaf in flat(key):
+            assert isinstance(leaf, (str, int, float, tuple)), key
+        leaves = list(flat(val))
+        assert len(leaves) < 50_000, "memo entry is not bounded"
+        for leaf in leaves:
+            assert not isinstance(leaf, DataFrame), (
+                "seed memo must never hold DataFrames"
+            )
+            assert isinstance(leaf, (int, float)), (key, type(leaf))
+
+
+def test_ivf_seed_memo_evicts_superseded_fingerprints(spark):
+    """ADVICE r16: a rewritten dataset under the same (appId, sf_dir)
+    changes the fingerprint key component; the old entry must be
+    EVICTED on the next miss, not accumulate for the context's life."""
+    import mapreduceplusplus_spark.llm.similarity as S
+
+    S._ivf_seed_lists(spark, SF_DIR_ORACLE)
+    live = [
+        k
+        for k in S._IVF_SEED_MEMO
+        if k[1] == SF_DIR_ORACLE and len(k) == 3
+    ]
+    assert live, "expected a live seed entry"
+    app_id, sf_dir, _fp = live[0]
+    stale_key = (app_id, sf_dir, ("stale", "fingerprint"))
+    S._IVF_SEED_MEMO[stale_key] = ([], [], [])
+    # a miss on a NEW fingerprint for the same (appId, sf_dir) evicts
+    # every other fingerprint's entries for that pair
+    S._evict_stale_seeds((app_id, sf_dir, ("fresh", "fingerprint")))
+    assert stale_key not in S._IVF_SEED_MEMO
+    assert live[0] not in S._IVF_SEED_MEMO
+    # unrelated directories are untouched
+    other = (app_id, "/elsewhere", ("x",))
+    S._IVF_SEED_MEMO[other] = ([], [], [])
+    S._evict_stale_seeds((app_id, sf_dir, ("fresh2", "fingerprint")))
+    assert other in S._IVF_SEED_MEMO
+    del S._IVF_SEED_MEMO[other]
+    # restore the real entry for subsequent tests
+    S._ivf_seed_lists(spark, SF_DIR_ORACLE)
+
+
+def test_bfs_two_level_antijoin_handles_same_level_and_back_edges(spark):
+    """r17: ``sssp_frontier`` anti-joins candidates against the last
+    TWO frontier levels only (valid on symmetric edges: a neighbor of
+    a depth-d vertex has depth ∈ {d−1, d, d+1}).  An odd cycle forces
+    BOTH collision classes the proof covers — a same-level edge (the
+    two wavefronts meet) and back-edges — so duplicate labels would
+    surface here if the two-level argument were wrong."""
+    import mapreduceplusplus_spark.operators.graph as G
+
+    n = 7  # C7: 0-1-2-3-4-5-6-0 — wavefronts meet at an EDGE (3,4)
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(pairs, "u bigint, v bigint")
+    edges = df.unionAll(
+        df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    try:
+        dists, rounds = G.sssp_frontier(edges, 0)
+        got = sorted((r.v, r.dist) for r in dists.collect())
+        assert got == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 3), (5, 2), (6, 1)]
+        # exactly one label per vertex (no duplicate-level leakage)
+        assert len({v for v, _ in got}) == n
+        assert rounds == 4  # ecc 3 + the empty probe
+    finally:
+        edges.unpersist()
+
+
+def test_kmeans_packed_argmin_equals_struct_argmin(spark):
+    """r17: the kmeans argmin packs (dist, cid) into one BIGINT
+    (min(dist·_K + cid)) — pin that the packed order equals the
+    lexicographic (dist ASC, cid ASC) order on the real corpus
+    distances, including exact ties."""
+    from mapreduceplusplus_spark.operators import ml as M
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "u")
+    ).select(
+        "vec_id",
+        "dim",
+        (
+            F.round(F.lit(1000000) * F.col("u").cast("double")).cast("bigint")
+            + M._SHIFT
+        ).alias("q"),
+    )
+    c0 = e.where(F.col("vec_id") < M._K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("q").alias("c")
+    )
+    d = (
+        e.join(F.broadcast(c0), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .cast("bigint")
+            .alias("dist")
+        )
+    )
+    packed = d.groupBy("vec_id").agg(
+        F.min(F.col("dist") * M._K + F.col("cid")).alias("m")
+    ).select(
+        "vec_id",
+        (F.col("m") % M._K).alias("cid"),
+        F.expr(f"m div {M._K}").alias("dist"),
+    )
+    struct = d.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("dist"), F.col("cid").alias("cid"))).alias("b")
+    ).select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, struct.collect()))
+    assert a == b and a, "packed argmin diverged from lexicographic min"
