@@ -540,65 +540,57 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     per-shingle base hash is precomputed by one nested ``transform``
     so md5 runs ONCE per shingle, not 64×) — shuffle-FREE, same plan
     class as the r7 measurement in BASELINE.md."""
-    init = F.array_repeat(F.lit(9223372036854775807).cast("long"), MINHASH_K)
-    a_arr = F.array(*[F.lit(a) for a in _MINHASH_A])
-    b_arr = F.array(*[F.lit(b) for b in _MINHASH_B])
-    hs = F.transform(
-        "sh",
-        lambda s: F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("long"),
-    )
-    sig = docs.select(
-        "doc_id",
-        F.aggregate(
-            hs,
-            init,
-            lambda acc, h: F.zip_with(
-                acc,
-                F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-                lambda m, i: F.least(
-                    m,
-                    (
-                        F.element_at(a_arr, i + 1) * h
-                        + F.element_at(b_arr, i + 1)
-                    )
-                    % F.lit(_MINHASH_P),
-                ),
-            ),
-        ).alias("mhs"),
-    )
+    # both heavy expressions rendered as ONE parsed SQL string each
+    # (r17, VERDICT r16 #7 — the r16 lsh_signature device): the
+    # Column-API form issued ~300 py4j calls per invocation (two
+    # 64-literal arrays + nested HOF lambda plumbing), ~0.3 s of pure
+    # driver time per call site; the parsed trees are identical (same
+    # aggregate/zip_with/least nodes, same BIGINT literals —
+    # integer-exact by construction, pinned by
+    # test_minhash_bands_sql_form_equals_column_form)
+    sig = docs.select("doc_id", F.expr(_mh_sig_sql()).alias("mhs"))
     return sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    ":",
-                                    *[
-                                        F.element_at(
-                                            F.col("mhs"), b * MINHASH_R + j + 1
-                                        ).cast("string")
-                                        for j in range(MINHASH_R)
-                                    ],
-                                )
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    )
-                    .cast("long")
-                    .alias("bkey"),
-                ),
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(_mh_band_explode_sql()).alias("bb")
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
+def _mh_sig_sql() -> str:
+    """The 64-minimum MinHash signature fold over a ``sh`` shingle
+    array column as one SQL string — per-node identical to the
+    pre-r17 Column form (see ``_minhash_bands``)."""
+    a = "array(" + ", ".join(f"{int(x)}L" for x in _MINHASH_A) + ")"
+    b = "array(" + ", ".join(f"{int(x)}L" for x in _MINHASH_B) + ")"
+    init = (
+        "array(" + ", ".join(["9223372036854775807L"] * MINHASH_K) + ")"
+    )
+    return (
+        "aggregate("
+        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 10), 16, 10)"
+        " AS BIGINT)), "
+        f"{init}, "
+        f"(acc, h) -> zip_with(acc, sequence(0, {MINHASH_K - 1}), "
+        f"(m, i) -> least(m, (element_at({a}, i + 1) * h"
+        f" + element_at({b}, i + 1)) % {_MINHASH_P}L)))"
+    )
+
+
+def _mh_band_explode_sql() -> str:
+    """The banded ``(band, bkey)`` explode over a ``mhs`` signature
+    column as one SQL string — per-node identical to the pre-r17
+    Column form (see ``_minhash_bands``)."""
+    def _sig_val(j: int) -> str:
+        return (
+            f"CAST(element_at(mhs, b * {MINHASH_R} + {j + 1}) AS STRING)"
+        )
+
+    joined = ", ".join(_sig_val(j) for j in range(MINHASH_R))
+    return (
+        f"explode(transform(sequence(0, {MINHASH_BANDS - 1}), "
+        "b -> named_struct('band', b, 'bkey', "
+        f"CAST(conv(substring(md5(concat_ws(':', {joined})), 1, 15),"
+        " 16, 10) AS BIGINT))))"
     )
 
 

@@ -151,3 +151,87 @@ def test_kmeans_packed_argmin_equals_struct_argmin(spark):
     a = sorted(map(tuple, packed.collect()))
     b = sorted(map(tuple, struct.collect()))
     assert a == b and a, "packed argmin diverged from lexicographic min"
+
+
+def test_minhash_bands_sql_form_equals_column_form(spark):
+    """r17: ``_minhash_bands``' signature fold and banding explode are
+    rendered as parsed SQL strings (driver-side build cost); the parsed
+    trees must compute the identical (doc_id, band, bkey) rows as the
+    pre-r17 Column-API form on every fixture document (integer/md5
+    arithmetic — bit-exact by construction, pinned against drift)."""
+    import mapreduceplusplus_spark.llm.dedup as D
+
+    docs = D._doc_shingles(spark, SF_DIR_ORACLE)
+    got = sorted(map(tuple, D._minhash_bands(docs).collect()))
+
+    # the replaced Column-API form, verbatim
+    init = F.array_repeat(
+        F.lit(9223372036854775807).cast("long"), D.MINHASH_K
+    )
+    a_arr = F.array(*[F.lit(a) for a in D._MINHASH_A])
+    b_arr = F.array(*[F.lit(b) for b in D._MINHASH_B])
+    hs = F.transform(
+        "sh",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("long"),
+    )
+    sig = docs.select(
+        "doc_id",
+        F.aggregate(
+            hs,
+            init,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.sequence(F.lit(0), F.lit(D.MINHASH_K - 1)),
+                lambda m, i: F.least(
+                    m,
+                    (
+                        F.element_at(a_arr, i + 1) * h
+                        + F.element_at(b_arr, i + 1)
+                    )
+                    % F.lit(D._MINHASH_P),
+                ),
+            ),
+        ).alias("mhs"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            sig.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(D.MINHASH_BANDS - 1)),
+                        lambda b: F.struct(
+                            b.alias("band"),
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":",
+                                            *[
+                                                F.element_at(
+                                                    F.col("mhs"),
+                                                    b * D.MINHASH_R + j + 1,
+                                                ).cast("string")
+                                                for j in range(D.MINHASH_R)
+                                            ],
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            )
+                            .cast("long")
+                            .alias("bkey"),
+                        ),
+                    )
+                ).alias("bb"),
+            )
+            .select("doc_id", "bb.band", "bb.bkey")
+            .collect(),
+        )
+    )
+    assert got == want and got
+    D.release_shingles()
