@@ -235,3 +235,56 @@ def test_minhash_bands_sql_form_equals_column_form(spark):
     )
     assert got == want and got
     D.release_shingles()
+
+
+def test_bench_line_diet_synthetic_80_query_line_is_bounded():
+    """VERDICT r16 #6: the driver captures bench.py's printed JSON in a
+    BOUNDED tail buffer — r15's line outgrew it and the round-over-round
+    table was lost.  Pin the printed form's size budget on a synthetic
+    80-query suite with realistic (25-char) names: 2-decimal seconds,
+    qspread only for rows with spread > 0.5 s.  The budget (3 KB) is
+    comfortably inside the smallest buffer that is known to have parsed
+    a full line (r16's ~4.5 KB line parsed; r15's did not at ~4 KB with
+    a larger spread map) while still carrying every per-query entry the
+    driver contract requires: the REAL 69-query line is 2608 bytes
+    (was 4208 pre-diet) and a 25-char-name 80-query synthetic stays
+    under 3.5 KB."""
+    import json
+
+    names = [f"sim_search_synthetic_{i:03d}" for i in range(80)]
+    times = {n: round(1.234 + i * 0.01, 2) for i, n in enumerate(names)}
+    # worst realistic case: a quarter of the rows are noisy
+    spread = {n: 12.34 for n in names[::4]}
+    line = json.dumps(
+        {
+            "metric": "headline_total_wall",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "qspread": spread,
+            "calibration": 1.2345,
+            "sf": 0.1,
+            "reps": 3,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 3584, f"bench line budget exceeded: {len(line)} bytes"
+    # and the REAL suite with the diet applied stays under the same cap
+    import bench
+
+    real_times = {n: 12.34 for n in bench.HEADLINE}
+    real_spread = {n: 12.34 for n in bench.HEADLINE[::4]}
+    real_line = json.dumps(
+        {
+            "metric": "headline_total_wall",
+            "value": 123.456,
+            "unit": "sec",
+            "queries": real_times,
+            "qspread": real_spread,
+            "calibration": 1.2345,
+            "sf": 0.1,
+            "reps": 3,
+        },
+        separators=(",", ":"),
+    )
+    assert len(real_line) < 3072, f"real bench line: {len(real_line)} bytes"
