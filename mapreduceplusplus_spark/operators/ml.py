@@ -279,8 +279,19 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     occ = docs.select("doc_id", "lang", F.explode("ws").alias("w"))
-    doc_tf = occ.groupBy("doc_id", "lang", "w").agg(
-        F.count("*").alias("cnt")
+    # PERSISTED (r17, guide §2.4/§5): doc_tf feeds four consumers (the
+    # class priors, the vocabulary, the per-(w, c) counts, and the
+    # scoring join) and each re-ran the regexp tokenize + explode +
+    # pre-reduce from parquet — the plan audit counted 12 parquet
+    # scans / 38 Exchanges for one query.  An InMemoryRelation
+    # materializes the token counts once and KEEPS LINEAGE (an
+    # executor loss recomputes — the fault-tolerance bar VERDICT r16
+    # set for barriers); no forcing action, so the first executing
+    # stage fills the cache within the same job.
+    doc_tf = (
+        occ.groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
     )
     per_doc = doc_tf.groupBy("doc_id").agg(
         F.any_value("lang").alias("lang"), F.sum("cnt").alias("n_tok")
@@ -288,7 +299,9 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = per_doc.groupBy(F.col("lang").alias("c")).agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tok")
     )
-    vocab = occ.select("w").distinct()
+    # same set as distinct-over-occ: every occurrence survives the
+    # per-(doc, lang, w) pre-reduce with its w intact
+    vocab = doc_tf.select("w").distinct()
     vsize = vocab.agg(F.count("*").alias("v"))
     wc = doc_tf.groupBy("w", F.col("lang").alias("c")).agg(
         F.sum("cnt").alias("cw")
