@@ -3570,13 +3570,16 @@ def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the r16 one-checkpoint-per-shared-sub-plan form): cid (the IVF
     # assignment argmax) and bucket (the LSH signature) are computed
     # in the SAME pass — the r16 form checkpointed ``assigned`` and
-    # then the signature frame separately.  localCheckpoints are
-    # PER-INVOCATION — every run still computes them from the parquet
-    # inputs inside the timed region; they are the in-plan equivalent
-    # of the persisted index stores the tier queries already share.
-    base = assigned.withColumn("bucket", lsh_signature("v")).localCheckpoint(
-        eager=True
-    )
+    # then the signature frame separately — and as a lineage-keeping
+    # ``persist()`` instead of an eager localCheckpoint (VERDICT r16
+    # #3: an executor loss now recomputes instead of failing the
+    # query, the relation spills MEMORY_AND_DISK instead of pinning
+    # storage memory, and the measured warm time is parity).  The
+    # cache is PER-INVOCATION — every run still computes it from the
+    # parquet inputs inside the timed region; it is the in-plan
+    # equivalent of the persisted index stores the tier queries
+    # already share.
+    base = assigned.withColumn("bucket", lsh_signature("v")).persist()
     seed = (base, _probe_v, probe_cids)
 
     # --- gate censuses as BOUNDED DRIVER-SIDE LITERALS (r17) ---
